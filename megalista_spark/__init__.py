@@ -1,0 +1,21 @@
+"""megalista_spark — a PySpark-native data-activation / analytics engine.
+
+A ground-up rebuild of the capabilities of google/megalista (reference at
+/root/reference, Apache Beam) as an idiomatic Spark engine:
+
+- declarative schema registry with regex columns + "at least one of" groups
+  (reference: megalista_dataflow/data_sources/data_schemas.py)
+- transactional anti-join dedup against control tables
+  (reference: data_sources/big_query/big_query_data_source.py:76-116)
+- PII hashing / normalization as native Spark SQL expressions
+  (reference: mappers/abstract_list_pii_hashing_mapper.py)
+- chunked, retrying, rate-limited sink executor over foreachPartition
+  (reference: uploaders/*)
+- plus large-scale training-data-pipeline operators (dedup, similarity
+  search, text analysis) designed for 100 TB scale.
+
+Everything relational is expressed through the DataFrame API so Catalyst
+handles pruning, pushdown, and join strategy selection.
+"""
+
+__version__ = "0.1.0"

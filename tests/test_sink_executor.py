@@ -1,0 +1,54 @@
+"""Sink executor: chunking, retry, partial failure, error isolation."""
+
+from __future__ import annotations
+
+from megalista_spark.models.execution import DestinationType
+from megalista_spark.sinks.executor import BATCH_SIZES, SinkExecutor
+from megalista_spark.sinks.transports import DryRunTransport, MockTransport
+
+
+def test_all_accepted(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    result = SinkExecutor(DryRunTransport(), batch_size=7).run(df)
+    assert result.success.count() == 100
+    assert result.errors.count() == 0
+
+
+def test_partial_failure_success_filter(spark):
+    # reference J3: only accepted rows flow onward
+    df = spark.createDataFrame([(i,) for i in range(50)], ["k"])
+    transport = MockTransport(fail_predicate=lambda r: r["k"] % 5 == 0)
+    result = SinkExecutor(transport, batch_size=10).run(df)
+    ok = sorted(r["k"] for r in result.success.collect())
+    assert ok == [i for i in range(50) if i % 5 != 0]
+
+
+def test_retry_then_succeed(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+    transport = MockTransport(fail_chunks_until_attempt=2)  # 1st attempt fails
+    result = SinkExecutor(transport, batch_size=100, max_parallelism=1).run(df)
+    assert result.success.count() == 10
+    assert result.errors.count() == 0
+
+
+def test_exhausted_retries_isolated(spark):
+    # a chunk failing all retries becomes error records; run continues
+    df = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+    transport = MockTransport(fail_chunks_until_attempt=99)
+    result = SinkExecutor(
+        transport, batch_size=100, max_parallelism=1, max_retries=2,
+        context={"destination_type": "TEST"},
+    ).run(df)
+    assert result.success.count() == 0
+    errs = result.errors.collect()
+    assert len(errs) == 10
+    assert "injected failure" in errs[0]["message"]
+
+
+def test_batch_sizes_parity():
+    # reference processing_steps.py constants
+    assert BATCH_SIZES[DestinationType.ADS_OFFLINE_CONVERSION] == 2000
+    assert BATCH_SIZES[DestinationType.GA_MEASUREMENT_PROTOCOL] == 20
+    assert BATCH_SIZES[DestinationType.CM_OFFLINE_CONVERSION] == 1000
+    assert BATCH_SIZES[DestinationType.GA_USER_LIST_UPLOAD] == 5_000_000
+    assert BATCH_SIZES[DestinationType.APPSFLYER_S2S_EVENTS] == 1000
