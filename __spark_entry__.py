@@ -1,38 +1,844 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2 + the
+large-scale data-pipeline extensions) over the driver's test tables;
+``oracle_sql()`` gives the DuckDB-checkable twin of each query. Every
+computed column is aliased identically on both sides; doubles are rounded
+at the output boundary so cross-engine summation order can't flip hashes.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from megalista_spark.functions.hashing import hash_email, hash_field, normalize_email
+from megalista_spark.models.execution import DestinationType, TransactionalType
+from megalista_spark.operators.batching import assign_batches
+from megalista_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from megalista_spark.operators.sessions import session_stats, tumbling_rollup
+from megalista_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+from megalista_spark.operators.text import (
+    document_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from megalista_spark.schema.registry import get_schema
+from megalista_spark.sources.data_source import anti_join_uploaded
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark has
+    no type for — read nanos as long and truncate to microseconds (the
+    oracle casts TIMESTAMP_NS → TIMESTAMP, the same truncation)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = _t(spark, sf_dir, "events")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return e
+
+
+# --------------------------------------------------------------------------
+# Relational surface (Spark built-ins exposed as engine capabilities;
+# SURVEY §2.5 note: joins/aggregates/windows come free with Spark SQL)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates."""
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join customer ⋈ orders ⋈ lineitem + group + deterministic top 10."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1996-03-15"))
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1996-03-15"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way star join with small dims broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(c, (o["o_custkey"] == c["c_custkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter + single-row aggregate (predicate-pushdown showcase)."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 orders by totalprice per market segment."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn::BIGINT AS rn
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rn <= 3
+"""
+
+
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — hierarchy totals in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot semantics expressed portably as conditional aggregation."""
+    e = _events(spark, sf_dir)
+    aggs = [
+        F.round(
+            F.sum(F.when(F.col("event_type") == t, F.col("value")).otherwise(F.lit(0.0))), 2
+        ).alias(f"value_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return e.groupBy("user_id").agg(*aggs).orderBy("user_id")
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END), 2) AS value_click,
+       round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END), 2) AS value_view,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS value_purchase,
+       round(sum(CASE WHEN event_type = 'signup' THEN value ELSE 0.0 END), 2) AS value_signup,
+       round(sum(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END), 2) AS value_error
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Megalista ETL semantics over generic tables (SURVEY §2.2-2.6)
+# --------------------------------------------------------------------------
+
+
+def anti_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/J1: transactional dedup — drop events already in the control set
+    (simulated as every 7th event), then summarize what would be uploaded."""
+    e = _events(spark, sf_dir).withColumn(
+        "uuid", F.col("event_id").cast("string")
+    )
+    uploaded = (
+        e.where(F.col("event_id") % 7 == 0)
+        .select(F.current_timestamp().alias("timestamp"), "uuid")
+    )
+    fresh = anti_join_uploaded(e, uploaded, TransactionalType.UUID)
+    return (
+        fresh.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_fresh"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_fresh, round(sum(value), 2) AS total_value
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events u WHERE u.event_id % 7 = 0
+    AND CAST(u.event_id AS VARCHAR) = CAST(e.event_id AS VARCHAR)
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def semi_join_success(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: success-filter semantics — keep lineitems whose order succeeded
+    (status 'F'), as a left-semi join."""
+    l = _t(spark, sf_dir, "lineitem")
+    ok = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    kept = l.join(ok.select("o_orderkey"), l["l_orderkey"] == ok["o_orderkey"], "left_semi")
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT l_returnflag, count(*)::BIGINT AS n_rows, round(sum(l_quantity), 2) AS qty
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def union_distinct_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: union of branch outputs + dedup by key — the run-summary shape."""
+    e = _events(spark, sf_dir)
+    a = e.where(F.col("event_type") == "click").select("user_id", "event_type")
+    b = e.where(F.col("value") > 50).select("user_id", "event_type")
+    return (
+        a.unionByName(b)
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+UNION_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_users
+FROM (
+  SELECT user_id, event_type FROM events WHERE event_type = 'click'
+  UNION
+  SELECT user_id, event_type FROM events WHERE value > 50
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def pii_hash_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: PII hashing with gmail dot-normalization, on synthesized
+    emails (even customers get gmail addresses; local parts carry dots)."""
+    c = _t(spark, sf_dir, "customer")
+    email = F.concat(
+        F.lit("c."),
+        F.lower(F.regexp_replace(F.col("c_name"), "#", ".")),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("@gmail.com")).otherwise(
+            F.lit("@example.com")
+        ),
+    )
+    return c.select(
+        "c_custkey",
+        hash_field(F.col("c_name")).alias("hashed_name"),
+        normalize_email(email).alias("normalized_email"),
+        hash_email(email).alias("hashed_email"),
+    ).orderBy("c_custkey")
+
+
+PII_HASH_SQL = r"""
+WITH base AS (
+  SELECT c_custkey, c_name,
+         'c.' || lower(replace(c_name, '#', '.')) ||
+         CASE WHEN c_custkey % 2 = 0 THEN '@gmail.com' ELSE '@example.com' END AS email
+  FROM customer
+), norm AS (
+  SELECT c_custkey, c_name, email,
+         CASE WHEN lower(trim(email)) LIKE '%@gmail.com' OR lower(trim(email)) LIKE '%@googlemail.com'
+              THEN replace(split_part(lower(trim(email)), '@', 1), '.', '') || '@' ||
+                   split_part(lower(trim(email)), '@', 2)
+              ELSE lower(trim(email)) END AS normalized_email
+  FROM base
+)
+SELECT c_custkey,
+       sha256(lower(trim(c_name))) AS hashed_name,
+       normalized_email,
+       sha256(trim(normalized_email)) AS hashed_email
+FROM norm
+ORDER BY c_custkey
+"""
+
+
+def batch_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: deterministic fixed-size batching — 1000-row batches of orders,
+    summarized per batch."""
+    o = _t(spark, sf_dir, "orders")
+    batched = assign_batches(o, order_by=["o_orderkey"], batch_size=1000)
+    return (
+        batched.groupBy("iteration")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+        .orderBy("iteration")
+    )
+
+
+BATCH_SQL = """
+SELECT iteration, count(*)::BIGINT AS n_rows,
+       min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+FROM (
+  SELECT o_orderkey,
+         (floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 1000) + 1)::BIGINT AS iteration
+  FROM orders
+)
+GROUP BY iteration
+ORDER BY iteration
+"""
+
+
+def collect_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 shape: per-key collect_list rendered as a sorted joined string
+    (the CM customVariables aggregation, made hash-comparable)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("event_types"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+COLLECT_SQL = """
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+       count(*)::BIGINT AS n_events
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def schema_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6: schema validation + projection + declared casts via the
+    registry (CM_OFFLINE_CONVERSION contract) over a generic table."""
+    e = _events(spark, sf_dir)
+    shaped = e.select(
+        F.col("event_id").cast("string").alias("uuid"),
+        F.col("user_id").cast("string").alias("gclid"),
+        (F.col("event_id") % 100).cast("string").alias("value"),
+        F.lit("2").alias("quantity"),
+        F.col("props").alias("undeclared_junk"),
+    )
+    schema = get_schema(DestinationType.CM_OFFLINE_CONVERSION)
+    return schema.apply(shaped).orderBy(F.col("uuid").cast("bigint"))
+
+
+SCHEMA_PROJECT_SQL = """
+SELECT CAST(event_id AS VARCHAR) AS uuid,
+       CAST(user_id AS VARCHAR) AS gclid,
+       (event_id % 100)::INT AS value,
+       2::INT AS quantity
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+ORDER BY event_id
+"""
+
+
+def sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) + per-session aggregates."""
+    e = _events(spark, sf_dir)
+    out = session_stats(e, gap_minutes=30)
+    return out.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        "total_value",
+        F.col("session_start"),
+        F.col("session_end"),
+    ).orderBy("user_id", "session_seq")
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value,
+       min(ts)::TIMESTAMP AS session_start,
+       max(ts)::TIMESTAMP AS session_end
+FROM sess
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 60-minute window aggregation (batch form of the streaming
+    rollup; epoch-aligned so date_trunc agrees)."""
+    e = _events(spark, sf_dir)
+    return tumbling_rollup(e, minutes=60).orderBy("window_start", "event_type")
+
+
+HOURLY_SQL = """
+SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Large-scale training-data pipeline operators
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).orderBy("doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, md5(text) AS text_hash, count(*)::BIGINT AS dup_count
+FROM documents
+GROUP BY md5(text)
+ORDER BY doc_id
+"""
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return document_fingerprint(d).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^A-Za-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+_SHINGLE_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                          i -> array_to_string(w[i:i+2], ' '))) AS shingles
+  FROM toks
+)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+NGRAM_JACCARD_SQL = _SHINGLE_CTE + """
+, ex AS (SELECT doc_id AS id, len(shingles) AS set_size, unnest(shingles) AS shingle FROM sh)
+, pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, a.set_size AS size_a, b.set_size AS size_b,
+         count(*)::BIGINT AS shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, round(shared / (size_a + size_b - shared), 6) AS jaccard
+FROM pairs
+WHERE shared / (size_a + size_b - shared) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, num_hashes=16, bands=4).orderBy("doc_a", "doc_b")
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    from megalista_spark.operators.dedup import MINHASH_P, minhash_params
+
+    rows_per_band = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(h, x -> (x * {a} + {b}) % {MINHASH_P}))"
+        for a, b in minhash_params(num_hashes)
+    )
+    return _SHINGLE_CTE + f"""
+, hashed AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
+  FROM sh
+), sig AS (
+  SELECT doc_id, [{sig_items}] AS sig FROM hashed
+), banded AS (
+  SELECT doc_id AS id, b AS band_id,
+         md5(array_to_string(list_transform(sig[b*{rows_per_band}+1 : b*{rows_per_band}+{rows_per_band}],
+                                            v -> v::VARCHAR), ',')) AS band_hash
+  FROM sig CROSS JOIN range(0, {bands}) t(b)
+)
+SELECT a.id AS doc_a, b.id AS doc_b, count(*)::BIGINT AS n_shared_bands
+FROM banded a
+JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+GROUP BY 1, 2
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, bits=32).orderBy("doc_id")
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(bits))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM votes ORDER BY doc_id
+"""
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+ANN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+  FROM q, c WHERE neighbor_id != query_id
+), r AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank
+FROM r WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN — approximate; declared without a SQL oracle (the
+    engine-side plan is the spec; rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_cosine_topk(emb, queries, k=10, num_centroids=16, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\s+'), t -> t != ''))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n_chars,
+         len(list_filter(string_split_regex(trim(text), '\s+'), t -> t != ''))::DOUBLE AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE AS n_punct,
+         len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b'))::DOUBLE AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars,
+       n_tokens::BIGINT AS n_tokens,
+       round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+       CASE WHEN n_tokens > 0 THEN round((n_chars - (n_tokens - 1)) / n_tokens, 6) ELSE 0.0 END AS mean_word_len,
+       (n_tokens >= 5 AND (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.2) AS passes_quality
+FROM base
+ORDER BY doc_id
+"""
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _lang_id_sql() -> str:
+    from megalista_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n       ".join(
+        rf"len(regexp_extract_all(lower(text), '\b({'|'.join(LANG_MARKERS[lang])})\b'))::BIGINT AS score_{lang}"
+        for lang in langs
+    )
+    # fold left in alphabetical order, strict-greater replacement
+    best = "'unknown'"
+    best_score = "0::BIGINT"
+    for lang in langs:
+        best = f"(CASE WHEN score_{lang} > {best_score} THEN '{lang}' ELSE {best} END)"
+        best_score = f"(CASE WHEN score_{lang} > {best_score} THEN score_{lang} ELSE {best_score} END)"
+    return f"""
+WITH scores AS (
+  SELECT doc_id,
+       {score_cols}
+  FROM documents
+)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+       {best} AS predicted_lang
+FROM scores
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Contract functions
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_revenue_forecast": q6_revenue_forecast,
+        "top_orders_per_segment": top_orders_per_segment,
+        "rollup_order_counts": rollup_order_counts,
+        "pivot_event_values": pivot_event_values,
+        "anti_join_dedup": anti_join_dedup,
+        "semi_join_success": semi_join_success,
+        "union_distinct_summary": union_distinct_summary,
+        "pii_hash_customers": pii_hash_customers,
+        "batch_assignment": batch_assignment,
+        "collect_rollup": collect_rollup,
+        "schema_project_cast": schema_project_cast,
+        "sessionize_stats": sessionize_stats,
+        "hourly_rollup": hourly_rollup,
+        "dedup_exact": dedup_exact,
+        "dedup_fingerprint": dedup_fingerprint,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "text_token_count": text_token_count,
+        "text_quality_score": text_quality_score,
+        "text_language_id": text_language_id,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_shipping_priority": Q3_SQL,
+        "q5_local_supplier_volume": Q5_SQL,
+        "q6_revenue_forecast": Q6_SQL,
+        "top_orders_per_segment": TOP_ORDERS_SQL,
+        "rollup_order_counts": ROLLUP_SQL,
+        "pivot_event_values": PIVOT_SQL,
+        "anti_join_dedup": ANTI_JOIN_SQL,
+        "semi_join_success": SEMI_JOIN_SQL,
+        "union_distinct_summary": UNION_SQL,
+        "pii_hash_customers": PII_HASH_SQL,
+        "batch_assignment": BATCH_SQL,
+        "collect_rollup": COLLECT_SQL,
+        "schema_project_cast": SCHEMA_PROJECT_SQL,
+        "sessionize_stats": SESSIONIZE_SQL,
+        "hourly_rollup": HOURLY_SQL,
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "dedup_fingerprint": FINGERPRINT_SQL,
+        "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+        "dedup_minhash_lsh": _minhash_sql(16, 4),
+        "dedup_simhash": _simhash_sql(32),
+        "ann_cosine_topk": ANN_SQL,
+        # ann_ivf_topk: approximate by design → rows-only check
+        "text_token_count": TOKEN_COUNT_SQL,
+        "text_quality_score": QUALITY_SQL,
+        "text_language_id": _lang_id_sql(),
+    }

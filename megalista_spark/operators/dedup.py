@@ -1,0 +1,272 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Design constraints:
+- **Deterministic & engine-portable hashing.** Every hash is derived from
+  md5 (available in Spark, DuckDB, Trino, BigQuery alike):
+  ``h(x) = bigint(first 15 hex chars of md5(x))`` — 60 bits, always
+  non-negative, reproducible bit-for-bit by an external SQL oracle.
+  (Spark's murmur3 ``hash()`` is NOT portable; we intentionally avoid it.)
+- **No UDFs.** Shingling, min-hashing and banding are higher-order array
+  expressions (transform/aggregate) — JVM-side, codegen'd.
+- **Shuffle discipline.** Exact dedup = one hash-groupBy. MinHash-LSH =
+  one explode + one groupBy per band (self-join only on tiny candidate
+  buckets). n-gram Jaccard = inverted-index join on shingle, the standard
+  scale trick: only docs sharing ≥1 shingle ever meet, and the
+  ``group-count`` form avoids materializing full shingle-set cross
+  products.
+
+At 100 TB: exact dedup and fingerprinting run at scan speed; MinHash-LSH is
+the scale path for near-dup (linear in corpus size, band-bucket joins are
+key-salted by construction since bucket ids include the band index).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- helpers
+
+
+def portable_hash64(col: Column) -> Column:
+    """bigint(first 15 hex chars of md5(x)) — 60-bit portable hash."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def portable_hash32(col: Column) -> Column:
+    """bigint(first 8 hex chars of md5(x)) — 32-bit portable hash, safe to
+    multiply by a 30-bit constant without int64 overflow."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+# Affine min-hash family h_k(x) = (A[k]*x + B[k]) mod MINHASH_P over the
+# 32-bit base hash. Constants are fixed (LCG-derived, < 2^30, multipliers
+# odd) so any SQL engine reproduces signatures exactly with int64 math.
+MINHASH_P = 4294967291  # largest prime < 2^32
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    return [
+        (
+            ((1103515245 * (k + 1) + 12345) % (2**30)) | 1,
+            (214013 * (k + 1) + 2531011) % (2**30),
+        )
+        for k in range(num_hashes)
+    ]
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism —
+    heavy per-row compute over a single small parquet file would otherwise
+    run in one task. At cluster scale inputs arrive already multi-split;
+    this is a no-op cost there (AQE coalesces the tiny shuffle)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the whitespace-tokenized text.
+
+    Documents shorter than n words yield their full token join as the one
+    shingle (so every doc has ≥1 shingle).
+    """
+    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    k = F.size(toks)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(ngrams)
+
+
+# ------------------------------------------------------------ exact dedup
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate removal: keep the lowest id per identical text.
+
+    One hash-aggregation (map-side partial agg on md5(text)); survivors
+    returned as (doc_id, text_hash, dup_count). At scale: group on the
+    128-bit digest, never on the raw text (shuffle carries 32 bytes/row).
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, "text_hash", "dup_count")
+    )
+
+
+# ----------------------------------------------------- n-gram Jaccard dedup
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over word n-gram shingle sets.
+
+    Inverted-index plan (the only scalable exact-Jaccard shape):
+      1. explode distinct shingles → (shingle, id, set_size)
+      2. self-join on shingle with id< id  → shared-shingle counts
+      3. jaccard = shared / (|A| + |B| - shared), filter ≥ threshold
+
+    The shuffle key is the shingle; hot shingles are the skew risk — at
+    scale, drop top-frequency shingles first (stopword shingles carry no
+    dedup signal). Returns (doc_a, doc_b, jaccard rounded to 6dp).
+    """
+    shingled = _spread(df).select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    ).select("id", F.size("shingles").alias("set_size"), F.explode("shingles").alias("shingle"))
+
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+    return (
+        pairs.where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------- MinHash
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per document: one 32-bit portable base hash per
+    shingle, then sig[k] = min over shingles of (A[k]*h + B[k]) mod P —
+    the classic affine family, exact in int64 so external SQL engines
+    reproduce it bit-for-bit.
+
+    Pure array expressions — one md5 per shingle (not per seed×shingle),
+    one pass over the text, no shuffle at all.
+    Output: (doc_id, sig array<bigint>).
+    """
+    params = minhash_params(num_hashes)
+    base = F.transform(
+        word_shingles(F.col(text_col), shingle_n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
+    # materialize base hashes once per row so the k affine transforms don't
+    # re-evaluate the shingling expression
+    with_base = _spread(df).select(F.col(id_col), base.alias("_h"))
+    def affine(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("_h"), affine(a, b))) for a, b in params]
+    )
+    return with_base.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any band hash are candidates.
+
+    Plan: signatures (no shuffle) → explode bands → groupBy
+    (band_id, band_hash) bucket join — candidates only meet inside a
+    bucket, so the self-join never sees the full corpus. Output:
+    (doc_a, doc_b, n_shared_bands).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col)
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash over whitespace tokens (with multiplicity).
+
+    Each token hashes to ``bits`` bits via portable_hash64; bit j of the
+    fingerprint is 1 iff sum over tokens of (2*bit_j(h)-1) > 0. Built from
+    explode + groupBy-sum per bit — one shuffle on the doc id.
+    """
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    exploded = _spread(df).select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    hashed = exploded.select("id", portable_hash64(F.col("tok")).alias("h"))
+    # one groupBy with `bits` conditional sums — a single narrow shuffle on
+    # the doc id; bit index is a Python literal so shiftright stays exact.
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fingerprint = term if fingerprint is None else (fingerprint + term)
+    return votes.select(F.col("id").alias(id_col), fingerprint.alias("simhash"))

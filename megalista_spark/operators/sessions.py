@@ -1,0 +1,84 @@
+"""Event-stream operators (batch forms; streaming twins live in
+megalista_spark/streaming/).
+
+- ``sessionize``: gap-based sessionization via lag + running sum — the
+  classic batch formulation (one shuffle on user_id, sort within
+  partition; Spark executes the two windows over the same partitioning —
+  a single exchange).
+- ``tumbling_rollup``: fixed-window aggregation (the batch equivalent of a
+  Structured Streaming windowed agg); window start is date_trunc-style so
+  external engines (time_bucket) agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap from the
+    previous event of the same user exceeds ``gap_minutes``.
+
+    Output: events + (session_seq) where session_seq is the 1-based session
+    index within the user. Both windows share the same partitioning, so
+    Catalyst plans exactly one exchange + one sort.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(w)
+    # microsecond-exact gap so external engines (epoch_us) agree bit-for-bit
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
+    new_session = F.when(
+        prev_ts.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return events.withColumn(
+        "session_seq",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session aggregates over the sessionized stream."""
+    s = sessionize(events, gap_minutes, user_col, ts_col)
+    return (
+        s.groupBy(user_col, "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+    )
+
+
+def tumbling_rollup(
+    events: DataFrame,
+    minutes: int = 60,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed tumbling-window rollup: (window_start, key) → count/sum.
+
+    ``window(ts, ...)`` buckets align to the epoch, matching external
+    time_bucket semantics. One partial-aggregated shuffle.
+    """
+    win = F.window(F.col(ts_col), f"{minutes} minutes")
+    return (
+        events.groupBy(win.getField("start").alias("window_start"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+    )

@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  The query set is broadcast (it is small by construction); the corpus is
+  never shuffled: each partition scores its own rows against every query
+  and a partial top-k is taken per partition before the final merge
+  (Spark's window+filter under AQE handles this; for the huge-corpus path
+  the per-partition pre-aggregation keeps the shuffle at k rows per
+  query per partition).
+- ``ivf_cosine_topk``: IVF-style pruned search — assign every vector to
+  its nearest centroid (deterministic centroid list), then search only
+  the query's ``nprobe`` closest centroid buckets. Same join/window shape
+  but the candidate set shrinks by ~num_centroids/nprobe.
+- ``embedding_near_dup_pairs``: near-duplicate detection at a cosine
+  threshold, via the same broadcast pattern.
+
+Dot products are ``F.zip_with`` + ``F.aggregate`` fold — JVM-side
+higher-order functions, left-to-right summation in index order, so an
+external SQL oracle (DuckDB list_cosine_similarity / list folds) can
+reproduce values bit-for-bit in double precision. Similarities are rounded
+to 6 decimals at the output boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """cosine(a, b) with double accumulation in index order."""
+    da = F.transform(a, lambda v: v.cast("double"))
+    db = F.transform(b, lambda v: v.cast("double"))
+    return _dot(da, db) / (_norm(da) * _norm(db))
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force top-k cosine neighbors for each query vector.
+
+    ``queries``: (query_id, embedding). Broadcast-joined against the
+    corpus; ties broken by neighbor id (deterministic). Self-matches
+    (same id) are excluded. Output: (query_id, neighbor_id, cos_sim, rank).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def ivf_cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-pruned approximate top-k.
+
+    Deterministic "training": centroids are the ``num_centroids`` corpus
+    vectors with the lowest ids (a fixed, reproducible choice — swap in
+    k-means centroids in production; the plan shape is identical).
+    Every corpus vector is assigned to its nearest centroid; each query
+    probes its ``nprobe`` nearest centroid buckets only.
+
+    At scale this is the standard two-level ANN plan: the centroid table
+    is tiny (broadcast), the corpus is scored against ≤ nprobe/num_centroids
+    of the data, and the only wide operation is the final per-query top-k.
+    """
+    centroids = (
+        df.orderBy(F.asc(id_col))
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+
+    def nearest(df_in: DataFrame, in_id: str, in_vec: str, out: str, probes: int) -> DataFrame:
+        scored = df_in.join(F.broadcast(centroids)).select(
+            df_in[in_id],
+            df_in[in_vec],
+            F.col("centroid_id"),
+            cosine_expr(F.col(in_vec), F.col("centroid_vec")).alias("_csim"),
+        )
+        w = Window.partitionBy(in_id).orderBy(F.desc("_csim"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= probes)
+            .select(df_in[in_id], df_in[in_vec], F.col("centroid_id").alias(out))
+        )
+
+    corpus_assigned = nearest(
+        df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "neighbor_id",
+        "c_vec",
+        "bucket",
+        1,
+    )
+    query_probes = nearest(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id",
+        "q_vec",
+        "bucket",
+        nprobe,
+    )
+    candidates = corpus_assigned.join(
+        F.broadcast(query_probes), on="bucket"
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_rows: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold.
+
+    Brute force O(n²/2) scoring — correct baseline. For the 100 TB path,
+    bucket first (LSH on random hyperplane signs or IVF assignment) and
+    run this within buckets; the pair-join shape below is unchanged.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine_expr(F.col("vec_a"), F.col("vec_b"))
+    return (
+        joined.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,135 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen, no UDFs) with
+deterministic semantics that an external SQL oracle can reproduce exactly.
+
+Scale notes: every operator here is embarrassingly parallel per row — no
+shuffle, no window. At 100 TB these run at scan speed with full column
+pruning (only ``text`` + id columns are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A "BPE-ish" token: runs of letters, runs of digits, or single
+# non-alphanumeric-non-space characters. Deliberately simple enough to be
+# reproduced in any regex engine (RE2/Java/PCRE agree on this pattern).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+
+# Per-language marker words for the n-gram/stopword language heuristic.
+# Ordered dict of language → markers; scoring = count of \b-delimited hits.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "de"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def _ws_tokens(text: Column) -> Column:
+    """Whitespace tokens; empty string → empty array (split returns [''])."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per document."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(_ws_tokens(text)).cast("bigint").alias("n_ws_tokens"),
+        F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN)).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic document quality: length, punctuation ratio, stopword
+    ratio, mean word length — the standard pre-training quality signals
+    (cf. C4/Gopher filtering rules), all as exact arithmetic so an oracle
+    can hash-match. Ratios rounded to 6 decimals.
+    """
+    text = F.col(text_col)
+    toks = _ws_tokens(text)
+    n_chars = F.length(text).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    n_punct = F.regexp_count(text, F.lit(PUNCT_PATTERN)).cast("double")
+    stop_rx = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_stop = F.regexp_count(F.lower(text), F.lit(stop_rx)).cast("double")
+    mean_word_len = F.when(n_tokens > 0, F.round((n_chars - (n_tokens - 1)) / n_tokens, 6)).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)), 6).alias(
+            "stopword_ratio"
+        ),
+        mean_word_len.alias("mean_word_len"),
+        (
+            (n_tokens >= 5)
+            & (F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)) <= 0.2)
+        )
+        .cast("boolean")
+        .alias("passes_quality"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Marker-word language heuristic: per-language \\b-delimited hit
+    counts; predicted language = argmax with deterministic tie-break by
+    language code order. Unknown when no marker hits at all.
+    """
+    text = F.lower(F.col(text_col))
+    scores = {
+        lang: F.regexp_count(text, F.lit(r"\b(" + "|".join(m) + r")\b")).cast("bigint")
+        for lang, m in LANG_MARKERS.items()
+    }
+    # argmax with deterministic tie-break: fold left in alphabetical order
+    # keeping strict-greater replacements (earliest code wins ties) — the
+    # same fold is expressible as a CASE chain in any SQL dialect.
+    langs = sorted(scores)
+    best = F.lit("unknown")
+    best_score = F.lit(0).cast("bigint")
+    for lang in langs:
+        s = scores[lang]
+        is_better = s > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    cols = [F.col(id_col)]
+    for lang in langs:
+        cols.append(scores[lang].alias(f"score_{lang}"))
+    cols.append(best.alias("predicted_lang"))
+    return df.select(*cols)
+
+
+def document_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content fingerprint: md5 of the casefolded, punctuation-stripped,
+    whitespace-collapsed text. Robust to formatting-only edits; the cheap
+    first pass of a dedup pipeline (hash-groupBy on the fingerprint).
+    """
+    text = F.col(text_col)
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), PUNCT_PATTERN, ""), r"\s+", " "
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized).alias("fingerprint"),
+    )

@@ -57,6 +57,9 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # read INT64 TIMESTAMP(NANOS) parquet columns as long (Spark has no
+        # nanosecond timestamp); loaders convert to micros explicitly
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

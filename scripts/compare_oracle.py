@@ -1,0 +1,109 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB over
+the same parquet tables; compare row count, column names, and an
+order-insensitive value hash.
+
+Usage: python scripts/compare_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import importlib.util
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = "/root/repo"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_entry():
+    spec = importlib.util.spec_from_file_location("spark_entry", f"{REPO}/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].map(lambda v: f"{v:.6f}" if pd.notna(v) else "NULL")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].map(lambda v: str(bool(v)))
+        else:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    return hashlib.md5(
+        canon(df).to_csv(index=False).encode("utf-8")
+    ).hexdigest()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    m = load_entry()
+
+    sys.path.insert(0, REPO)
+    from megalista_spark.session import get_spark
+
+    spark = get_spark(app_name="compare_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = m.queries(), m.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as exc:
+            print(f"FAIL  {name}: oracle error: {str(exc)[:200]}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} != {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        if not problems:
+            hs, ho = value_hash(sdf), value_hash(odf)
+            if hs != ho:
+                problems.append("value-hash mismatch")
+                cs, co = canon(sdf), canon(odf)
+                diff = cs.compare(co) if cs.shape == co.shape else None
+                if diff is not None and len(diff):
+                    print(diff.head(5))
+        status = "ok   " if not problems else "FAIL "
+        if problems:
+            failures.append(name)
+        print(f"{status} {name}: {len(sdf)} rows ({time.time()-t0:.1f}s) {'; '.join(problems)}")
+    print("\nFAILURES:" if failures else "\nALL MATCH", failures if failures else "")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
