@@ -1,0 +1,128 @@
+"""Structured Streaming operators — the streaming twins of the batch
+event operators (megalista_spark/operators/sessions.py).
+
+The reference is strictly bounded batch (SURVEY §2.8: no watermarks, no
+event-time windows anywhere) — this module is the greenfield extension the
+rebuild adds: the same rollup/sessionization semantics under
+``readStream``, with watermarked late-data handling, plus a foreachBatch
+bridge that reuses the batch SinkExecutor for exactly-once-per-microbatch
+uploads (checkpointed source offsets + idempotent control-table anti-join
+give end-to-end effective-once).
+
+At scale: file sources are for replay/testing; swap ``readStream.format``
+for kafka without touching the transformations. State store size is
+bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from megalista_spark.sinks.executor import SinkExecutor
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see _events note)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based event stream (testing/replay); ts normalized to a real
+    timestamp column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    import os
+
+    if os.path.isfile(path):
+        # streaming file sources require a directory; point at the parent
+        # and glob-filter down to the one file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def stream_tumbling_rollup(
+    events: DataFrame,
+    minutes: int = 60,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup — same output schema as the batch
+    ``tumbling_rollup`` so results are comparable query-for-query."""
+    win = F.window(F.col(ts_col), f"{minutes} minutes")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.getField("start").alias("window_start"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+    )
+
+
+def stream_session_window_stats(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Native session windows (gap-based) — the streaming counterpart of
+    the batch lag+cumsum sessionization."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), f"{gap_minutes} minutes"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sink_foreach_batch(
+    transformed: DataFrame,
+    sink_factory: Callable[[], SinkExecutor],
+    checkpoint_dir: str,
+    on_batch: Callable[[int, int, int], None] | None = None,
+):
+    """Drive the batch SinkExecutor from a stream: each micro-batch is
+    uploaded with the same chunk/retry/partial-failure semantics, and the
+    checkpoint makes replays per-batch idempotent.
+
+    Returns the started StreamingQuery.
+    """
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        result = sink_factory().run(batch_df)
+        ok = result.success.count()
+        errs = result.errors.count()
+        if on_batch is not None:
+            on_batch(epoch_id, ok, errs)
+
+    return (
+        transformed.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

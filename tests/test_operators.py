@@ -1,0 +1,202 @@
+"""Operator-level tests: dedup family, similarity, text analysis, batching,
+sessions — small deterministic inputs with hand-checkable outputs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from megalista_spark.operators.batching import assign_batches
+from megalista_spark.operators.dedup import (
+    MINHASH_P,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_params,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from megalista_spark.operators.sessions import session_stats, sessionize, tumbling_rollup
+from megalista_spark.operators.similarity import cosine_topk, embedding_near_dup_pairs
+from megalista_spark.operators.text import (
+    document_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    df = docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+    out = {r["doc_id"]: r["dup_count"] for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = docs(spark, [(1, "a b c d e"), (2, "a b c d e"), (3, "q r s t u")])
+    rows = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"], r["jaccard"]) == (1, 2, 1.0)
+
+
+def test_ngram_jaccard_partial_overlap(spark):
+    # shingles of "a b c d": {abc, bcd}; of "a b c e": {abc, bce}
+    # jaccard = 1/3 → below 0.5, above 0.3
+    df = docs(spark, [(1, "a b c d"), (2, "a b c e")])
+    assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+    rows = ngram_jaccard_pairs(df, threshold=0.3).collect()
+    assert len(rows) == 1 and abs(rows[0]["jaccard"] - 1 / 3) < 1e-6
+
+
+def test_minhash_signature_matches_python(spark):
+    """Signature parity with a pure-Python reimplementation (the portable
+    contract: md5 → first 8 hex → int; affine mod P)."""
+    text = "w1 w2 w3 w4 w5"
+    toks = text.split()
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    expected = [
+        min((h32(s) * a + b) % MINHASH_P for s in shingles)
+        for a, b in minhash_params(4)
+    ]
+    df = docs(spark, [(1, text)])
+    got = minhash_signatures(df, num_hashes=4).first()["sig"]
+    assert list(got) == expected
+
+
+def test_minhash_lsh_finds_identical(spark):
+    df = docs(
+        spark,
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "p q r s t u v")],
+    )
+    rows = minhash_lsh_pairs(df, num_hashes=16, bands=4).collect()
+    assert len(rows) == 1
+    assert (rows[0]["doc_a"], rows[0]["doc_b"], rows[0]["n_shared_bands"]) == (1, 2, 4)
+
+
+def test_simhash_identical_and_different(spark):
+    df = docs(spark, [(1, "a b c"), (2, "a b c"), (3, "zz yy xx ww vv")])
+    out = {r["doc_id"]: r["simhash"] for r in simhash(df, bits=32).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert 0 <= out[1] < 2**32
+
+
+def test_cosine_topk(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.01]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = cosine_topk(emb, q, k=2).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in rows] == [3, 1]
+    assert rows[0]["cos_sim"] > rows[1]["cos_sim"] > 0.99
+
+
+def test_embedding_near_dup(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.999, 0.001]), (2, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = embedding_near_dup_pairs(emb, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(0, 1)]
+
+
+def test_token_count(spark):
+    df = docs(spark, [(1, "hello, world 42"), (2, "   "), (3, "a b")])
+    out = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"]) for r in token_count(df).collect()}
+    # "hello, world 42" → ws: [hello,, world, 42]; bpe: hello , world 42
+    assert out[1] == (3, 4)
+    assert out[2] == (0, 0)
+    assert out[3] == (2, 2)
+
+
+def test_quality_score(spark):
+    df = docs(spark, [(1, "the cat and the dog sat"), (2, "!!!")])
+    out = {r["doc_id"]: r for r in quality_score(df).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 6
+    assert r1["stopword_ratio"] == pytest.approx(3 / 6, abs=1e-6)
+    assert r1["passes_quality"] is True
+    r2 = out[2]
+    assert r2["punct_ratio"] == 1.0
+    assert r2["passes_quality"] is False
+
+
+def test_language_id(spark):
+    df = docs(
+        spark,
+        [
+            (1, "the cat and the dog"),
+            (2, "der Hund und die Katze ist"),
+            (3, "xyzzy plugh"),
+        ],
+    )
+    out = {r["doc_id"]: r["predicted_lang"] for r in language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "unknown"
+
+
+def test_fingerprint_normalization(spark):
+    df = docs(spark, [(1, "Hello,   World!"), (2, "hello world"), (3, "other")])
+    out = {r["doc_id"]: r["fingerprint"] for r in document_fingerprint(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_assign_batches(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+    out = assign_batches(df, order_by=["k"], batch_size=4)
+    rows = sorted((r["k"], r["iteration"]) for r in out.collect())
+    assert [it for _, it in rows] == [1, 1, 1, 1, 2, 2, 2, 2, 3, 3]
+
+
+def test_sessionize(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=10), 1.0),  # same session
+        (1, base + dt.timedelta(minutes=50), 1.0),  # gap 40min → new session
+        (2, base, 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = sessionize(df, gap_minutes=30)
+    got = {(r["user_id"], r["ts"].minute): r["session_seq"] for r in out.collect()}
+    assert got[(1, 0)] == 1 and got[(1, 10)] == 1 and got[(1, 50)] == 2
+    assert got[(2, 0)] == 1
+    stats = session_stats(df, gap_minutes=30)
+    assert stats.count() == 3
+
+
+def test_tumbling_rollup(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (base, "click", 1.0),
+        (base + dt.timedelta(minutes=20), "click", 2.0),  # same hour
+        (base + dt.timedelta(minutes=40), "click", 4.0),  # next hour
+    ]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    out = {r["window_start"].hour: r["total_value"] for r in tumbling_rollup(df, 60).collect()}
+    assert out == {0: 3.0, 1: 4.0}

@@ -1,0 +1,84 @@
+"""Structured Streaming: rollup parity with batch, session windows,
+foreachBatch sink bridge."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from megalista_spark.operators.sessions import tumbling_rollup
+from megalista_spark.sinks.executor import SinkExecutor
+from megalista_spark.sinks.transports import MockTransport
+from megalista_spark.streaming.events import (
+    read_events_stream,
+    stream_session_window_stats,
+    stream_sink_foreach_batch,
+    stream_tumbling_rollup,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _batch_events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(EVENTS).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+
+
+def test_stream_rollup_matches_batch(spark, tmp_path):
+    stream = read_events_stream(spark, EVENTS)
+    agg = stream_tumbling_rollup(stream, minutes=60)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rollup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM rollup_out").collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in tumbling_rollup(_batch_events(spark), minutes=60).collect()
+    }
+    assert got == expected
+
+
+def test_stream_session_windows(spark, tmp_path):
+    stream = read_events_stream(spark, EVENTS)
+    sess = stream_session_window_stats(stream, gap_minutes=30)
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert len(rows) > 0
+    # session windows never overlap per user and end >= start + observed span
+    for r in rows:
+        assert r["session_end"] > r["session_start"]
+        assert r["n_events"] >= 1
+
+
+def test_foreach_batch_sink_bridge(spark, tmp_path):
+    stream = read_events_stream(spark, EVENTS).select(
+        F.col("event_id").cast("string").alias("uuid"), "event_type", "value"
+    )
+    batches: list[tuple[int, int, int]] = []
+    q = stream_sink_foreach_batch(
+        stream,
+        sink_factory=lambda: SinkExecutor(MockTransport(), batch_size=500),
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+        on_batch=lambda epoch, ok, errs: batches.append((epoch, ok, errs)),
+    )
+    q.awaitTermination(120)
+    assert sum(ok for _, ok, _ in batches) == 1000  # sf0.001 events rows
+    assert all(errs == 0 for _, _, errs in batches)
