@@ -772,6 +772,139 @@ ORDER BY doc_id
 """
 
 
+
+
+def asof_enrich_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively): for every click event,
+    the user's most recent purchase value at-or-before the click. Oracle is
+    DuckDB's native ASOF JOIN — the union+window composition must agree."""
+    from megalista_spark.operators.asof import asof_join_backward
+
+    e = _events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join_backward(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value"], suffix="_asof",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("purchase_value_asof", 6).alias("purchase_value_asof"),
+    ).orderBy("event_id")
+
+
+ASOF_SQL = """
+WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+clicks AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+purch AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts, round(p.purchase_value, 6) AS purchase_value_asof
+FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (linear interpolation) per group."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PERCENTILE_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+       count(*)::BIGINT AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregate with deterministic ordering."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: BUILDING-segment customers with no order > 300k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big = o.where(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.exceptAll(big.distinct()).orderBy("custkey")
+
+
+SET_EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+ORDER BY custkey
+"""
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine >= 0.45 (near-duplicate detection;
+    the synthetic embeddings are near-orthogonal — max pairwise cosine is
+    ~0.51 — so 0.45 exercises a selective threshold with non-empty output)."""
+    from megalista_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
+
+
+NEAR_DUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -807,6 +940,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "asof_enrich_clicks": asof_enrich_clicks,
+        "percentile_prices": percentile_prices,
+        "running_total_per_customer": running_total_per_customer,
+        "set_except_customers": set_except_customers,
+        "embedding_near_dup": embedding_near_dup,
         "text_token_count": text_token_count,
         "text_quality_score": text_quality_score,
         "text_language_id": text_language_id,
@@ -838,6 +976,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(32),
         "ann_cosine_topk": ANN_SQL,
         # ann_ivf_topk: approximate by design → rows-only check
+        "asof_enrich_clicks": ASOF_SQL,
+        "percentile_prices": PERCENTILE_SQL,
+        "running_total_per_customer": RUNNING_TOTAL_SQL,
+        "set_except_customers": SET_EXCEPT_SQL,
+        "embedding_near_dup": NEAR_DUP_SQL,
         "text_token_count": TOKEN_COUNT_SQL,
         "text_quality_score": QUALITY_SQL,
         "text_language_id": _lang_id_sql(),

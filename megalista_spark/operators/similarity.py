@@ -69,7 +69,7 @@ def cosine_topk(
     c = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-    )
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -176,9 +176,14 @@ def embedding_near_dup_pairs(
     bucket first (LSH on random hyperplane signs or IVF assignment) and
     run this within buckets; the pair-join shape below is unchanged.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")).repartition(
+        n_parts
+    )
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    # stream side repartitioned so the O(n²) scoring parallelizes even when
+    # the corpus arrives as one small file; build side broadcast
+    joined = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     sim = cosine_expr(F.col("vec_a"), F.col("vec_b"))
     return (
         joined.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))

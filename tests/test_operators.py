@@ -200,3 +200,31 @@ def test_tumbling_rollup(spark):
     df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
     out = {r["window_start"].hour: r["total_value"] for r in tumbling_rollup(df, 60).collect()}
     assert out == {0: 3.0, 1: 4.0}
+
+
+def test_asof_join_backward(spark):
+    import datetime as dt
+
+    from megalista_spark.operators.asof import asof_join_backward
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=5), "e1"),
+            (1, base + dt.timedelta(minutes=20), "e2"),
+            (2, base + dt.timedelta(minutes=1), "e3"),  # no prior right row
+        ],
+        ["user_id", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, base, 10.0),
+            (1, base + dt.timedelta(minutes=20), 20.0),  # tie: included (backward)
+            (1, base + dt.timedelta(minutes=30), 30.0),  # future: excluded
+            (2, base + dt.timedelta(minutes=2), 99.0),
+        ],
+        ["user_id", "ts", "v"],
+    )
+    out = asof_join_backward(left, right, key="user_id", value_cols=["v"])
+    got = {r["tag"]: r["v_asof"] for r in out.collect()}
+    assert got == {"e1": 10.0, "e2": 20.0, "e3": None}
