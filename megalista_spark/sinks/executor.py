@@ -121,6 +121,10 @@ class SinkExecutor:
         if self.max_parallelism is not None:
             df = df.repartition(self.max_parallelism)
 
+        # run-level preparation (e.g. GA data-import erase, customer-match
+        # REPLACE remove_all) happens exactly once, before any upload
+        self.transport.before_run(dict(self.context))
+
         transport = self.transport
         batch_size = self.batch_size
         max_retries = self.max_retries

@@ -43,6 +43,14 @@ class Transport:
         """Called once per partition after the last chunk (the reference's
         finish_bundle deferred-job hook, abstract_uploader.py:49-56)."""
 
+    def before_run(self, context: dict[str, Any]) -> None:
+        """Called ONCE, driver-side, before any partition uploads — the
+        hook for run-level preparation like the GA data-import eraser
+        (reference google_analytics_data_import_eraser.py:26-125, which
+        deletes all prior uploads of the data source before the uploader
+        step of the same branch) or the customer-match REPLACE remove_all
+        (abstract_uploader.py:244-249)."""
+
 
 class DryRunTransport(Transport):
     def send(self, payload: list[Row], context: dict[str, Any]) -> list[Row]:

@@ -1,8 +1,18 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from megalista_spark.session import get_spark
+
+# Executor Python workers inherit the JVM's environment, not pytest's
+# runtime sys.path — make test modules importable when closures defined in
+# them (mock transports) are unpickled on workers.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ["PYTHONPATH"] = (
+    f"{_REPO}:{_REPO}/tests:" + os.environ.get("PYTHONPATH", "")
+)
 
 
 @pytest.fixture(scope="session")
