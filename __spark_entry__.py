@@ -44,6 +44,9 @@ TABLES = (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver may hand us a vanilla session — pin the timezone so
+    # timestamp renderings match the (UTC-naive) DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

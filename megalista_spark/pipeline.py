@@ -43,10 +43,14 @@ from megalista_spark.sources.data_source import anti_join_uploaded, get_data_sou
 # and upload (reference: hashing mappers + data treatments).
 _TRANSFORMS: dict[DestinationType, Callable[[DataFrame], DataFrame]] = {
     DestinationType.ADS_CUSTOMER_MATCH_CONTACT_INFO_UPLOAD: ads_pii_expressions,
+    DestinationType.ADS_CUSTOMER_MATCH_MOBILE_DEVICE_ID_UPLOAD: ads_pii_expressions,
+    DestinationType.ADS_CUSTOMER_MATCH_USER_ID_UPLOAD: ads_pii_expressions,
     DestinationType.ADS_SSD_UPLOAD: ads_pii_expressions,
     DestinationType.ADS_SSI_UPLOAD: ads_pii_expressions,
+    DestinationType.ADS_ENHANCED_CONVERSION: ads_pii_expressions,
     DestinationType.ADS_ENHANCED_CONVERSION_LEADS: ads_pii_expressions,
     DestinationType.DV_CUSTOMER_MATCH_CONTACT_INFO_UPLOAD: dv_pii_expressions,
+    DestinationType.DV_CUSTOMER_MATCH_DEVICE_ID_UPLOAD: dv_pii_expressions,
     DestinationType.CM_OFFLINE_CONVERSION: aggregate_custom_variables,
 }
 

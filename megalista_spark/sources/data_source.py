@@ -61,10 +61,20 @@ class ControlTable:
 
     def read(self, key_types: dict[str, T.DataType] | None = None) -> DataFrame:
         """Uploaded keys still inside the retention window; missing table →
-        typed empty frame (reference file_data_source.py:127-138)."""
+        typed empty frame (reference file_data_source.py:127-138).
+
+        When the table is date-partitioned (our writer always partitions),
+        the retention predicate on ``dt`` prunes whole partitions at plan
+        time — at scale only ~15 daily partitions are ever scanned,
+        mirroring the reference's BigQuery partition_expiration_days=15.
+        """
         if not self._exists():
             return self.spark.createDataFrame([], self.schema(key_types))
         df = self.spark.read.parquet(self.path)
+        if "dt" in df.columns:
+            df = df.where(
+                F.col("dt") >= F.date_sub(F.current_date(), RETENTION_DAYS)
+            ).drop("dt")
         return df.where(
             F.col("timestamp") >= F.date_sub(F.current_timestamp(), RETENTION_DAYS)
         )
@@ -72,12 +82,15 @@ class ControlTable:
     def append(self, success_keys: DataFrame) -> None:
         """Record uploaded keys (reference
         transactional_events_results_writer.py:29-78 + D5/D11). Input must
-        contain exactly the dedup key columns."""
+        contain exactly the dedup key columns. Written date-partitioned so
+        retention reads prune (see read())."""
         (
             success_keys.select(*self.keys)
             .withColumn("timestamp", F.current_timestamp())
-            .select("timestamp", *self.keys)
+            .withColumn("dt", F.to_date(F.col("timestamp")))
+            .select("timestamp", "dt", *self.keys)
             .write.mode("append")
+            .partitionBy("dt")
             .parquet(self.path)
         )
 
