@@ -908,6 +908,78 @@ ORDER BY id_a, id_b
 """
 
 
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: JSON column decode — parse the events props JSON and aggregate
+    on the extracted field (from_json with explicit schema; the scan only
+    reads event_id/props)."""
+    e = _events(spark, sf_dir)
+    parsed = e.select(
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k")
+    )
+    return (
+        parsed.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("k")
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*)::BIGINT AS n_events
+FROM events
+GROUP BY 1
+ORDER BY k
+"""
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs (hamming <= 6 over 32 bits)."""
+    from megalista_spark.operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, bits=32, bands=4, max_hamming=6).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _simhash_pairs_sql(bits: int = 32, bands: int = 4, max_hamming: int = 6) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(bits)
+    )
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, ({fp})::BIGINT AS simhash FROM votes
+), banded AS (
+  SELECT doc_id AS id, simhash, b AS band_id, (simhash >> (b * {band_bits})) & {mask} AS band_val
+  FROM fp CROSS JOIN range(0, {bands}) t(b)
+), cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, a.simhash AS sim_a, b.simhash AS sim_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.id < b.id
+)
+SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -948,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total_per_customer": running_total_per_customer,
         "set_except_customers": set_except_customers,
         "embedding_near_dup": embedding_near_dup,
+        "json_extract_props": json_extract_props,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
         "text_token_count": text_token_count,
         "text_quality_score": text_quality_score,
         "text_language_id": text_language_id,
@@ -984,6 +1058,8 @@ def oracle_sql() -> dict[str, str]:
         "running_total_per_customer": RUNNING_TOTAL_SQL,
         "set_except_customers": SET_EXCEPT_SQL,
         "embedding_near_dup": NEAR_DUP_SQL,
+        "json_extract_props": JSON_EXTRACT_SQL,
+        "dedup_simhash_pairs": _simhash_pairs_sql(32, 4, 6),
         "text_token_count": TOKEN_COUNT_SQL,
         "text_quality_score": QUALITY_SQL,
         "text_language_id": _lang_id_sql(),

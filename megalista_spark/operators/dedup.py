@@ -270,3 +270,65 @@ def simhash(
         )
         fingerprint = term if fingerprint is None else (fingerprint + term)
     return votes.select(F.col("id").alias(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance, banded for scale.
+
+    The pigeonhole trick: two fingerprints within hamming distance
+    ``bands - 1`` must agree exactly on at least one of ``bands`` bit
+    bands — so candidates are found with equality joins on band values
+    (never an all-pairs scan), then filtered by true hamming distance.
+    With bands=4 the band join is EXACT for max_hamming ≤ 3 and a
+    high-recall heuristic above that (standard practice; raise ``bands``
+    for exact recall at higher distances).
+    """
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    fp = simhash(df, bits, text_col, id_col)
+    banded = fp.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.shiftright(F.col("simhash"), j * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "simhash", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.where(hamming <= max_hamming)
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+    )
