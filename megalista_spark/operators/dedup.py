@@ -63,19 +63,48 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of the whitespace-tokenized text.
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokens, empties dropped."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams over a PRE-MATERIALIZED token array column.
+
+    IMPORTANT: ``toks`` must be a plain column reference, not the
+    tokenizing expression — expressions referenced inside higher-order
+    lambdas are re-evaluated PER ELEMENT (Catalyst does not CSE into
+    lambda bodies), which turns shingling into O(len²) regex splits per
+    document. Use ``_tokenized`` to materialize tokens behind an exchange.
 
     Documents shorter than n words yield their full token join as the one
     shingle (so every doc has ≥1 shingle).
     """
-    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
     k = F.size(toks)
     ngrams = F.transform(
         F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.array_distinct(ngrams)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams directly from text. Prefer the
+    ``_tokenized`` + ``shingles_from_tokens`` two-step in operators (see
+    the CSE warning there); this form is fine for single-use expressions."""
+    return shingles_from_tokens(tokens_expr(text), n)
+
+
+def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _toks) with the token array materialized BEFORE an exchange.
+
+    The round-robin repartition both parallelizes single-file inputs and
+    acts as an optimizer barrier: CollapseProject cannot merge the token
+    projection into downstream lambda bodies across the exchange, so the
+    O(len) tokenize runs once per row instead of once per shingle/seed.
+    """
+    toked = df.select(F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("_toks"))
+    return toked.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 # ------------------------------------------------------------ exact dedup
@@ -122,10 +151,15 @@ def ngram_jaccard_pairs(
     scale, drop top-frequency shingles first (stopword shingles carry no
     dedup signal). Returns (doc_a, doc_b, jaccard rounded to 6dp).
     """
-    shingled = _spread(df).select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
-    ).select("id", F.size("shingles").alias("set_size"), F.explode("shingles").alias("shingle"))
+    shingled = (
+        _tokenized(df, text_col, id_col)
+        .select("id", shingles_from_tokens(F.col("_toks"), n).alias("shingles"))
+        # explode_outer: plain explode makes the optimizer infer a size()>0
+        # filter that is pushed below the exchange with the whole shingle
+        # expression re-inlined (re-tokenizing per element). Every doc has
+        # >=1 shingle by construction, so outer is semantically identical.
+        .select("id", F.size("shingles").alias("set_size"), F.explode_outer("shingles").alias("shingle"))
+    )
 
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -166,20 +200,26 @@ def minhash_signatures(
     Output: (doc_id, sig array<bigint>).
     """
     params = minhash_params(num_hashes)
+    toked = _tokenized(df, text_col, id_col)
     base = F.transform(
-        word_shingles(F.col(text_col), shingle_n),
+        shingles_from_tokens(F.col("_toks"), shingle_n),
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
     )
-    # materialize base hashes once per row so the k affine transforms don't
-    # re-evaluate the shingling expression
-    with_base = _spread(df).select(F.col(id_col), base.alias("_h"))
-    def affine(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
-
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("_h"), affine(a, b))) for a, b in params]
+    # single-pass fold: aggregate evaluates the base-hash array ONCE per
+    # row and keeps a running array of k minima — no per-seed re-hash
+    # (cf. the per-element CSE warning on shingles_from_tokens)
+    init = F.array(*[F.lit(MINHASH_P).cast("bigint") for _ in params])
+    sig = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.array(
+            *[
+                F.least(F.get(acc, k), (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
+                for k, (a, b) in enumerate(params)
+            ]
+        ),
     )
-    return with_base.select(F.col(id_col), sig.alias("sig"))
+    return toked.select(F.col("id").alias(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -202,7 +242,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col)
     banded = sigs.select(
         F.col(id_col).alias("id"),
-        F.explode(
+        F.explode_outer(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
