@@ -980,6 +980,49 @@ ORDER BY doc_a, doc_b
 """
 
 
+
+
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all grouping-set combinations in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: BUILDING-segment customers who placed a >400k order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big = o.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(big).orderBy("custkey")
+
+
+SET_INTERSECT_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+ORDER BY custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -1022,6 +1065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": embedding_near_dup,
         "json_extract_props": json_extract_props,
         "dedup_simhash_pairs": dedup_simhash_pairs,
+        "cube_order_counts": cube_order_counts,
+        "set_intersect_customers": set_intersect_customers,
         "text_token_count": text_token_count,
         "text_quality_score": text_quality_score,
         "text_language_id": text_language_id,
@@ -1060,6 +1105,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": NEAR_DUP_SQL,
         "json_extract_props": JSON_EXTRACT_SQL,
         "dedup_simhash_pairs": _simhash_pairs_sql(32, 4, 6),
+        "cube_order_counts": CUBE_SQL,
+        "set_intersect_customers": SET_INTERSECT_SQL,
         "text_token_count": TOKEN_COUNT_SQL,
         "text_quality_score": QUALITY_SQL,
         "text_language_id": _lang_id_sql(),

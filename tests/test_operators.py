@@ -228,3 +228,21 @@ def test_asof_join_backward(spark):
     out = asof_join_backward(left, right, key="user_id", value_cols=["v"])
     got = {r["tag"]: r["v_asof"] for r in out.collect()}
     assert got == {"e1": 10.0, "e2": 20.0, "e3": None}
+
+
+def test_salted_join_equals_plain_join(spark):
+    from megalista_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ("hot", f"k{i % 5}")], ["k", "v"]
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("k1", 2.0), ("k3", 3.0), ("absent", 9.9)], ["k", "w"]
+    )
+    plain = left.join(right, on="k", how="inner")
+    salted = salted_join(left, right, on="k", salt=8, how="inner")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # left join keeps unmatched left rows
+    plain_l = left.join(right, on="k", how="left")
+    salted_l = salted_join(left, right, on="k", salt=8, how="left")
+    assert sorted(map(tuple, salted_l.collect())) == sorted(map(tuple, plain_l.collect()))

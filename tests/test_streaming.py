@@ -82,3 +82,34 @@ def test_foreach_batch_sink_bridge(spark, tmp_path):
     q.awaitTermination(120)
     assert sum(ok for _, ok, _ in batches) == 1000  # sf0.001 events rows
     assert all(errs == 0 for _, _, errs in batches)
+
+
+def test_stateful_running_stats(spark, tmp_path):
+    from megalista_spark.streaming.events import stream_user_running_stats
+
+    stream = read_events_stream(spark, EVENTS).select("user_id", "value")
+    out = stream_user_running_stats(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ustats")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per user must equal the batch aggregate
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "SELECT * FROM ustats"
+        ).collect()  # availableNow on a static dir → one batch → one row per user
+    }
+    exp = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("tv"))
+        .collect()
+    }
+    assert got == exp
