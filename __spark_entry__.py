@@ -706,6 +706,40 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+corpus_scored AS (
+  SELECT e.vec_id AS neighbor_id, e.v AS cvec, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS r
+  FROM e CROSS JOIN cent c
+), corpus_assigned AS (
+  SELECT neighbor_id, cvec, centroid_id AS bucket FROM corpus_scored WHERE r = 1
+), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+q_scored AS (
+  SELECT q.query_id, q.qv, c.centroid_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS r
+  FROM q CROSS JOIN cent c
+), q_probes AS (
+  SELECT query_id, qv, centroid_id AS bucket FROM q_scored WHERE r <= 4
+), cand AS (
+  SELECT p.query_id, a.neighbor_id,
+         round(list_cosine_similarity(p.qv, a.cvec), 6) AS cos_sim
+  FROM q_probes p JOIN corpus_assigned a USING (bucket)
+  WHERE a.neighbor_id != p.query_id
+), r AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank
+FROM r WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -1097,7 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(16, 4),
         "dedup_simhash": _simhash_sql(32),
         "ann_cosine_topk": ANN_SQL,
-        # ann_ivf_topk: approximate by design → rows-only check
+        "ann_ivf_topk": IVF_SQL,
         "asof_enrich_clicks": ASOF_SQL,
         "percentile_prices": PERCENTILE_SQL,
         "running_total_per_customer": RUNNING_TOTAL_SQL,
