@@ -85,6 +85,18 @@ def _present(df_cols: list[str], name: str) -> bool:
     return name in df_cols
 
 
+def _data_present(col: Column) -> Column:
+    """Reference _is_data_present (abstract_list_pii_hashing_mapper.py:50-51):
+    present ⇔ not NULL and not empty string (raw value — NOT trimmed;
+    whitespace-only counts as present, matching the reference exactly)."""
+    return col.isNotNull() & (col != "")
+
+
+def _hash_if_present(col: Column, hash_enabled: bool, email: bool = False) -> Column:
+    expr = hash_email(col, hash_enabled) if email else hash_field(col, hash_enabled)
+    return F.when(_data_present(col), expr)
+
+
 def ads_pii_expressions(
     df: DataFrame,
     hash_enabled: bool = True,
@@ -93,36 +105,36 @@ def ads_pii_expressions(
     """Google Ads customer-match PII shaping.
 
     Reference mappers/ads_user_list_pii_hashing_mapper.py:26-79:
-    - email → hashed_email (normalized + hashed)
+    - email → hashed_email (normalized + hashed); empty string ≡ absent →
+      NULL, never the hash of "" (_is_data_present parity)
     - phone → hashed_phone_number
     - address: only when ALL FOUR of first/last/country/zip are present →
-      nested ``address_info`` struct; first/last hashed, country/zip NOT
-      hashed (ads_user_list_pii_hashing_mapper.py:42-58)
-    - mobile_device_id → mobile_id (NOT hashed)
+      nested ``address_info`` struct; first/last hashed, country/zip passed
+      through RAW — not hashed, not trimmed
+      (ads_user_list_pii_hashing_mapper.py:42-58)
+    - mobile_device_id → mobile_id (NOT hashed; empty ≡ absent)
     - user_id → third_party_user_id (hashed)
-    Non-PII columns pass through untouched.
+    Non-PII columns pass through untouched. Rows where every output column
+    is NULL are dropped (the reference's ``if element`` filter on the
+    shaped dict, abstract_list_pii_hashing_mapper.py:77-81).
     """
     cols = df.columns
     out = df
     if _present(cols, "email"):
-        out = out.withColumn("hashed_email", hash_email(F.col("email"), hash_enabled))
-        out = out.drop("email")
+        out = out.withColumn(
+            "hashed_email", _hash_if_present(F.col("email"), hash_enabled, email=True)
+        ).drop("email")
     if _present(cols, "phone"):
         out = out.withColumn(
-            "hashed_phone_number", hash_field(F.col("phone"), hash_enabled)
-        )
-        out = out.drop("phone")
+            "hashed_phone_number", _hash_if_present(F.col("phone"), hash_enabled)
+        ).drop("phone")
     first, last, country, zipc = address_fields
     if all(_present(cols, c) for c in address_fields):
         all_present = (
-            F.col(first).isNotNull()
-            & (F.trim(F.col(first)) != "")
-            & F.col(last).isNotNull()
-            & (F.trim(F.col(last)) != "")
-            & F.col(country).isNotNull()
-            & (F.trim(F.col(country)) != "")
-            & F.col(zipc).isNotNull()
-            & (F.trim(F.col(zipc)) != "")
+            _data_present(F.col(first))
+            & _data_present(F.col(last))
+            & _data_present(F.col(country))
+            & _data_present(F.col(zipc))
         )
         out = out.withColumn(
             "address_info",
@@ -131,17 +143,26 @@ def ads_pii_expressions(
                 F.struct(
                     hash_field(F.col(first), hash_enabled).alias("hashed_first_name"),
                     hash_field(F.col(last), hash_enabled).alias("hashed_last_name"),
-                    F.trim(F.col(country)).alias("country_code"),
-                    F.trim(F.col(zipc)).alias("postal_code"),
+                    F.col(country).alias("country_code"),
+                    F.col(zipc).alias("postal_code"),
                 ),
             ),
         ).drop(*address_fields)
     if _present(cols, "mobile_device_id"):
-        out = out.withColumnRenamed("mobile_device_id", "mobile_id")
+        out = out.withColumn(
+            "mobile_id", F.when(_data_present(F.col("mobile_device_id")), F.col("mobile_device_id"))
+        ).drop("mobile_device_id")
     if _present(cols, "user_id"):
         out = out.withColumn(
-            "third_party_user_id", hash_field(F.col("user_id"), hash_enabled)
+            "third_party_user_id", _hash_if_present(F.col("user_id"), hash_enabled)
         ).drop("user_id")
+    # drop rows that shaped to nothing at all
+    any_value = None
+    for c in out.columns:
+        cond = F.col(c).isNotNull()
+        any_value = cond if any_value is None else (any_value | cond)
+    if any_value is not None:
+        out = out.where(any_value)
     return out
 
 
@@ -149,31 +170,56 @@ def dv_pii_expressions(df: DataFrame, hash_enabled: bool = True) -> DataFrame:
     """DV360 customer-match shaping — flat camelCase output.
 
     Reference mappers/dv_user_list_pii_hashing_mapper.py:25-68:
-    hashedEmails, hashedPhoneNumbers, hashedFirstName, hashedLastName,
-    countryCode, zipCodes, mobileDeviceIds. Country/zip not hashed.
+    hashedEmails, hashedPhoneNumbers; the address quadruple is
+    ALL-OR-NOTHING (same gate as Ads) → hashedFirstName/hashedLastName
+    (hashed) + countryCode/zipCodes (raw, unhashed); mobileDeviceIds.
+    Empty string ≡ absent; rows shaping to all-NULL are dropped (base-class
+    ``if element`` filter). The DV schema declares the country/zip columns
+    as ``*_name`` while the mapper reads the unsuffixed names — accept
+    either (prefer unsuffixed).
     """
     cols = df.columns
     out = df
     if "email" in cols:
         out = out.withColumn(
-            "hashedEmails", hash_email(F.col("email"), hash_enabled)
+            "hashedEmails", _hash_if_present(F.col("email"), hash_enabled, email=True)
         ).drop("email")
     if "phone" in cols:
         out = out.withColumn(
-            "hashedPhoneNumbers", hash_field(F.col("phone"), hash_enabled)
+            "hashedPhoneNumbers", _hash_if_present(F.col("phone"), hash_enabled)
         ).drop("phone")
-    renames = {
-        "mailing_address_first_name": ("hashedFirstName", True),
-        "mailing_address_last_name": ("hashedLastName", True),
-        "mailing_address_country_name": ("countryCode", False),
-        "mailing_address_country": ("countryCode", False),
-        "mailing_address_zip_name": ("zipCodes", False),
-        "mailing_address_zip": ("zipCodes", False),
-    }
-    for src, (dst, hashed) in renames.items():
-        if src in out.columns and dst not in out.columns:
-            expr = hash_field(F.col(src), hash_enabled) if hashed else F.trim(F.col(src))
-            out = out.withColumn(dst, expr).drop(src)
+    first, last = "mailing_address_first_name", "mailing_address_last_name"
+    country = "mailing_address_country" if "mailing_address_country" in cols else "mailing_address_country_name"
+    zipc = "mailing_address_zip" if "mailing_address_zip" in cols else "mailing_address_zip_name"
+    if all(c in cols for c in (first, last, country, zipc)):
+        all_present = (
+            _data_present(F.col(first))
+            & _data_present(F.col(last))
+            & _data_present(F.col(country))
+            & _data_present(F.col(zipc))
+        )
+        out = (
+            out.withColumn(
+                "hashedFirstName",
+                F.when(all_present, hash_field(F.col(first), hash_enabled)),
+            )
+            .withColumn(
+                "hashedLastName",
+                F.when(all_present, hash_field(F.col(last), hash_enabled)),
+            )
+            .withColumn("countryCode", F.when(all_present, F.col(country)))
+            .withColumn("zipCodes", F.when(all_present, F.col(zipc)))
+            .drop(first, last, country, zipc)
+        )
     if "mobile_device_id" in cols:
-        out = out.withColumnRenamed("mobile_device_id", "mobileDeviceIds")
+        out = out.withColumn(
+            "mobileDeviceIds",
+            F.when(_data_present(F.col("mobile_device_id")), F.col("mobile_device_id")),
+        ).drop("mobile_device_id")
+    any_value = None
+    for c in out.columns:
+        cond = F.col(c).isNotNull()
+        any_value = cond if any_value is None else (any_value | cond)
+    if any_value is not None:
+        out = out.where(any_value)
     return out

@@ -113,3 +113,49 @@ def test_dv_pii_shaping(spark):
     assert r["hashedLastName"] == GOLDEN[3][1]
     assert r["countryCode"] == "BR"
     assert r["zipCodes"] == "123"
+
+
+def test_empty_string_is_absent(spark):
+    """Reference _is_data_present: '' ≡ absent → no hash emitted (never
+    the sha256 of the empty string)."""
+    df = spark.createDataFrame(
+        [("", "+551199999999"), (None, ""), ("a@b.com", None)], ["email", "phone"]
+    )
+    rows = ads_pii_expressions(df).collect()
+    # row 2 (None, "") shaped to nothing → dropped entirely
+    assert len(rows) == 2
+    by_phone = {r["hashed_phone_number"]: r for r in rows}
+    assert by_phone[GOLDEN[1][1]]["hashed_email"] is None
+    assert None in by_phone  # the email-only row
+
+
+def test_address_country_zip_raw_passthrough(spark):
+    df = spark.createDataFrame(
+        [("John", "Doe", " BR ", " 01000 ")],
+        [
+            "mailing_address_first_name",
+            "mailing_address_last_name",
+            "mailing_address_country",
+            "mailing_address_zip",
+        ],
+    )
+    r = ads_pii_expressions(df).first()
+    # raw, untrimmed — reference passes user[...] through as-is
+    assert r["address_info"]["country_code"] == " BR "
+    assert r["address_info"]["postal_code"] == " 01000 "
+
+
+def test_dv_address_all_or_nothing(spark):
+    df = spark.createDataFrame(
+        [("John", "Doe", "BR", ""), ("John", "Doe", "BR", "123")],
+        [
+            "mailing_address_first_name",
+            "mailing_address_last_name",
+            "mailing_address_country_name",
+            "mailing_address_zip_name",
+        ],
+    )
+    rows = dv_pii_expressions(df).collect()
+    # first row: zip empty → whole address absent → row shapes to nothing → dropped
+    assert len(rows) == 1
+    assert rows[0]["countryCode"] == "BR" and rows[0]["zipCodes"] == "123"
