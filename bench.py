@@ -33,7 +33,27 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup",
+    "asof_enrich_clicks",
+    "dedup_simhash_pairs",
+    "json_extract_props",
+    "running_total_per_customer",
+    "percentile_prices",
     "text_quality_score",
+    "text_language_id",
+    "text_token_count",
+    "schema_project_cast",
+    "collect_rollup",
+    "rollup_order_counts",
+    "cube_order_counts",
+    "pivot_event_values",
+    "semi_join_success",
+    "union_distinct_summary",
+    "set_except_customers",
+    "set_intersect_customers",
+    "batch_assignment",
+    "dedup_fingerprint",
 ]
 
 

@@ -48,6 +48,15 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return _dot(da, db) / (_norm(da) * _norm(db))
 
 
+def unit_expr(a: Column) -> Column:
+    """L2-normalized copy of the vector (double). Materialize this ONCE per
+    row before a pair join so per-pair cosine collapses to a single dot
+    fold — norms must never be recomputed inside the O(n²) stage."""
+    d = F.transform(a, lambda v: v.cast("double"))
+    n = _norm(d)
+    return F.transform(d, lambda x: x / n)
+
+
 def cosine_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -64,18 +73,18 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        unit_expr(F.col(vec_col)).alias("q_vec"),
     )
     c = df.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        unit_expr(F.col(vec_col)).alias("c_vec"),
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(_dot(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -177,14 +186,16 @@ def embedding_near_dup_pairs(
     run this within buckets; the pair-join shape below is unchanged.
     """
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")).repartition(
-        n_parts
-    )
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    # normalize each vector once (per-row), so the O(n²) stage is one dot
+    # fold per pair instead of dot + two norm folds
+    a = df.select(
+        F.col(id_col).alias("id_a"), unit_expr(F.col(vec_col)).alias("vec_a")
+    ).repartition(n_parts)
+    b = df.select(F.col(id_col).alias("id_b"), unit_expr(F.col(vec_col)).alias("vec_b"))
     # stream side repartitioned so the O(n²) scoring parallelizes even when
     # the corpus arrives as one small file; build side broadcast
     joined = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    sim = cosine_expr(F.col("vec_a"), F.col("vec_b"))
+    sim = _dot(F.col("vec_a"), F.col("vec_b"))
     return (
         joined.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
