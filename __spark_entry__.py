@@ -1057,6 +1057,69 @@ ORDER BY custkey
 """
 
 
+
+
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard ESTIMATE for LSH candidate pairs: fraction of equal
+    signature positions — the statistic that makes MinHash usable without
+    ever touching the raw shingle sets at pair time."""
+    from megalista_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(d, num_hashes=16, bands=4)
+    sigs = minhash_signatures(d, num_hashes=16)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(16.0)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_estimate_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    from megalista_spark.operators.dedup import MINHASH_P, minhash_params
+
+    rows_per_band = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(h, x -> (x * {a} + {b}) % {MINHASH_P}))"
+        for a, b in minhash_params(num_hashes)
+    )
+    return _SHINGLE_CTE + f"""
+, hashed AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
+  FROM sh
+), sig AS (
+  SELECT doc_id, [{sig_items}] AS sig FROM hashed
+), banded AS (
+  SELECT doc_id AS id, b AS band_id,
+         md5(array_to_string(list_transform(sig[b*{rows_per_band}+1 : b*{rows_per_band}+{rows_per_band}],
+                                            v -> v::VARCHAR), ',')) AS band_hash
+  FROM sig CROSS JOIN range(0, {bands}) t(b)
+), cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+)
+SELECT c.doc_a, c.doc_b,
+       round(len(list_filter(list_transform(range(1, {num_hashes} + 1),
+                                            i -> sa.sig[i] = sb.sig[i]),
+                             m -> m)) / {num_hashes}.0, 6) AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -1100,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_props": json_extract_props,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "cube_order_counts": cube_order_counts,
+        "dedup_minhash_estimate": dedup_minhash_estimate,
         "set_intersect_customers": set_intersect_customers,
         "text_token_count": text_token_count,
         "text_quality_score": text_quality_score,
@@ -1140,6 +1204,7 @@ def oracle_sql() -> dict[str, str]:
         "json_extract_props": JSON_EXTRACT_SQL,
         "dedup_simhash_pairs": _simhash_pairs_sql(32, 4, 6),
         "cube_order_counts": CUBE_SQL,
+        "dedup_minhash_estimate": _minhash_estimate_sql(16, 4),
         "set_intersect_customers": SET_INTERSECT_SQL,
         "text_token_count": TOKEN_COUNT_SQL,
         "text_quality_score": QUALITY_SQL,
