@@ -139,6 +139,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prune_singleton_shingles: bool = False,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over word n-gram shingle sets.
 
@@ -147,9 +149,18 @@ def ngram_jaccard_pairs(
       2. self-join on shingle with id< id  → shared-shingle counts
       3. jaccard = shared / (|A| + |B| - shared), filter ≥ threshold
 
-    The shuffle key is the shingle; hot shingles are the skew risk — at
-    scale, drop top-frequency shingles first (stopword shingles carry no
-    dedup signal). Returns (doc_a, doc_b, jaccard rounded to 6dp).
+    The shuffle key is the shingle; hot shingles are the skew risk.
+    Scale knobs (both preserve EXACT jaccard values because set sizes are
+    computed before any pruning):
+    - ``prune_singleton_shingles``: drop shingles with document frequency
+      1 — they cannot contribute to any pair. Pure win on corpora where
+      most shingles are unique (typical real text); costs one extra
+      aggregation.
+    - ``max_shingle_df``: additionally drop shingles appearing in more
+      than this many documents (stopword shingles). NOTE: unlike the
+      singleton prune this is a recall heuristic — pairs overlapping ONLY
+      on ultra-hot shingles lose those matches from ``shared``.
+    Returns (doc_a, doc_b, jaccard rounded to 6dp).
     """
     shingled = (
         _tokenized(df, text_col, id_col)
@@ -160,6 +171,16 @@ def ngram_jaccard_pairs(
         # >=1 shingle by construction, so outer is semantically identical.
         .select("id", F.size("shingles").alias("set_size"), F.explode_outer("shingles").alias("shingle"))
     )
+
+    if prune_singleton_shingles or max_shingle_df is not None:
+        lo = 2 if prune_singleton_shingles else 1
+        hi = max_shingle_df if max_shingle_df is not None else None
+        freq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        cond = F.col("_df") >= lo
+        if hi is not None:
+            cond = cond & (F.col("_df") <= hi)
+        keep = freq.where(cond).select("shingle")
+        shingled = shingled.join(keep, "shingle")
 
     a = shingled.alias("a")
     b = shingled.alias("b")

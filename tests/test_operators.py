@@ -246,3 +246,18 @@ def test_salted_join_equals_plain_join(spark):
     plain_l = left.join(right, on="k", how="left")
     salted_l = salted_join(left, right, on="k", salt=8, how="left")
     assert sorted(map(tuple, salted_l.collect())) == sorted(map(tuple, plain_l.collect()))
+
+
+def test_jaccard_singleton_prune_is_exact(spark):
+    rows = [(i, f"w{i} common a b c d tail{i}") for i in range(8)]
+    df = docs(spark, rows)
+    plain = sorted(map(tuple, ngram_jaccard_pairs(df, threshold=0.1).collect()))
+    pruned = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                df, threshold=0.1, prune_singleton_shingles=True
+            ).collect(),
+        )
+    )
+    assert plain == pruned and len(plain) > 0
