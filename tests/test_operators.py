@@ -261,3 +261,24 @@ def test_jaccard_singleton_prune_is_exact(spark):
         )
     )
     assert plain == pruned and len(plain) > 0
+
+
+def test_sql_surface(spark, sf_dir):
+    from megalista_spark.sql import sql
+
+    df = sql(
+        spark,
+        sf_dir,
+        """
+        SELECT r_name, count(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """,
+    )
+    rows = df.collect()
+    assert len(rows) == 5 and all(r["n"] > 0 for r in rows)
+    # events view has a real timestamp column
+    ts_type = dict(
+        sql(spark, sf_dir, "SELECT ts FROM events LIMIT 1").dtypes
+    )["ts"]
+    assert ts_type.startswith("timestamp")
