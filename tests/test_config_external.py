@@ -90,3 +90,21 @@ def test_before_run_called_once(spark):
     result = SinkExecutor(t, batch_size=2, max_parallelism=4).run(df)
     assert result.success.count() == 10
     assert t.erase_calls == 1  # once per run, not per partition/chunk
+
+
+def test_reference_sample_config_parses_unchanged():
+    """A reference user's config.json loads as-is (switchability claim)."""
+    import os
+
+    sample = "/root/reference/cloud_config/configuration_sample.json"
+    if not os.path.exists(sample):
+        import pytest
+
+        pytest.skip("reference not mounted")
+    from megalista_spark.sources.config_json import load_executions_from_json
+
+    execs = load_executions_from_json(sample)
+    assert len(execs) == 2
+    assert execs[0].destination.destination_type.value == "ADS_OFFLINE_CONVERSION"
+    assert execs[0].source.path == "my_source_dataset.my_offline_conversions_table"
+    assert execs[1].destination.metadata == ("GA_Property_ID", "1")
