@@ -308,29 +308,48 @@ def simhash(
     """SimHash over whitespace tokens (with multiplicity).
 
     Each token hashes to ``bits`` bits via portable_hash64; bit j of the
-    fingerprint is 1 iff sum over tokens of (2*bit_j(h)-1) > 0. Built from
-    explode + groupBy-sum per bit — one shuffle on the doc id.
+    fingerprint is 1 iff sum over tokens of (2*bit_j(h)-1) > 0.
+
+    ZERO shuffles: the per-bit vote counters live in an array folded by a
+    single ``aggregate`` over the token-hash array (same pattern as the
+    MinHash signature fold) — pure map over the scan, then the fingerprint
+    is assembled from the counter array. The earlier explode+groupBy form
+    shuffled |tokens| rows; this shuffles nothing.
     """
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
-    exploded = _spread(df).select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
-    hashed = exploded.select("id", portable_hash64(F.col("tok")).alias("h"))
-    # one groupBy with `bits` conditional sums — a single narrow shuffle on
-    # the doc id; bit index is a Python literal so shiftright stays exact.
-    votes = hashed.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(bits)
-        ]
+    toked = _tokenized(df, text_col, id_col)
+    init = F.array(*[F.lit(0).cast("bigint") for _ in range(bits)])
+
+    # assemble the fingerprint in aggregate's finish lambda — acc is the
+    # materialized accumulator there, so referencing it 32 times is free
+    # (a separate select would re-inline the whole fold per bit)
+    def finish(acc):
+        fp = None
+        for j in range(bits):
+            term = F.when(F.get(acc, j) > 0, F.lit(1 << j).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            fp = term if fp is None else (fp + term)
+        return fp
+
+    hashes = F.transform(
+        F.col("_toks"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
     )
-    fingerprint = None
-    for j in range(bits):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        fingerprint = term if fingerprint is None else (fingerprint + term)
-    return votes.select(F.col("id").alias(id_col), fingerprint.alias("simhash"))
+    simhash_col = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.array(
+            *[
+                F.get(acc, j)
+                + F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for j in range(bits)
+            ]
+        ),
+        finish,
+    )
+    return toked.select(F.col("id").alias(id_col), simhash_col.alias("simhash"))
 
 
 def simhash_near_pairs(
