@@ -1,0 +1,114 @@
+"""Property-based tests — beyond the reference's own test strategy
+(SURVEY §5 notes it has no property/randomized tests).
+
+Pure-Python layers get hypothesis directly; Spark expressions get batched
+property checks (one DataFrame of generated cases per property — driving a
+Spark job per hypothesis example would be pathologically slow)."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from megalista_spark.functions.hashing import normalize_email
+from megalista_spark.models.execution import filter_text_only_numbers
+from megalista_spark.operators.dedup import MINHASH_P, minhash_params
+from megalista_spark.sinks.payloads import format_date, ga_data_import_csv, parse_timestamp
+
+
+@given(st.integers(min_value=1, max_value=128))
+def test_minhash_params_bounds(k):
+    for a, b in minhash_params(k):
+        assert 0 < a < 2**30 and a % 2 == 1  # odd multiplier, no int64 overflow
+        assert 0 <= b < 2**30
+    # distinct parameter pairs → distinct hash functions
+    assert len(set(minhash_params(k))) == k
+    # worst case product fits int64 exactly
+    assert (2**32 - 1) * (2**30 - 1) + 2**30 < 2**63
+
+
+@given(st.text(alphabet=string.printable, max_size=40))
+def test_filter_text_only_numbers_only_digits(s):
+    out = filter_text_only_numbers(s)
+    assert out == "".join(c for c in s if c.isdigit())
+
+
+@given(
+    st.datetimes(
+        min_value=__import__("datetime").datetime(1980, 1, 1),
+        max_value=__import__("datetime").datetime(2035, 1, 1),
+    )
+)
+@settings(max_examples=50)
+def test_format_date_shape_and_parse(dt):
+    s = format_date(dt.strftime("%Y-%m-%dT%H:%M:%S.%f"))
+    # 'YYYY-MM-DD HH:MM:SS±HH:MM'
+    assert len(s) == 25 and s[10] == " " and s[19] in "+-" and s[22] == ":"
+    assert s[:19] == dt.strftime("%Y-%m-%d %H:%M:%S")
+
+
+@given(
+    st.lists(
+        st.dictionaries(
+            st.sampled_from(["cd1", "cd2", "cd3"]),
+            st.one_of(st.none(), st.text(alphabet="abc123", max_size=5)),
+            min_size=1,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=50)
+def test_ga_data_import_csv_shape(rows):
+    # normalize: all rows share the first row's keys (uploader contract)
+    keys = list(rows[0].keys())
+    rows = [{k: r.get(k) for k in keys} for r in rows]
+    out = ga_data_import_csv(rows)
+    lines = out.split("\n")
+    assert lines[0] == ",".join(f"ga:{k}" for k in keys)
+    assert len(lines) == len(rows) + 1
+    for line in lines[1:]:
+        assert len(line.split(",")) == len(keys)
+
+
+def test_parse_timestamp_accepts_reference_formats():
+    for s in ("2020-04-09T14:13:55.0005", "2020-04-09T14:13:55", "2020-04-09 14:13:55"):
+        assert parse_timestamp(s).year == 2020
+
+
+def _random_emails(n=300, seed=7):
+    import random
+
+    rnd = random.Random(seed)
+    locals_ = ["john", "a.b", "x..y", "ca.us", "A.B.C", "", "no-at", "ümlaut.ö"]
+    domains = ["gmail.com", "GOOGLEMAIL.COM", "doe.com", "sub.gmail.com", ""]
+    out = []
+    for _ in range(n):
+        if rnd.random() < 0.1:
+            out.append(rnd.choice(["not-an-email", "", "@", "a@b@c", "  spaced  "]))
+        else:
+            out.append(f"{rnd.choice(locals_)}@{rnd.choice(domains)}")
+    return out
+
+
+def test_normalize_email_idempotent_batch(spark):
+    """normalize(normalize(x)) == normalize(x) over a generated corpus —
+    run as ONE Spark job."""
+    emails = _random_emails()
+    df = spark.createDataFrame([(e,) for e in emails], ["e"])
+    once = normalize_email(F.col("e"))
+    out = df.select(
+        once.alias("n1"), normalize_email(once).alias("n2")
+    ).collect()
+    for r in out:
+        assert r["n1"] == r["n2"]
+
+
+def test_normalize_email_preserves_domain_batch(spark):
+    emails = [e for e in _random_emails() if e.count("@") == 1 and e.split("@")[1]]
+    df = spark.createDataFrame([(e,) for e in emails], ["e"])
+    out = df.select("e", normalize_email(F.col("e")).alias("n")).collect()
+    for r in out:
+        assert r["n"].split("@")[1] == r["e"].strip().lower().split("@")[1]
