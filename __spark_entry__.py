@@ -1186,6 +1186,61 @@ ORDER BY o_totalprice DESC, o_orderkey
 """
 
 
+
+
+def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path embedding near-dup: sign-random-projection LSH buckets
+    (deterministic md5-derived hyperplanes) + exact cosine on candidates.
+    Approximate RECALL by design; values are exact — the oracle implements
+    the identical algorithm, so results hash-match."""
+    from megalista_spark.operators.similarity import embedding_lsh_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_lsh_near_dup_pairs(
+        emb, threshold=0.45, n_planes=16, bands=4, dim=64
+    ).orderBy("id_a", "id_b")
+
+
+def _embedding_lsh_sql(threshold: float = 0.45, n_planes: int = 16, bands: int = 2, dim: int = 64) -> str:
+    from megalista_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(dim, n_planes)
+    bit_cols = ",\n       ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in planes[p])}]) >= 0 THEN 1 ELSE 0 END) AS b{p}"
+        for p in range(n_planes)
+    )
+    bits_per_band = n_planes // bands
+    band_selects = []
+    for b in range(bands):
+        val = " + ".join(
+            f"b{b * bits_per_band + i} * {1 << (bits_per_band - 1 - i)}"
+            for i in range(bits_per_band)
+        )
+        band_selects.append(
+            f"SELECT id, v, {b} AS band_id, ({val}) AS band_val FROM bits"
+        )
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS raw FROM embeddings),
+u AS (SELECT id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v FROM e),
+bits AS (
+  SELECT id, v,
+       {bit_cols}
+  FROM u
+), banded AS (
+  {" UNION ALL ".join(band_selects)}
+), cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, first(a.v) AS va, first(b.v) AS vb
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, round(list_dot_product(va, vb), 6) AS cos_sim
+FROM cand
+WHERE round(list_dot_product(va, vb), 6) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -1228,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total_per_customer": running_total_per_customer,
         "set_except_customers": set_except_customers,
         "embedding_near_dup": embedding_near_dup,
+        "embedding_lsh_near_dup": embedding_lsh_near_dup,
         "json_extract_props": json_extract_props,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "cube_order_counts": cube_order_counts,
@@ -1271,6 +1327,7 @@ def oracle_sql() -> dict[str, str]:
         "running_total_per_customer": RUNNING_TOTAL_SQL,
         "set_except_customers": SET_EXCEPT_SQL,
         "embedding_near_dup": NEAR_DUP_SQL,
+        "embedding_lsh_near_dup": _embedding_lsh_sql(0.45, 16, 4, 64),
         "json_extract_props": JSON_EXTRACT_SQL,
         "dedup_simhash_pairs": _simhash_pairs_sql(32, 4, 6),
         "cube_order_counts": CUBE_SQL,

@@ -200,3 +200,83 @@ def embedding_near_dup_pairs(
         joined.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------- hyperplane LSH (scale)
+
+
+def srp_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic sign-random-projection hyperplanes: component d of
+    plane p is uniform in [-1, 1), derived from md5(f"{p}|{d}") — the same
+    planes are reproducible in any engine with md5 (the oracle generates
+    identical literals). Sign-random projection only needs a symmetric
+    component distribution, so uniform works like gaussian."""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:8], 16)
+            row.append((h / 0xFFFFFFFF) * 2.0 - 1.0)
+        out.append(row)
+    return out
+
+
+def embedding_lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 16,
+    bands: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-random-projection LSH.
+
+    1. per vector: n_planes sign bits (dot with fixed hyperplanes)
+    2. bits split into ``bands`` bands; vectors sharing any band value are
+       candidates (pigeonhole: cos-close vectors agree on most bits)
+    3. exact cosine filter on candidates only
+
+    Complexity: candidate generation is linear (explode bands + bucket
+    join) — the all-pairs O(n²) scan disappears; recall is tuned by
+    (n_planes, bands). Same output schema as embedding_near_dup_pairs.
+    """
+    planes = srp_planes(dim, n_planes)
+    unit = df.select(
+        F.col(id_col).alias("id"), unit_expr(F.col(vec_col)).alias("v")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+    def plane_bit(p: int) -> Column:
+        lit_plane = F.array(*[F.lit(x) for x in planes[p]])
+        return (_dot(F.col("v"), lit_plane) >= 0).cast("int")
+
+    bits_per_band = n_planes // bands
+    band_cols = []
+    for b in range(bands):
+        val = None
+        for i in range(bits_per_band):
+            bit = plane_bit(b * bits_per_band + i)
+            val = bit if val is None else (val * 2 + bit)
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), val.alias("band_val")))
+    banded = unit.select(
+        "id", "v", F.explode_outer(F.array(*band_cols)).alias("band")
+    ).select("id", "v", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val"))
+
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.first(F.col("a.v")).alias("va"), F.first(F.col("b.v")).alias("vb"))
+    )
+    sim = _dot(F.col("va"), F.col("vb"))
+    return (
+        cand.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

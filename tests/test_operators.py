@@ -282,3 +282,19 @@ def test_sql_surface(spark, sf_dir):
         sql(spark, sf_dir, "SELECT ts FROM events LIMIT 1").dtypes
     )["ts"]
     assert ts_type.startswith("timestamp")
+
+
+def test_embedding_lsh_finds_identical_vectors(spark):
+    from megalista_spark.operators.similarity import embedding_lsh_near_dup_pairs
+
+    vecs = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [1.0, 2.0, 3.0, 4.0]),  # identical → same bits in every band
+        (2, [-4.0, 3.0, -2.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    rows = embedding_lsh_near_dup_pairs(
+        df, threshold=0.99, n_planes=8, bands=2, dim=4
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(0, 1)]
+    assert rows[0]["cos_sim"] == 1.0
