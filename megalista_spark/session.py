@@ -54,6 +54,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # split small single-file inputs across cores (a lone parquet file
+        # would otherwise scan in ~1 task locally); harmless on clusters
+        # where inputs arrive multi-split anyway
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
