@@ -99,10 +99,16 @@ class Pipeline:
         spark: SparkSession,
         executions: list[Execution],
         transport_factory: Callable[[Execution], Transport] | None = None,
+        error_notifier=None,
     ):
         self.spark = spark
         self.executions = executions
         self.transport_factory = transport_factory or (lambda e: DryRunTransport())
+        if error_notifier is None:
+            from megalista_spark.notifiers import LoggingErrorNotifier
+
+            error_notifier = LoggingErrorNotifier()
+        self.error_notifier = error_notifier
 
     def run(self) -> RunResult:
         results: list[BranchResult] = []
@@ -123,6 +129,10 @@ class Pipeline:
                 results.append(self._run_branch(e, ds, raw))
             if len(execs) > 1:
                 raw.unpersist()
+        failed = [b for b in results if not b.ok]
+        if failed:
+            # end-of-run notification (reference GmailNotifier shape)
+            self.error_notifier.notify(failed)
         return RunResult(results)
 
     def _run_branch(self, execution: Execution, ds, raw: DataFrame) -> BranchResult:
@@ -161,9 +171,10 @@ def run_from_config(
     spark: SparkSession,
     config_path: str,
     transport_factory: Callable[[Execution], Transport] | None = None,
+    error_notifier=None,
 ) -> RunResult:
     """python -m entry point shape: config file → full run."""
     from megalista_spark.sources.config_json import load_executions_from_json
 
     executions = load_executions_from_json(config_path)
-    return Pipeline(spark, executions, transport_factory).run()
+    return Pipeline(spark, executions, transport_factory, error_notifier).run()

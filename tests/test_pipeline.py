@@ -123,3 +123,25 @@ def test_missing_schema_column_fails_branch_only(spark, tmp_path):
     r = run_from_config(spark, cfg, lambda e: MockTransport())
     assert r.exit_code == 1
     assert "missing required" in r.branches[0].errors[0]
+
+
+def test_error_notifier_called_with_failed_branches(spark, tmp_path, conversions_path):
+    from megalista_spark.notifiers import GmailErrorNotifier
+
+    cfg = write_config(
+        tmp_path,
+        conversions_path,
+        [{"Enabled": True, "Source": "conv", "Destination": "oci"}],
+    )
+    sent: list[tuple[str, str]] = []
+    notifier = GmailErrorNotifier("ops@example.com", send=lambda to, body: sent.append((to, body)))
+    r = run_from_config(spark, cfg, lambda e: AlwaysFail(), error_notifier=notifier)
+    assert r.exit_code == 1
+    assert len(sent) == 1
+    assert sent[0][0] == "ops@example.com"
+    assert "oci" in sent[0][1]
+
+    # successful run → no mail
+    sent.clear()
+    r2 = run_from_config(spark, cfg, lambda e: MockTransport(), error_notifier=notifier)
+    assert r2.exit_code == 0 and sent == []
