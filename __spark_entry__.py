@@ -573,10 +573,10 @@ ORDER BY doc_id
 
 
 _SHINGLE_CTE = r"""
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS w
   FROM documents
-), sh AS (
+), sh AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(
            list_transform(range(1, greatest(len(w) - 2, 1) + 1),
@@ -624,9 +624,9 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
   SELECT doc_id,
          list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
   FROM sh
-), sig AS (
+), sig AS MATERIALIZED (
   SELECT doc_id, [{sig_items}] AS sig FROM hashed
-), banded AS (
+), banded AS MATERIALIZED (
   SELECT doc_id AS id, b AS band_id,
          md5(array_to_string(list_transform(sig[b*{rows_per_band}+1 : b*{rows_per_band}+{rows_per_band}],
                                             v -> v::VARCHAR), ',')) AS band_hash
@@ -657,7 +657,7 @@ WITH toks AS (
   FROM documents
 ), h AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
-), votes AS (
+), votes AS MATERIALIZED (
   SELECT doc_id,
          {votes}
   FROM h GROUP BY doc_id
@@ -993,13 +993,13 @@ WITH toks AS (
   FROM documents
 ), h AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
-), votes AS (
+), votes AS MATERIALIZED (
   SELECT doc_id,
          {votes}
   FROM h GROUP BY doc_id
-), fp AS (
+), fp AS MATERIALIZED (
   SELECT doc_id, ({fp})::BIGINT AS simhash FROM votes
-), banded AS (
+), banded AS MATERIALIZED (
   SELECT doc_id AS id, simhash, b AS band_id, (simhash >> (b * {band_bits})) & {mask} AS band_val
   FROM fp CROSS JOIN range(0, {bands}) t(b)
 ), cand AS (
@@ -1097,9 +1097,9 @@ def _minhash_estimate_sql(num_hashes: int = 16, bands: int = 4) -> str:
   SELECT doc_id,
          list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
   FROM sh
-), sig AS (
+), sig AS MATERIALIZED (
   SELECT doc_id, [{sig_items}] AS sig FROM hashed
-), banded AS (
+), banded AS MATERIALIZED (
   SELECT doc_id AS id, b AS band_id,
          md5(array_to_string(list_transform(sig[b*{rows_per_band}+1 : b*{rows_per_band}+{rows_per_band}],
                                             v -> v::VARCHAR), ',')) AS band_hash
@@ -1221,12 +1221,12 @@ def _embedding_lsh_sql(threshold: float = 0.45, n_planes: int = 16, bands: int =
         )
     return f"""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS raw FROM embeddings),
-u AS (SELECT id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v FROM e),
-bits AS (
+u AS MATERIALIZED (SELECT id, list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw))) AS v FROM e),
+bits AS MATERIALIZED (
   SELECT id, v,
        {bit_cols}
   FROM u
-), banded AS (
+), banded AS MATERIALIZED (
   {" UNION ALL ".join(band_selects)}
 ), cand AS (
   SELECT a.id AS id_a, b.id AS id_b, first(a.v) AS va, first(b.v) AS vb

@@ -243,26 +243,30 @@ def embedding_lsh_near_dup_pairs(
     join) — the all-pairs O(n²) scan disappears; recall is tuned by
     (n_planes, bands). Same output schema as embedding_near_dup_pairs.
     """
-    planes = srp_planes(dim, n_planes)
+    # hyperplanes as DATA (tiny broadcast table), not literal expression
+    # trees — 16 planes × 64 literals inlined per row blows up codegen
+    # (measured ~30s of compile time at 500 rows); as data the plan is a
+    # small broadcast join + one dot fold per (vector, plane)
+    bits_per_band = n_planes // bands
+    spark = df.sparkSession
+    planes_rows = [
+        (p, p // bits_per_band, float(1 << (bits_per_band - 1 - p % bits_per_band)), row)
+        for p, row in enumerate(srp_planes(dim, n_planes))
+    ]
+    planes_df = spark.createDataFrame(
+        planes_rows, ["plane_id", "band_id", "weight", "plane_vec"]
+    )
     unit = df.select(
         F.col(id_col).alias("id"), unit_expr(F.col(vec_col)).alias("v")
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    ).repartition(spark.sparkContext.defaultParallelism)
 
-    def plane_bit(p: int) -> Column:
-        lit_plane = F.array(*[F.lit(x) for x in planes[p]])
-        return (_dot(F.col("v"), lit_plane) >= 0).cast("int")
-
-    bits_per_band = n_planes // bands
-    band_cols = []
-    for b in range(bands):
-        val = None
-        for i in range(bits_per_band):
-            bit = plane_bit(b * bits_per_band + i)
-            val = bit if val is None else (val * 2 + bit)
-        band_cols.append(F.struct(F.lit(b).alias("band_id"), val.alias("band_val")))
-    banded = unit.select(
-        "id", "v", F.explode_outer(F.array(*band_cols)).alias("band")
-    ).select("id", "v", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val"))
+    bit = (_dot(F.col("v"), F.col("plane_vec")) >= 0).cast("double")
+    banded = (
+        unit.join(F.broadcast(planes_df))
+        .select("id", "band_id", (bit * F.col("weight")).alias("w"))
+        .groupBy("id", "band_id")
+        .agg(F.sum("w").cast("bigint").alias("band_val"))
+    )
 
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
@@ -272,11 +276,15 @@ def embedding_lsh_near_dup_pairs(
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.first(F.col("a.v")).alias("va"), F.first(F.col("b.v")).alias("vb"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
+    ua = unit.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    ub = unit.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     sim = _dot(F.col("va"), F.col("vb"))
     return (
-        cand.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        cand.join(ua, "id_a")
+        .join(ub, "id_b")
+        .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
