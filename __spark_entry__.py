@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from megalista_spark.functions.hashing import hash_email, hash_field, normalize_email
@@ -1242,6 +1242,484 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
+# Wider TPC-H plan shapes (adapted to the driver's reduced schemas — no
+# partsupp/commitdate/receiptdate/phone/container columns exist, so each
+# query keeps the *plan shape* of its TPC-H namesake over available columns)
+#
+# Revenue sums here go through DECIMAL: price/discount are 2-decimal
+# quantities, so decimal products sum EXACTLY in both engines — immune to
+# cross-engine summation-order drift that plain double sums can hit at the
+# round(…, 2) boundary (observed on q10 at sf0.01). The exact decimal sum
+# is cast to double only at the output boundary.
+# --------------------------------------------------------------------------
+
+
+def _rev_dec() -> Column:
+    """Exact-decimal revenue term: extendedprice * (1 - discount)."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+
+
+# SQL twin of _rev_dec (DuckDB)
+REV_DEC_SQL = "l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)"
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-nation trade flow — double nation join with a
+    symmetric pair predicate, year bucketing, broadcast dims."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == n1["s_nkey"])
+        .join(F.broadcast(n2), c["c_nationkey"] == n2["c_nkey"])
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2)::DOUBLE AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         {REV_DEC_SQL} AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — 7-table join, conditional
+    aggregation ratio per year."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    vol = _rev_dec()
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == n1["c_nkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == n2["s_nkey"])
+        .join(F.broadcast(r), n1["c_rkey"] == r["r_regionkey"])
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                      ELSE 0::DECIMAL(18,4) END)::DOUBLE
+             / sum(volume)::DOUBLE, 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         {REV_DEC_SQL} AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA'
+    AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, deterministic
+    top 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"),
+            F.round(F.first("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       round(sum({REV_DEC_SQL}), 2)::DOUBLE AS revenue,
+       round(any_value(c_acctbal), 2) AS c_acctbal
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left-outer join + two-level aggregation — the
+    orders-per-customer histogram INCLUDING zero-order customers."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation percentage over a
+    fact ⋈ broadcast-dim join."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = _rev_dec()
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN {REV_DEC_SQL}
+                              ELSE 0::DECIMAL(18,4) END)::DOUBLE
+             / sum({REV_DEC_SQL})::DOUBLE, 6) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view + scalar-max join-back (ties kept).
+    Revenue is rounded BEFORE the max on both engines so the equality join
+    is float-safe."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(_rev_dec()), 2).cast("double").alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["_mx"])
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         round(sum({REV_DEC_SQL}), 2)::DOUBLE AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average — lineitems below 20%%
+    of their part's mean quantity, for one brand."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12")
+    l = _t(spark, sf_dir, "lineitem")
+    lp = l.join(F.broadcast(p.select("p_partkey")), l["l_partkey"] == p["p_partkey"])
+    avg_q = lp.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.avg("l_quantity").alias("_avg_q")
+    )
+    return (
+        lp.join(F.broadcast(avg_q), lp["l_partkey"] == avg_q["_pk"])
+        .where(F.col("l_quantity") < 0.2 * F.col("_avg_q"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0, 2) AS avg_yearly,
+       count(*)::BIGINT AS n_lines
+FROM lineitem l
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#12'
+  AND l_quantity < 0.2 * (
+    SELECT avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join predicate (brand × size × quantity
+    windows) — exercises disjunctive predicate pushdown/join planning."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    c1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.where(c1 | c2 | c3).agg(
+        F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q19_SQL = f"""
+SELECT round(sum({REV_DEC_SQL}), 2)::DOUBLE AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-average threshold + anti join (customers
+    with above-average balance and no RECENT orders), grouped by nation.
+    The reference Q22 uses "no orders at all"; this data has 10 orders per
+    customer, so the anti-join is windowed to orders since 2000 to stay
+    non-vacuous at every scale factor."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    rich = c.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("_avg"))
+    no_orders = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2
+            ).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, count(*)::BIGINT AS numcust,
+       round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join demo: orders ⋈ lineitem both bucketed on
+    the order key → sort-merge join + per-order aggregation with ZERO
+    shuffle Exchanges (operators/bucketed.py; plan guard in
+    tests/test_plans.py). The oracle checks the relational result — the
+    bucketing must change the plan, never the answer."""
+    from megalista_spark.operators.bucketed import colocated_order_lines
+
+    out = colocated_order_lines(
+        spark, _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+    return out.orderBy("o_orderkey").limit(100)
+
+
+BUCKETED_JOIN_SQL = f"""
+SELECT o_orderkey, o_orderpriority, count(*)::BIGINT AS n_lines,
+       round(sum({REV_DEC_SQL}), 2)::DOUBLE AS revenue
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY o_orderkey
+LIMIT 100
+"""
+
+
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of ``hourly_rollup``: the SAME tumbling-
+    window aggregation under ``readStream`` (file source → watermarked
+    window agg → in-memory sink, ``availableNow`` trigger).
+
+    The single-file source arrives as one micro-batch, so no row is ever
+    behind the watermark, and complete-mode output equals the batch
+    result bit-for-bit — which is why a full DuckDB oracle applies to a
+    streaming query. At scale the file source swaps for Kafka and the
+    memory sink for foreachBatch (streaming/events.py) without touching
+    the transformation.
+    """
+    from megalista_spark.streaming.events import (
+        read_events_stream,
+        stream_tumbling_rollup,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    rolled = stream_tumbling_rollup(ev, minutes=60, watermark="2 hours")
+    name = "_streaming_hourly_rollup"
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+# --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
 
@@ -1259,6 +1737,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "q6_revenue_forecast": q6_revenue_forecast,
         "q18_large_volume_customers": q18_large_volume_customers,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "top_orders_per_segment": top_orders_per_segment,
         "rollup_order_counts": rollup_order_counts,
         "pivot_event_values": pivot_event_values,
@@ -1289,6 +1776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_counts": cube_order_counts,
         "dedup_minhash_estimate": dedup_minhash_estimate,
         "set_intersect_customers": set_intersect_customers,
+        "streaming_hourly_rollup": streaming_hourly_rollup,
+        "bucketed_colocated_join": bucketed_colocated_join,
         "text_token_count": text_token_count,
         "text_quality_score": text_quality_score,
         "text_language_id": text_language_id,
@@ -1303,6 +1792,15 @@ def oracle_sql() -> dict[str, str]:
         "q4_order_priority": Q4_SQL,
         "q6_revenue_forecast": Q6_SQL,
         "q18_large_volume_customers": Q18_SQL,
+        "q7_nation_volume": Q7_SQL,
+        "q8_market_share": Q8_SQL,
+        "q10_returned_items": Q10_SQL,
+        "q13_customer_distribution": Q13_SQL,
+        "q14_promo_revenue": Q14_SQL,
+        "q15_top_supplier": Q15_SQL,
+        "q17_small_quantity_revenue": Q17_SQL,
+        "q19_disjunctive_revenue": Q19_SQL,
+        "q22_global_sales_opportunity": Q22_SQL,
         "top_orders_per_segment": TOP_ORDERS_SQL,
         "rollup_order_counts": ROLLUP_SQL,
         "pivot_event_values": PIVOT_SQL,
@@ -1315,6 +1813,10 @@ def oracle_sql() -> dict[str, str]:
         "schema_project_cast": SCHEMA_PROJECT_SQL,
         "sessionize_stats": SESSIONIZE_SQL,
         "hourly_rollup": HOURLY_SQL,
+        # a STREAMING query with a full oracle: single-file source → one
+        # micro-batch → complete mode ≡ batch semantics (see docstring)
+        "streaming_hourly_rollup": HOURLY_SQL,
+        "bucketed_colocated_join": BUCKETED_JOIN_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_fingerprint": FINGERPRINT_SQL,
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,

@@ -72,6 +72,39 @@ def test_minhash_no_python_and_single_tokenize(spark, entry):
     assert "slice(split(" not in txt.replace(" ", "")
 
 
+def test_q19_disjunctive_predicates_pushed_to_both_scans(spark, entry):
+    # the OR-of-ANDs predicate must reach BOTH parquet scans, split per
+    # table (quantity windows → lineitem, brand/size windows → part)
+    txt = formatted(entry.q19_disjunctive_revenue(spark, SF))
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in txt.replace(" ", "") or (
+        "GreaterThanOrEqual(l_quantity,1.0)" in txt
+    )
+    assert "EqualTo(p_brand,Brand#12)" in txt.replace(" ", "")
+
+
+def test_q10_top_k_without_global_sort(spark, entry):
+    txt = plan_of(entry.q10_returned_items(spark, SF))
+    assert "TakeOrderedAndProject" in txt
+
+
+def test_q15_scalar_max_is_broadcast(spark, entry):
+    # the single-row max side must broadcast — never a shuffle join against
+    # a 1-row relation
+    txt = plan_of(entry.q15_top_supplier(spark, SF))
+    assert "BroadcastHashJoin" in txt
+
+
+def test_bucketed_join_zero_exchanges(spark, entry):
+    # both sides bucketed on the join key → sort-merge join AND the
+    # per-key aggregation run with no shuffle Exchange anywhere
+    df = entry.bucketed_colocated_join(spark, SF)
+    txt = formatted(df)
+    assert "Exchange" not in txt
+    assert "SortMergeJoin" in txt
+    assert "Bucketed: true" in txt
+    assert "SelectedBucketsCount: 8 out of 8" in txt
+
+
 def test_sessionize_single_exchange_for_windows(spark, entry):
     # lag + running-sum share one partitioning: exactly one exchange before
     # the window sorts (plus the final aggregation exchanges)
