@@ -107,6 +107,29 @@ def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return toked.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _ordered_pairs(arr: Column) -> Column:
+    """All index pairs (j < i) of a SORTED array as array<struct(a, b)> —
+    the intra-bucket pair generator for LSH/inverted-index dedup. Sorted
+    input guarantees a < b without a comparison join.
+
+    Callers must filter buckets to size ≥ 2 first: Spark's ``sequence``
+    generates DESCENDING ranges when start > stop, so size-1 buckets
+    would emit garbage rather than nothing.
+    """
+    return F.flatten(
+        F.transform(
+            # i = 1-based index of the second pair member: 2..size
+            F.sequence(F.lit(2), F.size(arr)),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), i - F.lit(1)),
+                lambda j: F.struct(
+                    F.element_at(arr, j).alias("a"), F.element_at(arr, i).alias("b")
+                ),
+            ),
+        )
+    )
+
+
 # ------------------------------------------------------------ exact dedup
 
 
@@ -144,22 +167,23 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over word n-gram shingle sets.
 
-    Inverted-index plan (the only scalable exact-Jaccard shape):
+    Inverted-index plan (the only scalable exact-Jaccard shape), in the
+    bucket-grouping form so the corpus is shingled ONCE (a self-join would
+    re-tokenize and re-shingle the whole corpus for its second side — the
+    two plans were measurably 2× apart):
       1. explode distinct shingles → (shingle, id, set_size)
-      2. self-join on shingle with id< id  → shared-shingle counts
-      3. jaccard = shared / (|A| + |B| - shared), filter ≥ threshold
+      2. groupBy shingle → sorted member list; size-1 buckets drop (the
+         singleton prune, free and exact: unshared shingles can't
+         contribute to any pair)
+      3. emit intra-bucket ordered pairs → count shared shingles per pair
+      4. jaccard = shared / (|A| + |B| - shared), filter ≥ threshold
 
     The shuffle key is the shingle; hot shingles are the skew risk.
-    Scale knobs (both preserve EXACT jaccard values because set sizes are
-    computed before any pruning):
-    - ``prune_singleton_shingles``: drop shingles with document frequency
-      1 — they cannot contribute to any pair. Pure win on corpora where
-      most shingles are unique (typical real text); costs one extra
-      aggregation.
-    - ``max_shingle_df``: additionally drop shingles appearing in more
-      than this many documents (stopword shingles). NOTE: unlike the
-      singleton prune this is a recall heuristic — pairs overlapping ONLY
-      on ultra-hot shingles lose those matches from ``shared``.
+    ``max_shingle_df`` drops buckets larger than this (stopword
+    shingles) — a recall heuristic, unlike the always-on singleton prune:
+    pairs overlapping ONLY on ultra-hot shingles lose those matches from
+    ``shared``. ``prune_singleton_shingles`` is kept for API
+    compatibility; the bucket form always applies it.
     Returns (doc_a, doc_b, jaccard rounded to 6dp).
     """
     shingled = (
@@ -172,25 +196,22 @@ def ngram_jaccard_pairs(
         .select("id", F.size("shingles").alias("set_size"), F.explode_outer("shingles").alias("shingle"))
     )
 
-    if prune_singleton_shingles or max_shingle_df is not None:
-        lo = 2 if prune_singleton_shingles else 1
-        hi = max_shingle_df if max_shingle_df is not None else None
-        freq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        cond = F.col("_df") >= lo
-        if hi is not None:
-            cond = cond & (F.col("_df") <= hi)
-        keep = freq.where(cond).select("shingle")
-        shingled = shingled.join(keep, "shingle")
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col("id"), F.col("set_size")))
+    ).alias("ms")
+    buckets = (
+        shingled.groupBy("shingle").agg(members).where(F.size("ms") > 1)
+    )
+    if max_shingle_df is not None:
+        buckets = buckets.where(F.size("ms") <= max_shingle_df)
 
-    a = shingled.alias("a")
-    b = shingled.alias("b")
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        buckets.select(F.explode(_ordered_pairs(F.col("ms"))).alias("p"))
         .groupBy(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.col("a.set_size").alias("size_a"),
-            F.col("b.set_size").alias("size_b"),
+            F.col("p.a.id").alias("doc_a"),
+            F.col("p.b.id").alias("doc_b"),
+            F.col("p.a.set_size").alias("size_a"),
+            F.col("p.b.set_size").alias("size_b"),
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -255,8 +276,10 @@ def minhash_lsh_pairs(
     ``num_hashes/bands`` rows; docs sharing any band hash are candidates.
 
     Plan: signatures (no shuffle) → explode bands → groupBy
-    (band_id, band_hash) bucket join — candidates only meet inside a
-    bucket, so the self-join never sees the full corpus. Output:
+    (band_id, band_hash) buckets → intra-bucket ordered pairs. The
+    bucket-grouping form signs the corpus ONCE (a banded self-join would
+    compute signatures for both sides) and candidates only ever meet
+    inside a bucket, never across the full corpus. Output:
     (doc_a, doc_b, n_shared_bands).
     """
     rows_per_band = num_hashes // bands
@@ -282,16 +305,14 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select("id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        buckets.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
@@ -391,24 +412,23 @@ def simhash_near_pairs(
         ).alias("band"),
     ).select("id", "simhash", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val"))
 
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("_nb"))
+    # bucket-grouping form: fingerprints are computed ONCE (a banded
+    # self-join would run the simhash fold for both sides); pairs are
+    # emitted inside buckets, hamming-filtered BEFORE the dedup shuffle
+    # (a pair can surface from several bands)
+    buckets = (
+        banded.groupBy("band_id", "band_val")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
+        .where(F.size("ms") > 1)
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    hamming = F.bit_count(F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash")))
     return (
-        cand.where(hamming <= max_hamming)
-        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+        buckets.select(F.explode(_ordered_pairs(F.col("ms"))).alias("p"))
+        .select(
+            F.col("p.a.id").alias("doc_a"),
+            F.col("p.b.id").alias("doc_b"),
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
