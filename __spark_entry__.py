@@ -1684,6 +1684,42 @@ LIMIT 100
 """
 
 
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline surface: opaque binary content → Arrow-batched
+    ``mapInPandas`` feature extraction (operators/multimodal.py). The test
+    tables carry no real media, so the binary column is synthesized
+    deterministically (utf-8 bytes of the text) — the plumbing (binary
+    schema, Arrow batches, kernel signature) is exactly the production
+    path; only the decode inside the kernel is the documented stub.
+
+    The stub decode is sha256-derived, so DuckDB reproduces every output:
+    feature[0] = byte0(sha256(content))/255 as float32 — the oracle casts
+    through ::FLOAT so both engines round identically."""
+    from megalista_spark.operators.multimodal import extract_image_features
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    feats = extract_image_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "content_sha256",
+        F.element_at("feature", 1).alias("f0"),
+    ).orderBy("media_id")
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS content_sha256,
+       ((('0x' || substr(sha256(text), 1, 2))::INT) / 255.0)::FLOAT AS f0
+FROM documents
+ORDER BY media_id
+"""
+
+
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of ``hourly_rollup``: the SAME tumbling-
     window aggregation under ``readStream`` (file source → watermarked
@@ -1778,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect_customers": set_intersect_customers,
         "streaming_hourly_rollup": streaming_hourly_rollup,
         "bucketed_colocated_join": bucketed_colocated_join,
+        "multimodal_image_features": multimodal_image_features,
         "text_token_count": text_token_count,
         "text_quality_score": text_quality_score,
         "text_language_id": text_language_id,
@@ -1817,6 +1854,7 @@ def oracle_sql() -> dict[str, str]:
         # micro-batch → complete mode ≡ batch semantics (see docstring)
         "streaming_hourly_rollup": HOURLY_SQL,
         "bucketed_colocated_join": BUCKETED_JOIN_SQL,
+        "multimodal_image_features": MULTIMODAL_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_fingerprint": FINGERPRINT_SQL,
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
