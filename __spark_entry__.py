@@ -667,11 +667,16 @@ SELECT doc_id, ({fp})::BIGINT AS simhash FROM votes ORDER BY doc_id
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact ANN on the vectorized fast path (numpy GEMM per
+    Arrow batch; the expression-fold twin `cosine_topk` stays as the
+    engine-portable reference — tests assert they agree exactly)."""
+    from megalista_spark.operators.similarity import cosine_topk_gemm
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
+    return cosine_topk_gemm(emb, queries, k=10).orderBy("query_id", "rank")
 
 
 ANN_SQL = """
@@ -925,11 +930,13 @@ ORDER BY custkey
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= 0.45 (near-duplicate detection;
     the synthetic embeddings are near-orthogonal — max pairwise cosine is
-    ~0.51 — so 0.45 exercises a selective threshold with non-empty output)."""
-    from megalista_spark.operators.similarity import embedding_near_dup_pairs
+    ~0.51 — so 0.45 exercises a selective threshold with non-empty output).
+    Runs on the GEMM fast path; `embedding_near_dup_pairs` (expression
+    fold) is the portable twin."""
+    from megalista_spark.operators.similarity import embedding_near_dup_pairs_gemm
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
+    return embedding_near_dup_pairs_gemm(emb, threshold=0.45).orderBy("id_a", "id_b")
 
 
 NEAR_DUP_SQL = """

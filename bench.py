@@ -78,8 +78,13 @@ def main() -> None:
     qs = m.queries()
 
     # warm the JVM/session with a trivial action so query 1 isn't charged
-    # session startup
+    # session startup; same for the Python/Arrow worker pool (a fixed
+    # per-session cost otherwise billed to whichever mapInPandas query
+    # happens to run first)
     spark.range(1).count()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -119,6 +119,27 @@ def test_embedding_near_dup(spark):
     assert [(r["id_a"], r["id_b"]) for r in rows] == [(0, 1)]
 
 
+def test_gemm_twins_agree_with_fold_forms(spark):
+    # the vectorized GEMM kernels must produce EXACTLY the rounded output
+    # of the portable expression-fold forms on real data
+    from megalista_spark.operators.similarity import (
+        cosine_topk_gemm,
+        embedding_near_dup_pairs_gemm,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fold = {tuple(r) for r in cosine_topk(emb, q, k=5).collect()}
+    gemm = {tuple(r) for r in cosine_topk_gemm(emb, q, k=5).collect()}
+    assert fold == gemm and len(fold) == 15
+
+    fold_p = {tuple(r) for r in embedding_near_dup_pairs(emb, threshold=0.45).collect()}
+    gemm_p = {tuple(r) for r in embedding_near_dup_pairs_gemm(emb, threshold=0.45).collect()}
+    assert fold_p == gemm_p and len(fold_p) > 0
+
+
 def test_token_count(spark):
     df = docs(spark, [(1, "hello, world 42"), (2, "   "), (3, "a b")])
     out = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"]) for r in token_count(df).collect()}
