@@ -1691,6 +1691,95 @@ LIMIT 100
 """
 
 
+# SQL twin of operators/sampling.py::sample_bucket (DuckDB)
+def _bucket_sql(key: str, salt: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}|' || {key}::VARCHAR), 1, 15))::BIGINT % 10000)"
+    )
+
+
+def sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10%% corpus sample by content hash — partition-layout
+    independent (operators/sampling.py; df.sample would not be
+    reproducible across repartitions, let alone engines)."""
+    from megalista_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_sample(d, 0.10, "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+SAMPLE_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_bucket_sql('doc_id', 'sample')} < 1000
+ORDER BY doc_id
+"""
+
+
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reservoir: exactly 5 docs per language, ranked by
+    hash with the key as tiebreak — one window shuffle on the stratum."""
+    from megalista_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d, "lang", 5, "doc_id")
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+STRATIFIED_SQL = f"""
+SELECT lang, doc_id
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_bucket_sql('doc_id', 'strata')} ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= 5
+ORDER BY lang, doc_id
+"""
+
+
+def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mix: downsample the dominant language (en at 25%%),
+    keep the rest whole — the standard rebalancing step when assembling a
+    training set from skewed sources. Union of scan-speed hash filters,
+    zero shuffles."""
+    from megalista_spark.operators.sampling import weighted_mix
+
+    d = _t(spark, sf_dir, "documents")
+    en = d.where(F.col("lang") == "en")
+    rest = d.where(F.col("lang") != "en")
+    mixed = weighted_mix([(en, 0.25), (rest, 1.0)], key_col="doc_id")
+    return (
+        mixed.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+TRAINING_MIX_SQL = f"""
+SELECT lang, count(*)::BIGINT AS n_docs
+FROM (
+  SELECT lang FROM documents
+  WHERE lang = 'en' AND {_bucket_sql('doc_id', 'mix0')} < 2500
+  UNION ALL
+  SELECT lang FROM documents
+  WHERE lang <> 'en' AND {_bucket_sql('doc_id', 'mix1')} < 10000
+)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline surface: opaque binary content → Arrow-batched
     ``mapInPandas`` feature extraction (operators/multimodal.py). The test
@@ -1822,6 +1911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_rollup": streaming_hourly_rollup,
         "bucketed_colocated_join": bucketed_colocated_join,
         "multimodal_image_features": multimodal_image_features,
+        "sample_documents": sample_documents,
+        "stratified_sample_by_lang": stratified_sample_by_lang,
+        "training_mix": training_mix,
         "text_token_count": text_token_count,
         "text_quality_score": text_quality_score,
         "text_language_id": text_language_id,
@@ -1862,6 +1954,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hourly_rollup": HOURLY_SQL,
         "bucketed_colocated_join": BUCKETED_JOIN_SQL,
         "multimodal_image_features": MULTIMODAL_SQL,
+        "sample_documents": SAMPLE_SQL,
+        "stratified_sample_by_lang": STRATIFIED_SQL,
+        "training_mix": TRAINING_MIX_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_fingerprint": FINGERPRINT_SQL,
         "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,

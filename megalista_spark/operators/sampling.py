@@ -1,0 +1,85 @@
+"""Deterministic sampling & dataset-mixing operators for training-data
+pipelines.
+
+Spark's built-in ``df.sample`` is seed-based but partition-layout
+dependent — resplitting the input changes which rows are picked, which is
+unacceptable for reproducible corpus construction. These operators sample
+on a portable content hash instead (same md5-derived family as the dedup
+operators, ``operators/dedup.py::portable_hash64``):
+
+- the decision is a pure function of the ROW (key + salt), so any engine,
+  any partitioning, any run picks the identical subset;
+- it composes with incremental pipelines: yesterday's sampled rows stay
+  sampled when new data arrives;
+- it is oracle-checkable bit-for-bit by an external SQL engine.
+
+Cost model at 100 TB: ``hash_sample`` is a pure scan-speed filter (no
+shuffle; Catalyst pushes the projection, the md5 runs in codegen).
+``stratified_sample`` is one window shuffle keyed by the stratum —
+partial top-k per partition would need a per-stratum pre-aggregation only
+when strata are huge; rank-over-hash keeps it exact and deterministic.
+``weighted_mix`` is a union of scan-speed filters — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from megalista_spark.operators.dedup import portable_hash64
+
+# hash buckets for rate quantization: rates resolve to 1/10_000 precision
+_BUCKETS = 10_000
+
+
+def sample_bucket(key: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, 10000) for a row key — the sampling
+    decision is ``bucket < rate * 10000``."""
+    return portable_hash64(F.concat(F.lit(salt), F.lit("|"), key.cast("string"))) % _BUCKETS
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows, decided per-row by
+    content hash (partition-layout independent, reproducible anywhere)."""
+    return df.where(sample_bucket(F.col(key_col), salt) < int(rate * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str,
+    salt: str = "strata",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen by hash order with the key as tiebreak — a
+    deterministic reservoir. One window shuffle on the stratum key."""
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def weighted_mix(
+    parts: list[tuple[DataFrame, float]],
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Training-mix construction: union of per-source deterministic
+    samples at per-source rates (e.g. books at 1.0, web at 0.3). Each
+    part's decision hash is salted with its position so the same document
+    appearing in two sources is decided independently."""
+    out = None
+    for i, (df, rate) in enumerate(parts):
+        piece = hash_sample(df, rate, key_col, salt=f"{salt}{i}")
+        out = piece if out is None else out.unionByName(piece)
+    return out

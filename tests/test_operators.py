@@ -119,6 +119,47 @@ def test_embedding_near_dup(spark):
     assert [(r["id_a"], r["id_b"]) for r in rows] == [(0, 1)]
 
 
+def test_hash_sample_deterministic_and_layout_independent(spark):
+    from megalista_spark.operators.sampling import hash_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    picked1 = {r["doc_id"] for r in hash_sample(d, 0.2, "doc_id").select("doc_id").collect()}
+    # different physical layout → identical sample (content-hash decision)
+    picked2 = {
+        r["doc_id"]
+        for r in hash_sample(d.repartition(7), 0.2, "doc_id").select("doc_id").collect()
+    }
+    assert picked1 == picked2 and 0 < len(picked1) < d.count()
+    # monotone in rate: a bigger sample contains the smaller one
+    picked_big = {r["doc_id"] for r in hash_sample(d, 0.5, "doc_id").select("doc_id").collect()}
+    assert picked1 <= picked_big
+
+
+def test_stratified_sample_exact_per_stratum(spark):
+    from megalista_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = stratified_sample(d, "lang", 3, "doc_id")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts and all(n <= 3 for n in counts.values())
+    # rerun identical
+    out2 = stratified_sample(d, "lang", 3, "doc_id")
+    assert {tuple(r) for r in out.select("lang", "doc_id").collect()} == {
+        tuple(r) for r in out2.select("lang", "doc_id").collect()
+    }
+
+
+def test_weighted_mix_rates(spark):
+    from megalista_spark.operators.sampling import weighted_mix
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = d.count()
+    mixed = weighted_mix([(d, 1.0)], key_col="doc_id")
+    assert mixed.count() == full  # rate 1.0 keeps everything
+    half = weighted_mix([(d, 0.5)], key_col="doc_id").count()
+    assert 0 < half < full
+
+
 def test_gemm_twins_agree_with_fold_forms(spark):
     # the vectorized GEMM kernels must produce EXACTLY the rounded output
     # of the portable expression-fold forms on real data
