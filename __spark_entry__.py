@@ -1691,6 +1691,41 @@ LIMIT 100
 """
 
 
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation surface: the events→customer join keys are few and
+    hot (~67 events/key at sf0.01), the shape where one reducer drowns.
+    `salted_join` (operators/skew.py) spreads each hot key over 16
+    sub-keys by salting the big side and replicating the small side; the
+    result is row-for-row the PLAIN join — which is exactly what the
+    oracle checks. AQE skew-split is the runtime fallback; salting is the
+    plan-level fix."""
+    from megalista_spark.operators.skew import salted_join
+
+    e = _events(spark, sf_dir)
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(e, c, on="user_id", salt=16)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 # SQL twin of operators/sampling.py::sample_bucket (DuckDB)
 def _bucket_sql(key: str, salt: str) -> str:
     return (
@@ -1911,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_rollup": streaming_hourly_rollup,
         "bucketed_colocated_join": bucketed_colocated_join,
         "multimodal_image_features": multimodal_image_features,
+        "salted_skew_join": salted_skew_join,
         "sample_documents": sample_documents,
         "stratified_sample_by_lang": stratified_sample_by_lang,
         "training_mix": training_mix,
@@ -1954,6 +1990,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hourly_rollup": HOURLY_SQL,
         "bucketed_colocated_join": BUCKETED_JOIN_SQL,
         "multimodal_image_features": MULTIMODAL_SQL,
+        "salted_skew_join": SALTED_JOIN_SQL,
         "sample_documents": SAMPLE_SQL,
         "stratified_sample_by_lang": STRATIFIED_SQL,
         "training_mix": TRAINING_MIX_SQL,
