@@ -205,8 +205,11 @@ def ngram_jaccard_pairs(
     if max_shingle_df is not None:
         buckets = buckets.where(F.size("ms") <= max_shingle_df)
 
+    # bucket rows are few and small but EXPLODE to b² pairs — AQE
+    # coalesces the tiny post-groupBy shuffle to ~1 partition, which would
+    # serialize the pair emission; spread buckets across cores first
     pairs = (
-        buckets.select(F.explode(_ordered_pairs(F.col("ms"))).alias("p"))
+        _spread(buckets).select(F.explode(_ordered_pairs(F.col("ms"))).alias("p"))
         .groupBy(
             F.col("p.a.id").alias("doc_a"),
             F.col("p.b.id").alias("doc_b"),
@@ -310,8 +313,10 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    # spread before exploding: AQE coalesces the tiny bucket table to ~1
+    # partition, which would serialize the b² pair emission
     return (
-        buckets.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        _spread(buckets).select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
@@ -413,22 +418,38 @@ def simhash_near_pairs(
     ).select("id", "simhash", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val"))
 
     # bucket-grouping form: fingerprints are computed ONCE (a banded
-    # self-join would run the simhash fold for both sides); pairs are
-    # emitted inside buckets, hamming-filtered BEFORE the dedup shuffle
-    # (a pair can surface from several bands)
+    # self-join would run the simhash fold for both sides). A pair can
+    # surface from several bands; instead of a global distinct (a full
+    # shuffle of every candidate pair) each pair is emitted ONLY from its
+    # lowest agreeing band — a local filter computable from the two
+    # fingerprints alone, so no dedup shuffle exists at all.
     buckets = (
         banded.groupBy("band_id", "band_val")
         .agg(F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
         .where(F.size("ms") > 1)
     )
-    hamming = F.bit_count(F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash")))
+    xor = F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
+    first_band = F.coalesce(
+        *[
+            F.when(
+                F.shiftright(xor, j * band_bits).bitwiseAND(F.lit(mask)) == 0,
+                F.lit(j),
+            )
+            for j in range(bands)
+        ]
+    )
+    hamming = F.bit_count(xor)
+    # spread before exploding (see ngram_jaccard_pairs: AQE coalesces the
+    # tiny bucket table to ~1 partition, serializing the pair emission)
     return (
-        buckets.select(F.explode(_ordered_pairs(F.col("ms"))).alias("p"))
+        _spread(buckets).select(
+            F.col("band_id"), F.explode(_ordered_pairs(F.col("ms"))).alias("p")
+        )
+        .where(F.col("band_id") == first_band)
         .select(
             F.col("p.a.id").alias("doc_a"),
             F.col("p.b.id").alias("doc_b"),
             hamming.cast("bigint").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
