@@ -1625,6 +1625,42 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT-IN exclusion + count-distinct — the
+    part/supplier relationship flows through lineitem (no partsupp table
+    in the reduced schemas); suppliers with low balance stand in for the
+    complaints exclusion. Exercises the two-phase distinct aggregation
+    and a broadcast anti join in one plan."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    excl = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 1100.0).select(
+        "s_suppkey"
+    )
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        ps.join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(excl), ps["l_suppkey"] == excl["s_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1100.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar-average threshold + anti join (customers
     with above-average balance and no RECENT orders), grouped by nation.
@@ -1912,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q16_parts_supplier_counts": q16_parts_supplier_counts,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "top_orders_per_segment": top_orders_per_segment,
         "rollup_order_counts": rollup_order_counts,
@@ -1972,6 +2009,7 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": Q15_SQL,
         "q17_small_quantity_revenue": Q17_SQL,
         "q19_disjunctive_revenue": Q19_SQL,
+        "q16_parts_supplier_counts": Q16_SQL,
         "q22_global_sales_opportunity": Q22_SQL,
         "top_orders_per_segment": TOP_ORDERS_SQL,
         "rollup_order_counts": ROLLUP_SQL,

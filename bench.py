@@ -30,6 +30,7 @@ HEADLINE = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
+    "q16_parts_supplier_counts",
     "q19_disjunctive_revenue",
     "q22_global_sales_opportunity",
     "top_orders_per_segment",
