@@ -1851,6 +1851,63 @@ ORDER BY lang
 """
 
 
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm surface: 2 Lloyd's k-means iterations over the
+    embedding corpus (operators/clustering.py) — assignment is a broadcast
+    cross join + deterministic argmin; the update is one shuffle per
+    iteration. Centroids round to 6dp at every iteration boundary so the
+    SQL oracle (the same two iterations unrolled as CTEs) stays
+    bit-identical — an ORACLE-GATED iterative ML primitive."""
+    from megalista_spark.operators.clustering import kmeans_fit
+
+    return kmeans_fit(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+KMEANS_SQL = """
+WITH e AS (
+  SELECT vec_id AS vid, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, v AS cv
+  FROM (SELECT * FROM e ORDER BY vid LIMIT 8)
+),
+a1 AS (
+  SELECT vid, v, cid FROM (
+    SELECT vid, v, cid, row_number() OVER (
+      PARTITION BY vid
+      ORDER BY round(list_sum(list_transform(list_zip(v, cv), p -> (p[1]-p[2])*(p[1]-p[2]))), 6), cid
+    ) AS rk
+    FROM e CROSS JOIN c0
+  ) WHERE rk = 1
+),
+m1 AS (
+  SELECT cid, pos, round(avg(v[pos]), 6) AS mval
+  FROM a1 CROSS JOIN generate_series(1, 64) AS t(pos)
+  GROUP BY cid, pos
+),
+c1 AS (SELECT cid, list(mval ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+a2 AS (
+  SELECT vid, v, cid FROM (
+    SELECT vid, v, cid, row_number() OVER (
+      PARTITION BY vid
+      ORDER BY round(list_sum(list_transform(list_zip(v, cv), p -> (p[1]-p[2])*(p[1]-p[2]))), 6), cid
+    ) AS rk
+    FROM e CROSS JOIN c1
+  ) WHERE rk = 1
+),
+m2 AS (
+  SELECT cid, pos, round(avg(v[pos]), 6) AS mval
+  FROM a2 CROSS JOIN generate_series(1, 64) AS t(pos)
+  GROUP BY cid, pos
+),
+c2 AS (SELECT cid, list(mval ORDER BY pos) AS cv FROM m2 GROUP BY cid),
+cnt AS (SELECT cid, count(*)::BIGINT AS n_members FROM a2 GROUP BY cid)
+SELECT cnt.cid, n_members, cv[1] AS c0, cv[2] AS c1
+FROM cnt JOIN c2 ON cnt.cid = c2.cid
+ORDER BY cnt.cid
+"""
+
+
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline surface: opaque binary content → Arrow-batched
     ``mapInPandas`` feature extraction (operators/multimodal.py). The test
@@ -1983,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_rollup": streaming_hourly_rollup,
         "bucketed_colocated_join": bucketed_colocated_join,
         "multimodal_image_features": multimodal_image_features,
+        "kmeans_embeddings": kmeans_embeddings,
         "salted_skew_join": salted_skew_join,
         "sample_documents": sample_documents,
         "stratified_sample_by_lang": stratified_sample_by_lang,
@@ -2028,6 +2086,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hourly_rollup": HOURLY_SQL,
         "bucketed_colocated_join": BUCKETED_JOIN_SQL,
         "multimodal_image_features": MULTIMODAL_SQL,
+        "kmeans_embeddings": KMEANS_SQL,
         "salted_skew_join": SALTED_JOIN_SQL,
         "sample_documents": SAMPLE_SQL,
         "stratified_sample_by_lang": STRATIFIED_SQL,

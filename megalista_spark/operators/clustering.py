@@ -1,0 +1,98 @@
+"""Iterative clustering over embedding columns — Lloyd's k-means as a
+driver-side loop of declarative DataFrame steps.
+
+This is the "training" counterpart of the IVF index in
+``operators/similarity.py`` (which deliberately uses deterministic
+lowest-id centroids): same dataflow per iteration —
+
+  assign:  corpus × broadcast(centroids) → per-vector argmin distance
+           (rank over (rounded distance, centroid id) — fully
+           deterministic, engine-portable tie-break)
+  update:  posexplode vectors → avg per (cluster, dim) → rebuild arrays
+
+Each iteration is ONE shuffle (the per-dimension mean); the assignment
+side is map-only because the centroid table (k rows) broadcasts. That is
+the canonical Spark shape for iterative ML: small model state cycles
+through the driver, big data never moves.
+
+Cross-engine reproducibility (the oracle runs the SAME algorithm in SQL):
+distances and centroid components are rounded to 6dp at every iteration
+boundary, so both engines re-synchronize on identical inputs each round
+instead of accumulating float-order drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means, deterministic: init = the ``k`` vectors with the
+    lowest ids (cid assigned in id order), squared-Euclidean assignment
+    with (distance, cid) tie-break. Returns one row per cluster:
+    (cid, n_members, c0, c1) — the first two (rounded) centroid
+    components summarize the centroid for comparison."""
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    w_init = Window.orderBy("vid")
+    centroids = (
+        vecs.orderBy("vid")
+        .limit(k)
+        .select((F.row_number().over(w_init) - 1).alias("cid"), F.col("v").alias("cv"))
+    )
+
+    assigned = None
+    for _ in range(iters):
+        d = F.round(_sq_dist(F.col("v"), F.col("cv")), 6)
+        w = Window.partitionBy("vid").orderBy("d", "cid")
+        assigned = (
+            vecs.join(F.broadcast(centroids))
+            .select("vid", "v", "cid", d.alias("d"))
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("vid", "v", "cid")
+        )
+        centroids = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mval"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                    lambda s: s.getField("mval"),
+                ).alias("cv")
+            )
+        )
+
+    return (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(
+            centroids.select(
+                "cid",
+                F.get("cv", 0).alias("c0"),
+                F.get("cv", 1).alias("c1"),
+            ),
+            "cid",
+        )
+        .select("cid", "n_members", "c0", "c1")
+        .orderBy("cid")
+    )

@@ -160,6 +160,17 @@ def test_weighted_mix_rates(spark):
     assert 0 < half < full
 
 
+def test_kmeans_deterministic_and_partitions_corpus(spark):
+    from megalista_spark.operators.clustering import kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out1 = kmeans_fit(emb, k=4, iters=2).collect()
+    out2 = kmeans_fit(emb.repartition(5), k=4, iters=2).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]  # layout-independent
+    assert sum(r["n_members"] for r in out1) == emb.count()  # full partition
+    assert len(out1) == 4
+
+
 def test_gemm_twins_agree_with_fold_forms(spark):
     # the vectorized GEMM kernels must produce EXACTLY the rounded output
     # of the portable expression-fold forms on real data
