@@ -1851,6 +1851,46 @@ ORDER BY lang
 """
 
 
+def attribution_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join: clicks counted into each purchase's trailing
+    5-minute attribution window. A raw BETWEEN join is a cartesian
+    product; operators/rangejoin.py bins time so it becomes an equi join
+    on the bin plus an exact containment filter (linear, shuffled on the
+    bin key). The oracle runs the naive BETWEEN join — the binning must
+    never change the result."""
+    from megalista_spark.operators.rangejoin import range_join_binned
+
+    e = _events(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    joined = range_join_binned(
+        clicks, purchases, point_ts="c_ts", start_col="w_start", end_col="w_end",
+        bin_seconds=300,
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .orderBy("purchase_id")
+    )
+
+
+ATTRIBUTION_SQL = """
+SELECT p.event_id AS purchase_id, count(*)::BIGINT AS n_clicks
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) p
+JOIN (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) c
+  ON c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+GROUP BY p.event_id
+ORDER BY purchase_id
+"""
+
+
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative algorithm surface: 2 Lloyd's k-means iterations over the
     embedding corpus (operators/clustering.py) — assignment is a broadcast
@@ -2041,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_colocated_join": bucketed_colocated_join,
         "multimodal_image_features": multimodal_image_features,
         "kmeans_embeddings": kmeans_embeddings,
+        "attribution_range_join": attribution_range_join,
         "salted_skew_join": salted_skew_join,
         "sample_documents": sample_documents,
         "stratified_sample_by_lang": stratified_sample_by_lang,
@@ -2087,6 +2128,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_colocated_join": BUCKETED_JOIN_SQL,
         "multimodal_image_features": MULTIMODAL_SQL,
         "kmeans_embeddings": KMEANS_SQL,
+        "attribution_range_join": ATTRIBUTION_SQL,
         "salted_skew_join": SALTED_JOIN_SQL,
         "sample_documents": SAMPLE_SQL,
         "stratified_sample_by_lang": STRATIFIED_SQL,

@@ -1,0 +1,58 @@
+"""Binned range join — points joined to containing time intervals.
+
+A raw ``p.ts BETWEEN i.start AND i.end`` join with no equality key is a
+cartesian product to Spark (BroadcastNestedLoopJoin): O(|points| ×
+|intervals|) comparisons, the classic interval-join trap. The standard
+fix (cf. range-join optimizations in warehouse engines) turns it into an
+EQUI join on a time bin:
+
+  - every interval explodes to the bins it covers
+    (floor(start/w) .. floor(end/w));
+  - every point computes its single bin (floor(ts/w));
+  - equi-join on bin, then the exact containment filter.
+
+Each point lives in exactly one bin, so a multi-bin interval can meet a
+given point only once — no dedup pass needed. Cost is linear in
+|points| + |intervals| × avg_bins_per_interval, shuffled on the bin key;
+pick ``bin_seconds`` ≈ the typical interval length so intervals cover
+O(1) bins. Hot bins (a viral moment) are orthogonal to hot keys — salt by
+sub-bin if needed, same trick as ``operators/skew.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 300,
+) -> DataFrame:
+    """Inner-join every point row to every interval row containing it
+    (``start <= ts <= end``). Input column sets must be disjoint; all
+    columns of both sides survive."""
+    p = points.withColumn(
+        "_bin", (F.unix_timestamp(F.col(point_ts)) / bin_seconds).cast("bigint")
+    )
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / bin_seconds).cast("bigint"),
+                (F.unix_timestamp(F.col(end_col)) / bin_seconds).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        p.join(i, "_bin")
+        .where(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("_bin")
+    )

@@ -160,6 +160,30 @@ def test_weighted_mix_rates(spark):
     assert 0 < half < full
 
 
+def test_range_join_binned_matches_naive(spark):
+    from megalista_spark.operators.rangejoin import range_join_binned
+
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:30"), (2, "2024-01-01 00:09:59"), (3, "2024-01-01 01:00:00")],
+        ["pid", "ts"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ivs = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-01 00:05:00"),
+         (11, "2024-01-01 00:01:00", "2024-01-01 00:59:00"),
+         (12, "2024-01-01 02:00:00", "2024-01-01 03:00:00")],
+        ["iid", "s", "e"],
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_binned(pts, ivs, "ts", "s", "e", bin_seconds=60).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in pts.join(ivs, (F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e"))).collect()
+    }
+    assert got == naive == {(1, 10), (1, 11), (2, 11)}
+
+
 def test_kmeans_deterministic_and_partitions_corpus(spark):
     from megalista_spark.operators.clustering import kmeans_fit
 

@@ -105,6 +105,15 @@ def test_bucketed_join_zero_exchanges(spark, entry):
     assert "SelectedBucketsCount: 8 out of 8" in txt
 
 
+def test_range_join_is_equi_not_nested_loop(spark, entry):
+    # the binned range join must plan as an EQUI join on the time bin —
+    # a raw BETWEEN-only join would be a BroadcastNestedLoopJoin
+    # (cartesian compare, the interval-join trap)
+    txt = plan_of(entry.attribution_range_join(spark, SF))
+    assert "NestedLoop" not in txt
+    assert "Join" in txt
+
+
 def test_sessionize_single_exchange_for_windows(spark, entry):
     # lag + running-sum share one partitioning: exactly one exchange before
     # the window sorts (plus the final aggregation exchanges)
