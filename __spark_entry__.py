@@ -1851,6 +1851,43 @@ ORDER BY lang
 """
 
 
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (DataFrame.unpivot / melt) + per-metric profile —
+    the feature-table melt every training pipeline runs. Unpivot is a
+    zero-shuffle Generate; the profile is one agg on the metric name."""
+    l = _t(spark, sf_dir, "lineitem")
+    melted = l.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        melted.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("val"), 4).alias("avg_val"),
+            F.round(F.min("val"), 4).alias("min_val"),
+            F.round(F.max("val"), 4).alias("max_val"),
+        )
+        .orderBy("metric")
+    )
+
+
+UNPIVOT_SQL = """
+SELECT metric, count(*)::BIGINT AS n, round(avg(val), 4) AS avg_val,
+       round(min(val), 4) AS min_val, round(max(val), 4) AS max_val
+FROM (
+  SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT l_orderkey, 'l_tax', l_tax FROM lineitem
+)
+GROUP BY metric
+ORDER BY metric
+"""
+
+
 def attribution_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyless interval join: clicks counted into each purchase's trailing
     5-minute attribution window. A raw BETWEEN join is a cartesian
@@ -2082,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": multimodal_image_features,
         "kmeans_embeddings": kmeans_embeddings,
         "attribution_range_join": attribution_range_join,
+        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "salted_skew_join": salted_skew_join,
         "sample_documents": sample_documents,
         "stratified_sample_by_lang": stratified_sample_by_lang,
@@ -2129,6 +2167,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_features": MULTIMODAL_SQL,
         "kmeans_embeddings": KMEANS_SQL,
         "attribution_range_join": ATTRIBUTION_SQL,
+        "unpivot_lineitem_metrics": UNPIVOT_SQL,
         "salted_skew_join": SALTED_JOIN_SQL,
         "sample_documents": SAMPLE_SQL,
         "stratified_sample_by_lang": STRATIFIED_SQL,
