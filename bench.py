@@ -64,6 +64,14 @@ HEADLINE = [
     "set_intersect_customers",
     "batch_assignment",
     "dedup_fingerprint",
+    "salted_skew_join",
+    "sample_documents",
+    "stratified_sample_by_lang",
+    "training_mix",
+    "multimodal_image_features",
+    "kmeans_embeddings",
+    "attribution_range_join",
+    "unpivot_lineitem_metrics",
 ]
 
 
