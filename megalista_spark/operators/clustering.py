@@ -35,18 +35,14 @@ def _sq_dist(a, b):
     )
 
 
-def kmeans_fit(
+def _lloyd(
     df: DataFrame,
-    k: int = 8,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd's k-means, deterministic: init = the ``k`` vectors with the
-    lowest ids (cid assigned in id order), squared-Euclidean assignment
-    with (distance, cid) tie-break. Returns one row per cluster:
-    (cid, n_members, c0, c1) — the first two (rounded) centroid
-    components summarize the centroid for comparison."""
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared Lloyd's loop → (last assignment, final centroids)."""
     vecs = df.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -82,6 +78,36 @@ def kmeans_fit(
             )
         )
 
+    return assigned, centroids
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained centroids as (cid, cv array<double>) — feed directly into
+    ``similarity.ivf_cosine_topk(..., centroids=...)`` to replace its
+    deterministic lowest-id fallback with real cluster centers."""
+    _, centroids = _lloyd(df, k, iters, id_col, vec_col)
+    return centroids
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means, deterministic: init = the ``k`` vectors with the
+    lowest ids (cid assigned in id order), squared-Euclidean assignment
+    with (distance, cid) tie-break. Returns one row per cluster:
+    (cid, n_members, c0, c1) — the first two (rounded) centroid
+    components summarize the centroid for comparison."""
+    assigned, centroids = _lloyd(df, k, iters, id_col, vec_col)
     return (
         assigned.groupBy("cid")
         .agg(F.count(F.lit(1)).alias("n_members"))

@@ -106,27 +106,36 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-pruned approximate top-k.
 
-    Deterministic "training": centroids are the ``num_centroids`` corpus
-    vectors with the lowest ids (a fixed, reproducible choice — swap in
-    k-means centroids in production; the plan shape is identical).
-    Every corpus vector is assigned to its nearest centroid; each query
-    probes its ``nprobe`` nearest centroid buckets only.
+    ``centroids`` (cid, vector) may come from ``clustering.kmeans_fit``-
+    style training; when omitted, the deterministic fallback is the
+    ``num_centroids`` corpus vectors with the lowest ids (fixed and
+    reproducible — the plan shape is identical either way). Every corpus
+    vector is assigned to its nearest centroid; each query probes its
+    ``nprobe`` nearest centroid buckets only.
 
     At scale this is the standard two-level ANN plan: the centroid table
     is tiny (broadcast), the corpus is scored against ≤ nprobe/num_centroids
     of the data, and the only wide operation is the final per-query top-k.
     """
-    centroids = (
-        df.orderBy(F.asc(id_col))
-        .limit(num_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
+    if centroids is not None:
+        cid_col, cvec_col = centroids.columns[:2]
+        centroids = centroids.select(
+            F.col(cid_col).alias("centroid_id"),
+            F.col(cvec_col).alias("centroid_vec"),
         )
-    )
+    else:
+        centroids = (
+            df.orderBy(F.asc(id_col))
+            .limit(num_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("centroid_vec"),
+            )
+        )
 
     def nearest(df_in: DataFrame, in_id: str, in_vec: str, out: str, probes: int) -> DataFrame:
         scored = df_in.join(F.broadcast(centroids)).select(

@@ -160,6 +160,27 @@ def test_weighted_mix_rates(spark):
     assert 0 < half < full
 
 
+def test_ivf_with_trained_centroids(spark):
+    # kmeans centroids plug into the IVF index in place of the lowest-id
+    # fallback; results stay a valid exact-scored top-k (ranked, self-free)
+    from megalista_spark.operators.clustering import kmeans_centroids
+    from megalista_spark.operators.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_centroids(emb, k=4, iters=1)
+    q = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = ivf_cosine_topk(emb, q, k=5, nprobe=2, centroids=cents).collect()
+    assert len(rows) == 10
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+    for recs in by_q.values():
+        assert [r["rank"] for r in sorted(recs, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+
+
 def test_range_join_binned_matches_naive(spark):
     from megalista_spark.operators.rangejoin import range_join_binned
 
