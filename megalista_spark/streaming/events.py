@@ -128,6 +128,24 @@ def stream_sink_foreach_batch(
     )
 
 
+def stream_dedup_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch anti-join
+    dedup (and of ``operators/dedup.py::exact_dedup``):
+    ``dropDuplicatesWithinWatermark`` keeps first-seen rows per key and
+    lets the watermark bound the dedup state (an unbounded
+    ``dropDuplicates`` would grow state forever — the thing that kills
+    long-running streams). At-least-once upstreams (Kafka redeliveries)
+    become effectively-once downstream."""
+    if keys is None:
+        keys = ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 USER_STATS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

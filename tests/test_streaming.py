@@ -113,3 +113,26 @@ def test_stateful_running_stats(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from megalista_spark.streaming.events import stream_dedup_events
+
+    # duplicate the stream source (union with itself) — dedup must collapse
+    # the copies back to the batch-distinct count
+    stream = read_events_stream(spark, EVENTS)
+    doubled = stream.union(stream)
+    deduped = stream_dedup_events(doubled, keys=["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.table("_dedup_stream").count()
+    expected = _batch_events(spark).select("event_id").distinct().count()
+    assert got == expected
