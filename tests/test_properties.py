@@ -112,3 +112,74 @@ def test_normalize_email_preserves_domain_batch(spark):
     out = df.select("e", normalize_email(F.col("e")).alias("n")).collect()
     for r in out:
         assert r["n"].split("@")[1] == r["e"].strip().lower().split("@")[1]
+
+
+def test_ordered_pairs_property_batch(spark):
+    # one Spark job over many generated arrays: _ordered_pairs on a sorted
+    # array of n distinct ids must yield exactly C(n,2) pairs, all (a < b)
+    from megalista_spark.operators.dedup import _ordered_pairs
+
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(60):
+        n = rnd.randint(2, 12)
+        ids = sorted(rnd.sample(range(1000), n))
+        rows.append((i, ids))
+    df = spark.createDataFrame(rows, "case_id int, ids array<int>")
+    out = df.select(
+        "case_id",
+        F.size("ids").alias("n"),
+        F.explode(_ordered_pairs(F.col("ids"))).alias("p"),
+    )
+    bad = out.where(F.col("p.a") >= F.col("p.b")).count()
+    assert bad == 0
+    counts = {
+        r["case_id"]: r["cnt"]
+        for r in out.groupBy("case_id", "n").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    expect = {r["case_id"]: r["n"] * (r["n"] - 1) // 2 for r in df.select("case_id", F.size("ids").alias("n")).collect()}
+    assert counts == expect
+
+
+def test_range_join_matches_naive_random_batch(spark):
+    # randomized intervals/points, binned form vs naive BETWEEN join
+    from megalista_spark.operators.rangejoin import range_join_binned
+
+    import random
+
+    rnd = random.Random(13)
+    base = 1_700_000_000
+    pts = [(i, base + rnd.randint(0, 50_000)) for i in range(300)]
+    ivs = []
+    for j in range(80):
+        s = base + rnd.randint(0, 50_000)
+        ivs.append((j, s, s + rnd.randint(0, 5_000)))
+    pdf = spark.createDataFrame(pts, "pid int, t long").select(
+        "pid", F.timestamp_seconds("t").alias("ts")
+    )
+    idf = spark.createDataFrame(ivs, "iid int, s long, e long").select(
+        "iid", F.timestamp_seconds("s").alias("st"), F.timestamp_seconds("e").alias("en")
+    )
+    binned = {
+        (r["pid"], r["iid"])
+        for r in range_join_binned(pdf, idf, "ts", "st", "en", bin_seconds=700).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in pdf.join(idf, (F.col("ts") >= F.col("st")) & (F.col("ts") <= F.col("en"))).collect()
+    }
+    assert binned == naive and len(naive) > 0
+
+
+def test_hash_sample_rate_convergence_batch(spark):
+    # deterministic hash sampling should land near the nominal rate and be
+    # EXACTLY stable across runs (no RNG involved)
+    from megalista_spark.operators.sampling import hash_sample
+
+    df = spark.range(20_000).withColumnRenamed("id", "k")
+    n1 = hash_sample(df, 0.3, "k").count()
+    n2 = hash_sample(df, 0.3, "k").count()
+    assert n1 == n2
+    assert abs(n1 / 20_000 - 0.3) < 0.02
