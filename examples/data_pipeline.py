@@ -1,5 +1,7 @@
-"""Training-data pipeline demo over the synthetic corpus: dedup cascade
-(exact → fingerprint → MinHash-LSH) + quality filtering + ANN search.
+"""Training-data pipeline demo over the synthetic corpus — the end-to-end
+corpus-construction flow: deterministic sampling → dedup cascade (exact →
+fingerprint → MinHash-LSH) → quality gate → language rebalancing →
+k-means-trained IVF ANN search.
 
     PYTHONPATH=. python examples/data_pipeline.py [sf_dir]
 """
@@ -10,8 +12,10 @@ import sys
 
 from pyspark.sql import functions as F
 
+from megalista_spark.operators.clustering import kmeans_centroids
 from megalista_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
-from megalista_spark.operators.similarity import cosine_topk
+from megalista_spark.operators.sampling import hash_sample, weighted_mix
+from megalista_spark.operators.similarity import cosine_topk_gemm, ivf_cosine_topk
 from megalista_spark.operators.text import document_fingerprint, quality_score
 from megalista_spark.session import get_spark
 
@@ -22,29 +26,43 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    # 0. deterministic intake sample — reproducible under any partitioning
+    intake = hash_sample(docs, 0.9, "doc_id", salt="intake")
+    print(f"intake sample: {docs.count()} -> {intake.count()} docs")
+
     # 1. exact dedup — survivors only
-    survivors = exact_dedup(docs)
-    print(f"exact dedup: {docs.count()} docs -> {survivors.count()} unique texts")
+    survivors = exact_dedup(intake)
+    print(f"exact dedup: -> {survivors.count()} unique texts")
 
     # 2. near-dup candidates via MinHash LSH
-    near = minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    near = minhash_lsh_pairs(intake, num_hashes=16, bands=4)
     print(f"minhash-lsh candidate near-dup pairs: {near.count()}")
 
     # 3. formatting-robust fingerprint dedup
-    fp = document_fingerprint(docs).groupBy("fingerprint").count().where("count > 1")
+    fp = document_fingerprint(intake).groupBy("fingerprint").count().where("count > 1")
     print(f"fingerprint collisions: {fp.count()}")
 
     # 4. quality gate
-    q = quality_score(docs)
+    q = quality_score(intake)
     kept = q.where(F.col("passes_quality"))
     print(f"quality gate: {q.count()} -> {kept.count()} pass")
 
-    # 5. ANN over embeddings
+    # 5. language rebalance: downsample dominant en, keep the rest
+    en = intake.where(F.col("lang") == "en")
+    rest = intake.where(F.col("lang") != "en")
+    mixed = weighted_mix([(en, 0.5), (rest, 1.0)], key_col="doc_id")
+    mixed.groupBy("lang").count().orderBy("lang").show()
+
+    # 6. ANN over embeddings: brute-force GEMM baseline, then IVF pruned
+    #    search with k-means-trained centroids
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    topk = cosine_topk(emb, queries, k=5)
+    topk = cosine_topk_gemm(emb, queries, k=5)
     topk.show(15, truncate=False)
+    cents = kmeans_centroids(emb, k=8, iters=2)
+    ivf = ivf_cosine_topk(emb, queries, k=5, nprobe=3, centroids=cents)
+    ivf.show(15, truncate=False)
     spark.stop()
 
 
