@@ -54,6 +54,18 @@ def _lloyd(
         .select((F.row_number().over(w_init) - 1).alias("cid"), F.col("v").alias("cv"))
     )
 
+    # Iterative-Spark discipline: the centroid table is tiny (k rows) but
+    # its LINEAGE doubles every iteration (each round's plan embeds the
+    # previous round's join) — exponential plan growth is the classic
+    # iterative-algorithm trap. Materialize the model state to the driver
+    # each round so every iteration's plan is flat; values are already
+    # 6dp-rounded so this changes nothing numerically.
+    spark = df.sparkSession
+
+    def _materialize(c: DataFrame) -> DataFrame:
+        rows = [(r["cid"], list(r["cv"])) for r in c.collect()]
+        return spark.createDataFrame(rows, "cid int, cv array<double>")
+
     assigned = None
     for _ in range(iters):
         d = F.round(_sq_dist(F.col("v"), F.col("cv")), 6)
@@ -77,6 +89,7 @@ def _lloyd(
                 ).alias("cv")
             )
         )
+        centroids = _materialize(centroids)
 
     return assigned, centroids
 

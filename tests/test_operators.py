@@ -160,6 +160,16 @@ def test_weighted_mix_rates(spark):
     assert 0 < half < full
 
 
+def test_kmeans_many_iterations_flat_plans(spark):
+    # per-iteration driver materialization keeps plans flat — without it,
+    # centroid lineage doubles per round and 6 iterations would blow up
+    from megalista_spark.operators.clustering import kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = kmeans_fit(emb, k=4, iters=6).collect()
+    assert sum(r["n_members"] for r in out) == emb.count()
+
+
 def test_ivf_with_trained_centroids(spark):
     # kmeans centroids plug into the IVF index in place of the lowest-id
     # fallback; results stay a valid exact-scored top-k (ranked, self-free)
