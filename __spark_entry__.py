@@ -592,7 +592,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_JACCARD_SQL = _SHINGLE_CTE + """
-, ex AS (SELECT doc_id AS id, len(shingles) AS set_size, unnest(shingles) AS shingle FROM sh)
+, ex AS (SELECT doc_id AS id, len(shingles) AS set_size,
+         unnest(list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS shingle FROM sh)
 , pairs AS (
   SELECT a.id AS doc_a, b.id AS doc_b, a.set_size AS size_a, b.set_size AS size_b,
          count(*)::BIGINT AS shared

@@ -193,7 +193,18 @@ def ngram_jaccard_pairs(
         # filter that is pushed below the exchange with the whole shingle
         # expression re-inlined (re-tokenizing per element). Every doc has
         # >=1 shingle by construction, so outer is semantically identical.
-        .select("id", F.size("shingles").alias("set_size"), F.explode_outer("shingles").alias("shingle"))
+        # shuffle key = 60-bit portable hash of the shingle, not the
+        # string: the inverted-index shuffle carries 8 bytes per row
+        # instead of ~30, and the oracle applies the identical hash —
+        # "exact" is exact-up-to-60-bit-collisions, the same contract as
+        # the md5-keyed exact_dedup
+        .select(
+            "id",
+            F.size("shingles").alias("set_size"),
+            F.explode_outer(
+                F.transform(F.col("shingles"), portable_hash64)
+            ).alias("shingle"),
+        )
     )
 
     members = F.array_sort(
