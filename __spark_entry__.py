@@ -1986,6 +1986,50 @@ ORDER BY cnt.cid
 """
 
 
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-with-exact-oracle: KMV bottom-k distinct-count sketch
+    (operators/sketches.py). Unlike approx_count_distinct (engine-specific
+    HLL), the estimate is a pure function of the portable hash family, so
+    DuckDB reproduces the ESTIMATE itself bit-for-bit — alongside the true
+    count and the relative error."""
+    from megalista_spark.operators.sketches import kmv_distinct_count
+
+    l = _t(spark, sf_dir, "lineitem")
+    est = kmv_distinct_count(l, "l_partkey", k=256)
+    true = l.agg(F.countDistinct("l_partkey").alias("true_distinct"))
+    return (
+        est.join(true)
+        .select(
+            "est_distinct",
+            "true_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("true_distinct"))
+                / F.col("true_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
+KMV_SQL = """
+WITH hashes AS (
+  SELECT DISTINCT ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+  FROM lineitem
+),
+mins AS (SELECT h FROM hashes ORDER BY h LIMIT 256),
+est AS (
+  SELECT CASE WHEN count(*) < 256 THEN count(*)::BIGINT
+              ELSE round((255.0 * 1152921504606846976.0) / max(h))::BIGINT
+         END AS est_distinct
+  FROM mins
+),
+t AS (SELECT count(DISTINCT l_partkey)::BIGINT AS true_distinct FROM lineitem)
+SELECT est_distinct, true_distinct,
+       round(abs(est_distinct - true_distinct) / true_distinct, 4) AS rel_err
+FROM est CROSS JOIN t
+"""
+
+
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline surface: opaque binary content → Arrow-batched
     ``mapInPandas`` feature extraction (operators/multimodal.py). The test
@@ -2119,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_colocated_join": bucketed_colocated_join,
         "multimodal_image_features": multimodal_image_features,
         "kmeans_embeddings": kmeans_embeddings,
+        "kmv_distinct_estimate": kmv_distinct_estimate,
         "attribution_range_join": attribution_range_join,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "salted_skew_join": salted_skew_join,
@@ -2167,6 +2212,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_colocated_join": BUCKETED_JOIN_SQL,
         "multimodal_image_features": MULTIMODAL_SQL,
         "kmeans_embeddings": KMEANS_SQL,
+        "kmv_distinct_estimate": KMV_SQL,
         "attribution_range_join": ATTRIBUTION_SQL,
         "unpivot_lineitem_metrics": UNPIVOT_SQL,
         "salted_skew_join": SALTED_JOIN_SQL,

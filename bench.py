@@ -72,6 +72,7 @@ HEADLINE = [
     "kmeans_embeddings",
     "attribution_range_join",
     "unpivot_lineitem_metrics",
+    "kmv_distinct_estimate",
 ]
 
 
