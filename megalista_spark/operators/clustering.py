@@ -43,10 +43,16 @@ def _lloyd(
     vec_col: str,
 ):
     """Shared Lloyd's loop → (last assignment, final centroids)."""
+    # cache the prepared corpus for the iteration loop — every round's
+    # assignment and mean, plus the per-round centroid materialization,
+    # re-reads it (the MLlib pattern: cache the working set, iterate with
+    # small driver-side state). MEMORY_AND_DISK, so oversized corpora
+    # spill instead of failing; stays cached for the caller's final
+    # action on the returned lineage.
     vecs = df.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
+    ).persist()
     w_init = Window.orderBy("vid")
     centroids = (
         vecs.orderBy("vid")
