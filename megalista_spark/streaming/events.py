@@ -146,6 +146,54 @@ def stream_dedup_events(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_seconds: int = 300,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of the batch
+    binned range join (operators/rangejoin.py): every purchase joined to
+    the clicks inside its trailing attribution window.
+
+    Spark REFUSES stream-stream joins without an equality predicate (it
+    needs a key to partition join state). The bin trick from the batch
+    operator provides exactly that: the purchase side explodes to the
+    time bins its window covers, the click side computes its single bin,
+    and the join is equi-on-bin plus the exact range filter. Watermarks
+    on both sides plus the bounded event-time condition let Spark expire
+    join state (no unbounded buffering — the stream-stream-join failure
+    mode). Inputs must expose ``c_ts`` / ``p_ts`` timestamp columns."""
+    c = (
+        clicks.withWatermark("c_ts", watermark)
+        .withColumn(
+            "_bin", (F.unix_timestamp(F.col("c_ts")) / window_seconds).cast("bigint")
+        )
+    )
+    p = (
+        purchases.withWatermark("p_ts", watermark)
+        .withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    (
+                        (F.unix_timestamp(F.col("p_ts")) - window_seconds)
+                        / window_seconds
+                    ).cast("bigint"),
+                    (F.unix_timestamp(F.col("p_ts")) / window_seconds).cast("bigint"),
+                )
+            ),
+        )
+    )
+    return p.join(
+        c,
+        (p["_bin"] == c["_bin"])
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"interval {window_seconds} seconds"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).drop("_bin")
+
+
 USER_STATS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -136,3 +136,35 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.table("_dedup_stream").count()
     expected = _batch_events(spark).select("event_id").distinct().count()
     assert got == expected
+
+
+def test_stream_attribution_join_matches_batch(spark, tmp_path):
+    from megalista_spark.streaming.events import stream_attribution_join
+
+    def side(tcol, etype):
+        return read_events_stream(spark, EVENTS).where(
+            F.col("event_type") == etype
+        ).select(F.col("event_id").alias(f"{tcol[0]}_id"), F.col("ts").alias(tcol))
+
+    joined = stream_attribution_join(
+        side("c_ts", "click"), side("p_ts", "purchase"), window_seconds=300
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("_attrib_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attrib"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.table("_attrib_stream").count()
+
+    b = _batch_events(spark)
+    bp = b.where(F.col("event_type") == "purchase").select(F.col("ts").alias("p_ts"))
+    bc = b.where(F.col("event_type") == "click").select(F.col("ts").alias("c_ts"))
+    expected = bp.join(
+        bc, F.expr("c_ts >= p_ts - interval 5 minutes AND c_ts <= p_ts")
+    ).count()
+    assert got == expected and expected > 0
