@@ -1929,6 +1929,57 @@ ORDER BY purchase_id
 """
 
 
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, oracle-gated: clicks joined to each
+    purchase's trailing 5-minute window under readStream on BOTH sides
+    (streaming/events.py::stream_attribution_join — the time bin supplies
+    the equality key Spark requires for stream-stream joins). The single-
+    file source arrives as one micro-batch and inner joins emit matches
+    immediately, so the memory-sink content equals the batch join — same
+    oracle family as streaming_hourly_rollup."""
+    from megalista_spark.streaming.events import (
+        read_events_stream,
+        stream_attribution_join,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def side(tcol: str, etype: str) -> DataFrame:
+        return (
+            read_events_stream(spark, f"{sf_dir}/events.parquet")
+            .where(F.col("event_type") == etype)
+            .select(F.col("event_id").alias(f"{etype}_id"), F.col("ts").alias(tcol))
+        )
+
+    joined = stream_attribution_join(
+        side("c_ts", "click"), side("p_ts", "purchase"), window_seconds=300
+    )
+    name = "_streaming_attribution"
+    q = (
+        joined.select("purchase_id", "click_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("purchase_id", "click_id")
+
+
+STREAMING_ATTRIBUTION_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) p
+JOIN (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) c
+  ON c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+ORDER BY purchase_id, click_id
+"""
+
+
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative algorithm surface: 2 Lloyd's k-means iterations over the
     embedding corpus (operators/clustering.py) — assignment is a broadcast
@@ -2160,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_estimate": dedup_minhash_estimate,
         "set_intersect_customers": set_intersect_customers,
         "streaming_hourly_rollup": streaming_hourly_rollup,
+        "streaming_attribution_join": streaming_attribution_join,
         "bucketed_colocated_join": bucketed_colocated_join,
         "multimodal_image_features": multimodal_image_features,
         "kmeans_embeddings": kmeans_embeddings,
@@ -2209,6 +2261,7 @@ def oracle_sql() -> dict[str, str]:
         # a STREAMING query with a full oracle: single-file source → one
         # micro-batch → complete mode ≡ batch semantics (see docstring)
         "streaming_hourly_rollup": HOURLY_SQL,
+        "streaming_attribution_join": STREAMING_ATTRIBUTION_SQL,
         "bucketed_colocated_join": BUCKETED_JOIN_SQL,
         "multimodal_image_features": MULTIMODAL_SQL,
         "kmeans_embeddings": KMEANS_SQL,
