@@ -932,12 +932,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= 0.45 (near-duplicate detection;
     the synthetic embeddings are near-orthogonal — max pairwise cosine is
     ~0.51 — so 0.45 exercises a selective threshold with non-empty output).
-    Runs on the GEMM fast path; `embedding_near_dup_pairs` (expression
-    fold) is the portable twin."""
-    from megalista_spark.operators.similarity import embedding_near_dup_pairs_gemm
+    Runs on the blocked distributed GEMM: block-pair applyInPandas tiles,
+    zero driver-side collect of corpus rows — exact at any corpus size.
+    `embedding_near_dup_pairs` (expression fold) and the driver-collect
+    `embedding_near_dup_pairs_gemm` small-corpus baseline are the twins."""
+    from megalista_spark.operators.similarity import embedding_near_dup_pairs_blocked
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs_gemm(emb, threshold=0.45).orderBy("id_a", "id_b")
+    return embedding_near_dup_pairs_blocked(emb, threshold=0.45).orderBy("id_a", "id_b")
 
 
 NEAR_DUP_SQL = """

@@ -186,14 +186,26 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_broadcast_rows: int | None = None,
+    max_broadcast_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold.
 
-    Brute force O(n²/2) scoring — correct baseline. For the 100 TB path,
-    bucket first (LSH on random hyperplane signs or IVF assignment) and
-    run this within buckets; the pair-join shape below is unchanged.
+    Brute force O(n²/2) scoring — correct baseline, broadcast build side.
+    ``max_broadcast_rows`` is a hard guard: the corpus is replicated to
+    every task, so a corpus above the cap raises instead of OOMing the
+    executors — use ``embedding_near_dup_pairs_blocked`` (exact, no
+    replication of the whole corpus per task) or
+    ``embedding_lsh_near_dup_pairs`` (approximate, linear candidates)
+    beyond it.
     """
+    if max_broadcast_rows is not None:
+        n_rows = df.count()
+        if n_rows > max_broadcast_rows:
+            raise ValueError(
+                f"embedding_near_dup_pairs broadcasts the corpus to every task: "
+                f"{n_rows} rows > max_broadcast_rows={max_broadcast_rows}; use "
+                "embedding_near_dup_pairs_blocked or embedding_lsh_near_dup_pairs"
+            )
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     # normalize each vector once (per-row), so the O(n²) stage is one dot
     # fold per pair instead of dot + two norm folds
@@ -395,18 +407,29 @@ def embedding_near_dup_pairs_gemm(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
     """``embedding_near_dup_pairs`` on the vectorized fast path: the full
-    normalized corpus is shipped to every partition (the same O(n²)
-    correctness-baseline contract as the expression form, which broadcast
-    it through a nested-loop join) and each partition block scores
-    against it with one GEMM. Pairs are filtered on the ROUNDED sim so
-    the output contract is unchanged. The scale path remains
-    ``embedding_lsh_near_dup_pairs``.
+    normalized corpus is collected to the DRIVER and shipped inside every
+    task closure, and each partition block scores against it with one
+    GEMM. That driver-collect makes this an explicit small-corpus
+    baseline only — ``max_broadcast_rows`` raises beyond the cap. The
+    default exact path is ``embedding_near_dup_pairs_blocked`` (no
+    driver collect); the approximate scale path is
+    ``embedding_lsh_near_dup_pairs``. Pairs are filtered on the ROUNDED
+    sim so the output contract is unchanged across all three.
     """
     import numpy as np
     from pyspark.sql import types as T
 
+    n_rows = df.count()
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_near_dup_pairs_gemm collects the corpus to the driver: "
+            f"{n_rows} rows > max_broadcast_rows={max_broadcast_rows}; use "
+            "embedding_near_dup_pairs_blocked (exact) or "
+            "embedding_lsh_near_dup_pairs (approximate)"
+        )
     all_rows = df.select(id_col, vec_col).collect()
     b_ids, B = _normalized_matrix(all_rows)
     bt = B.T.copy()
@@ -439,4 +462,99 @@ def embedding_near_dup_pairs_gemm(
         df.select(F.col(id_col), F.col(vec_col))
         .repartition(n_parts)
         .mapInPandas(kernel, out_schema)
+    )
+
+
+def embedding_near_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold with NO driver-side collect of
+    corpus rows — the distributed form of the O(n²) baseline.
+
+    The corpus is hashed into ``n_blocks`` blocks on the id; each of the
+    B·(B+1)/2 unordered block pairs becomes one ``applyInPandas`` group
+    whose task GEMMs block_i × block_j (numpy float64, rounded to 6dp
+    before the threshold — identical per-pair math and output contract
+    as the expression and driver-GEMM forms). Each row is replicated to
+    B+1 block-pair groups (the classic √R replication of distributed
+    all-pairs), so per-task memory is two blocks (~2·n/B vectors) and
+    driver memory is O(1). Total compute stays O(n²) — inherent to the
+    EXACT problem; ``embedding_lsh_near_dup_pairs`` is the sub-quadratic
+    approximate path. Pick n_blocks so (n/B)² GEMM tiles fit in a task:
+    B ≈ n·dim·8 / (256 MiB) keeps a tile under half a gigabyte.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    pair_rows = [
+        (i * n_blocks + j, i, j) for i in range(n_blocks) for j in range(i, n_blocks)
+    ]
+    pairs = spark.createDataFrame(pair_rows, ["pair_id", "block_a", "block_b"])
+
+    # ship RAW vectors and normalize with numpy inside the kernel — the
+    # same float ops as the driver-GEMM form, so all three exact forms
+    # (and the SQL oracle) agree bit-for-bit after the 6dp rounding
+    unit = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_blocks)).alias("block"),
+    )
+    a_side = unit.join(
+        F.broadcast(pairs.select("pair_id", F.col("block_a").alias("block"))), "block"
+    ).select("pair_id", F.lit(0).alias("side"), "id", "v")
+    b_side = unit.join(
+        F.broadcast(pairs.select("pair_id", F.col("block_b").alias("block"))), "block"
+    ).select("pair_id", F.lit(1).alias("side"), "id", "v")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        ids_a = a["id"].to_numpy(dtype=np.int64)
+        ids_b = b["id"].to_numpy(dtype=np.int64)
+        A = np.array([list(v) for v in a["v"]], dtype=np.float64)
+        B = np.array([list(v) for v in b["v"]], dtype=np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        S = np.round(A @ B.T, 6)
+        pid = int(pdf["pair_id"].iloc[0])
+        if pid // n_blocks == pid % n_blocks:
+            # diagonal tile: both sides hold the same block — the `<` mask
+            # picks each unordered pair exactly once
+            mask = (ids_a[:, None] < ids_b[None, :]) & (S >= threshold)
+        else:
+            # off-diagonal tile: blocks are disjoint, each unordered pair
+            # appears exactly once but the lower id may sit on either side
+            mask = S >= threshold
+        ai, bj = np.nonzero(mask)
+        ra, rb = ids_a[ai], ids_b[bj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ra, rb),
+                "id_b": np.maximum(ra, rb),
+                "cos_sim": S[ai, bj],
+            }
+        )
+
+    return (
+        a_side.unionByName(b_side)
+        .groupBy("pair_id")
+        .applyInPandas(kernel, out_schema)
     )

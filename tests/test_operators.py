@@ -247,6 +247,36 @@ def test_gemm_twins_agree_with_fold_forms(spark):
     assert fold_p == gemm_p and len(fold_p) > 0
 
 
+def test_blocked_near_dup_agrees_and_never_collects(spark, monkeypatch):
+    # the blocked distributed GEMM must (a) match the expression-fold
+    # output exactly and (b) build + execute with DataFrame.collect
+    # forbidden — the whole point is zero driver-side corpus collect
+    from pyspark.sql import DataFrame
+    from megalista_spark.operators.similarity import embedding_near_dup_pairs_blocked
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fold_p = {tuple(r) for r in embedding_near_dup_pairs(emb, threshold=0.45).collect()}
+
+    def _no_collect(self):
+        raise AssertionError("blocked near-dup path called DataFrame.collect")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    blocked = embedding_near_dup_pairs_blocked(emb, threshold=0.45, n_blocks=5)
+    got = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in blocked.toLocalIterator()}
+    monkeypatch.undo()
+    assert got == fold_p and len(got) > 0
+
+
+def test_near_dup_broadcast_caps_raise(spark):
+    from megalista_spark.operators.similarity import embedding_near_dup_pairs_gemm
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        embedding_near_dup_pairs_gemm(emb, threshold=0.45, max_broadcast_rows=10)
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        embedding_near_dup_pairs(emb, threshold=0.45, max_broadcast_rows=10)
+
+
 def test_token_count(spark):
     df = docs(spark, [(1, "hello, world 42"), (2, "   "), (3, "a b")])
     out = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"]) for r in token_count(df).collect()}
