@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import itertools
 import time
+from collections import Counter
 from dataclasses import dataclass
 from typing import Any, Iterator
 
@@ -71,6 +72,16 @@ RATE_LIMITS: dict[DestinationType, float] = {
 
 _STATUS_COL = "__megalista_status"
 _ERROR_COL = "__megalista_error"
+
+
+def _freeze(v: Any) -> Any:
+    """Hashable canonical form of a row dict (nested dicts/lists allowed)
+    for value-level accepted-row matching."""
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    return v
 
 
 @dataclass
@@ -175,9 +186,23 @@ class SinkExecutor:
                         for d in dict_chunk:
                             yield tuple(d.get(c) for c in in_cols) + ("error", err)
                         continue
+                    # Accepted-row matching: identity fast path (transports
+                    # that return the same dict objects), with a value-level
+                    # multiset fallback for transports that return
+                    # equal-but-reconstructed dicts — the Transport contract
+                    # only promises "the ACCEPTED row dicts", not the same
+                    # objects.
                     accepted_ids = {id(d) for d in accepted}
+                    rebuilt = Counter(
+                        _freeze(d) for d in accepted if id(d) not in {id(c) for c in dict_chunk}
+                    )
                     for d in dict_chunk:
                         ok = id(d) in accepted_ids
+                        if not ok and rebuilt:
+                            key = _freeze(d)
+                            if rebuilt.get(key, 0) > 0:
+                                rebuilt[key] -= 1
+                                ok = True
                         yield tuple(d.get(c) for c in in_cols) + (
                             "ok" if ok else "rejected",
                             None,

@@ -211,33 +211,49 @@ def ga_measurement_protocol_hit(row: Row, tracking_id: str, hit_type: str = "eve
     return urlencode({k: v for k, v in params.items() if v is not None})
 
 
-GA4_RESERVED = {"uuid", "app_instance_id", "client_id", "name", "user_id", "timestamp_micros"}
+GA4_RESERVED = {"uuid", "app_instance_id", "client_id", "user_id", "timestamp_micros"}
 
 
-def ga4_measurement_protocol_event(row: Row, non_personalized_ads: bool = False) -> Row:
-    """reference google_analytics_4_measurement_protocol.py:37-128 — event
+def _ga4_param_ok(k: str, v: Any, reserved: set[str]) -> bool:
+    # reference _validate_param: drops reserved keys, None AND empty string
+    return k not in reserved and v is not None and v != ""
+
+
+def ga4_measurement_protocol_event(
+    row: Row, non_personalized_ads: bool = False, is_user_property: bool = False
+) -> Row:
+    """reference google_analytics_4_measurement_protocol.py:37-135 — event
     mode: exactly one of app_instance_id/client_id; all non-reserved
-    columns become event params."""
+    columns become event params. User-property mode maps non-reserved
+    columns to userProperties and attaches the reference's fixed
+    user_property_addition_event. ``nonPersonalizedAds`` mirrors the
+    reference's literal key (:91); ``timestamp_micros`` is forwarded as
+    int when present (:126-127) so uploaded events keep their event time."""
     has_app, has_client = bool(row.get("app_instance_id")), bool(row.get("client_id"))
     if has_app == has_client:
         raise ValueError("exactly one of app_instance_id or client_id must be set")
-    payload: Row = {
-        "non_personalized_ads": non_personalized_ads,
-        "events": [
+    payload: Row = {"nonPersonalizedAds": non_personalized_ads}
+    if is_user_property:
+        payload["userProperties"] = {
+            k: {"value": v} for k, v in row.items() if _ga4_param_ok(k, v, GA4_RESERVED)
+        }
+        payload["events"] = {"name": "user_property_addition_event", "params": {}}
+    else:
+        reserved = GA4_RESERVED | {"name"}
+        payload["events"] = [
             {
                 "name": row.get("name"),
-                "params": {
-                    k: v for k, v in row.items() if k not in GA4_RESERVED and v is not None
-                },
+                "params": {k: v for k, v in row.items() if _ga4_param_ok(k, v, reserved)},
             }
-        ],
-    }
+        ]
     if has_app:
         payload["app_instance_id"] = row["app_instance_id"]
     else:
         payload["client_id"] = row["client_id"]
     if row.get("user_id"):
         payload["user_id"] = row["user_id"]
+    if row.get("timestamp_micros"):
+        payload["timestamp_micros"] = int(str(row["timestamp_micros"]))
     return payload
 
 

@@ -118,11 +118,29 @@ def test_ga4_event_exactly_one_of():
     with pytest.raises(ValueError):
         ga4_measurement_protocol_event({"name": "evt"})
     p = ga4_measurement_protocol_event(
-        {"client_id": "c", "name": "purchase", "value": "9.9", "uuid": "u"}
+        {"client_id": "c", "name": "purchase", "value": "9.9", "uuid": "u", "blank": ""}
     )
     assert p["client_id"] == "c"
     assert p["events"][0]["name"] == "purchase"
-    assert p["events"][0]["params"] == {"value": "9.9"}  # reserved keys excluded
+    # reserved keys AND empty strings excluded (reference _validate_param)
+    assert p["events"][0]["params"] == {"value": "9.9"}
+    assert p["nonPersonalizedAds"] is False  # reference's literal key (:91)
+    assert "timestamp_micros" not in p
+
+
+def test_ga4_event_timestamp_and_user_properties():
+    # timestamp_micros forwarded as int (reference :126-127)
+    p = ga4_measurement_protocol_event(
+        {"client_id": "c", "name": "evt", "timestamp_micros": "1700000000000000"}
+    )
+    assert p["timestamp_micros"] == 1700000000000000
+    assert "timestamp_micros" not in p["events"][0]["params"]
+    # user-property mode (reference :104-105)
+    up = ga4_measurement_protocol_event(
+        {"client_id": "c", "ltv": "9.9"}, is_user_property=True
+    )
+    assert up["userProperties"] == {"ltv": {"value": "9.9"}}
+    assert up["events"] == {"name": "user_property_addition_event", "params": {}}
 
 
 def test_ga_data_import_csv():

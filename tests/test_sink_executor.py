@@ -23,6 +23,21 @@ def test_partial_failure_success_filter(spark):
     assert ok == [i for i in range(50) if i % 5 != 0]
 
 
+def test_accepted_rows_matched_by_value_not_identity(spark):
+    # a Transport that returns equal-but-RECONSTRUCTED dicts (the documented
+    # contract only promises "the accepted row dicts") must still mark rows ok
+    from megalista_spark.sinks.transports import Transport
+
+    class RebuildingTransport(Transport):
+        def send(self, payload, context):
+            return [dict(r) for r in payload if r["k"] % 5 != 0]
+
+    df = spark.createDataFrame([(i,) for i in range(50)], ["k"])
+    result = SinkExecutor(RebuildingTransport(), batch_size=10).run(df)
+    ok = sorted(r["k"] for r in result.success.collect())
+    assert ok == [i for i in range(50) if i % 5 != 0]
+
+
 def test_retry_then_succeed(spark):
     df = spark.createDataFrame([(i,) for i in range(10)], ["k"])
     transport = MockTransport(fail_chunks_until_attempt=2)  # 1st attempt fails
