@@ -26,45 +26,59 @@ def _lower_trim(col: Column) -> Column:
 
 
 def hash_field(col: Column, hash_enabled: bool = True) -> Column:
-    """sha256(strip().lower()); pass-through (trimmed) when hashing is off.
+    """sha256(strip().lower()); RAW pass-through when hashing is off.
 
-    The reference strips/lowers *before* hashing and returns the raw field
-    (stripped) when the destination's hash toggle is 'false'
-    (abstract_list_pii_hashing_mapper.py:22-31,53-63).
+    The reference strips/lowers *before* hashing and returns the field
+    untouched when the destination's hash toggle is 'false'
+    (abstract_list_pii_hashing_mapper.py:26-31: ``return field``).
     """
     if not hash_enabled:
-        return F.trim(col)
+        return col
     return F.sha2(_lower_trim(col), 256)
 
 
-# local part of a gmail address: everything before '@'; domain after.
+# second '@'-segment of a gmail address (reference checks parts[1]).
 _GMAIL_DOMAIN = r"^(gmail|googlemail)\.com$"
 
 
 def normalize_email(col: Column) -> Column:
-    """Lowercase; for gmail/googlemail domains, strip dots in the local part.
+    """Lowercase, split on '@', strip dots from the local part only when
+    the segment after the first '@' matches gmail/googlemail EXACTLY.
 
-    Malformed values (no '@') are returned unchanged (reference returns the
-    raw input on parse failure, abstract_list_pii_hashing_mapper.py:113-121).
+    Byte-parity details (abstract_list_pii_hashing_mapper.py:89-121):
+    - NO trimming happens here — a whitespace-padded domain fails the
+      reference's anchored regex and keeps its dots
+    - malformed values (no '@') return the ORIGINAL input (not lowered —
+      the reference assumes pre-hashed data and passes it through)
+    - multi-'@' values keep everything after the first '@' as-is and test
+      the regex against the segment between the first two '@'s (the
+      reference's ``email_parts[1]``)
     """
-    lowered = F.lower(F.trim(col))
+    lowered = F.lower(col)
     local = F.substring_index(lowered, "@", 1)
-    domain = F.substring_index(lowered, "@", -1)
+    # reference email_parts[1]: between the first and second '@'
+    part1 = F.substring_index(F.substring_index(lowered, "@", 2), "@", -1)
+    # everything after the first '@' (rejoined untouched)
+    rest = lowered.substr(F.length(local) + F.lit(2), F.length(lowered))
     is_email = lowered.contains("@")
-    is_gmail = domain.rlike(_GMAIL_DOMAIN)
+    is_gmail = part1.rlike(_GMAIL_DOMAIN)
     normalized_local = F.when(is_gmail, F.regexp_replace(local, r"\.", "")).otherwise(
         local
     )
-    return F.when(is_email, F.concat(normalized_local, F.lit("@"), domain)).otherwise(
+    return F.when(is_email, F.concat(normalized_local, F.lit("@"), rest)).otherwise(
         col
     )
 
 
 def hash_email(col: Column, hash_enabled: bool = True) -> Column:
-    """normalize then hash — the composition the reference applies to emails."""
+    """normalize then hash — the composition the reference applies to
+    emails (ads_user_list_pii_hashing_mapper.py:34-37). hash_field's
+    strip+lower runs on the NORMALIZED value, so malformed emails are
+    still lowered before hashing; with hashing off the normalized email
+    itself is returned (reference FieldHasher pass-through)."""
     if not hash_enabled:
-        return F.trim(col)
-    return F.sha2(F.trim(normalize_email(col)), 256)
+        return normalize_email(col)
+    return F.sha2(_lower_trim(normalize_email(col)), 256)
 
 
 def normalize_phone(col: Column) -> Column:

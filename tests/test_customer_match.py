@@ -126,6 +126,24 @@ def test_replace_issues_remove_all_once_per_run(spark):
     assert client.calls[first_add][2] == [{"remove_all": True}]
 
 
+def test_replace_removal_job_is_driver_owned_and_run_before_sends():
+    # the removal job is created, populated AND run on the driver; the
+    # caches are cleared so the pickled per-partition closures never share
+    # a job resource (a job can only be run once against the real API)
+    client = FakeAdsClient(existing_lists=["My List"])
+    t = make_transport(client, operator="REPLACE")
+    t.before_run({})
+    kinds = [c[0] for c in client.calls]
+    assert kinds == ["get_user_list", "create_job", "add_ops", "run_job"]
+    assert client.calls[2][2] == [{"remove_all": True}]
+    assert t._job_cache == {} and t._list_cache == {}
+    # a partition send afterwards creates and runs its OWN job
+    t.send([{"hashed_email": "x"}], {})
+    t.close({})
+    run_jobs = [c[1] for c in client.calls if c[0] == "run_job"]
+    assert len(run_jobs) == 2 and run_jobs[0] != run_jobs[1]
+
+
 def test_remove_operator_translation():
     client = FakeAdsClient(existing_lists=["My List"])
     t = make_transport(client, operator="REMOVE")

@@ -4,6 +4,8 @@
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import functions as F
 
 from megalista_spark.functions.hashing import (
@@ -54,8 +56,52 @@ def test_normalize_email(spark):
 
 
 def test_hash_disabled_passthrough(spark):
+    # reference FieldHasher returns the RAW field when hashing is off
+    # (abstract_list_pii_hashing_mapper.py:26-31) — no trimming
     df = spark.createDataFrame([(" John ",)], ["x"])
-    assert df.select(hash_field(F.col("x"), hash_enabled=False)).first()[0] == "John"
+    assert df.select(hash_field(F.col("x"), hash_enabled=False)).first()[0] == " John "
+    # ...and for emails, the NORMALIZED email (ads mapper :34-37)
+    df2 = spark.createDataFrame([("A.b@GMAIL.com",)], ["x"])
+    assert df2.select(hash_email(F.col("x"), hash_enabled=False)).first()[0] == "ab@gmail.com"
+
+
+def _ref_normalize_email(email_address: str) -> str:
+    # verbatim mirror of reference normalize_email (:89-121) for golden vectors
+    import re
+
+    normalized = email_address.lower()
+    parts = normalized.split("@")
+    if len(parts) < 2:
+        return email_address
+    if re.match(r"^(gmail|googlemail)\.com$", parts[1]):
+        parts[0] = parts[0].replace(".", "")
+        normalized = "@".join(parts)
+    return normalized
+
+
+def _ref_hash(field: str) -> str:
+    return hashlib.sha256(field.strip().lower().encode("utf-8")).hexdigest()
+
+
+def test_email_hash_edge_golden_vectors(spark):
+    # padded + malformed + multi-@ emails: byte-parity with the reference
+    # composition hash_field(normalize_email(raw))
+    cases = [
+        "  Ca.Us@GMAIL.com",      # padded local: regex still matches, dots go
+        "a.b@gmail.com  ",        # padded DOMAIN: regex fails, dots stay
+        "NOT-AN-EMAIL",           # malformed: normalize passes through raw
+        "A.b@gmail.com@X.com",    # multi-@: parts[1] gmail → local dots go
+        "a.b@googlemail.com",
+    ]
+    df = spark.createDataFrame([(v,) for v in cases], ["x"])
+    got = [
+        (r["n"], r["h"])
+        for r in df.select(
+            normalize_email(F.col("x")).alias("n"), hash_email(F.col("x")).alias("h")
+        ).collect()
+    ]
+    want = [(_ref_normalize_email(v), _ref_hash(_ref_normalize_email(v))) for v in cases]
+    assert got == want
 
 
 def test_ads_pii_shaping(spark):
