@@ -746,6 +746,59 @@ ORDER BY query_id, rank
 """
 
 
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN over TRAINED k-means centroids: the 2-iteration
+    Lloyd's fit (operators/clustering.py, 6dp re-sync per boundary) feeds
+    ``ivf_cosine_topk(..., centroids=...)`` in place of its lowest-id
+    fallback — the production train-then-index path, oracle-gated end to
+    end (the SQL runs the same unrolled k-means CTEs into the IVF plan)."""
+    from megalista_spark.operators.clustering import kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_centroids(emb, k=8, iters=2)
+    return ivf_cosine_topk(
+        emb, queries, k=10, nprobe=3, centroids=cents
+    ).orderBy("query_id", "rank")
+
+
+def _ivf_trained_sql() -> str:
+    return f"""
+WITH {_KMEANS_CTES},
+cent AS (SELECT cid AS centroid_id, cv FROM c2),
+corpus_scored AS (
+  SELECT e.vid AS neighbor_id, e.v AS cvec, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vid
+                            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS r
+  FROM e CROSS JOIN cent c
+), corpus_assigned AS (
+  SELECT neighbor_id, cvec, centroid_id AS bucket FROM corpus_scored WHERE r = 1
+), q AS (SELECT vid AS query_id, v AS qv FROM e WHERE vid < 5),
+q_scored AS (
+  SELECT q.query_id, q.qv, c.centroid_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS r
+  FROM q CROSS JOIN cent c
+), q_probes AS (
+  SELECT query_id, qv, centroid_id AS bucket FROM q_scored WHERE r <= 3
+), cand AS (
+  SELECT p.query_id, a.neighbor_id,
+         round(list_cosine_similarity(p.qv, a.cvec), 6) AS cos_sim
+  FROM q_probes p JOIN corpus_assigned a USING (bucket)
+  WHERE a.neighbor_id != p.query_id
+), rr AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank
+FROM rr WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -1994,8 +2047,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
-KMEANS_SQL = """
-WITH e AS (
+# Two unrolled Lloyd's iterations (k=8, 6dp re-sync at every boundary) —
+# shared by the k-means oracle and the trained-IVF oracle.
+_KMEANS_CTES = """e AS (
   SELECT vec_id AS vid, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
 ),
 c0 AS (
@@ -2031,7 +2085,10 @@ m2 AS (
   FROM a2 CROSS JOIN generate_series(1, 64) AS t(pos)
   GROUP BY cid, pos
 ),
-c2 AS (SELECT cid, list(mval ORDER BY pos) AS cv FROM m2 GROUP BY cid),
+c2 AS (SELECT cid, list(mval ORDER BY pos) AS cv FROM m2 GROUP BY cid)"""
+
+KMEANS_SQL = f"""
+WITH {_KMEANS_CTES},
 cnt AS (SELECT cid, count(*)::BIGINT AS n_members FROM a2 GROUP BY cid)
 SELECT cnt.cid, n_members, cv[1] AS c0, cv[2] AS c1
 FROM cnt JOIN c2 ON cnt.cid = c2.cid
@@ -2201,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "asof_enrich_clicks": asof_enrich_clicks,
         "percentile_prices": percentile_prices,
         "running_total_per_customer": running_total_per_customer,
@@ -2281,6 +2339,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(32),
         "ann_cosine_topk": ANN_SQL,
         "ann_ivf_topk": IVF_SQL,
+        "ann_ivf_trained_topk": _ivf_trained_sql(),
         "asof_enrich_clicks": ASOF_SQL,
         "percentile_prices": PERCENTILE_SQL,
         "running_total_per_customer": RUNNING_TOTAL_SQL,
