@@ -799,6 +799,33 @@ ORDER BY query_id, rank
 """
 
 
+def grouped_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas surface (SURVEY §2.8 escape hatch),
+    oracle-gated: per-language z-score of document length. The kernel
+    builds group moments from exact integer sums, so the DuckDB oracle
+    reproduces the floats bit-for-bit (see operators/groupedmap.py)."""
+    from megalista_spark.operators.groupedmap import zscore_by_group
+
+    d = _t(spark, sf_dir, "documents")
+    return zscore_by_group(d, "lang", "n_chars", "doc_id").orderBy("doc_id")
+
+
+GROUPED_ZSCORE_SQL = """
+WITH stats AS (
+  SELECT lang,
+         sum(n_chars)::DOUBLE / count(*) AS mean,
+         sum(n_chars * n_chars)::DOUBLE / count(*)
+           - (sum(n_chars)::DOUBLE / count(*)) * (sum(n_chars)::DOUBLE / count(*)) AS var
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       CASE WHEN s.var <= 0 THEN 0.0
+            ELSE round((d.n_chars - s.mean) / sqrt(s.var), 6) END AS zscore
+FROM documents d JOIN stats s USING (lang)
+ORDER BY d.doc_id
+"""
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -2259,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
+        "grouped_zscore_by_lang": grouped_zscore_by_lang,
         "asof_enrich_clicks": asof_enrich_clicks,
         "percentile_prices": percentile_prices,
         "running_total_per_customer": running_total_per_customer,
@@ -2340,6 +2368,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ANN_SQL,
         "ann_ivf_topk": IVF_SQL,
         "ann_ivf_trained_topk": _ivf_trained_sql(),
+        "grouped_zscore_by_lang": GROUPED_ZSCORE_SQL,
         "asof_enrich_clicks": ASOF_SQL,
         "percentile_prices": PERCENTILE_SQL,
         "running_total_per_customer": RUNNING_TOTAL_SQL,

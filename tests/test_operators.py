@@ -277,6 +277,20 @@ def test_near_dup_broadcast_caps_raise(spark):
         embedding_near_dup_pairs(emb, threshold=0.45, max_broadcast_rows=10)
 
 
+def test_grouped_zscore_twins_agree(spark):
+    # the applyInPandas kernel and the declarative two-phase-agg twin must
+    # produce identical rounded z-scores (exact integer moments both ways)
+    from megalista_spark.operators.groupedmap import zscore_by_group, zscore_by_group_expr
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pandas_form = {tuple(r) for r in zscore_by_group(d).collect()}
+    expr_form = {tuple(r) for r in zscore_by_group_expr(d).collect()}
+    assert pandas_form == expr_form and len(pandas_form) == d.count()
+    # z-scores are standardized: per-group mean ~0
+    zs = [r[3] for r in pandas_form]
+    assert abs(sum(zs) / len(zs)) < 1e-6
+
+
 def test_token_count(spark):
     df = docs(spark, [(1, "hello, world 42"), (2, "   "), (3, "a b")])
     out = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"]) for r in token_count(df).collect()}
