@@ -2167,6 +2167,77 @@ FROM est CROSS JOIN t
 """
 
 
+def kmv_set_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra: union + intersection cardinality estimates for
+    (orders customer keys) vs (events user ids) from one merged bottom-k
+    sketch (operators/sketches.py kmv_set_estimates) — estimates exactly
+    reproduced by the oracle, reported next to the true counts."""
+    from megalista_spark.operators.sketches import kmv_set_estimates
+
+    o = _t(spark, sf_dir, "orders")
+    e = _events(spark, sf_dir)
+    est = kmv_set_estimates(o, "o_custkey", e, "user_id", k=256)
+    a_keys = o.select(F.col("o_custkey").alias("key"))
+    b_keys = e.select(F.col("user_id").alias("key"))
+    tu = a_keys.unionByName(b_keys).agg(
+        F.countDistinct("key").alias("true_union")
+    )
+    ti = (
+        a_keys.distinct()
+        .intersect(b_keys.distinct())
+        .agg(F.count(F.lit(1)).alias("true_intersection"))
+    )
+    return est.join(tu).join(ti).select(
+        "est_union", "est_intersection", "true_union", "true_intersection"
+    )
+
+
+KMV_SET_SQL = """
+WITH ha AS (
+  SELECT h, 1 AS in_a, 0 AS in_b FROM (
+    SELECT DISTINCT ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+    FROM orders
+  ) ORDER BY h LIMIT 256
+),
+hb AS (
+  SELECT h, 0 AS in_a, 1 AS in_b FROM (
+    SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+    FROM events
+  ) ORDER BY h LIMIT 256
+),
+merged AS (
+  SELECT h, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM (SELECT * FROM ha UNION ALL SELECT * FROM hb)
+  GROUP BY h ORDER BY h LIMIT 256
+),
+agg0 AS (SELECT count(*) AS cnt, max(h) AS hmax, sum(in_a * in_b) AS n_both FROM merged),
+est1 AS (
+  SELECT cnt, n_both,
+         CASE WHEN cnt < 256 THEN cnt::BIGINT
+              ELSE round((255.0 * 1152921504606846976.0) / hmax)::BIGINT END AS est_union
+  FROM agg0
+),
+est2 AS (
+  SELECT est_union,
+         CASE WHEN cnt < 256 THEN n_both::BIGINT
+              ELSE round(n_both::DOUBLE / 256.0 * est_union::DOUBLE)::BIGINT END AS est_intersection
+  FROM est1
+),
+tu AS (
+  SELECT count(*)::BIGINT AS true_union FROM (
+    SELECT o_custkey AS key FROM orders UNION SELECT user_id FROM events
+  )
+),
+ti AS (
+  SELECT count(*)::BIGINT AS true_intersection FROM (
+    SELECT DISTINCT o_custkey FROM orders INTERSECT SELECT DISTINCT user_id FROM events
+  )
+)
+SELECT est_union, est_intersection, true_union, true_intersection
+FROM est2 CROSS JOIN tu CROSS JOIN ti
+"""
+
+
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline surface: opaque binary content → Arrow-batched
     ``mapInPandas`` feature extraction (operators/multimodal.py). The test
@@ -2287,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "grouped_zscore_by_lang": grouped_zscore_by_lang,
+        "kmv_set_overlap_estimate": kmv_set_overlap_estimate,
         "asof_enrich_clicks": asof_enrich_clicks,
         "percentile_prices": percentile_prices,
         "running_total_per_customer": running_total_per_customer,
@@ -2369,6 +2441,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": IVF_SQL,
         "ann_ivf_trained_topk": _ivf_trained_sql(),
         "grouped_zscore_by_lang": GROUPED_ZSCORE_SQL,
+        "kmv_set_overlap_estimate": KMV_SET_SQL,
         "asof_enrich_clicks": ASOF_SQL,
         "percentile_prices": PERCENTILE_SQL,
         "running_total_per_customer": RUNNING_TOTAL_SQL,

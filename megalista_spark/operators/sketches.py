@@ -57,3 +57,61 @@ def kmv_distinct_count(
         )
         .alias("est_distinct")
     )
+
+
+def kmv_set_estimates(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """Union/intersection cardinality estimates from ONE shared bottom-k
+    sketch — the closure property that makes KMV a set algebra, not just a
+    counter: the bottom-k of A ∪ B is computable from the two per-set
+    sketches, and the fraction ρ of those k minima present in BOTH sets
+    estimates the Jaccard index, so |A∩B| ≈ ρ · |A∪B|.
+
+    One row: (est_union, est_intersection) bigint. Below k distinct
+    hashes both answers are EXACT (every hash is in the sketch).
+
+    Scale: each side is a scan + map-side-combined distinct on the 8-byte
+    hash; the merge is a union of two ≤k-row sketches under flag-OR, then
+    a k-row aggregate. Nothing wide ever exceeds k rows per partition.
+    """
+    ha = (
+        df_a.select(portable_hash64(F.col(col_a).cast("string")).alias("h"))
+        .groupBy("h")
+        .agg(F.lit(1))
+        .select("h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .orderBy("h")
+        .limit(k)
+    )
+    hb = (
+        df_b.select(portable_hash64(F.col(col_b).cast("string")).alias("h"))
+        .groupBy("h")
+        .agg(F.lit(1))
+        .select("h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        .orderBy("h")
+        .limit(k)
+    )
+    merged = (
+        ha.unionByName(hb)
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .orderBy("h")
+        .limit(k)
+    )
+    cnt = F.count(F.lit(1))
+    est_union = F.when(cnt < k, cnt.cast("bigint")).otherwise(
+        F.round((F.lit(float(k - 1)) * F.lit(HASH_SPACE)) / F.max("h")).cast("bigint")
+    )
+    both = F.sum(F.col("in_a") * F.col("in_b"))
+    est_inter = F.when(cnt < k, both.cast("bigint")).otherwise(
+        F.round(
+            both.cast("double") / F.lit(float(k)) * est_union.cast("double")
+        ).cast("bigint")
+    )
+    return merged.agg(
+        est_union.alias("est_union"), est_inter.alias("est_intersection")
+    )

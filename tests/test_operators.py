@@ -277,6 +277,28 @@ def test_near_dup_broadcast_caps_raise(spark):
         embedding_near_dup_pairs(emb, threshold=0.45, max_broadcast_rows=10)
 
 
+def test_kmv_set_estimates_exact_below_k(spark):
+    # below k distinct hashes the sketch IS the set — union and
+    # intersection must be exact
+    from megalista_spark.operators.sketches import kmv_set_estimates
+
+    a = spark.createDataFrame([(i,) for i in range(40)], ["x"])
+    b = spark.createDataFrame([(i,) for i in range(25, 60)], ["y"])
+    row = kmv_set_estimates(a, "x", b, "y", k=256).first()
+    assert row["est_union"] == 60 and row["est_intersection"] == 15
+
+
+def test_kmv_set_estimates_approx_above_k(spark):
+    from megalista_spark.operators.sketches import kmv_set_estimates
+
+    a = spark.createDataFrame([(i,) for i in range(3000)], ["x"])
+    b = spark.createDataFrame([(i,) for i in range(1500, 4500)], ["y"])
+    row = kmv_set_estimates(a, "x", b, "y", k=256).first()
+    # true union 4500, true intersection 1500; k=256 → ~6% std error
+    assert abs(row["est_union"] - 4500) / 4500 < 0.25
+    assert abs(row["est_intersection"] - 1500) / 1500 < 0.4
+
+
 def test_grouped_zscore_twins_agree(spark):
     # the applyInPandas kernel and the declarative two-phase-agg twin must
     # produce identical rounded z-scores (exact integer moments both ways)
