@@ -2062,6 +2062,73 @@ ORDER BY purchase_id, click_id
 """
 
 
+def streaming_attribution_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join, oracle-gated: purchases
+    with their attributable clicks, plus one null row per unmatched
+    purchase once the watermark proves no click can still arrive
+    (streaming/events.py::stream_attribution_left_join). The oracle
+    reproduces Spark's state-expiry contract in SQL: null rows appear
+    exactly for unmatched purchases older than
+    min(max click ts, max purchase ts) - watermark delay."""
+    from megalista_spark.streaming.events import (
+        read_events_stream,
+        stream_attribution_left_join,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def side(tcol: str, etype: str) -> DataFrame:
+        return (
+            read_events_stream(spark, f"{sf_dir}/events.parquet")
+            .where(F.col("event_type") == etype)
+            .select(F.col("event_id").alias(f"{etype}_id"), F.col("ts").alias(tcol))
+        )
+
+    joined = stream_attribution_left_join(
+        side("c_ts", "click"), side("p_ts", "purchase"),
+        window_seconds=300, watermark="2 hours",
+    )
+    name = "_streaming_attribution_outer"
+    q = (
+        joined.select("purchase_id", "click_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("purchase_id", "click_id")
+
+
+STREAMING_ATTRIBUTION_OUTER_SQL = """
+WITH c AS (SELECT event_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) - INTERVAL 2 HOUR AS w
+),
+matched AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id
+  FROM p JOIN c ON c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+),
+unmatched AS (
+  SELECT p.event_id AS purchase_id, NULL::BIGINT AS click_id
+  FROM p, wm
+  WHERE p.ts < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM c WHERE c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+    )
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM unmatched
+ORDER BY purchase_id, click_id
+"""
+
+
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative algorithm surface: 2 Lloyd's k-means iterations over the
     embedding corpus (operators/clustering.py) — assignment is a broadcast
@@ -2372,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect_customers": set_intersect_customers,
         "streaming_hourly_rollup": streaming_hourly_rollup,
         "streaming_attribution_join": streaming_attribution_join,
+        "streaming_attribution_left_join": streaming_attribution_left_join,
         "bucketed_colocated_join": bucketed_colocated_join,
         "multimodal_image_features": multimodal_image_features,
         "kmeans_embeddings": kmeans_embeddings,
@@ -2422,6 +2490,7 @@ def oracle_sql() -> dict[str, str]:
         # micro-batch → complete mode ≡ batch semantics (see docstring)
         "streaming_hourly_rollup": HOURLY_SQL,
         "streaming_attribution_join": STREAMING_ATTRIBUTION_SQL,
+        "streaming_attribution_left_join": STREAMING_ATTRIBUTION_OUTER_SQL,
         "bucketed_colocated_join": BUCKETED_JOIN_SQL,
         "multimodal_image_features": MULTIMODAL_SQL,
         "kmeans_embeddings": KMEANS_SQL,

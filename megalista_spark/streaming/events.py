@@ -194,6 +194,64 @@ def stream_attribution_join(
     ).drop("_bin")
 
 
+def stream_attribution_left_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_seconds: int = 300,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every purchase, with its
+    attributable clicks, or one all-null click row once the watermark
+    proves no click can still arrive.
+
+    The bin explode sits on the CLICK side here (each click covers the
+    bins of purchases it could serve, ``[bin(c_ts), bin(c_ts+window)]``),
+    while a purchase keeps its single bin — that inversion is what makes
+    outer semantics correct: an exploded left side would emit a spurious
+    null row for every bin copy that found no match even when another
+    copy matched. With the left side un-exploded, each (purchase, click)
+    pair meets exactly once and an unmatched purchase is exactly one
+    state row.
+
+    State-timeout semantics (this is the "state expiry" contract): a
+    purchase is held in join state until the global watermark passes
+    ``p_ts`` — the join condition ``c_ts <= p_ts`` means any still-future
+    click can no longer match it — at which point Spark evicts it and
+    emits the null row. Purchases younger than the final watermark stay
+    buffered (correct: a real deployment might still see their clicks),
+    so an ``availableNow`` replay emits null rows only for purchases
+    older than ``min(max c_ts, max p_ts) - watermark``.
+    """
+    c = (
+        clicks.withWatermark("c_ts", watermark)
+        .withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    (F.unix_timestamp(F.col("c_ts")) / window_seconds).cast("bigint"),
+                    (
+                        (F.unix_timestamp(F.col("c_ts")) + window_seconds)
+                        / window_seconds
+                    ).cast("bigint"),
+                )
+            ),
+        )
+    )
+    p = (
+        purchases.withWatermark("p_ts", watermark)
+        .withColumn(
+            "_bin", (F.unix_timestamp(F.col("p_ts")) / window_seconds).cast("bigint")
+        )
+    )
+    return p.join(
+        c,
+        (p["_bin"] == c["_bin"])
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"interval {window_seconds} seconds"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).drop("_bin")
+
+
 USER_STATS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -138,6 +138,56 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert got == expected
 
 
+def test_stream_left_outer_join_emits_unmatched_at_watermark(spark, tmp_path):
+    # state-timeout contract: an unmatched purchase emits its null row
+    # once the watermark passes p_ts; a purchase still inside the
+    # watermark horizon stays buffered and emits NOTHING
+    from megalista_spark.streaming.events import stream_attribution_left_join
+
+    base = 1_700_000_000  # epoch seconds
+    rows = [
+        # (event_id, ts_nanos, user_id, event_type, value, props)
+        (1, (base + 1000) * 10**9, 1, "click", 1.0, "{}"),
+        (2, (base + 1100) * 10**9, 1, "purchase", 9.0, "{}"),  # matches click 1
+        (3, (base + 5000) * 10**9, 2, "purchase", 5.0, "{}"),  # unmatched, OLD
+        (4, (base + 9900) * 10**9, 3, "purchase", 7.0, "{}"),  # unmatched, RECENT
+        (5, (base + 10000) * 10**9, 9, "click", 1.0, "{}"),
+    ]
+    src = tmp_path / "events_src"
+    spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.parquet(str(src))
+
+    def side(tcol, etype):
+        return (
+            read_events_stream(spark, str(src))
+            .where(F.col("event_type") == etype)
+            .select(F.col("event_id").alias(f"{etype}_id"), F.col("ts").alias(tcol))
+        )
+
+    joined = stream_attribution_left_join(
+        side("c_ts", "click"), side("p_ts", "purchase"),
+        window_seconds=300, watermark="1 hour",
+    )
+    q = (
+        joined.select("purchase_id", "click_id")
+        .writeStream.format("memory")
+        .queryName("outer_join_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM outer_join_out").collect()
+    }
+    # watermark = min(max c_ts, max p_ts) - 1h = base+6300:
+    # purchase 2 matched, purchase 3 expired→null row, purchase 4 buffered
+    assert got == {(2, 1), (3, None)}
+
+
 def test_stream_attribution_join_matches_batch(spark, tmp_path):
     from megalista_spark.streaming.events import stream_attribution_join
 
