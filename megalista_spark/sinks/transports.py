@@ -84,6 +84,61 @@ class MockTransport(Transport):
         return [r for r in payload if not self.fail_predicate(r)]
 
 
+class ConcurrentSendTransport(Transport):
+    """Bounded-concurrency per-row dispatch — the reference's async
+    AppsFlyer uploader re-expressed (appsflyer_s2s_uploader_async.py:
+    101-139: one asyncio task per element gathered under a shared HTTP
+    session, per-element retry ≤3 with linear backoff on EXCEPTIONS only,
+    then a post-batch sleep stretching the batch to ≥ n/rate seconds).
+
+    Here the dispatch is a thread pool (aiohttp is not in this
+    environment and the send is I/O-bound, so threads are equivalent);
+    ``max_concurrency`` bounds in-flight sends per partition — total
+    in-flight against the API is max_concurrency × upload partitions,
+    both knobs explicit. Subclasses implement ``send_one(row, context)
+    -> bool`` (True accepted, False rejected-no-retry, raise to retry).
+    """
+
+    def __init__(
+        self,
+        max_concurrency: int = 8,
+        events_per_sec: float | None = None,
+        max_retries: int = 3,
+    ):
+        self.max_concurrency = max_concurrency
+        self.events_per_sec = events_per_sec
+        self.max_retries = max_retries
+
+    def send_one(self, row: Row, context: dict[str, Any]) -> bool:
+        raise NotImplementedError
+
+    def send(self, payload: list[Row], context: dict[str, Any]) -> list[Row]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        start = time.monotonic()
+
+        def attempt(row: Row) -> Row | None:
+            for r in range(1, self.max_retries + 1):
+                try:
+                    return row if self.send_one(row, context) else None
+                except Exception:
+                    if r < self.max_retries:
+                        time.sleep(min(0.05 * r, 1.0))
+            return None
+
+        with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
+            results = list(pool.map(attempt, payload))
+        accepted = [r for r in results if r is not None]
+        # post-batch pacing (reference :131-136): stretch the batch to the
+        # rate floor rather than throttling inside the hot dispatch loop
+        if self.events_per_sec:
+            min_duration = len(payload) / self.events_per_sec
+            elapsed = time.monotonic() - start
+            if elapsed < min_duration:
+                time.sleep(min_duration - elapsed)
+        return accepted
+
+
 class RateLimiter:
     """Client-side rate limit, events/second (reference AppsFlyer throttle,
     appsflyer_s2s_uploader_async.py:135-139). Sleep-based, per-partition."""

@@ -38,6 +38,49 @@ def test_accepted_rows_matched_by_value_not_identity(spark):
     assert ok == [i for i in range(50) if i % 5 != 0]
 
 
+def test_concurrent_sender_bounds_inflight_and_keeps_rate():
+    import threading
+    import time as _time
+
+    from megalista_spark.sinks.transports import ConcurrentSendTransport
+
+    class Probe(ConcurrentSendTransport):
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            self._lock = threading.Lock()
+            self._inflight = 0
+            self.max_inflight = 0
+            self.attempts: dict[int, int] = {}
+
+        def send_one(self, row, context):
+            with self._lock:
+                self._inflight += 1
+                self.max_inflight = max(self.max_inflight, self._inflight)
+                self.attempts[row["i"]] = self.attempts.get(row["i"], 0) + 1
+                n_attempt = self.attempts[row["i"]]
+            try:
+                _time.sleep(0.005)
+                if row["i"] == 7 and n_attempt == 1:
+                    raise RuntimeError("transient")  # retried
+                return row["i"] != 13  # 13 rejected, never retried
+            finally:
+                with self._lock:
+                    self._inflight -= 1
+
+    t = Probe(max_concurrency=4, events_per_sec=200)
+    rows = [{"i": i} for i in range(40)]
+    start = _time.monotonic()
+    accepted = t.send(rows, {})
+    duration = _time.monotonic() - start
+    assert sorted(r["i"] for r in accepted) == [i for i in range(40) if i != 13]
+    # in-flight stayed within the bound AND real concurrency happened
+    assert 1 < t.max_inflight <= 4
+    # exceptions retried, plain rejections not
+    assert t.attempts[7] == 2 and t.attempts[13] == 1
+    # rate floor: 40 events at 200/s can't finish faster than 0.2s
+    assert duration >= 40 / 200
+
+
 def test_retry_then_succeed(spark):
     df = spark.createDataFrame([(i,) for i in range(10)], ["k"])
     transport = MockTransport(fail_chunks_until_attempt=2)  # 1st attempt fails
