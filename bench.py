@@ -73,6 +73,9 @@ HEADLINE = [
     "attribution_range_join",
     "unpivot_lineitem_metrics",
     "kmv_distinct_estimate",
+    "ann_ivf_trained_topk",
+    "grouped_zscore_by_lang",
+    "kmv_set_overlap_estimate",
 ]
 
 
@@ -96,13 +99,21 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # Two passes per query: the first (cold) pays per-plan codegen/JIT —
+    # at sf0.1 that is ~50% of most cold times — the second (warm) is the
+    # steady-state cost a long-lived session sees and the number to watch
+    # for plan regressions. "queries"/"value" stay the cold numbers for
+    # round-over-round comparability with BENCH_r01.
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        t1 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        warm[name] = round(time.perf_counter() - t1, 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -112,6 +123,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warm_total": round(sum(warm.values()), 3),
+                "queries_warm": warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
