@@ -215,6 +215,53 @@ def test_range_join_binned_matches_naive(spark):
     assert got == naive == {(1, 10), (1, 11), (2, 11)}
 
 
+def test_salted_range_join_spreads_hot_bin(spark):
+    # 90% of points land in ONE 5-minute bin (a viral moment). The salted
+    # form must (a) return the identical rows and (b) cut the maximum
+    # shuffle-key group — the lower bound on any reducer's task input —
+    # by >= 4x.
+    import datetime as dt
+
+    from megalista_spark.operators.rangejoin import (
+        range_join_binned,
+        range_join_binned_salted,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    hot = [(i, base + dt.timedelta(seconds=(i * 7) % 300)) for i in range(1800)]
+    cold = [
+        (10_000 + i, base + dt.timedelta(seconds=600 + i * 290)) for i in range(200)
+    ]
+    pts = spark.createDataFrame(hot + cold, ["pid", "ts"])
+    ivs = spark.createDataFrame(
+        [
+            (1, base - dt.timedelta(seconds=60), base + dt.timedelta(seconds=400)),
+            (2, base + dt.timedelta(seconds=9_000), base + dt.timedelta(seconds=40_000)),
+        ],
+        ["iid", "s", "e"],
+    )
+    plain = range_join_binned(pts, ivs, "ts", "s", "e", bin_seconds=300)
+    salted = range_join_binned_salted(pts, ivs, "ts", "s", "e", bin_seconds=300, salt=16)
+    assert {(r["pid"], r["iid"]) for r in salted.collect()} == {
+        (r["pid"], r["iid"]) for r in plain.collect()
+    }
+
+    # reducer-load model: rows per shuffle key, before vs after salting
+    bin_col = (F.unix_timestamp("ts") / 300).cast("bigint")
+    plain_max = (
+        pts.groupBy(bin_col.alias("b")).count().agg(F.max("count")).first()[0]
+    )
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in pts.columns]), F.lit(16))
+    salted_max = (
+        pts.groupBy(bin_col.alias("b"), salt_col.alias("s"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert plain_max >= 1800  # the hot bin really is hot
+    assert plain_max / salted_max >= 4
+
+
 def test_kmeans_deterministic_and_partitions_corpus(spark):
     from megalista_spark.operators.clustering import kmeans_fit
 
