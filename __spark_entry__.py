@@ -1034,6 +1034,55 @@ ORDER BY id_a, id_b
 
 
 
+def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-GROUP resolution — the stage after pair generation in a
+    dedup pipeline: near-dup pairs (cosine >= 0.45, blocked exact GEMM)
+    → fixed-iteration min-label propagation (operators/dedup.py::
+    min_label_groups, 3 Pregel-style rounds) → (id, group_label,
+    is_canonical) over the whole corpus. Oracle unrolls the same three
+    rounds as CTEs over the same pair SQL."""
+    from megalista_spark.operators.dedup import min_label_groups
+    from megalista_spark.operators.similarity import embedding_near_dup_pairs_blocked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs_blocked(emb, threshold=0.45)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return min_label_groups(pairs, nodes, iters=3).orderBy("id")
+
+
+def _near_dup_groups_sql(iters: int = 3) -> str:
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""l{k} AS (
+  SELECT n.id, least(n.label, coalesce(min(m.label), n.label)) AS label
+  FROM l{k-1} n
+  LEFT JOIN edges ed ON ed.src = n.id
+  LEFT JOIN l{k-1} m ON m.id = ed.dst
+  GROUP BY n.id, n.label
+)"""
+        )
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM prs
+),
+l0 AS (SELECT vec_id AS id, vec_id AS label FROM e),
+{rounds_sql}
+SELECT id, label AS group_label, (id = label) AS is_canonical
+FROM l{iters}
+ORDER BY id
+"""
+
+
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D6: JSON column decode — parse the events props JSON and aggregate
     on the extracted field (from_json with explicit schema; the scan only
@@ -2426,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "grouped_zscore_by_lang": grouped_zscore_by_lang,
         "kmv_set_overlap_estimate": kmv_set_overlap_estimate,
+        "near_dup_groups": near_dup_groups,
         "asof_enrich_clicks": asof_enrich_clicks,
         "percentile_prices": percentile_prices,
         "running_total_per_customer": running_total_per_customer,
@@ -2511,6 +2561,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained_topk": _ivf_trained_sql(),
         "grouped_zscore_by_lang": GROUPED_ZSCORE_SQL,
         "kmv_set_overlap_estimate": KMV_SET_SQL,
+        "near_dup_groups": _near_dup_groups_sql(),
         "asof_enrich_clicks": ASOF_SQL,
         "percentile_prices": PERCENTILE_SQL,
         "running_total_per_customer": RUNNING_TOTAL_SQL,

@@ -464,3 +464,65 @@ def simhash_near_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# -------------------------------------------------- duplicate-group resolution
+
+
+def min_label_groups(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    id_col: str = "id",
+) -> DataFrame:
+    """The last stage of a dedup pipeline: near-dup PAIRS → duplicate
+    GROUPS → a canonical representative per group.
+
+    Fixed-iteration min-label propagation (the deterministic core of
+    connected components): every node starts labeled with its own id;
+    each round it takes the minimum label over itself and its neighbors.
+    After ``iters`` rounds the label is the minimum id within ``iters``
+    hops — for near-dup graphs (tiny star/clique components) 3 rounds is
+    exhaustive, and the fixed count makes the operator a pure function
+    the SQL oracle unrolls as CTEs (same portability trick as k-means).
+
+    Output: (id, group_label, is_canonical) for EVERY node in ``nodes``;
+    singletons are their own group. Keep ``is_canonical`` rows and you
+    have the deduplicated corpus; group on ``group_label`` and you have
+    the duplicate clusters.
+
+    Scale: each round is one groupBy on the edge destination + one join
+    back — shuffle ∝ edges, the classic Pregel round. Labels persist per
+    round (the corpus-persist discipline of clustering.py: iterative
+    lineage otherwise re-runs every prior round per reference). For
+    web-scale graphs with deep components swap in alternating
+    star-contraction; near-dup components are shallow by construction.
+    """
+    a, b = pair_cols
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(iters):
+        nb_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        labels = (
+            labels.join(nb_min, labels["id"] == nb_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+    return labels.select(
+        "id",
+        F.col("label").alias("group_label"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )

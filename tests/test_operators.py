@@ -324,6 +324,25 @@ def test_near_dup_broadcast_caps_raise(spark):
         embedding_near_dup_pairs(emb, threshold=0.45, max_broadcast_rows=10)
 
 
+def test_min_label_groups_resolves_components(spark):
+    # chain 1-2-3, clique 10-11-12, singleton 99: 3 rounds must settle all
+    from megalista_spark.operators.dedup import min_label_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 12, 99)], ["id"])
+    got = {
+        r["id"]: (r["group_label"], r["is_canonical"])
+        for r in min_label_groups(pairs, nodes, iters=3).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False), 12: (10, False),
+        99: (99, True),
+    }
+
+
 def test_kmv_set_estimates_exact_below_k(spark):
     # below k distinct hashes the sketch IS the set — union and
     # intersection must be exact
