@@ -586,6 +586,54 @@ WITH toks AS MATERIALIZED (
 """
 
 
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.py::decontaminate):
+    the 10% hash-sampled 'benchmark' split vs the remaining 90% 'train'
+    split; a train doc is contaminated when it shares any word 13-gram
+    with a benchmark doc. Benchmark shingle hashes broadcast; the train
+    side never shuffles except the per-doc hit count."""
+    from megalista_spark.operators.curation import decontaminate
+    from megalista_spark.operators.sampling import sample_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(sample_bucket(F.col("doc_id"), "bench") < 1000)
+    train = d.where(sample_bucket(F.col("doc_id"), "bench") >= 1000)
+    return decontaminate(train, bench, n=13).orderBy("doc_id")
+
+
+def _decontaminate_sql(n: int = 13) -> str:
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS w
+  FROM documents
+), sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, greatest(len(w) - {n - 1}, 1) + 1),
+                          i -> array_to_string(w[i:i+{n - 1}], ' '))) AS shingles
+  FROM toks
+), bench AS (
+  SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM sh, unnest(shingles) AS u(s)
+  WHERE {_bucket_sql('doc_id', 'bench')} < 1000
+), train AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM sh, unnest(shingles) AS u(s)
+  WHERE {_bucket_sql('doc_id', 'bench')} >= 1000
+), hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_contaminated_shingles
+  FROM train JOIN bench USING (h)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_contaminated_shingles, 0)::BIGINT AS n_contaminated_shingles,
+       coalesce(h.n_contaminated_shingles, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE {_bucket_sql('doc_id', 'bench')} >= 1000
+ORDER BY doc_id
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, n=3, threshold=0.5).orderBy("doc_a", "doc_b")
@@ -2476,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_zscore_by_lang": grouped_zscore_by_lang,
         "kmv_set_overlap_estimate": kmv_set_overlap_estimate,
         "near_dup_groups": near_dup_groups,
+        "decontaminate_docs": decontaminate_docs,
         "asof_enrich_clicks": asof_enrich_clicks,
         "percentile_prices": percentile_prices,
         "running_total_per_customer": running_total_per_customer,
@@ -2562,6 +2611,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_zscore_by_lang": GROUPED_ZSCORE_SQL,
         "kmv_set_overlap_estimate": KMV_SET_SQL,
         "near_dup_groups": _near_dup_groups_sql(),
+        "decontaminate_docs": _decontaminate_sql(),
         "asof_enrich_clicks": ASOF_SQL,
         "percentile_prices": PERCENTILE_SQL,
         "running_total_per_customer": RUNNING_TOTAL_SQL,

@@ -558,3 +558,24 @@ def test_embedding_lsh_finds_identical_vectors(spark):
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in rows] == [(0, 1)]
     assert rows[0]["cos_sim"] == 1.0
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    from megalista_spark.operators.curation import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma suffix words here"),  # shares a 3-gram
+            (2, "totally different content with no overlap at all"),
+            (3, "alpha beta gamma delta epsilon"),  # exact copy: 3 distinct 3-grams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_contaminated_shingles"], r["contaminated"])
+        for r in decontaminate(train, bench, n=3).collect()
+    }
+    assert got == {1: (1, True), 2: (0, False), 3: (3, True)}
