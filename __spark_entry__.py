@@ -634,6 +634,39 @@ ORDER BY doc_id
 """
 
 
+def repetition_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality stats + pass flag per document
+    (operators/curation.py::repetition_stats) — zero-shuffle expression
+    fold over the token array."""
+    from megalista_spark.operators.curation import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d).orderBy("doc_id")
+
+
+REPETITION_SQL = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, w, len(w) AS n,
+    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) ELSE [] END AS bi,
+    CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' ')) ELSE [] END AS tri
+  FROM toks
+), s AS (
+  SELECT doc_id, n::BIGINT AS n_tokens,
+    round(CASE WHEN n > 0 THEN coalesce(list_max(list_transform(list_distinct(w), d -> len(list_filter(w, x -> x = d)))), 0) / n ELSE 0.0 END, 6) AS top_token_frac,
+    round(CASE WHEN len(bi) > 0 THEN coalesce(list_max(list_transform(list_distinct(bi), d -> len(list_filter(bi, x -> x = d)))), 0) / len(bi) ELSE 0.0 END, 6) AS top_bigram_frac,
+    round(CASE WHEN len(tri) > 0 THEN coalesce(list_sum(list_transform(list_distinct(tri), d -> CASE WHEN len(list_filter(tri, x -> x = d)) > 1 THEN len(list_filter(tri, x -> x = d)) ELSE 0 END)), 0) / len(tri) ELSE 0.0 END, 6) AS dup_trigram_frac
+  FROM g
+)
+SELECT doc_id, n_tokens, top_token_frac, top_bigram_frac, dup_trigram_frac,
+       (top_token_frac <= 0.12 AND top_bigram_frac <= 0.07 AND dup_trigram_frac <= 0.10) AS passes_repetition
+FROM s
+ORDER BY doc_id
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, n=3, threshold=0.5).orderBy("doc_a", "doc_b")
@@ -2525,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_overlap_estimate": kmv_set_overlap_estimate,
         "near_dup_groups": near_dup_groups,
         "decontaminate_docs": decontaminate_docs,
+        "repetition_filter_docs": repetition_filter_docs,
         "asof_enrich_clicks": asof_enrich_clicks,
         "percentile_prices": percentile_prices,
         "running_total_per_customer": running_total_per_customer,
@@ -2612,6 +2646,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_set_overlap_estimate": KMV_SET_SQL,
         "near_dup_groups": _near_dup_groups_sql(),
         "decontaminate_docs": _decontaminate_sql(),
+        "repetition_filter_docs": REPETITION_SQL,
         "asof_enrich_clicks": ASOF_SQL,
         "percentile_prices": PERCENTILE_SQL,
         "running_total_per_customer": RUNNING_TOTAL_SQL,

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from megalista_spark.operators.dedup import (
     _tokenized,
     portable_hash64,
@@ -80,4 +82,97 @@ def decontaminate(
                 "contaminated"
             ),
         )
+    )
+
+
+# ------------------------------------------------ repetition quality filters
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """NON-distinct word n-grams (repetition stats need multiplicities;
+    contrast ``dedup.shingles_from_tokens`` which distinct-collapses).
+    Fewer than ``n`` tokens → empty array."""
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _mode_count(grams: Column) -> Column:
+    """Occurrence count of the most frequent element (0 for empty)."""
+    return F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(grams),
+                lambda d: F.size(F.filter(grams, lambda x: x == d)),
+            )
+        ),
+        F.lit(0),
+    )
+
+
+def _dup_count(grams: Column) -> Column:
+    """Number of occurrences belonging to any element that occurs more
+    than once (the 'duplicate n-gram fraction' numerator)."""
+    return F.coalesce(
+        F.aggregate(
+            F.transform(
+                F.array_distinct(grams),
+                lambda d: F.size(F.filter(grams, lambda x: x == d)),
+            ),
+            F.lit(0),
+            lambda acc, c: acc + F.when(c > 1, c).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_token_frac: float = 0.12,
+    max_top_bigram_frac: float = 0.07,
+    max_dup_trigram_frac: float = 0.10,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public
+    methodology): documents dominated by a single token, a single 2-gram,
+    or duplicated 3-grams are boilerplate/spam and get filtered before
+    training. Newline-free corpora (this one) use token n-gram stats; the
+    line-based variants are the same shape over ``split(text, '\\n')``.
+
+    Output per doc: ``(doc_id, n_tokens, top_token_frac, top_bigram_frac,
+    dup_trigram_frac, passes_repetition)``; fractions rounded to 6dp,
+    empty/short docs score 0.0 (and pass).
+
+    Scale: pure per-row array expressions — zero shuffle, scan speed,
+    full column pruning. The mode-count is O(distinct·len) per document;
+    for adversarially long documents swap in the explode + two-stage
+    groupBy form (one (id, gram) shuffle) — at web-corpus document sizes
+    the expression form wins because nothing ever leaves the row.
+    """
+    toked = _tokenized(df, text_col, id_col)
+    toks = F.col("_toks")
+    bi, tri = _grams(toks, 2), _grams(toks, 3)
+    n_tok = F.size(toks)
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0)), 6
+    )
+    out = toked.select(
+        F.col("id").alias(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        frac(_mode_count(toks), n_tok).alias("top_token_frac"),
+        frac(_mode_count(bi), F.size(bi)).alias("top_bigram_frac"),
+        frac(_dup_count(tri), F.size(tri)).alias("dup_trigram_frac"),
+    )
+    return out.withColumn(
+        "passes_repetition",
+        (F.col("top_token_frac") <= max_token_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        & (F.col("dup_trigram_frac") <= max_dup_trigram_frac),
     )
