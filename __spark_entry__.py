@@ -667,6 +667,82 @@ ORDER BY doc_id
 """
 
 
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.py::
+    pack_sequences): documents laid end-to-end in 8 hash shards, token
+    stream cut into 512-token packs, straddling docs sliced across the
+    boundary. One parallel window per shard — no global sort."""
+    from megalista_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=512, n_shards=8).orderBy(
+        "shard", "pack_id", "pack_tok_start", "doc_id"
+    )
+
+
+PACK_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(trim(text), '\s+'), t -> t != ''))::BIGINT AS n,
+    ('0x' || substr(md5('pack|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM documents
+), nz AS (
+  SELECT doc_id, n, h, (h % 8)::BIGINT AS shard FROM base WHERE n > 0
+), laid AS (
+  SELECT shard, doc_id, n,
+    (coalesce(sum(n) OVER (PARTITION BY shard ORDER BY h, doc_id), 0) - n)::BIGINT AS tok_off
+  FROM nz
+), spans AS (
+  SELECT shard, doc_id, n, tok_off, (tok_off // 512) AS p0, ((tok_off + n - 1) // 512) AS p1
+  FROM laid
+), ex AS (
+  SELECT shard, doc_id, n, tok_off, unnest(generate_series(p0, p1)) AS pack_id
+  FROM spans
+)
+SELECT shard, pack_id::BIGINT AS pack_id, doc_id,
+  (greatest(pack_id * 512, tok_off) - pack_id * 512)::BIGINT AS pack_tok_start,
+  (greatest(pack_id * 512, tok_off) - tok_off)::BIGINT AS doc_tok_start,
+  (least((pack_id + 1) * 512, tok_off + n) - tok_off)::BIGINT AS doc_tok_end
+FROM ex
+ORDER BY shard, pack_id, pack_tok_start, doc_id
+"""
+
+
+def chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping retrieval chunking (operators/packing.py::
+    chunk_documents): 32-token windows every 24 tokens, tail window
+    shorter, per-row explode with zero shuffle."""
+    from megalista_spark.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+CHUNK_SQL = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS w
+  FROM documents
+), nz AS (
+  SELECT doc_id, w, len(w)::BIGINT AS n FROM toks WHERE len(w) > 0
+), c AS (
+  SELECT doc_id, w, n,
+    CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+  FROM nz
+), ex AS (
+  SELECT doc_id, w, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM c
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+  (chunk_idx * 24)::BIGINT AS tok_start,
+  least(chunk_idx * 24 + 32, n)::BIGINT AS tok_end,
+  array_to_string(w[(chunk_idx * 24 + 1)::INT : least(chunk_idx * 24 + 32, n)::INT], ' ') AS chunk_text
+FROM ex
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, n=3, threshold=0.5).orderBy("doc_a", "doc_b")
@@ -2559,6 +2635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups": near_dup_groups,
         "decontaminate_docs": decontaminate_docs,
         "repetition_filter_docs": repetition_filter_docs,
+        "pack_training_sequences": pack_training_sequences,
+        "chunk_docs_overlap": chunk_docs_overlap,
         "asof_enrich_clicks": asof_enrich_clicks,
         "percentile_prices": percentile_prices,
         "running_total_per_customer": running_total_per_customer,
@@ -2647,6 +2725,8 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_groups": _near_dup_groups_sql(),
         "decontaminate_docs": _decontaminate_sql(),
         "repetition_filter_docs": REPETITION_SQL,
+        "pack_training_sequences": PACK_SQL,
+        "chunk_docs_overlap": CHUNK_SQL,
         "asof_enrich_clicks": ASOF_SQL,
         "percentile_prices": PERCENTILE_SQL,
         "running_total_per_customer": RUNNING_TOTAL_SQL,

@@ -601,3 +601,53 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert got[4]["n_tokens"] == 0 and got[4]["top_token_frac"] == 0.0
     # single-token doc fails only if ttf threshold; 1.0 > 0.12 → fails
     assert not got[3]["passes_repetition"] and not got[4]["passes_repetition"] or True
+
+
+def test_pack_sequences_invariants(spark):
+    from megalista_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(20 + i))) for i in range(30)]
+        + [(100, "")],  # empty doc must vanish
+        ["doc_id", "text"],
+    )
+    rows = pack_sequences(docs, budget=64, n_shards=2).collect()
+    assert all(r["doc_id"] != 100 for r in rows)
+    # doc slices tile each document exactly: union of [start,end) == [0,n)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["doc_tok_start"], r["doc_tok_end"]))
+    for d, spans in by_doc.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+        assert spans[-1][1] == 20 + d
+    # every pack except each shard's last is exactly the budget
+    packs = {}
+    for r in rows:
+        key = (r["shard"], r["pack_id"])
+        packs[key] = max(
+            packs.get(key, 0), r["pack_tok_start"] + r["doc_tok_end"] - r["doc_tok_start"]
+        )
+    for (shard, pid), filled in packs.items():
+        last = max(p for s, p in packs if s == shard)
+        if pid < last:
+            assert filled == 64, (shard, pid, filled)
+
+
+def test_chunk_documents_coverage(spark):
+    from megalista_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{j}" for j in range(10))),   # shorter than one chunk
+         (2, " ".join(f"w{j}" for j in range(33))),   # one boundary straddle
+         (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(docs, chunk_tokens=32, stride=24).collect()
+    assert all(r["doc_id"] != 3 for r in rows)
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert len(d1) == 1 and d1[0]["tok_start"] == 0 and d1[0]["tok_end"] == 10
+    assert d1[0]["chunk_text"].split() == [f"w{j}" for j in range(10)]
+    d2 = sorted((r["tok_start"], r["tok_end"]) for r in rows if r["doc_id"] == 2)
+    assert d2 == [(0, 32), (24, 33)]  # full coverage with overlap, short tail
