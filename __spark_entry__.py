@@ -667,6 +667,89 @@ ORDER BY doc_id
 """
 
 
+def pii_redact_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/curation.py::pii_redact) over a
+    deterministic synthetic contact-card text built from the customer
+    table (the driver's slimmed customer schema has no phone/comment
+    columns, so the PII is synthesized identically in both engines:
+    email for custkey%3!=0, phone for %2==0, ip for %5==0)."""
+    from megalista_spark.operators.curation import pii_redact
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    email = F.concat(
+        F.lit(" <"),
+        F.lower(F.regexp_replace(F.col("c_name"), "#", "")),
+        F.lit("@example.com>"),
+    )
+    phone = F.concat_ws(
+        "-",
+        F.lpad(((k % 90) + 10).cast("string"), 2, "0"),
+        F.lpad((k * 7 % 1000).cast("string"), 3, "0"),
+        F.lpad((k * 13 % 1000).cast("string"), 3, "0"),
+        F.lpad((k * 17 % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat_ws(
+        ".",
+        (k % 256).cast("string"),
+        (k * 3 % 256).cast("string"),
+        (k * 5 % 256).cast("string"),
+        (k * 7 % 256).cast("string"),
+    )
+    text = F.concat(
+        F.lit("Contact "),
+        F.col("c_name"),
+        F.when(k % 3 != 0, email).otherwise(F.lit("")),
+        F.when(k % 2 == 0, F.concat(F.lit(" phone "), phone)).otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.concat(F.lit(" ip "), ip)).otherwise(F.lit("")),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+    return pii_redact(
+        c.select("c_custkey", text.alias("text")), id_col="c_custkey"
+    ).orderBy("c_custkey")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\b[0-9]{2,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+PII_REDACT_SQL = rf"""
+WITH t AS (
+  SELECT c_custkey,
+    'Contact ' || c_name
+    || CASE WHEN c_custkey % 3 != 0
+            THEN ' <' || lower(replace(c_name, '#', '')) || '@example.com>' ELSE '' END
+    || CASE WHEN c_custkey % 2 = 0
+            THEN ' phone ' || lpad(((c_custkey % 90) + 10)::VARCHAR, 2, '0')
+                 || '-' || lpad((c_custkey * 7 % 1000)::VARCHAR, 3, '0')
+                 || '-' || lpad((c_custkey * 13 % 1000)::VARCHAR, 3, '0')
+                 || '-' || lpad((c_custkey * 17 % 10000)::VARCHAR, 4, '0') ELSE '' END
+    || CASE WHEN c_custkey % 5 = 0
+            THEN ' ip ' || (c_custkey % 256)::VARCHAR || '.' || (c_custkey * 3 % 256)::VARCHAR
+                 || '.' || (c_custkey * 5 % 256)::VARCHAR || '.' || (c_custkey * 7 % 256)::VARCHAR ELSE '' END
+    || ' segment ' || c_mktsegment AS text
+  FROM customer
+), s1 AS (
+  SELECT c_custkey, text,
+         len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_email,
+         regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM t
+), s2 AS (
+  SELECT c_custkey, n_email,
+         len(regexp_extract_all(t1, '{_PII_IP}'))::BIGINT AS n_ipv4,
+         regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT c_custkey,
+       regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS redacted_text,
+       n_email, n_ipv4,
+       len(regexp_extract_all(t2, '{_PII_PHONE}'))::BIGINT AS n_phone
+FROM s2
+ORDER BY c_custkey
+"""
+
+
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (operators/packing.py::
     pack_sequences): documents laid end-to-end in 8 hash shards, token
@@ -2637,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
+        "pii_redact_customers": pii_redact_customers,
         "asof_enrich_clicks": asof_enrich_clicks,
         "percentile_prices": percentile_prices,
         "running_total_per_customer": running_total_per_customer,
@@ -2727,6 +2811,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,
+        "pii_redact_customers": PII_REDACT_SQL,
         "asof_enrich_clicks": ASOF_SQL,
         "percentile_prices": PERCENTILE_SQL,
         "running_total_per_customer": RUNNING_TOTAL_SQL,

@@ -176,3 +176,46 @@ def repetition_stats(
         & (F.col("top_bigram_frac") <= max_top_bigram_frac)
         & (F.col("dup_trigram_frac") <= max_dup_trigram_frac),
     )
+
+
+# ------------------------------------------------------------- PII redaction
+
+# Patterns restricted to the RE2 ∩ Java-regex common subset (no lookaround,
+# no backreferences) so Spark and any RE2-based SQL engine (DuckDB, BigQuery)
+# match the identical spans. Order matters: emails are redacted before IPs
+# and phones so address-like substrings inside an email never half-match.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{2,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing for training corpora: sequentially redact emails,
+    IPv4 addresses, and dashed phone numbers, emitting the redacted text
+    plus a per-type match count (counted against the text as it stood
+    when that pattern ran — the sequential contract is part of the
+    output semantics and is what an oracle reproduces).
+
+    The same normalization concern as the reference's PII hashing
+    (megalista_dataflow/uploaders/utils.py hash_field) but applied to
+    free text rather than typed columns.
+
+    Scale: pure per-row regexp expressions — scan speed, zero shuffle,
+    full pushdown; regex cost is linear in text length (RE2-safe
+    patterns, no catastrophic backtracking in Java either since the
+    patterns are backtrack-free).
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("bigint").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(
+        F.col(id_col),
+        cur.alias("redacted_text"),
+        *counts,
+    )

@@ -651,3 +651,27 @@ def test_chunk_documents_coverage(spark):
     assert d1[0]["chunk_text"].split() == [f"w{j}" for j in range(10)]
     d2 = sorted((r["tok_start"], r["tok_end"]) for r in rows if r["doc_id"] == 2)
     assert d2 == [(0, 32), (24, 33)]  # full coverage with overlap, short tail
+
+
+def test_pii_redact_sequential_counts(spark):
+    from megalista_spark.operators.curation import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.com and A_B@Y.ORG ip 10.0.0.1 phone 55-123-456-7890"),
+            (2, "no pii here, dots 1.2.3 and digits 123-456"),
+            (3, "ip-only 255.255.255.255"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in pii_redact(docs).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_ipv4"] == 1 and got[1]["n_phone"] == 1
+    assert got[1]["redacted_text"] == "mail <EMAIL> and <EMAIL> ip <IP> phone <PHONE>"
+    assert got[2] == {
+        "doc_id": 2,
+        "redacted_text": "no pii here, dots 1.2.3 and digits 123-456",
+        "n_email": 0,
+        "n_ipv4": 0,
+        "n_phone": 0,
+    }
+    assert got[3]["n_ipv4"] == 1 and got[3]["redacted_text"] == "ip-only <IP>"
