@@ -1323,6 +1323,78 @@ ORDER BY id
 """
 
 
+def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators/graph.py::pagerank, 3 iterations)
+    over the customer↔supplier purchase graph: distinct (o_custkey,
+    l_suppkey) pairs from orders⋈lineitem, one directed edge each way
+    (supplier nodes offset by 1,000,000). Integer micro-unit ranks make
+    the iterative recurrence bit-exact across engines; the oracle
+    unrolls the same three rounds as CTEs with `//` floor division."""
+    from megalista_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(1000000)).cast("long").alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("cust AS src", "supp AS dst").union(
+        pairs.selectExpr("supp AS src", "cust AS dst")
+    )
+    return pagerank(edges, iterations=3).orderBy("node")
+
+
+def _pagerank_sql(iters: int = 3, scale: int = 10**12, damping_pct: int = 85) -> str:
+    d = damping_pct
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""dg{k-1} AS (
+  SELECT COALESCE(SUM(r.ru), 0)::BIGINT AS du
+  FROM r{k-1} r WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.node = r.node)
+),
+c{k} AS (
+  SELECT e.dst AS node, SUM(r.ru // dd.deg)::BIGINT AS inu
+  FROM edges e
+  JOIN deg dd ON dd.node = e.src
+  JOIN r{k-1} r ON r.node = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT nd.node,
+         ((({100 - d} * ({scale} // n.n)) // 100)
+          + (({d} * (COALESCE(c.inu, 0) + (dg.du // n.n))) // 100))::BIGINT AS ru
+  FROM nodes nd
+  LEFT JOIN c{k} c ON c.node = nd.node
+  CROSS JOIN dg{k-1} dg CROSS JOIN n
+)"""
+        )
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS cust, (1000000 + l.l_suppkey)::BIGINT AS supp
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT cust AS src, supp AS dst FROM pairs
+  UNION ALL
+  SELECT supp AS src, cust AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src AS node, COUNT(*)::BIGINT AS deg FROM edges GROUP BY src),
+n AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+r0 AS (SELECT node, ({scale} // n.n)::BIGINT AS ru FROM nodes CROSS JOIN n),
+{rounds_sql}
+SELECT node, ru AS rank_u, round(ru / {float(scale)}, 6) AS rank
+FROM r{iters}
+ORDER BY node
+"""
+
+
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D6: JSON column decode — parse the events props JSON and aggregate
     on the extracted field (from_json with explicit schema; the scan only
@@ -2716,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_zscore_by_lang": grouped_zscore_by_lang,
         "kmv_set_overlap_estimate": kmv_set_overlap_estimate,
         "near_dup_groups": near_dup_groups,
+        "pagerank_supply_graph": pagerank_supply_graph,
         "decontaminate_docs": decontaminate_docs,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
@@ -2807,6 +2880,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_zscore_by_lang": GROUPED_ZSCORE_SQL,
         "kmv_set_overlap_estimate": KMV_SET_SQL,
         "near_dup_groups": _near_dup_groups_sql(),
+        "pagerank_supply_graph": _pagerank_sql(),
         "decontaminate_docs": _decontaminate_sql(),
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,

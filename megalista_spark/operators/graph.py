@@ -1,0 +1,135 @@
+"""Graph operators: PageRank as a driver-side loop of declarative
+DataFrame steps, companion to the min-label connected-components
+propagation in ``operators/dedup.py`` (``min_label_groups``).
+
+The kernel is the canonical join-based message-passing shape — the same
+dataflow GraphX/Pregel lowers to, expressed directly on DataFrames:
+
+  contribute:  ranks ⋈ edges on src  →  per-edge share  (rank/out_deg)
+  aggregate:   sum shares per dst                        (ONE shuffle)
+  reassign:    teleport + damping × (inflow + dangling/N)
+
+Each iteration is one shuffle (the per-dst sum). The edge list and the
+out-degree table are computed once, repartitioned by ``src``, and
+persisted, so every iteration's ranks-side shuffle lands on an already
+co-partitioned build side. Rank state stays DISTRIBUTED (unlike k-means'
+k-row centroids it is O(nodes)); only two scalars — node count and
+dangling mass — ever reach the driver, which also keeps the per-iteration
+plans flat instead of growing a doubled lineage per round.
+
+Engine-portable fixed-point arithmetic: float PageRank is NOT
+reproducible across engines (sum order changes the low bits every
+iteration, and rounding cannot fully re-synchronize a recurrence).
+Ranks are therefore carried as BIGINT micro-units (``scale`` ≈ 1e12)
+and every step uses integer multiply / floor division only — Spark's
+``div`` and DuckDB's ``//`` agree exactly on non-negative operands, and
+integer sums are order-independent, so an unrolled-CTE SQL oracle
+reproduces the result bit-for-bit (same trick as the affine MinHash
+permutations in ``operators/dedup.py``).
+
+Reference tie-in: the reference engine has no graph operators; this is
+part of the beyond-reference surface for corpus curation (rank-based
+document/source weighting feeding the samplers in
+``operators/sampling.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale: 1.0 of rank mass == 10**12 micro-units. Total mass
+#: stays ~= scale, so 64-bit intermediates (damping × inflow ≤ ~1e14)
+#: never overflow.
+PAGERANK_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list.
+
+    Per iteration, with integer floor division throughout::
+
+        share(e)   = rank_u[src] div out_deg[src]          (per edge)
+        inflow(v)  = Σ share(e) over e with e.dst = v      (the shuffle)
+        dangling   = Σ rank_u over nodes with out_deg = 0  (scalar)
+        rank_u'(v) = (100-d)·(scale div N) div 100
+                     + d·(inflow(v) + dangling div N) div 100
+
+    ``damping_pct`` is the damping factor in percent so the recurrence
+    stays in integer arithmetic end-to-end. Floor division sheds a
+    deterministic sub-micro-unit of mass per step — identically in every
+    engine — which is the price of bit-exact reproducibility; at
+    ``scale=1e12`` the relative error is ~1e-9 per iteration.
+
+    Returns ``(node, rank_u, rank)`` where ``rank = round(rank_u/scale,
+    6)``; ``rank_u`` is the exact fixed-point value an oracle must match.
+
+    Scale: edges/degrees computed once, hash-partitioned on ``src`` and
+    persisted; each iteration re-shuffles only the O(nodes) rank table to
+    the edge partitioning and then one partial-agg sum per ``dst``. No
+    driver-side collection of node state, ever.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).repartition("_src").persist()
+    deg = e.groupBy("_src").agg(F.count("*").cast("long").alias("_deg")).persist()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # scalar; also materializes the persisted inputs
+    base_u = scale // n  # teleport share per node, exact in both engines
+
+    ranks = nodes.select("node", F.lit(base_u).cast("long").alias("rank_u"))
+    prev = None
+    for _ in range(iterations):
+        ranks = ranks.persist()
+        # dangling mass: rank held by nodes with no out-edges (scalar —
+        # the only node-state that touches the driver)
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["_src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank_u"), F.lit(0)).cast("long"))
+            .first()[0]
+        )
+        contrib = (
+            e.join(deg, "_src")
+            .join(ranks.withColumnRenamed("node", "_src"), "_src")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("rank_u div _deg").alias("_share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_share").cast("long").alias("_inflow"))
+        )
+        teleport_u = (100 - damping_pct) * base_u // 100
+        dangling_share = dangling // n
+        new = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport_u)
+                + F.expr(
+                    f"{damping_pct} * (coalesce(_inflow, 0L) + {dangling_share}L) div 100"
+                )
+            ).cast("long").alias("rank_u"),
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+        ranks = new
+    out = ranks.select(
+        "node",
+        "rank_u",
+        F.round(F.col("rank_u") / F.lit(float(scale)), 6).alias("rank"),
+    )
+    return out

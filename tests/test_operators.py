@@ -675,3 +675,30 @@ def test_pii_redact_sequential_counts(spark):
         "n_phone": 0,
     }
     assert got[3]["n_ipv4"] == 1 and got[3]["redacted_text"] == "ip-only <IP>"
+
+
+def test_pagerank_fixed_point_invariants(spark):
+    from megalista_spark.operators.graph import pagerank, PAGERANK_SCALE
+
+    # hub 1 <-> leaves 2,3; 3 -> 4 (node 4 is dangling)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1), (3, 4)], ["src", "dst"]
+    )
+    got = {r["node"]: r for r in pagerank(edges, iterations=3).collect()}
+    # floor division sheds <1 micro-unit per node per step
+    total = sum(r["rank_u"] for r in got.values())
+    assert 0 <= PAGERANK_SCALE - total < 4 * len(got) * 3
+    # symmetric leaves tie exactly (integer arithmetic, no float noise)
+    assert got[2]["rank_u"] == got[3]["rank_u"]
+    # the hub out-ranks the leaves; the dangling sink holds real mass
+    assert got[1]["rank_u"] > got[2]["rank_u"] > 0
+    assert got[4]["rank_u"] > 0
+    assert abs(got[1]["rank"] - got[1]["rank_u"] / PAGERANK_SCALE) < 1e-6
+
+
+def test_pagerank_zero_iterations_uniform(spark):
+    from megalista_spark.operators.graph import pagerank, PAGERANK_SCALE
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    rows = pagerank(edges, iterations=0).collect()
+    assert {r["rank_u"] for r in rows} == {PAGERANK_SCALE // 3}
