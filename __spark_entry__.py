@@ -1395,6 +1395,104 @@ ORDER BY node
 """
 
 
+def merge_customer_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (operators/cdc.py::merge_upsert): orders as a change
+    feed onto the customer snapshot — last order per customer wins
+    (o_orderdate, o_orderkey ties), o_orderkey % 97 == 0 is a delete,
+    otherwise the order's total price overwrites c_acctbal. Inserts are
+    exercised via the key offset: feed keys are o_custkey + 2, so the
+    top two keys fall outside the base snapshot."""
+    from megalista_spark.operators.cdc import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    changes = o.select(
+        (F.col("o_custkey") + 2).alias("c_custkey"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.round(F.col("o_totalprice"), 2).alias("c_acctbal"),
+    )
+    return merge_upsert(
+        c,
+        changes,
+        keys=["c_custkey"],
+        order_cols=["o_orderdate", "o_orderkey"],
+        update_cols=["c_acctbal"],
+    ).orderBy("c_custkey")
+
+
+MERGE_SQL = r"""
+WITH changes AS (
+  SELECT o_custkey + 2 AS c_custkey, o_orderdate, o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+         round(o_totalprice, 2) AS new_acctbal,
+         row_number() OVER (PARTITION BY o_custkey + 2
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+), latest AS (
+  SELECT c_custkey, op, new_acctbal FROM changes WHERE rn = 1
+)
+SELECT COALESCE(b.c_custkey, l.c_custkey) AS c_custkey,
+       b.c_name,
+       b.c_nationkey,
+       CASE WHEN l.op IS NOT NULL THEN l.new_acctbal ELSE b.c_acctbal END AS c_acctbal,
+       b.c_mktsegment,
+       CASE WHEN l.op IS NULL THEN 'keep'
+            WHEN b.c_custkey IS NULL THEN 'insert'
+            ELSE 'update' END AS merge_action
+FROM customer b
+FULL OUTER JOIN latest l ON l.c_custkey = b.c_custkey
+WHERE l.op IS NULL OR l.op != 'D'
+ORDER BY c_custkey
+"""
+
+
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history (operators/cdc.py::scd2_history): each user's
+    event_type stream collapsed into validity intervals — consecutive
+    identical types merge, valid_to = next run's valid_from (NULL while
+    current), 1-based version per user."""
+    from megalista_spark.operators.cdc import scd2_history
+
+    e = _events(spark, sf_dir)
+    return scd2_history(
+        e, key="user_id", ts_col="ts", attr_cols=["event_type"],
+        order_cols=["event_id"],
+    ).orderBy("user_id", "version")
+
+
+SCD2_SQL = r"""
+WITH e AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id, ts, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM flagged
+), per_run AS (
+  SELECT user_id, version, MIN(ts) AS valid_from,
+         MIN(event_type) AS event_type
+  FROM runs GROUP BY user_id, version
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER wv AS valid_to,
+       version::BIGINT AS version,
+       (lead(valid_from) OVER wv IS NULL) AS is_current
+FROM per_run
+WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+ORDER BY user_id, version
+"""
+
+
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D6: JSON column decode — parse the events props JSON and aggregate
     on the extracted field (from_json with explicit schema; the scan only
@@ -2789,6 +2887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_overlap_estimate": kmv_set_overlap_estimate,
         "near_dup_groups": near_dup_groups,
         "pagerank_supply_graph": pagerank_supply_graph,
+        "merge_customer_updates": merge_customer_updates,
+        "scd2_user_event_history": scd2_user_event_history,
         "decontaminate_docs": decontaminate_docs,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
@@ -2881,6 +2981,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_set_overlap_estimate": KMV_SET_SQL,
         "near_dup_groups": _near_dup_groups_sql(),
         "pagerank_supply_graph": _pagerank_sql(),
+        "merge_customer_updates": MERGE_SQL,
+        "scd2_user_event_history": SCD2_SQL,
         "decontaminate_docs": _decontaminate_sql(),
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,

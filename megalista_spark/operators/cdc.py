@@ -1,0 +1,140 @@
+"""Change-data-capture operators: last-writer-wins merge/upsert and
+SCD type-2 history builds.
+
+This generalizes the reference's transactional semantics — its control
+table is an append-only "already uploaded" log merged against new reads
+(transactional_events_results_writer.py / data sources' left-anti dedup,
+re-expressed in ``sources/data_source.py``) — into the two standard
+warehouse maintenance shapes a Spark user needs around that log:
+
+- ``merge_upsert``: apply a CDC change feed (insert/update/delete rows,
+  last writer wins per key) onto a base snapshot — the MERGE INTO
+  statement as a pure DataFrame transform.
+- ``scd2_history``: collapse an event log into type-2 dimension history
+  (one row per consecutive attribute run, with ``valid_from`` /
+  ``valid_to`` / ``version`` / ``is_current``).
+
+Scale notes:
+- ``merge_upsert`` is ONE window shuffle over the (small) change feed
+  plus one key-partitioned full-outer join; when the feed is tiny
+  relative to the base, Catalyst/AQE broadcasts it and the base never
+  shuffles. No driver-side state.
+- ``scd2_history`` is two window passes over the same ``(key, ts)``
+  partitioning — Catalyst reuses one Exchange for both (same
+  partitioning expression), then a partial-agg groupBy on the same key.
+  Everything is whole-stage-codegen expressions; no UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    update_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Last-writer-wins partial-image merge (MERGE INTO as a transform).
+
+    ``changes`` carries ``keys`` + ``order_cols`` (change-time ordering,
+    later wins; ties broken by the full ``order_cols`` tuple which must
+    be unique per key) + ``op_col`` + ``update_cols``. Per key, only the
+    LATEST change applies: ``delete_op`` drops the row; anything else
+    upserts — ``update_cols`` take the change's values, every other base
+    column is carried through (NULL for fresh inserts, matching SQL
+    MERGE ... WHEN NOT MATCHED THEN INSERT of a partial image).
+
+    Output: the merged snapshot plus a ``merge_action`` audit column
+    (``insert`` / ``update`` / ``keep``); deleted keys are absent.
+    """
+    keys = list(keys)
+    latest = (
+        changes.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*keys).orderBy(
+                    *[F.col(c).desc() for c in order_cols]
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            *keys,
+            F.col(op_col).alias("_op"),
+            *[F.col(c).alias(f"_new_{c}") for c in update_cols],
+        )
+    )
+    joined = base.withColumn("_in_base", F.lit(True)).join(
+        latest, keys, "full_outer"
+    ).filter(F.col("_op").isNull() | (F.col("_op") != delete_op))
+    has_change = F.col("_op").isNotNull()
+    base_attr = [c for c in base.columns if c not in keys]
+    out = [
+        *keys,
+        *[
+            F.when(has_change, F.col(f"_new_{c}")).otherwise(F.col(c)).alias(c)
+            if c in update_cols
+            else F.col(c)
+            for c in base_attr
+        ],
+        F.when(~has_change, F.lit("keep"))
+        .when(F.col("_in_base").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("merge_action"),
+    ]
+    return joined.select(*out)
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_cols: Sequence[str],
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 dimension history from an event log: consecutive rows per
+    ``key`` (ordered by ``ts_col`` then ``order_cols``) with identical
+    ``attr_cols`` collapse into one validity interval.
+
+    Output per (key, run): the attributes, ``valid_from`` (first ts of
+    the run), ``valid_to`` (next run's valid_from, NULL while current),
+    ``version`` (1-based per key), ``is_current``. Attribute comparison
+    is null-safe (NULL-to-NULL is "unchanged"), matching warehouse SCD2
+    loaders.
+    """
+    attr_cols = list(attr_cols)
+    order = [F.col(ts_col), *[F.col(c) for c in order_cols]]
+    w = Window.partitionBy(key).orderBy(*order)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    changed = (
+        F.lag(attrs).over(w).isNull() | ~F.lag(attrs).over(w).eqNullSafe(attrs)
+    ).cast("int")
+    # two selects: a window function can't nest inside another window's
+    # argument; both windows share one Exchange (same partitioning/order)
+    flagged = df.select(
+        key, ts_col, *order_cols, *attr_cols, changed.alias("_chg")
+    )
+    runs = flagged.select(
+        key, ts_col, *attr_cols, F.sum("_chg").over(w).alias("version")
+    )
+    per_run = runs.groupBy(key, "version").agg(
+        F.min(ts_col).alias("valid_from"),
+        *[F.first(c).alias(c) for c in attr_cols],
+    )
+    wv = Window.partitionBy(key).orderBy("version")
+    return per_run.select(
+        key,
+        *attr_cols,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.col("version").cast("long").alias("version"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    )

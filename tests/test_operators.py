@@ -702,3 +702,64 @@ def test_pagerank_zero_iterations_uniform(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
     rows = pagerank(edges, iterations=0).collect()
     assert {r["rank_u"] for r in rows} == {PAGERANK_SCALE // 3}
+
+
+def test_merge_upsert_actions(spark):
+    from megalista_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0)],
+        ["k", "name", "bal"],
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "U", 11.0),   # stale update, superseded by the delete
+            (1, 2, "D", 0.0),    # latest for k=1 → delete
+            (3, 1, "U", 33.0),   # update a row whose other attr is NULL
+            (4, 1, "U", 44.0),   # insert (not in base)
+        ],
+        ["k", "seq", "op", "bal"],
+    )
+    got = {
+        r["k"]: r
+        for r in merge_upsert(
+            base, changes, keys=["k"], order_cols=["seq"], update_cols=["bal"]
+        ).collect()
+    }
+    assert set(got) == {2, 3, 4}          # 1 deleted, 4 inserted
+    assert got[2]["merge_action"] == "keep" and got[2]["bal"] == 20.0
+    # NULL base attr must not be mistaken for "not matched" → still update
+    assert got[3]["merge_action"] == "update" and got[3]["bal"] == 33.0
+    assert got[4]["merge_action"] == "insert" and got[4]["bal"] == 44.0
+    assert got[4]["name"] is None         # partial-image insert
+
+
+def test_scd2_history_collapses_runs(spark):
+    import datetime as dt
+    from megalista_spark.operators.cdc import scd2_history
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(1), 1, "x"), (1, t(2), 2, "x"), (1, t(3), 3, "y"),
+        (1, t(4), 4, "x"),                       # x again → NEW run, v3
+        (2, t(1), 5, None), (2, t(2), 6, None),  # null-safe: one run
+        (2, t(3), 7, "z"),
+    ]
+    df = spark.createDataFrame(rows, ["uid", "ts", "eid", "attr"])
+    got = sorted(
+        (
+            (r["uid"], r["version"], r["attr"], r["valid_from"].second,
+             r["valid_to"].second if r["valid_to"] else None, r["is_current"])
+            for r in scd2_history(
+                df, key="uid", ts_col="ts", attr_cols=["attr"],
+                order_cols=["eid"],
+            ).collect()
+        )
+    )
+    assert got == [
+        (1, 1, "x", 1, 3, False),
+        (1, 2, "y", 3, 4, False),
+        (1, 3, "x", 4, None, True),
+        (2, 1, None, 1, 3, False),
+        (2, 2, "z", 3, None, True),
+    ]
