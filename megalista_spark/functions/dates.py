@@ -57,7 +57,9 @@ def format_date(col: Column, tz: str = DEFAULT_TIMEZONE) -> Column:
 def timestamp_micros(col: Column) -> Column:
     """Microseconds since epoch (reference get_timestamp_micros,
     uploaders/utils.py:60-66 — floor(ts * 1e6))."""
-    return F.unix_micros(parse_reference_timestamp(col))
+    # cast: no-op for TimestampType, value-preserving for TIMESTAMP_NTZ
+    # under a UTC session zone (unix_micros rejects NTZ inputs)
+    return F.unix_micros(parse_reference_timestamp(col).cast("timestamp"))
 
 
 def convert_datetime_tz(col: Column, from_tz: str, to_tz: str) -> Column:

@@ -31,8 +31,12 @@ def sessionize(
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
     prev_ts = F.lag(ts_col).over(w)
-    # microsecond-exact gap so external engines (epoch_us) agree bit-for-bit
-    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
+    # microsecond-exact gap so external engines (epoch_us) agree bit-for-bit;
+    # the timestamp cast is a no-op for TimestampType and value-preserving
+    # for TIMESTAMP_NTZ under a UTC session zone (unix_micros rejects NTZ)
+    gap_us = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        prev_ts.cast("timestamp")
+    )
     new_session = F.when(
         prev_ts.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))

@@ -64,6 +64,11 @@ def get_spark(
         # read INT64 TIMESTAMP(NANOS) parquet columns as long (Spark has no
         # nanosecond timestamp); loaders convert to micros explicitly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # read no-tz parquet TIMESTAMP(MICROS) as TimestampType (micros
+        # since epoch, rendered in the UTC session zone) rather than
+        # TIMESTAMP_NTZ, so timestamp arithmetic (unix_micros, watermarks)
+        # and oracle renderings behave identically for both encodings
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():

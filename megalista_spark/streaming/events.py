@@ -24,23 +24,19 @@ from pyspark.sql import types as T
 
 from megalista_spark.sinks.executor import SinkExecutor
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see _events note)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-based event stream (testing/replay); ts normalized to a real
-    timestamp column."""
+    timestamp column.
+
+    File streams require an explicit schema, but the on-disk encoding of
+    ``ts`` varies by producer (INT64 TIMESTAMP(NANOS) read as long under
+    nanosAsLong, no-tz TIMESTAMP(MICROS), or tz-adjusted micros) — so take
+    the schema from a one-file batch read of the same path (footer-only,
+    no data scan) and normalize whatever arrives to TimestampType."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
     import os
 
     if os.path.isfile(path):
@@ -49,7 +45,12 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":  # nanos-as-long
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":  # value-preserving under UTC session tz
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def stream_tumbling_rollup(
