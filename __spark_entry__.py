@@ -45,8 +45,11 @@ TABLES = (
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver may hand us a vanilla session — pin the timezone so
-    # timestamp renderings match the (UTC-naive) DuckDB oracle
+    # timestamp renderings match the (UTC-naive) DuckDB oracle, and read
+    # no-tz parquet timestamps as TimestampType (not NTZ) so timestamp
+    # arithmetic resolves and renders the same for either encoding
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -56,8 +59,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle casts TIMESTAMP_NS → TIMESTAMP, the same truncation)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = _t(spark, sf_dir, "events")
-    if dict(e.dtypes).get("ts") == "bigint":
+    ts_type = dict(e.dtypes).get("ts")
+    if ts_type == "bigint":
         e = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # UTC session zone makes this cast value-preserving
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
     return e
 
 
@@ -2836,6 +2843,301 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Remaining TPC-H shapes (q2/q9/q11/q12/q20/q21), adapted to the driver's
+# reduced schemas: no partsupp table and no shipmode/commitdate/receiptdate
+# columns, so each query keeps the *shape* (correlated min, profit rollup,
+# having-vs-global-total, conditional two-class counts, nested semi-joins,
+# exists/not-exists) over the columns that do exist.
+# --------------------------------------------------------------------------
+
+
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated per-group minimum. For each size-15 part,
+    the EUROPE suppliers who sold it at the lowest observed price.
+
+    The per-part min is a window over the already-filtered join — one
+    shuffle on l_partkey; equality against the raw stored double is exact
+    because no arithmetic touches the value on either engine.
+    """
+    from pyspark.sql import Window
+
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    eu = (
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .select("p_partkey", "p_name", "l_extendedprice", "s_acctbal", "s_name", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eu.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .where(F.col("l_extendedprice") == F.col("min_price"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("min_price", 2).alias("min_price"),
+        )
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+SELECT DISTINCT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(min_price, 2) AS min_price
+FROM (
+  SELECT p_partkey, p_name, l_extendedprice, s_acctbal, s_name, n_name,
+         min(l_extendedprice) OVER (PARTITION BY p_partkey) AS min_price
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE r_name = 'EUROPE' AND p_size = 15
+)
+WHERE l_extendedprice = min_price
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year over a
+    part-name substring filter (no ps_supplycost in the reduced schema, so
+    profit = discounted revenue). Star join with broadcast dims."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+        .orderBy("supp_nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS supp_nation, year(o_orderdate)::BIGINT AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_name LIKE '%red%'
+GROUP BY supp_nation, o_year
+ORDER BY supp_nation, o_year DESC
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value filtered against a fraction of the
+    global total (HAVING vs scalar subquery).
+
+    All value arithmetic is integer cents (`round(price*100)::bigint *
+    quantity::bigint`) so the fraction comparison is bit-exact across
+    engines — double sums would make boundary rows engine-dependent. The
+    global total is a 1-row broadcast cross join, not a second scan-shuffle.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    cents = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        * F.col("l_quantity").cast("bigint")
+    )
+    pv = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    # threshold = 2× the mean part value, expressed in pure integer math
+    # (value*count > 2*total) so it is scale-invariant AND bit-exact
+    total = pv.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("part_count"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") * F.col("part_count") > 2 * F.col("total_cents"))
+        .select(
+            "p_partkey",
+            F.round(F.col("value_cents") / 100.0, 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+Q11_SQL = """
+WITH pv AS (
+  SELECT l_partkey AS p_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT))
+           AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT p_partkey, round(value_cents / 100.0, 2) AS part_value
+FROM pv, (SELECT sum(value_cents) AS total_cents, count(*) AS part_count FROM pv) t
+WHERE value_cents * part_count > 2 * total_cents
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional two-class counts per group (no
+    l_shipmode in the reduced schema — grouped by l_returnflag instead)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("return_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("return_class")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag AS return_class,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT
+         AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY return_class
+ORDER BY return_class
+"""
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries as chained semi-joins.
+    Suppliers who shipped >30 units of some 'small *' part during 1996.
+
+    Quantities are integral doubles, so the HAVING threshold is exact.
+    Both IN-lists become left-semi hash joins (no subquery materialization
+    to the driver)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").startswith("small"))
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    qualifying = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 30)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(qualifying, s["s_suppkey"] == qualifying["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", "n_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, n_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 30
+)
+ORDER BY s_name
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated subqueries as
+    semi/anti joins. Suppliers whose 'R'-flagged lines sit on finished
+    multi-supplier orders where no *other* supplier was flagged.
+
+    Both the EXISTS and NOT EXISTS sides hash-join on l_orderkey with the
+    suppkey inequality as a residual predicate — no nested-loop join."""
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    waiting = (
+        l1.join(o, l1["ok"] == o["o_orderkey"], "left_semi")
+        .join(l2, (F.col("ok") == l2["ok2"]) & (F.col("sk") != l2["sk2"]), "left_semi")
+        .join(l3, (F.col("ok") == l3["ok3"]) & (F.col("sk") != l3["sk3"]), "left_anti")
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("sk") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
 
@@ -2863,6 +3165,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q16_parts_supplier_counts": q16_parts_supplier_counts,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        "q2_min_price_supplier": q2_min_price_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q12_priority_classes": q12_priority_classes,
+        "q20_promotion_suppliers": q20_promotion_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "top_orders_per_segment": top_orders_per_segment,
         "rollup_order_counts": rollup_order_counts,
         "pivot_event_values": pivot_event_values,
@@ -2942,6 +3250,12 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive_revenue": Q19_SQL,
         "q16_parts_supplier_counts": Q16_SQL,
         "q22_global_sales_opportunity": Q22_SQL,
+        "q2_min_price_supplier": Q2_SQL,
+        "q9_product_profit": Q9_SQL,
+        "q11_important_parts": Q11_SQL,
+        "q12_priority_classes": Q12_SQL,
+        "q20_promotion_suppliers": Q20_SQL,
+        "q21_waiting_suppliers": Q21_SQL,
         "top_orders_per_segment": TOP_ORDERS_SQL,
         "rollup_order_counts": ROLLUP_SQL,
         "pivot_event_values": PIVOT_SQL,
