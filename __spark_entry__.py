@@ -2700,6 +2700,77 @@ FROM est CROSS JOIN t
 """
 
 
+def hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch over the portable hash family
+    (operators/sketches.py::hll_distinct_count) — like the KMV query, the
+    ESTIMATE itself is engine-portable: integer CASE-chain rho, integer
+    harmonic sum, one shared-literal float op at the end. Reported next to
+    the true count."""
+    from megalista_spark.operators.sketches import hll_distinct_count
+
+    l = _t(spark, sf_dir, "lineitem")
+    est = hll_distinct_count(l, "l_orderkey")
+    true = l.agg(F.countDistinct("l_orderkey").alias("true_distinct"))
+    return est.join(true).select(
+        "est_distinct",
+        "true_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("true_distinct"))
+            / F.col("true_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def _hll_sql() -> str:
+    """DuckDB twin of hll_distinct_count over lineitem.l_orderkey: same
+    register geometry, same generated bit-length CASE, same integer
+    harmonic sum, same float literal."""
+    from megalista_spark.operators.sketches import (
+        HLL_M,
+        HLL_RMAX,
+        HLL_W,
+        bitlen_case_sql,
+        hll_alpha,
+    )
+
+    shift = 1 << HLL_W
+    numer = hll_alpha(HLL_M) * (HLL_M * HLL_M) * float(1 << HLL_RMAX)
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+  FROM lineitem
+),
+parts AS (SELECT h // {shift} AS bucket, h % {shift} AS rem FROM h),
+regs AS (
+  SELECT bucket,
+         max(CASE WHEN rem = 0 THEN {HLL_RMAX}
+                  ELSE {HLL_RMAX} - ({bitlen_case_sql('rem', HLL_W)}) END) AS m_reg
+  FROM parts GROUP BY bucket
+),
+agg AS (
+  SELECT count(*) AS nb,
+         sum((1::BIGINT << ({HLL_RMAX} - m_reg)))::BIGINT AS s_present
+  FROM regs
+),
+est AS (
+  SELECT CASE
+           WHEN ({numer!r} / (s_present + ({HLL_M} - nb) * {1 << HLL_RMAX}))
+                  <= {2.5 * HLL_M!r}
+                AND nb < {HLL_M}
+           THEN round({HLL_M} * ln({HLL_M} / (({HLL_M} - nb)::DOUBLE)))::BIGINT
+           ELSE round({numer!r}
+                  / (s_present + ({HLL_M} - nb) * {1 << HLL_RMAX}))::BIGINT
+         END AS est_distinct
+  FROM agg
+),
+t AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS true_distinct FROM lineitem)
+SELECT est_distinct, true_distinct,
+       round(abs(est_distinct - true_distinct) / true_distinct, 4) AS rel_err
+FROM est CROSS JOIN t
+"""
+
+
 def kmv_set_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: union + intersection cardinality estimates for
     (orders customer keys) vs (events user ids) from one merged bottom-k
@@ -3220,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": multimodal_image_features,
         "kmeans_embeddings": kmeans_embeddings,
         "kmv_distinct_estimate": kmv_distinct_estimate,
+        "hll_distinct_estimate": hll_distinct_estimate,
         "attribution_range_join": attribution_range_join,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "salted_skew_join": salted_skew_join,
@@ -3277,6 +3349,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_features": MULTIMODAL_SQL,
         "kmeans_embeddings": KMEANS_SQL,
         "kmv_distinct_estimate": KMV_SQL,
+        "hll_distinct_estimate": _hll_sql(),
         "attribution_range_join": ATTRIBUTION_SQL,
         "unpivot_lineitem_metrics": UNPIVOT_SQL,
         "salted_skew_join": SALTED_JOIN_SQL,

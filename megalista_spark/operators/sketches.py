@@ -59,6 +59,77 @@ def kmv_distinct_count(
     )
 
 
+def bitlen_case_sql(expr: str, width: int) -> str:
+    """Portable integer bit-length as a generated CASE chain — exact on any
+    engine (no floating log2, whose rounding near powers of two differs)."""
+    whens = " ".join(
+        f"WHEN {expr} >= {1 << (b - 1)} THEN {b}" for b in range(width, 0, -1)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+# HLL geometry over the 60-bit portable hash: top HLL_P bits pick the
+# register, the remaining width is the rho domain.
+HLL_P = 9
+HLL_M = 1 << HLL_P
+HLL_W = 60 - HLL_P  # rho operates on this many bits
+HLL_RMAX = HLL_W + 1  # rho for an all-zero remainder
+
+
+def hll_alpha(m: int) -> float:
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_distinct_count(df: DataFrame, col: str) -> DataFrame:
+    """One-row DataFrame: (est_distinct bigint) — Flajolet et al.'s
+    HyperLogLog, but over the portable md5-derived hash so the ESTIMATE is
+    a pure deterministic function any engine reproduces bit-for-bit
+    (Spark's approx_count_distinct HLL++ is engine-private).
+
+    Exactness across engines: rho comes from an integer CASE chain (no
+    floating log), and the harmonic denominator is accumulated as the
+    INTEGER sum(2^(RMAX - M_j)) — 512 terms ≤ 2^52 fit bigint — so the
+    only floating op is one shared-literal multiply/divide at the end.
+    The small-range linear-counting branch (E ≤ 2.5m with empty
+    registers) uses ln identically on both engines.
+
+    Cost at 100 TB: scan → map-side partial max per (register) → 512-row
+    final aggregate. No distinct, no sort, shuffle carries ≤ m rows per
+    partition.
+    """
+    shift = 1 << HLL_W
+    h = portable_hash64(F.col(col).cast("string"))
+    regs = (
+        df.select(h.alias("h"))
+        .selectExpr(f"h DIV {shift} AS bucket", f"h % {shift} AS rem")
+        .selectExpr(
+            "bucket",
+            f"CASE WHEN rem = 0 THEN {HLL_RMAX} "
+            f"ELSE {HLL_RMAX} - ({bitlen_case_sql('rem', HLL_W)}) END AS rho",
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    # alpha * m^2 * 2^RMAX as one Python-rounded literal both engines parse
+    numer = hll_alpha(HLL_M) * (HLL_M * HLL_M) * float(1 << HLL_RMAX)
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - m_reg)")).alias(
+            "s_present"
+        ),
+    )
+    return agg.selectExpr(
+        f"""CASE
+          WHEN ({numer!r} / (s_present + ({HLL_M} - nb) * {1 << HLL_RMAX}))
+                 <= {2.5 * HLL_M!r}
+               AND nb < {HLL_M}
+          THEN CAST(round({HLL_M} * ln({HLL_M} / CAST({HLL_M} - nb AS DOUBLE))) AS BIGINT)
+          ELSE CAST(round({numer!r}
+                 / (s_present + ({HLL_M} - nb) * {1 << HLL_RMAX})) AS BIGINT)
+        END AS est_distinct"""
+    )
+
+
 def kmv_set_estimates(
     df_a: DataFrame,
     col_a: str,

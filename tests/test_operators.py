@@ -365,6 +365,25 @@ def test_kmv_set_estimates_approx_above_k(spark):
     assert abs(row["est_intersection"] - 1500) / 1500 < 0.4
 
 
+def test_hll_estimate_within_error_bound(spark):
+    # m=512 registers → ~4.6% std error; 3σ bound on a 20k-int stream
+    from megalista_spark.operators.sketches import hll_distinct_count
+
+    df = spark.createDataFrame([(i % 20000,) for i in range(40000)], ["x"])
+    est = hll_distinct_count(df, "x").first()["est_distinct"]
+    assert abs(est - 20000) / 20000 < 0.14
+
+
+def test_hll_small_cardinality_linear_counting(spark):
+    # E ≤ 2.5m with empty registers → the linear-counting branch, which
+    # is near-exact at tiny cardinalities
+    from megalista_spark.operators.sketches import hll_distinct_count
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["x"])
+    est = hll_distinct_count(df, "x").first()["est_distinct"]
+    assert abs(est - 100) <= 12
+
+
 def test_grouped_zscore_twins_agree(spark):
     # the applyInPandas kernel and the declarative two-phase-agg twin must
     # produce identical rounded z-scores (exact integer moments both ways)
