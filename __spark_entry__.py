@@ -1115,6 +1115,40 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by tf-idf
+    (operators/text.py::tfidf_top_terms) — ratio-form idf keeps the score
+    bit-exact across engines (no libm ln in the ranking)."""
+    from megalista_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5).orderBy(
+        "doc_id", "rank"
+    )
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term, tf, df, tf * ((n_docs + 1.0) / (df + 1.0)) AS score
+  FROM tf JOIN dfc USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)::BIGINT AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+ORDER BY doc_id, rank
+"""
+
+
 def _lang_id_sql() -> str:
     from megalista_spark.operators.text import LANG_MARKERS
 
@@ -3301,6 +3335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": text_token_count,
         "text_quality_score": text_quality_score,
         "text_language_id": text_language_id,
+        "text_tfidf_top_terms": text_tfidf_top_terms,
     }
 
 
@@ -3389,4 +3424,5 @@ def oracle_sql() -> dict[str, str]:
         "text_token_count": TOKEN_COUNT_SQL,
         "text_quality_score": QUALITY_SQL,
         "text_language_id": _lang_id_sql(),
+        "text_tfidf_top_terms": TFIDF_SQL,
     }

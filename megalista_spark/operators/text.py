@@ -116,6 +116,63 @@ def language_id(
     return df.select(*cols)
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    idf is the ratio form (N+1)/(df+1) rather than its log: basic IEEE
+    ops (+ - * /) are correctly rounded on every engine while ln is
+    libm-dependent, so the score — and therefore the top-k cut — is
+    bit-identical in any external system. The ordering is the same as
+    with log-idf for any fixed tf (monotone transform applied per term).
+
+    Scale: tokenize at scan speed, ONE wide shuffle on (doc, term) for tf
+    (map-side combined), a small term-keyed aggregate for df (reusing the
+    already-collapsed tf relation — no countDistinct), broadcast scalar N,
+    and a per-doc window for the top-k. No full sort of the corpus.
+
+    Output: (doc_id, term, tf bigint, df bigint, score double, rank bigint).
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # tf is already one row per (doc, term): df counts need no distinct
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf") * ((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+    )
+
+
 def document_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

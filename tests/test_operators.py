@@ -365,6 +365,28 @@ def test_kmv_set_estimates_approx_above_k(spark):
     assert abs(row["est_intersection"] - 1500) / 1500 < 0.4
 
 
+def test_tfidf_top_terms_ranks_rare_terms_first(spark):
+    # 'zebra' appears in one doc only; 'the' in all → zebra must outrank
+    # 'the' in doc 1 despite equal tf
+    from megalista_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "the zebra zebra"),
+            (2, "the cow the"),
+            (3, "the cow the"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    assert out[(1, 1)] == ("zebra", 2, 1)  # tf 2 × idf 4/2 = 4.0
+    assert out[(1, 2)] == ("the", 1, 3)  # tf 1 × idf 4/4 = 1.0
+    assert out[(2, 1)] == ("the", 2, 3)  # tf 2 × idf 1 beats cow at 4/3
+
+
 def test_hll_estimate_within_error_bound(spark):
     # m=512 registers → ~4.6% std error; 3σ bound on a 20k-int stream
     from megalista_spark.operators.sketches import hll_distinct_count
