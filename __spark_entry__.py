@@ -1436,6 +1436,55 @@ ORDER BY node
 """
 
 
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the parts co-purchase graph (edge = two
+    parts in the same order) via degree-orientation
+    (operators/graph.py::triangle_count) — the wedge join does b² work
+    only over O(sqrt(m))-bounded out-neighborhoods, so a viral product
+    with millions of co-purchases cannot blow up a task."""
+    from megalista_spark.operators.graph import triangle_count
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = l.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2")
+    )
+    edges = l.join(
+        l2, (l["l_orderkey"] == l2["ok2"]) & (l["l_partkey"] < l2["pk2"])
+    ).select(F.col("l_partkey").alias("src"), F.col("pk2").alias("dst"))
+    return triangle_count(edges)
+
+
+TRIANGLE_SQL = """
+WITH e AS (
+  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+  FROM lineitem l1
+  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS a,
+         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS b,
+         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v) THEN dv.deg ELSE du.deg END AS db
+  FROM e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+wedges AS (
+  SELECT o1.b AS w1, o2.b AS w2
+  FROM oriented o1
+  JOIN oriented o2 ON o1.a = o2.a
+  WHERE (o1.db < o2.db) OR (o1.db = o2.db AND o1.b < o2.b)
+)
+SELECT count(*)::BIGINT AS triangle_count
+FROM wedges
+WHERE EXISTS (SELECT 1 FROM oriented o3 WHERE o3.a = wedges.w1 AND o3.b = wedges.w2)
+"""
+
+
 def merge_customer_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC merge (operators/cdc.py::merge_upsert): orders as a change
     feed onto the customer snapshot — last order per customer wins
@@ -3300,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_overlap_estimate": kmv_set_overlap_estimate,
         "near_dup_groups": near_dup_groups,
         "pagerank_supply_graph": pagerank_supply_graph,
+        "triangle_count_copurchase": triangle_count_copurchase,
         "merge_customer_updates": merge_customer_updates,
         "scd2_user_event_history": scd2_user_event_history,
         "decontaminate_docs": decontaminate_docs,
@@ -3403,6 +3453,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_set_overlap_estimate": KMV_SET_SQL,
         "near_dup_groups": _near_dup_groups_sql(),
         "pagerank_supply_graph": _pagerank_sql(),
+        "triangle_count_copurchase": TRIANGLE_SQL,
         "merge_customer_updates": MERGE_SQL,
         "scd2_user_event_history": SCD2_SQL,
         "decontaminate_docs": _decontaminate_sql(),

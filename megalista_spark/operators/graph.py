@@ -133,3 +133,59 @@ def pagerank(
         F.round(F.col("rank_u") / F.lit(float(scale)), 6).alias("rank"),
     )
     return out
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One-row DataFrame: (triangle_count bigint) — exact triangle count
+    of the undirected simple graph induced by ``edges``.
+
+    The compact-forward / degree-orientation algorithm: orient every edge
+    from its lower-ranked endpoint to its higher-ranked one, where rank is
+    the lexicographic (degree, node) pair. Out-degree under this
+    orientation is O(sqrt(m)) regardless of how skewed the raw degree
+    distribution is, so the wedge self-join — the quadratic step that
+    kills naive triangle counting on power-law graphs — does b² work only
+    over these bounded out-neighborhoods. Each triangle is then counted
+    exactly once as (a→b, a→c, b→c) with rank(a)<rank(b)<rank(c).
+
+    Shuffles: canonical-edge distinct, degree agg, two degree joins, the
+    wedge self-join on the source node, one closing-edge semi-join. All
+    equi-joins — no cartesian anywhere.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    o1 = oriented.select(F.col("a"), F.col("b").alias("w1"), F.col("db").alias("d1"))
+    o2 = oriented.select(F.col("a"), F.col("b").alias("w2"), F.col("db").alias("d2"))
+    wedges = o1.join(o2, "a").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("w1") < F.col("w2")))
+    )
+    closing = oriented.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
+    return (
+        wedges.join(closing, ["w1", "w2"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangle_count"))
+    )

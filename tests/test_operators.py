@@ -365,6 +365,17 @@ def test_kmv_set_estimates_approx_above_k(spark):
     assert abs(row["est_intersection"] - 1500) / 1500 < 0.4
 
 
+def test_triangle_count_k4_with_noise(spark):
+    # K4 has exactly 4 triangles; reversed duplicates, self-loops, and a
+    # pendant edge must not change the count
+    from megalista_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noise = [(1, 0), (2, 2), (3, 99)]  # reversed dup, self-loop, pendant
+    edges = spark.createDataFrame(k4 + noise, ["src", "dst"])
+    assert triangle_count(edges).first()["triangle_count"] == 4
+
+
 def test_tfidf_top_terms_ranks_rare_terms_first(spark):
     # 'zebra' appears in one doc only; 'the' in all → zebra must outrank
     # 'the' in doc 1 despite equal tf
