@@ -2854,6 +2854,62 @@ FROM est CROSS JOIN t
 """
 
 
+def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries (operators/sketches.py::cms_build/
+    cms_estimate): event counts for users 1-10 estimated from a 4×1024
+    counter sketch, reported beside the true counts. Affine hashes over
+    the portable 32-bit hash make the ESTIMATE itself engine-portable;
+    the CM guarantee est ≥ true holds exactly."""
+    from megalista_spark.operators.sketches import cms_build, cms_estimate
+
+    e = _events(spark, sf_dir)
+    counters = cms_build(e, "user_id")
+    keys = e.select("user_id").where(
+        (F.col("user_id") >= 1) & (F.col("user_id") <= 10)
+    ).distinct()
+    est = cms_estimate(counters, keys, "user_id").select(
+        F.col("key").alias("user_id"), "est_count"
+    )
+    true = (
+        e.where((F.col("user_id") >= 1) & (F.col("user_id") <= 10))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return est.join(true, "user_id").orderBy("user_id")
+
+
+def _cms_sql() -> str:
+    """DuckDB twin of the count-min query: same affine constants, same
+    32-bit md5-prefix base hash, integer arithmetic throughout."""
+    from megalista_spark.operators.dedup import MINHASH_P, minhash_params
+    from megalista_spark.operators.sketches import CM_D, CM_W
+
+    params = minhash_params(CM_D)
+    base = "('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT"
+    hash_rows = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS r, ({a} * h + {b}) % {MINHASH_P} % {CM_W} AS bkt FROM base"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH base AS (SELECT user_id, {base} AS h FROM events),
+hashed AS ({hash_rows}),
+counters AS (SELECT r, bkt, count(*)::BIGINT AS c FROM hashed GROUP BY r, bkt),
+keys AS (SELECT DISTINCT user_id, r, bkt FROM hashed WHERE user_id BETWEEN 1 AND 10),
+est AS (
+  SELECT keys.user_id, min(coalesce(c, 0))::BIGINT AS est_count
+  FROM keys LEFT JOIN counters USING (r, bkt)
+  GROUP BY keys.user_id
+),
+t AS (
+  SELECT user_id, count(*)::BIGINT AS true_count FROM events
+  WHERE user_id BETWEEN 1 AND 10 GROUP BY user_id
+)
+SELECT est.user_id, est_count, true_count
+FROM est JOIN t ON est.user_id = t.user_id
+ORDER BY est.user_id
+"""
+
+
 def kmv_set_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: union + intersection cardinality estimates for
     (orders customer keys) vs (events user ids) from one merged bottom-k
@@ -3376,6 +3432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": kmeans_embeddings,
         "kmv_distinct_estimate": kmv_distinct_estimate,
         "hll_distinct_estimate": hll_distinct_estimate,
+        "cms_user_frequencies": cms_user_frequencies,
         "attribution_range_join": attribution_range_join,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "salted_skew_join": salted_skew_join,
@@ -3435,6 +3492,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": KMEANS_SQL,
         "kmv_distinct_estimate": KMV_SQL,
         "hll_distinct_estimate": _hll_sql(),
+        "cms_user_frequencies": _cms_sql(),
         "attribution_range_join": ATTRIBUTION_SQL,
         "unpivot_lineitem_metrics": UNPIVOT_SQL,
         "salted_skew_join": SALTED_JOIN_SQL,

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from megalista_spark.operators.dedup import portable_hash64
+from megalista_spark.operators.dedup import portable_hash32, portable_hash64
 
 HASH_SPACE = float(1 << 60)
 
@@ -127,6 +127,68 @@ def hll_distinct_count(df: DataFrame, col: str) -> DataFrame:
           ELSE CAST(round({numer!r}
                  / (s_present + ({HLL_M} - nb) * {1 << HLL_RMAX})) AS BIGINT)
         END AS est_distinct"""
+    )
+
+
+# Count-min geometry: d affine hash rows over the 32-bit portable hash
+# (same LCG-derived family as MinHash — int64-safe, engine-portable),
+# each mapping into w buckets.
+CM_D = 4
+CM_W = 1024
+
+
+def cms_build(df: DataFrame, col: str, d: int = CM_D, w: int = CM_W) -> DataFrame:
+    """Count-min sketch counters: (r, bkt, c bigint), ≤ d·w rows.
+
+    One scan; the explode multiplies shuffle rows by d (=4) but each is a
+    12-byte (row, bucket) pair and the groupBy map-side-combines into at
+    most d·w counters per partition — the shuffle is effectively constant
+    size regardless of input scale. Mergeable: sketches of two datasets
+    add counter-wise (union + re-agg), the property that makes CM usable
+    as a distributed accumulator.
+    """
+    from megalista_spark.operators.dedup import MINHASH_P, minhash_params
+
+    base = portable_hash32(F.col(col).cast("string"))
+    rows = [
+        F.struct(
+            F.lit(i).alias("r"),
+            ((F.lit(a) * base + F.lit(b)) % MINHASH_P % w).alias("bkt"),
+        )
+        for i, (a, b) in enumerate(minhash_params(d))
+    ]
+    return (
+        df.select(F.inline(F.array(*rows)))
+        .groupBy("r", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, keys: DataFrame, col: str, d: int = CM_D, w: int = CM_W
+) -> DataFrame:
+    """Point-frequency estimates for ``keys[col]`` from a cms_build sketch:
+    (key, est_count). The classic guarantee holds exactly: est ≥ true,
+    with overestimates only from bucket collisions (P[err > 2n/w] < 2^-d).
+
+    The sketch side is ≤ d·w rows — broadcast it; the keys side stays
+    distributed, so estimating millions of keys is a map-side join.
+    """
+    from megalista_spark.operators.dedup import MINHASH_P, minhash_params
+
+    base = portable_hash32(F.col(col).cast("string"))
+    rows = [
+        F.struct(
+            F.lit(i).alias("r"),
+            ((F.lit(a) * base + F.lit(b)) % MINHASH_P % w).alias("bkt"),
+        )
+        for i, (a, b) in enumerate(minhash_params(d))
+    ]
+    probes = keys.select(F.col(col).alias("key"), F.inline(F.array(*rows)))
+    return (
+        probes.join(F.broadcast(counters), ["r", "bkt"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("est_count"))
     )
 
 

@@ -365,6 +365,30 @@ def test_kmv_set_estimates_approx_above_k(spark):
     assert abs(row["est_intersection"] - 1500) / 1500 < 0.4
 
 
+def test_cms_overestimate_guarantee_and_merge(spark):
+    # est >= true for every key even under forced collisions (w=16), and
+    # two sketches merged counter-wise equal the sketch of the union
+    from megalista_spark.operators.sketches import cms_build, cms_estimate
+
+    data = [(i % 50,) for i in range(2000)]
+    df = spark.createDataFrame(data, ["k"])
+    keys = df.distinct()
+    counters = cms_build(df, "k", d=4, w=16)
+    est = {r["key"]: r["est_count"] for r in cms_estimate(counters, keys, "k", d=4, w=16).collect()}
+    assert all(est[k] >= 40 for k in est)  # true count per key is 40
+    a, b = df.where("k < 25"), df.where("k >= 25")
+    import pyspark.sql.functions as SF
+
+    merged = (
+        cms_build(a, "k", d=4, w=16)
+        .unionByName(cms_build(b, "k", d=4, w=16))
+        .groupBy("r", "bkt")
+        .agg(SF.sum("c").alias("c"))
+    )
+    est_m = {r["key"]: r["est_count"] for r in cms_estimate(merged, keys, "k", d=4, w=16).collect()}
+    assert est_m == est
+
+
 def test_triangle_count_k4_with_noise(spark):
     # K4 has exactly 4 triangles; reversed duplicates, self-loops, and a
     # pendant edge must not change the count
