@@ -1436,6 +1436,82 @@ ORDER BY node
 """
 
 
+def source_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-fidelity check as an oracle-gated query: a lineitem slice
+    written to ORC and read back must aggregate identically to the oracle
+    computed from the original parquet — proving the ORC source path
+    (sources/data_source.py FileDataSource fmt='orc') loses nothing."""
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-06-01"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01"))
+        )
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    )
+    path = "/tmp/spark_graft_roundtrip_orc"
+    l.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ROUNDTRIP_ORC_SQL = """
+SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def source_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fidelity check through the all-string CSV path (reference
+    file_data_source.py reads dtype=string then casts declared types):
+    write orders columns to CSV, read back header=true all-string, cast,
+    and aggregate against the parquet-derived oracle."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit("1995-03-01"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    path = "/tmp/spark_graft_roundtrip_csv"
+    o.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.option("header", "true").csv(path)  # all columns string
+    return (
+        back.select(
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ROUNDTRIP_CSV_SQL = """
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_total
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count of the parts co-purchase graph (edge = two
     parts in the same order) via degree-orientation
@@ -3406,6 +3482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups": near_dup_groups,
         "pagerank_supply_graph": pagerank_supply_graph,
         "triangle_count_copurchase": triangle_count_copurchase,
+        "source_roundtrip_orc": source_roundtrip_orc,
+        "source_roundtrip_csv": source_roundtrip_csv,
         "merge_customer_updates": merge_customer_updates,
         "scd2_user_event_history": scd2_user_event_history,
         "decontaminate_docs": decontaminate_docs,
@@ -3512,6 +3590,8 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_groups": _near_dup_groups_sql(),
         "pagerank_supply_graph": _pagerank_sql(),
         "triangle_count_copurchase": TRIANGLE_SQL,
+        "source_roundtrip_orc": ROUNDTRIP_ORC_SQL,
+        "source_roundtrip_csv": ROUNDTRIP_CSV_SQL,
         "merge_customer_updates": MERGE_SQL,
         "scd2_user_event_history": SCD2_SQL,
         "decontaminate_docs": _decontaminate_sql(),

@@ -177,6 +177,8 @@ class FileDataSource(DataSource):
             return self.spark.read.option("header", "true").csv(path)
         if fmt == "json":
             return self.spark.read.json(path)
+        if fmt == "orc":
+            return self.spark.read.orc(path)
         return self.spark.read.parquet(path)
 
     def control_path(self) -> str:
