@@ -76,6 +76,21 @@ HEADLINE = [
     "ann_ivf_trained_topk",
     "grouped_zscore_by_lang",
     "kmv_set_overlap_estimate",
+    "q2_min_price_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_classes",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "hll_distinct_estimate",
+    "cms_user_frequencies",
+    "text_tfidf_top_terms",
+    "triangle_count_copurchase",
+    "pagerank_supply_graph",
+    "near_dup_groups",
+    "decontaminate_docs",
+    "repetition_filter_docs",
+    "pack_training_sequences",
 ]
 
 

@@ -152,6 +152,8 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     wedge self-join on the source node, one closing-edge semi-join. All
     equi-joins — no cartesian anywhere.
     """
+    from pyspark import StorageLevel
+
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -177,7 +179,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     o1 = oriented.select(F.col("a"), F.col("b").alias("w1"), F.col("db").alias("d1"))
     o2 = oriented.select(F.col("a"), F.col("b").alias("w2"), F.col("db").alias("d2"))
     wedges = o1.join(o2, "a").where(
