@@ -2930,6 +2930,127 @@ FROM est CROSS JOIN t
 """
 
 
+def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of l_extendedprice
+    (operators/sketches.py::binned_quantiles) — the portable alternative
+    to approx_percentile/approx_quantile, whose Greenwald-Khanna/t-digest
+    internals no other engine can replay. Bin edges, counts, and the
+    selected upper edge reproduce bit-for-bit in the oracle."""
+    from megalista_spark.operators.sketches import binned_quantiles
+
+    l = _t(spark, sf_dir, "lineitem")
+    return binned_quantiles(l, "l_extendedprice", qs=(0.5, 0.9, 0.99)).orderBy("q")
+
+
+QUANTILE_SKETCH_SQL = """
+WITH b AS (
+  SELECT min(l_extendedprice::DOUBLE) AS lo, max(l_extendedprice::DOUBLE) AS hi,
+         count(l_extendedprice) AS n
+  FROM lineitem
+),
+binned AS (
+  SELECT least(1023, floor((l_extendedprice::DOUBLE - lo) / ((hi - lo) / 1024)))::BIGINT AS bin
+  FROM lineitem, b WHERE l_extendedprice IS NOT NULL
+),
+counts AS (SELECT bin, count(*)::BIGINT AS c FROM binned GROUP BY bin),
+cum AS (SELECT bin, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum FROM counts),
+qs AS (SELECT q FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)),
+hit AS (
+  SELECT q, lo, hi, min(bin) AS bin
+  FROM qs CROSS JOIN cum CROSS JOIN b
+  WHERE cum >= ceil(q * n)
+  GROUP BY q, lo, hi
+)
+SELECT q, round(lo + ((hi - lo) / 1024) * (bin + 1), 6) AS est
+FROM hit
+ORDER BY q
+"""
+
+
+def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profile of the orders table
+    (operators/profiling.py::profile_columns): rows, nulls, distincts,
+    min/max — the first query a pipeline owner runs on a new data drop."""
+    from megalista_spark.operators.profiling import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "orders")).orderBy("column_name")
+
+
+def _profile_sql() -> str:
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    parts = " UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name, count(*)::BIGINT AS n_rows,
+            sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+            count(DISTINCT {c})::BIGINT AS n_distinct,
+            min({c})::VARCHAR AS min_value, max({c})::VARCHAR AS max_value
+            FROM orders"""
+        for c in cols
+    )
+    return f"SELECT * FROM ({parts}) ORDER BY column_name"
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-containment funnel over the event stream: users who viewed,
+    then clicked after their first view, then purchased after that first
+    qualifying click. Each stage is a user-keyed min-timestamp aggregate
+    joined forward — equi-joins on user_id, no window over the full
+    stream, so each stage shuffles only (user, ts) pairs."""
+    e = _events(spark, sf_dir)
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+       (SELECT count(*) FROM c)::BIGINT AS n_view_click,
+       (SELECT count(*) FROM p)::BIGINT AS n_view_click_purchase
+"""
+
+
 def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point queries (operators/sketches.py::cms_build/
     cms_estimate): event counts for users 1-10 estimated from a 4×1024
@@ -3511,6 +3632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_estimate": kmv_distinct_estimate,
         "hll_distinct_estimate": hll_distinct_estimate,
         "cms_user_frequencies": cms_user_frequencies,
+        "quantile_sketch_prices": quantile_sketch_prices,
+        "profile_orders_table": profile_orders_table,
+        "funnel_view_click_purchase": funnel_view_click_purchase,
         "attribution_range_join": attribution_range_join,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "salted_skew_join": salted_skew_join,
@@ -3571,6 +3695,9 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_estimate": KMV_SQL,
         "hll_distinct_estimate": _hll_sql(),
         "cms_user_frequencies": _cms_sql(),
+        "quantile_sketch_prices": QUANTILE_SKETCH_SQL,
+        "profile_orders_table": _profile_sql(),
+        "funnel_view_click_purchase": FUNNEL_SQL,
         "attribution_range_join": ATTRIBUTION_SQL,
         "unpivot_lineitem_metrics": UNPIVOT_SQL,
         "salted_skew_join": SALTED_JOIN_SQL,

@@ -248,3 +248,73 @@ def kmv_set_estimates(
     return merged.agg(
         est_union.alias("est_union"), est_inter.alias("est_intersection")
     )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = 1024,
+) -> DataFrame:
+    """Histogram-sketch quantile estimates: (q double, est double), one row
+    per requested quantile.
+
+    Spark's approx_percentile (Greenwald-Khanna) and DuckDB's approx_quantile
+    (t-digest) are both engine-private — their estimates cannot be
+    reproduced externally. This fixed-bin histogram is the portable
+    alternative: bin edges derive from (min, max) by one shared float
+    division, counts are integers, and the estimate is a bin's upper edge —
+    every step reproduces bit-for-bit on any engine. Error ≤ (max-min)/bins.
+
+    Scale: two scans (min/max, then bin counts — the first collapses to two
+    scalars, the second map-side-combines into ≤ `bins` groups), a ≤bins-row
+    cumulative window, and a tiny cross join. Nothing driver-side, nothing
+    engine-specific. For a known fixed domain, pass-1 can be skipped by
+    providing the bounds — this two-pass form is the general case.
+    """
+    from pyspark.sql import Window
+
+    x = F.col(col).cast("double")
+    bounds = df.agg(
+        F.min(x).alias("lo"), F.max(x).alias("hi"), F.count(x).alias("n")
+    )
+    binned = (
+        df.select(x.alias("x"))
+        .where(F.col("x").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))  # degenerate domain
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("x") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / bins)
+                    ),
+                )
+            )
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = binned.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], ["q"])
+    # first bin whose cumulative count reaches ceil(q*n): its upper edge
+    hit = (
+        qdf.crossJoin(cum)
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q", "lo", "hi")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.select(
+        "q",
+        F.round(
+            F.col("lo") + ((F.col("hi") - F.col("lo")) / bins) * (F.col("bin") + 1), 6
+        ).alias("est"),
+    )
