@@ -3051,6 +3051,103 @@ SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
 """
 
 
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation WITHOUT running the join — the
+    count-min inner product (operators/sketches.py::cms_inner_product)
+    over sketches of orders.o_custkey and events.user_id, beside the true
+    |orders ⋈ events| count. The planner-primitive use of CM sketches;
+    est ≥ true exactly for non-negative counts."""
+    from megalista_spark.operators.sketches import cms_build, cms_inner_product
+
+    o = _t(spark, sf_dir, "orders")
+    e = _events(spark, sf_dir)
+    est = cms_inner_product(
+        cms_build(o, "o_custkey"), cms_build(e, "user_id")
+    ).select(F.col("est").alias("est_join_size"))
+    true = (
+        o.join(e, o["o_custkey"] == e["user_id"])
+        .agg(F.count(F.lit(1)).alias("true_join_size"))
+    )
+    return est.crossJoin(true)
+
+
+def _cms_join_sql() -> str:
+    from megalista_spark.operators.dedup import MINHASH_P, minhash_params
+    from megalista_spark.operators.sketches import CM_D, CM_W
+
+    params = minhash_params(CM_D)
+
+    def counters(table: str, col: str) -> str:
+        base = f"('0x' || substr(md5({col}::VARCHAR), 1, 8))::BIGINT"
+        rows = " UNION ALL ".join(
+            f"SELECT {i} AS r, ({a} * {base} + {b}) % {MINHASH_P} % {CM_W} AS bkt FROM {table}"
+            for i, (a, b) in enumerate(params)
+        )
+        return f"SELECT r, bkt, count(*)::BIGINT AS c FROM ({rows}) GROUP BY r, bkt"
+
+    return f"""
+WITH ca AS ({counters('orders', 'o_custkey')}),
+cb AS ({counters('events', 'user_id')}),
+ip AS (
+  SELECT ca.r, sum(ca.c * cb.c) AS ip
+  FROM ca JOIN cb ON ca.r = cb.r AND ca.bkt = cb.bkt
+  GROUP BY ca.r
+),
+est AS (SELECT min(ip)::BIGINT AS est_join_size FROM ip),
+t AS (
+  SELECT count(*)::BIGINT AS true_join_size
+  FROM orders JOIN events ON o_custkey = user_id
+)
+SELECT est_join_size, true_join_size FROM est CROSS JOIN t
+"""
+
+
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by ISO week of their first signup,
+    counted as active per weekly offset. One min-agg for cohorts, one
+    distinct-agg for the matrix — both user-keyed shuffles; the cohort
+    table joins back broadcast-style (it is |users| rows of two smalls)."""
+    e = _events(spark, sf_dir)
+    cohort = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = e.select("user_id", F.date_trunc("week", F.col("ts")).alias("act_week"))
+    return (
+        activity.join(cohort, "user_id")
+        .where(F.col("act_week") >= F.col("cohort_week"))
+        .select(
+            F.to_date("cohort_week").alias("cohort_week"),
+            (
+                F.datediff(F.to_date("act_week"), F.to_date("cohort_week")) / 7
+            ).cast("bigint").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_SQL = """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT user_id, date_trunc('week', ts) AS act_week FROM events
+)
+SELECT cohort_week::DATE AS cohort_week,
+       (date_diff('day', cohort_week::DATE, act_week::DATE) // 7)::BIGINT AS week_offset,
+       count(DISTINCT a.user_id)::BIGINT AS n_users
+FROM activity a JOIN cohort c ON a.user_id = c.user_id
+WHERE act_week >= cohort_week
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point queries (operators/sketches.py::cms_build/
     cms_estimate): event counts for users 1-10 estimated from a 4×1024
@@ -3635,6 +3732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_prices": quantile_sketch_prices,
         "profile_orders_table": profile_orders_table,
         "funnel_view_click_purchase": funnel_view_click_purchase,
+        "cms_join_size_estimate": cms_join_size_estimate,
+        "cohort_retention_matrix": cohort_retention_matrix,
         "attribution_range_join": attribution_range_join,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "salted_skew_join": salted_skew_join,
@@ -3698,6 +3797,8 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch_prices": QUANTILE_SKETCH_SQL,
         "profile_orders_table": _profile_sql(),
         "funnel_view_click_purchase": FUNNEL_SQL,
+        "cms_join_size_estimate": _cms_join_sql(),
+        "cohort_retention_matrix": COHORT_SQL,
         "attribution_range_join": ATTRIBUTION_SQL,
         "unpivot_lineitem_metrics": UNPIVOT_SQL,
         "salted_skew_join": SALTED_JOIN_SQL,

@@ -318,3 +318,25 @@ def binned_quantiles(
             F.col("lo") + ((F.col("hi") - F.col("lo")) / bins) * (F.col("bin") + 1), 6
         ).alias("est"),
     )
+
+
+def cms_inner_product(
+    counters_a: DataFrame, counters_b: DataFrame, d: int = CM_D
+) -> DataFrame:
+    """One-row (est bigint): the count-min inner-product estimate of
+    equi-join cardinality, min over rows r of Σ_b cA[r,b]·cB[r,b] — the
+    classic sketch a planner consults to size a join without running it.
+    For non-negative counts est ≥ |A ⋈ B| exactly (collisions only add).
+
+    Both inputs are ≤ d·w counter relations, so this costs one tiny join
+    regardless of how large the sketched tables were — the sketches are
+    built in one scan each and can be persisted/merged incrementally.
+    """
+    a = counters_a.select("r", "bkt", F.col("c").alias("ca"))
+    b = counters_b.select("r", "bkt", F.col("c").alias("cb"))
+    return (
+        a.join(b, ["r", "bkt"])
+        .groupBy("r")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        .agg(F.min("ip").cast("bigint").alias("est"))
+    )
