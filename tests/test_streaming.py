@@ -19,10 +19,18 @@ EVENTS = "/root/testdata/sf0.001/events.parquet"
 
 
 def _batch_events(spark):
+    # mirror read_events_stream's encoding normalization (the driver's
+    # events fixture has shipped ts as INT64 nanos, no-tz micros, and
+    # tz-adjusted micros across rounds)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(EVENTS).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    e = spark.read.parquet(EVENTS)
+    ts_type = dict(e.dtypes).get("ts")
+    if ts_type == "bigint":
+        e = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    return e
 
 
 def test_stream_rollup_matches_batch(spark, tmp_path):
