@@ -3051,6 +3051,69 @@ SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
 """
 
 
+def bloom_prejoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (operators/sketches.py::bloom_build/
+    bloom_might_contain): event user_ids pruned by a Bloom filter of order
+    custkeys before the join, beside the exact semi-join count. No false
+    negatives — kept ≥ true, with the surplus bounded by the classic fp
+    rate. The portable twin of Spark's runtime bloom-join."""
+    from megalista_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    o = _t(spark, sf_dir, "orders")
+    e = _events(spark, sf_dir)
+    words = bloom_build(o, "o_custkey")
+    cand = e.select("user_id").distinct()
+    kept = bloom_might_contain(cand, "user_id", words)
+    true = cand.join(
+        o.select(F.col("o_custkey").alias("user_id")).distinct(), "user_id", "left_semi"
+    )
+    return (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept_bloom")))
+        .crossJoin(true.agg(F.count(F.lit(1)).alias("n_true_matches")))
+    )
+
+
+def _bloom_sql() -> str:
+    from megalista_spark.operators.dedup import MINHASH_P, minhash_params
+    from megalista_spark.operators.sketches import BLOOM_K, BLOOM_M, BLOOM_WORD
+
+    params = minhash_params(BLOOM_K)
+
+    def probes(table: str, col: str) -> str:
+        base = f"('0x' || substr(md5({col}::VARCHAR), 1, 8))::BIGINT"
+        return " UNION ALL ".join(
+            f"""SELECT {col} AS key,
+                (({a} * {base} + {b}) % {MINHASH_P} % {BLOOM_M}) // {BLOOM_WORD} AS word,
+                (({a} * {base} + {b}) % {MINHASH_P} % {BLOOM_M}) % {BLOOM_WORD} AS bit
+                FROM {table}"""
+            for a, b in params
+        )
+
+    return f"""
+WITH words AS (
+  SELECT word, bit_or(1::BIGINT << bit) AS bits
+  FROM ({probes('orders', 'o_custkey')})
+  GROUP BY word
+),
+cand AS (SELECT DISTINCT user_id FROM events),
+probes AS ({probes('cand', 'user_id')}),
+kept AS (
+  SELECT key FROM probes LEFT JOIN words USING (word)
+  GROUP BY key
+  HAVING sum(CASE WHEN (bits & (1::BIGINT << bit)) <> 0 THEN 1 ELSE 0 END) = {BLOOM_K}
+),
+t AS (
+  SELECT count(*)::BIGINT AS n_true_matches
+  FROM cand WHERE user_id IN (SELECT o_custkey FROM orders)
+)
+SELECT (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+       (SELECT count(*) FROM kept)::BIGINT AS n_kept_bloom,
+       n_true_matches
+FROM t
+"""
+
+
 def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation WITHOUT running the join — the
     count-min inner product (operators/sketches.py::cms_inner_product)
@@ -3733,6 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders_table": profile_orders_table,
         "funnel_view_click_purchase": funnel_view_click_purchase,
         "cms_join_size_estimate": cms_join_size_estimate,
+        "bloom_prejoin_prune": bloom_prejoin_prune,
         "cohort_retention_matrix": cohort_retention_matrix,
         "attribution_range_join": attribution_range_join,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
@@ -3798,6 +3862,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_orders_table": _profile_sql(),
         "funnel_view_click_purchase": FUNNEL_SQL,
         "cms_join_size_estimate": _cms_join_sql(),
+        "bloom_prejoin_prune": _bloom_sql(),
         "cohort_retention_matrix": COHORT_SQL,
         "attribution_range_join": ATTRIBUTION_SQL,
         "unpivot_lineitem_metrics": UNPIVOT_SQL,

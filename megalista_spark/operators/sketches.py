@@ -340,3 +340,67 @@ def cms_inner_product(
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
         .agg(F.min("ip").cast("bigint").alias("est"))
     )
+
+
+# Bloom geometry: k affine hash rows into m bits, packed into 63-bit words
+# (bit index < 63 keeps 1<<bit positive in signed int64 on every engine).
+BLOOM_M = 16384
+BLOOM_K = 4
+BLOOM_WORD = 63
+
+
+def _bloom_probes(col_expr, m: int, k: int) -> list:
+    from megalista_spark.operators.dedup import MINHASH_P, minhash_params
+
+    base = portable_hash32(col_expr.cast("string"))
+    out = []
+    for a, b in minhash_params(k):
+        pos = (F.lit(a) * base + F.lit(b)) % MINHASH_P % m
+        out.append(
+            F.struct(
+                (pos / BLOOM_WORD).cast("bigint").alias("word"),
+                (pos % BLOOM_WORD).alias("bit"),
+            )
+        )
+    return out
+
+
+def bloom_build(
+    df: DataFrame, col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Portable Bloom filter of ``df[col]`` as a (word, bits) relation,
+    ≤ ceil(m/63) rows — the join-pruning primitive (Spark's own runtime
+    bloom-join uses an engine-private filter; this one any system can
+    probe). bit_or is idempotent, so no pre-distinct pass is needed and
+    filters of two datasets merge by word-wise OR.
+
+    Scale: one scan exploding k=4 probes/row, map-side bit_or collapses to
+    ≤ 261 words per partition — constant-size shuffle and a filter small
+    enough to broadcast anywhere.
+    """
+    probes = df.select(F.inline(F.array(*_bloom_probes(F.col(col), m, k))))
+    return probes.groupBy("word").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bits")
+    )
+
+
+def bloom_might_contain(
+    keys: DataFrame, col: str, words: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """The subset of ``keys`` possibly present in the filter (no false
+    negatives; false positives at the classic (1-e^(-kn/m))^k rate).
+    Probe rows join the broadcast word table, so pruning a billion-key
+    column is map-side work.
+    """
+    probes = keys.select(
+        F.col(col).alias("key"), F.inline(F.array(*_bloom_probes(F.col(col), m, k)))
+    )
+    hit = F.expr("(bits & shiftleft(CAST(1 AS BIGINT), bit)) <> 0")
+    return (
+        probes.join(F.broadcast(words), "word", "left")
+        .select("key", F.when(hit, 1).otherwise(0).alias("h"))
+        .groupBy("key")
+        .agg(F.sum("h").alias("hits"))
+        .where(F.col("hits") == k)
+        .select("key")
+    )

@@ -365,6 +365,19 @@ def test_kmv_set_estimates_approx_above_k(spark):
     assert abs(row["est_intersection"] - 1500) / 1500 < 0.4
 
 
+def test_bloom_no_false_negatives(spark):
+    # every member key must pass; non-members pass only at the fp rate
+    from megalista_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    members = spark.createDataFrame([(i,) for i in range(500)], ["k"])
+    others = spark.createDataFrame([(i,) for i in range(10000, 11000)], ["k"])
+    words = bloom_build(members, "k")
+    kept_m = bloom_might_contain(members.distinct(), "k", words).count()
+    kept_o = bloom_might_contain(others, "k", words).count()
+    assert kept_m == 500  # no false negatives, ever
+    assert kept_o < 50  # fp rate ~0.1% at n=500, m=16384, k=4 — 5% margin
+
+
 def test_cms_overestimate_guarantee_and_merge(spark):
     # est >= true for every key even under forced collisions (w=16), and
     # two sketches merged counter-wise equal the sketch of the union
