@@ -3051,6 +3051,51 @@ SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
 """
 
 
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-resolution primitive: customer-name pairs within edit
+    distance 1 via deletion-neighborhood (FastSS) blocking
+    (operators/dedup.py::edit_distance_pairs) — no all-pairs comparison;
+    candidates meet only inside shared-variant blocks, then an exact
+    levenshtein check removes coincidences."""
+    from megalista_spark.operators.dedup import edit_distance_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    return (
+        edit_distance_pairs(c, "c_name", "c_custkey")
+        .select(
+            F.col("id_a").alias("custkey_a"),
+            F.col("id_b").alias("custkey_b"),
+            "name_a",
+            "name_b",
+        )
+        .orderBy("custkey_a", "custkey_b")
+    )
+
+
+FUZZY_NAME_SQL = """
+WITH vars AS (
+  SELECT c_custkey AS id, c_name AS name, v.variant
+  FROM customer,
+  LATERAL (
+    SELECT unnest(list_prepend(
+      c_name,
+      list_transform(range(1, len(c_name) + 1),
+                     i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1))
+    )) AS variant
+  ) v
+),
+cand AS (
+  SELECT DISTINCT a.id AS custkey_a, b.id AS custkey_b,
+                  a.name AS name_a, b.name AS name_b
+  FROM vars a JOIN vars b ON a.variant = b.variant AND a.id < b.id
+)
+SELECT custkey_a, custkey_b, name_a, name_b
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 1
+ORDER BY custkey_a, custkey_b
+"""
+
+
 def bloom_prejoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter join pruning (operators/sketches.py::bloom_build/
     bloom_might_contain): event user_ids pruned by a Bloom filter of order
@@ -3797,6 +3842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_view_click_purchase": funnel_view_click_purchase,
         "cms_join_size_estimate": cms_join_size_estimate,
         "bloom_prejoin_prune": bloom_prejoin_prune,
+        "fuzzy_name_pairs": fuzzy_name_pairs,
         "cohort_retention_matrix": cohort_retention_matrix,
         "attribution_range_join": attribution_range_join,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
@@ -3863,6 +3909,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_view_click_purchase": FUNNEL_SQL,
         "cms_join_size_estimate": _cms_join_sql(),
         "bloom_prejoin_prune": _bloom_sql(),
+        "fuzzy_name_pairs": FUZZY_NAME_SQL,
         "cohort_retention_matrix": COHORT_SQL,
         "attribution_range_join": ATTRIBUTION_SQL,
         "unpivot_lineitem_metrics": UNPIVOT_SQL,

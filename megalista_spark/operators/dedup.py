@@ -526,3 +526,52 @@ def min_label_groups(
         F.col("label").alias("group_label"),
         (F.col("id") == F.col("label")).alias("is_canonical"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame, col: str, id_col: str, max_distance: int = 1
+) -> DataFrame:
+    """All pairs within Levenshtein distance 1 via deletion-neighborhood
+    (FastSS) blocking: two strings at distance ≤ 1 always share an element
+    of {s} ∪ {s minus one char}, so blocking on those variants finds every
+    true pair with NO all-pairs comparison — candidates meet only inside a
+    variant block, then the exact levenshtein check (identical unit-cost DP
+    on every engine) removes block coincidences.
+
+    Neighborhood size is len(s)+1, so the exploded relation is ~avg_len ×
+    corpus — linear, shuffled on the variant string. A hot variant (e.g.
+    every row one char from a template) degrades like any hot join key and
+    takes the same remedies (AQE skew split / salting). max_distance is
+    fixed at 1: the d>1 generalization explodes C(len,d) variants and
+    belongs to the MinHash/SimHash family instead.
+
+    Output: (id_a, id_b, name_a, name_b), id_a < id_b, distinct.
+    """
+    if max_distance != 1:
+        raise ValueError("deletion-neighborhood blocking supports max_distance=1")
+    s = F.col(col)
+    variants = F.array_union(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                s.substr(F.lit(1), i - 1), s.substr(i + 1, F.length(s))
+            ),
+        ),
+    )
+    v = df.select(
+        F.col(id_col).alias("id"), s.alias("name"), F.explode(variants).alias("variant")
+    )
+    a = v.select(
+        F.col("variant"), F.col("id").alias("id_a"), F.col("name").alias("name_a")
+    )
+    b = v.select(
+        F.col("variant"), F.col("id").alias("id_b"), F.col("name").alias("name_b")
+    )
+    return (
+        a.join(b, ["variant"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+        .where(F.levenshtein("name_a", "name_b") <= max_distance)
+    )

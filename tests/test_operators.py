@@ -365,6 +365,28 @@ def test_kmv_set_estimates_approx_above_k(spark):
     assert abs(row["est_intersection"] - 1500) / 1500 < 0.4
 
 
+def test_edit_distance_pairs_finds_all_ed1_kinds(spark):
+    # substitution, deletion/insertion, and identical-pair cases; 'axc'
+    # vs 'ayd' is distance 2 and must NOT appear despite sharing prefix
+    from megalista_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "ab"), (4, "abc"), (5, "ayd"), (6, "zzz")],
+        ["id", "s"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_pairs(df, "s", "id").collect()
+    }
+    assert (1, 2) in pairs  # substitution
+    assert (1, 3) in pairs  # deletion
+    assert (1, 4) in pairs  # identical (distance 0)
+    assert (2, 3) in pairs  # deletion
+    assert all(5 not in p and 6 not in p for p in pairs if p != (2, 5))
+    assert (2, 5) in pairs  # abd->ayd substitution
+    assert (1, 5) not in pairs  # distance 2
+
+
 def test_bloom_no_false_negatives(spark):
     # every member key must pass; non-members pass only at the fp rate
     from megalista_spark.operators.sketches import bloom_build, bloom_might_contain
