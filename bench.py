@@ -91,6 +91,15 @@ HEADLINE = [
     "decontaminate_docs",
     "repetition_filter_docs",
     "pack_training_sequences",
+    "quantile_sketch_prices",
+    "profile_orders_table",
+    "funnel_view_click_purchase",
+    "cms_join_size_estimate",
+    "cohort_retention_matrix",
+    "bloom_prejoin_prune",
+    "fuzzy_name_pairs",
+    "source_roundtrip_orc",
+    "source_roundtrip_csv",
 ]
 
 
