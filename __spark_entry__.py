@@ -3051,6 +3051,36 @@ SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
 """
 
 
+def hopping_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup (operators/sessions.py::hopping_rollup):
+    60-minute windows sliding every 30 — each event lands in exactly 2
+    windows via a JVM-side Generate (no shuffle for the replication, no
+    range self-join); the oracle regenerates the covering window starts
+    with integer epoch arithmetic."""
+    from megalista_spark.operators.sessions import hopping_rollup
+
+    return hopping_rollup(_events(spark, sf_dir), 60, 30).orderBy(
+        "window_start", "event_type"
+    )
+
+
+HOPPING_SQL = """
+WITH expanded AS (
+  SELECT make_timestamp(k * 1800 * 1000000) AS window_start, event_type, value
+  FROM events,
+  -- epoch() yields fractional seconds and ::BIGINT would ROUND (half-even);
+  -- integer micros floor-divided keep sub-second events in the right window
+  LATERAL unnest(range((epoch_us(ts::TIMESTAMP) // 1000000 - 3600) // 1800 + 1,
+                       epoch_us(ts::TIMESTAMP) // 1000000 // 1800 + 1)) AS t(k)
+)
+SELECT window_start, event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM expanded
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identity-resolution primitive: customer-name pairs within edit
     distance 1 via deletion-neighborhood (FastSS) blocking
@@ -3843,6 +3873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_join_size_estimate": cms_join_size_estimate,
         "bloom_prejoin_prune": bloom_prejoin_prune,
         "fuzzy_name_pairs": fuzzy_name_pairs,
+        "hopping_rollup_events": hopping_rollup_events,
         "cohort_retention_matrix": cohort_retention_matrix,
         "attribution_range_join": attribution_range_join,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
@@ -3910,6 +3941,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_join_size_estimate": _cms_join_sql(),
         "bloom_prejoin_prune": _bloom_sql(),
         "fuzzy_name_pairs": FUZZY_NAME_SQL,
+        "hopping_rollup_events": HOPPING_SQL,
         "cohort_retention_matrix": COHORT_SQL,
         "attribution_range_join": ATTRIBUTION_SQL,
         "unpivot_lineitem_metrics": UNPIVOT_SQL,

@@ -66,6 +66,34 @@ def session_stats(
     )
 
 
+def hopping_rollup(
+    events: DataFrame,
+    window_minutes: int = 60,
+    slide_minutes: int = 30,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hopping (sliding) window rollup: each event contributes to
+    window/slide overlapping windows. ``F.window(ts, w, s)`` generates the
+    covering windows JVM-side (a Generate, no shuffle) and the aggregate
+    shuffles (window_start, key) groups — the replication factor w/s is
+    explicit and bounded, never a range self-join.
+
+    Windows align to the epoch, matching external generate_series oracles.
+    """
+    win = F.window(
+        F.col(ts_col), f"{window_minutes} minutes", f"{slide_minutes} minutes"
+    )
+    return (
+        events.groupBy(win.getField("start").alias("window_start"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+    )
+
+
 def tumbling_rollup(
     events: DataFrame,
     minutes: int = 60,
