@@ -3449,6 +3449,35 @@ ORDER BY media_id
 """
 
 
+def streaming_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``hopping_rollup_events`` — the same overlapping
+    60/30 windows under readStream with watermarked state (one open-window
+    set per key, bounded by the horizon); single-file source ⇒ one
+    micro-batch ⇒ complete-mode output equals the batch result, so the
+    batch oracle applies verbatim."""
+    from megalista_spark.streaming.events import (
+        read_events_stream,
+        stream_hopping_rollup,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    rolled = stream_hopping_rollup(ev, 60, 30, watermark="2 hours")
+    name = "_streaming_hopping_rollup"
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of ``hourly_rollup``: the SAME tumbling-
     window aggregation under ``readStream`` (file source → watermarked
@@ -3859,6 +3888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_estimate": dedup_minhash_estimate,
         "set_intersect_customers": set_intersect_customers,
         "streaming_hourly_rollup": streaming_hourly_rollup,
+        "streaming_hopping_rollup": streaming_hopping_rollup,
         "streaming_attribution_join": streaming_attribution_join,
         "streaming_attribution_left_join": streaming_attribution_left_join,
         "bucketed_colocated_join": bucketed_colocated_join,
@@ -3927,6 +3957,7 @@ def oracle_sql() -> dict[str, str]:
         # a STREAMING query with a full oracle: single-file source → one
         # micro-batch → complete mode ≡ batch semantics (see docstring)
         "streaming_hourly_rollup": HOURLY_SQL,
+        "streaming_hopping_rollup": HOPPING_SQL,
         "streaming_attribution_join": STREAMING_ATTRIBUTION_SQL,
         "streaming_attribution_left_join": STREAMING_ATTRIBUTION_OUTER_SQL,
         "bucketed_colocated_join": BUCKETED_JOIN_SQL,

@@ -74,6 +74,31 @@ def stream_tumbling_rollup(
     )
 
 
+def stream_hopping_rollup(
+    events: DataFrame,
+    window_minutes: int = 60,
+    slide_minutes: int = 30,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked hopping-window rollup — streaming twin of the batch
+    ``hopping_rollup``; state holds window/slide open windows per key,
+    all bounded by the watermark horizon."""
+    win = F.window(
+        F.col(ts_col), f"{window_minutes} minutes", f"{slide_minutes} minutes"
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.getField("start").alias("window_start"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+    )
+
+
 def stream_session_window_stats(
     events: DataFrame,
     gap_minutes: int = 30,
