@@ -151,3 +151,83 @@ def media_dedup_exact(df: DataFrame) -> DataFrame:
         .agg(F.min("media_id").alias("media_id"), F.count(F.lit(1)).alias("dup_count"))
         .select("media_id", "content_sha256", "dup_count")
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_sha256", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int = 64, height: int = 64, decode_stub: bool = True
+) -> DataFrame:
+    """binary image → resized-image digest record. Stub derives the digest
+    from (content, target size); a real kernel decodes, resizes with
+    PIL/opencv, and re-encodes. Same plan shape as feature extraction:
+    pure mapInPandas over the scan, no shuffle — at 100 TB the knob is
+    partition byte size, not the operator."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f"|{width}x{height}".encode()
+        for pdf in batches:
+            if not decode_stub:
+                # Real implementation: PIL Image.open(...).resize((w, h))
+                raise NotImplementedError("image codec not available in this environment")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "resized_sha256": pdf["content"].map(
+                        lambda b: hashlib.sha256(b + tag).hexdigest()
+                        if b is not None
+                        else None
+                    ),
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_index", T.IntegerType()),
+        T.StructField("energy", T.FloatType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, n_windows: int = 4, decode_stub: bool = True
+) -> DataFrame:
+    """audio binary → per-window energy rows (one row per analysis
+    window). Stub computes mean byte value over equal content slices — a
+    real kernel would decode PCM and compute RMS/spectral features per
+    hop. Output rows = input rows × n_windows, generated inside the
+    kernel like the frame sampler."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError("audio codec not available in this environment")
+            ids, idxs, energies = [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) == 0:
+                    continue
+                step = max(len(content) // n_windows, 1)
+                for i in range(n_windows):
+                    chunk = content[i * step : (i + 1) * step] or content[-step:]
+                    ids.append(media_id)
+                    idxs.append(i)
+                    energies.append(sum(chunk) / (255.0 * len(chunk)))
+            yield pd.DataFrame(
+                {"media_id": ids, "window_index": idxs, "energy": energies}
+            )
+
+    return df.select("media_id", "content").mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
