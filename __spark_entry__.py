@@ -2967,6 +2967,53 @@ ORDER BY q
 """
 
 
+def quantile_sketch_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped histogram quantiles: per-returnflag price quantiles with
+    per-group bin domains (operators/sketches.py::binned_quantiles_grouped)
+    — the cumulative window partitions by group, so no global ordering
+    exists anywhere in the plan."""
+    from megalista_spark.operators.sketches import binned_quantiles_grouped
+
+    l = _t(spark, sf_dir, "lineitem")
+    return binned_quantiles_grouped(
+        l, "l_extendedprice", ["l_returnflag"], qs=(0.5, 0.9)
+    ).orderBy("l_returnflag", "q")
+
+
+QUANTILE_GROUPED_SQL = """
+WITH b AS (
+  SELECT l_returnflag, min(l_extendedprice::DOUBLE) AS lo,
+         max(l_extendedprice::DOUBLE) AS hi, count(l_extendedprice) AS n
+  FROM lineitem GROUP BY l_returnflag
+),
+binned AS (
+  SELECT l.l_returnflag,
+         CASE WHEN hi = lo THEN 0
+              ELSE least(1023, floor((l_extendedprice::DOUBLE - lo) / ((hi - lo) / 1024)))::BIGINT
+         END AS bin
+  FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+  WHERE l_extendedprice IS NOT NULL
+),
+counts AS (SELECT l_returnflag, bin, count(*)::BIGINT AS c FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, bin,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts
+),
+qs AS (SELECT q FROM (VALUES (0.5), (0.9)) AS t(q)),
+hit AS (
+  SELECT cum.l_returnflag, q, lo, hi, min(bin) AS bin
+  FROM cum JOIN b ON cum.l_returnflag = b.l_returnflag
+  CROSS JOIN qs
+  WHERE cum >= ceil(q * n)
+  GROUP BY cum.l_returnflag, q, lo, hi
+)
+SELECT l_returnflag, q, round(lo + ((hi - lo) / 1024) * (bin + 1), 6) AS est
+FROM hit
+ORDER BY l_returnflag, q
+"""
+
+
 def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass per-column profile of the orders table
     (operators/profiling.py::profile_columns): rows, nulls, distincts,
@@ -3898,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_estimate": hll_distinct_estimate,
         "cms_user_frequencies": cms_user_frequencies,
         "quantile_sketch_prices": quantile_sketch_prices,
+        "quantile_sketch_by_flag": quantile_sketch_by_flag,
         "profile_orders_table": profile_orders_table,
         "funnel_view_click_purchase": funnel_view_click_purchase,
         "cms_join_size_estimate": cms_join_size_estimate,
@@ -3967,6 +4015,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_estimate": _hll_sql(),
         "cms_user_frequencies": _cms_sql(),
         "quantile_sketch_prices": QUANTILE_SKETCH_SQL,
+        "quantile_sketch_by_flag": QUANTILE_GROUPED_SQL,
         "profile_orders_table": _profile_sql(),
         "funnel_view_click_purchase": FUNNEL_SQL,
         "cms_join_size_estimate": _cms_join_sql(),

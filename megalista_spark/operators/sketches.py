@@ -404,3 +404,70 @@ def bloom_might_contain(
         .where(F.col("hits") == k)
         .select("key")
     )
+
+
+def binned_quantiles_grouped(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = 1024,
+) -> DataFrame:
+    """Per-group histogram quantiles: (group..., q, est) — the grouped form
+    of ``binned_quantiles`` with per-group bin domains, so skewed groups
+    don't steal resolution from narrow ones.
+
+    Scale: the bounds aggregate collapses to |groups| rows (join back is
+    broadcast when groups are few, plain shuffle otherwise), bin counts
+    map-side-combine into ≤ |groups|·bins rows, and the cumulative window
+    partitions BY GROUP — no global ordering anywhere.
+    """
+    from pyspark.sql import Window
+
+    x = F.col(col).cast("double")
+    bounds = df.groupBy(*group_cols).agg(
+        F.min(x).alias("lo"), F.max(x).alias("hi"), F.count(x).alias("n")
+    )
+    binned = (
+        df.select(*group_cols, x.alias("x"))
+        .where(F.col("x").isNotNull())
+        .join(bounds, group_cols)
+        .select(
+            *group_cols,
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("x") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / bins)
+                    ),
+                )
+            )
+            .alias("bin"),
+        )
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = binned.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy(*group_cols)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], ["q"])
+    hit = (
+        cum.join(bounds, group_cols)
+        .crossJoin(F.broadcast(qdf))
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy(*group_cols, "q", "lo", "hi")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.select(
+        *group_cols,
+        "q",
+        F.round(
+            F.col("lo") + ((F.col("hi") - F.col("lo")) / bins) * (F.col("bin") + 1), 6
+        ).alias("est"),
+    )
