@@ -2967,6 +2967,31 @@ ORDER BY q
 """
 
 
+def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostic (operators/skew.py::skew_report): the
+    top-10 heaviest event users with row counts and share — the
+    measurement that decides whether a join needs salting/AQE skew
+    handling. Top-N via TakeOrdered, never a global sort."""
+    from megalista_spark.operators.skew import skew_report
+
+    e = _events(spark, sf_dir)
+    return skew_report(e, "user_id", top_n=10).withColumnRenamed("key", "user_id")
+
+
+SKEW_REPORT_SQL = """
+WITH counts AS (
+  SELECT user_id, count(*)::BIGINT AS n_rows FROM events GROUP BY user_id
+),
+total AS (SELECT sum(n_rows) AS total FROM counts)
+SELECT user_id, n_rows,
+       round(n_rows / total * 100, 4) AS pct_of_total,
+       row_number() OVER (ORDER BY n_rows DESC, user_id)::BIGINT AS rank
+FROM counts CROSS JOIN total
+ORDER BY n_rows DESC, user_id
+LIMIT 10
+"""
+
+
 def quantile_sketch_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped histogram quantiles: per-returnflag price quantiles with
     per-group bin domains (operators/sketches.py::binned_quantiles_grouped)
@@ -3946,6 +3971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_frequencies": cms_user_frequencies,
         "quantile_sketch_prices": quantile_sketch_prices,
         "quantile_sketch_by_flag": quantile_sketch_by_flag,
+        "skew_report_events": skew_report_events,
         "profile_orders_table": profile_orders_table,
         "funnel_view_click_purchase": funnel_view_click_purchase,
         "cms_join_size_estimate": cms_join_size_estimate,
@@ -4016,6 +4042,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_user_frequencies": _cms_sql(),
         "quantile_sketch_prices": QUANTILE_SKETCH_SQL,
         "quantile_sketch_by_flag": QUANTILE_GROUPED_SQL,
+        "skew_report_events": SKEW_REPORT_SQL,
         "profile_orders_table": _profile_sql(),
         "funnel_view_click_purchase": FUNNEL_SQL,
         "cms_join_size_estimate": _cms_join_sql(),

@@ -36,3 +36,36 @@ def salted_join(
     )
     out = l.join(r, on=[on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def skew_report(df, key_col: str, top_n: int = 10):
+    """Key-distribution diagnostic: the top-N heaviest keys with their row
+    counts and share of the table — the measurement that decides whether a
+    join needs ``salted_join`` / AQE skew handling at all.
+
+    (key, n_rows, pct_of_total, rank): one hash-agg on the key (map-side
+    combined), a 1-row total broadcast, and a TakeOrdered top-N — no
+    global sort. pct is rounded from an integer ratio, so it reproduces
+    exactly on any engine.
+    """
+    from pyspark.sql import Window, functions as F
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("total"))
+    # top-N FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps + a k-row driver merge); ranking a global window over all keys
+    # would be a real global sort at scale
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "key",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("total") * 100, 4).alias("pct_of_total"),
+        "rank",
+    )
