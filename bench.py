@@ -100,6 +100,9 @@ HEADLINE = [
     "fuzzy_name_pairs",
     "source_roundtrip_orc",
     "source_roundtrip_csv",
+    "hopping_rollup_events",
+    "quantile_sketch_by_flag",
+    "skew_report_events",
 ]
 
 
