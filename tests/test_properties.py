@@ -183,3 +183,77 @@ def test_hash_sample_rate_convergence_batch(spark):
     n2 = hash_sample(df, 0.3, "k").count()
     assert n1 == n2
     assert abs(n1 / 20_000 - 0.3) < 0.02
+
+
+def test_triangle_count_matches_bruteforce_random_batch(spark):
+    # random G(n, p) graphs: degree-oriented count == itertools brute force
+    import itertools
+    import random
+
+    from megalista_spark.operators.graph import triangle_count
+
+    rnd = random.Random(7)
+    for trial in range(3):
+        n = 14
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(range(n), 2)
+            if rnd.random() < 0.35
+        ]
+        adj = set(edges)
+        expected = sum(
+            1
+            for a, b, c in itertools.combinations(range(n), 3)
+            if (a, b) in adj and (b, c) in adj and (a, c) in adj
+        )
+        df = spark.createDataFrame(edges or [(0, 1)], ["src", "dst"])
+        got = triangle_count(df).first()["triangle_count"]
+        assert got == (expected if edges else 0), f"trial {trial}"
+
+
+def test_edit_distance_pairs_matches_bruteforce_batch(spark):
+    # random short strings: blocking+verify == all-pairs levenshtein<=1
+    import itertools
+    import random
+
+    from megalista_spark.operators.dedup import edit_distance_pairs
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rnd = random.Random(11)
+    words = ["".join(rnd.choice("abc") for _ in range(rnd.randint(1, 5))) for _ in range(40)]
+    df = spark.createDataFrame(list(enumerate(words)), ["id", "s"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_pairs(df, "s", "id").collect()
+    }
+    expected = {
+        (i, j)
+        for (i, wa), (j, wb) in itertools.combinations(enumerate(words), 2)
+        if lev(wa, wb) <= 1
+    }
+    assert got == expected
+
+
+def test_binned_quantiles_error_bound_batch(spark):
+    # estimate must sit within one bin width above the true quantile
+    from megalista_spark.operators.sketches import binned_quantiles
+
+    vals = [float(v) for v in range(0, 10_000, 3)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    out = {r["q"]: r["est"] for r in binned_quantiles(df, "x", qs=(0.5, 0.9)).collect()}
+    lo, hi = min(vals), max(vals)
+    width = (hi - lo) / 1024
+    svals = sorted(vals)
+    for q, est in out.items():
+        import math
+
+        true = svals[math.ceil(q * len(svals)) - 1]
+        assert true <= est <= true + 2 * width
