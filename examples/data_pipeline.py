@@ -63,6 +63,24 @@ def main() -> None:
     cents = kmeans_centroids(emb, k=8, iters=2)
     ivf = ivf_cosine_topk(emb, queries, k=5, nprobe=3, centroids=cents)
     ivf.show(15, truncate=False)
+
+    # 7. intake health checks: per-column profile + key-skew diagnostic
+    from megalista_spark.operators.profiling import profile_columns
+    from megalista_spark.operators.skew import skew_report
+
+    profile_columns(docs).show(truncate=False)
+    skew_report(docs, "lang", top_n=5).show()
+
+    # 8. cardinality triage without exact counts: HLL distinct estimate
+    from megalista_spark.operators.sketches import hll_distinct_count
+
+    hll_distinct_count(docs, "text").show()
+
+    # 9. pack the surviving corpus into fixed-budget training sequences
+    from megalista_spark.operators.packing import pack_sequences
+
+    packed = pack_sequences(kept.select("doc_id", "text"), budget=512)
+    print(f"packed sequences: {packed.count()}")
     spark.stop()
 
 
