@@ -1659,6 +1659,64 @@ ORDER BY user_id, version
 """
 
 
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/cdc.py::table_diff): orders
+    diffed against a deterministically perturbed copy (2% of keys dropped,
+    ~1.4% price-bumped) — one full-outer join carrying key + 32-char row
+    digests instead of two full payloads; identical rows never leave the
+    join."""
+    from megalista_spark.operators.cdc import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    right = o.where(F.col("o_orderkey") % 50 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 70 == 0, F.round(F.col("o_totalprice") + 1.0, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(o, right, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+TABLE_DIFF_SQL = """
+WITH right_t AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 70 = 0 THEN round(o_totalprice + 1.0, 2)
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 50 <> 0
+),
+l AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31),
+           coalesce('v' || o_custkey::VARCHAR, 'n'),
+           coalesce('v' || o_orderstatus, 'n'),
+           coalesce('v' || o_totalprice::VARCHAR, 'n'),
+           coalesce('v' || o_orderdate::VARCHAR, 'n'),
+           coalesce('v' || o_orderpriority, 'n'))) AS lh
+  FROM orders
+),
+r AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31),
+           coalesce('v' || o_custkey::VARCHAR, 'n'),
+           coalesce('v' || o_orderstatus, 'n'),
+           coalesce('v' || o_totalprice::VARCHAR, 'n'),
+           coalesce('v' || o_orderdate::VARCHAR, 'n'),
+           coalesce('v' || o_orderpriority, 'n'))) AS rh
+  FROM right_t
+)
+SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+       CASE WHEN rh IS NULL THEN 'left_only'
+            WHEN lh IS NULL THEN 'right_only'
+            WHEN lh <> rh THEN 'changed' END AS verdict
+FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+WHERE (CASE WHEN rh IS NULL THEN 'left_only'
+            WHEN lh IS NULL THEN 'right_only'
+            WHEN lh <> rh THEN 'changed' END) IS NOT NULL
+ORDER BY o_orderkey
+"""
+
+
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D6: JSON column decode — parse the events props JSON and aggregate
     on the extracted field (from_json with explicit schema; the scan only
@@ -3942,6 +4000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_roundtrip_orc": source_roundtrip_orc,
         "source_roundtrip_csv": source_roundtrip_csv,
         "merge_customer_updates": merge_customer_updates,
+        "table_diff_orders": table_diff_orders,
         "scd2_user_event_history": scd2_user_event_history,
         "decontaminate_docs": decontaminate_docs,
         "repetition_filter_docs": repetition_filter_docs,
@@ -4072,6 +4131,7 @@ def oracle_sql() -> dict[str, str]:
         "source_roundtrip_orc": ROUNDTRIP_ORC_SQL,
         "source_roundtrip_csv": ROUNDTRIP_CSV_SQL,
         "merge_customer_updates": MERGE_SQL,
+        "table_diff_orders": TABLE_DIFF_SQL,
         "scd2_user_event_history": SCD2_SQL,
         "decontaminate_docs": _decontaminate_sql(),
         "repetition_filter_docs": REPETITION_SQL,

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -137,4 +137,48 @@ def scd2_history(
         F.lead("valid_from").over(wv).alias("valid_to"),
         F.col("version").cast("long").alias("version"),
         F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    )
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reconciliation between two snapshots of the same table: one row per
+    differing key with a verdict in {'left_only', 'right_only', 'changed'}
+    (identical rows are dropped — the overwhelmingly common case, so the
+    output is tiny even when the inputs are huge).
+
+    Change detection compares an md5 over the concatenated compare
+    columns (null-tagged, unit-separated), NOT column-by-column equality —
+    the full-outer join then carries key + two 32-char digests per row
+    instead of two full row payloads. At 100 TB this is the difference
+    between shuffling 64 bytes/row and shuffling the table twice.
+    """
+    cmp_l = compare_cols if compare_cols is not None else [
+        c for c in left.columns if c not in key_cols
+    ]
+
+    def digest(df: DataFrame) -> Column:
+        # null-tagged, unit-separated so ('a', null) never collides with ('a|null')
+        parts = [
+            F.coalesce(F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("n"))
+            for c in cmp_l
+        ]
+        return F.md5(F.concat_ws("\x1f", *parts))
+
+    l = left.select(*key_cols, digest(left).alias("_lh"))
+    r = right.select(*key_cols, digest(right).alias("_rh"))
+    j = l.join(r, key_cols, "full_outer")
+    verdict = (
+        F.when(F.col("_rh").isNull(), F.lit("left_only"))
+        .when(F.col("_lh").isNull(), F.lit("right_only"))
+        .when(F.col("_lh") != F.col("_rh"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("verdict", verdict)
+        .where(F.col("verdict").isNotNull())
+        .select(*key_cols, "verdict")
     )

@@ -365,6 +365,26 @@ def test_kmv_set_estimates_approx_above_k(spark):
     assert abs(row["est_intersection"] - 1500) / 1500 < 0.4
 
 
+def test_table_diff_verdicts_and_null_tagging(spark):
+    from megalista_spark.operators.cdc import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, "c", "y"), (4, "an", "ull")],
+        ["k", "c1", "c2"],
+    )
+    right = spark.createDataFrame(
+        [(2, "b", "x"), (3, "c", "z"), (4, "anull", None), (5, "e", "w")],
+        ["k", "c1", "c2"],
+    )
+    out = {r["k"]: r["verdict"] for r in table_diff(left, right, ["k"]).collect()}
+    assert out == {
+        1: "left_only",
+        3: "changed",
+        4: "changed",  # ('an','ull') vs ('anull',None) must NOT collide
+        5: "right_only",
+    }  # key 2 identical → absent
+
+
 def test_edit_distance_pairs_finds_all_ed1_kinds(spark):
     # substitution, deletion/insertion, and identical-pair cases; 'axc'
     # vs 'ayd' is distance 2 and must NOT appear despite sharing prefix
