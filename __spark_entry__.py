@@ -2617,6 +2617,36 @@ ORDER BY lang
 """
 
 
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (operators/sampling.py::weighted_sample): 100 documents drawn with
+    probability ∝ n_chars via Efraimidis-Spirakis keys over the portable
+    hash — deterministic under any partitioning, mergeable per shard
+    (TakeOrdered), reproduced key-for-key by the oracle."""
+    from megalista_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        weighted_sample(d.select("doc_id", "n_chars"), "n_chars", "doc_id", k=100)
+        .select("doc_id", "n_chars", F.round("es_key", 9).alias("es_key"))
+        .orderBy("doc_id")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln((('0x' || substr(md5('wrs|' || doc_id::VARCHAR), 1, 15))::BIGINT + 1.0)
+            / 1152921504606846976.0) / n_chars::DOUBLE AS es_key
+  FROM documents
+  WHERE n_chars::DOUBLE > 0
+)
+SELECT doc_id, n_chars, round(es_key, 9) AS es_key
+FROM (SELECT * FROM keyed ORDER BY es_key DESC, doc_id LIMIT 100)
+ORDER BY doc_id
+"""
+
+
 def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshape (DataFrame.unpivot / melt) + per-metric profile —
     the feature-table melt every training pipeline runs. Unpivot is a
@@ -4042,6 +4072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "salted_skew_join": salted_skew_join,
         "sample_documents": sample_documents,
+        "weighted_sample_documents": weighted_sample_documents,
         "stratified_sample_by_lang": stratified_sample_by_lang,
         "training_mix": training_mix,
         "text_token_count": text_token_count,
@@ -4113,6 +4144,7 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_lineitem_metrics": UNPIVOT_SQL,
         "salted_skew_join": SALTED_JOIN_SQL,
         "sample_documents": SAMPLE_SQL,
+        "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
         "stratified_sample_by_lang": STRATIFIED_SQL,
         "training_mix": TRAINING_MIX_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,

@@ -83,3 +83,38 @@ def weighted_mix(
         piece = hash_sample(df, rate, key_col, salt=f"{salt}{i}")
         out = piece if out is None else out.unionByName(piece)
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int = 100,
+    salt: str = "wrs",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis): each
+    row gets key = ln(u)/w for a hash-derived uniform u, and the k largest
+    keys are the sample — inclusion probability proportional to weight,
+    exactly one pass, no rejection loop.
+
+    Deterministic like every sampler here: u comes from the portable
+    60-bit hash of (salt, key), so the same rows are chosen under any
+    partitioning, any engine, and across incremental re-runs — and a
+    merge of per-shard top-k lists IS the global sample (the reservoir
+    property), which is what TakeOrderedAndProject exploits: per-partition
+    heaps, k rows to the driver, no global sort.
+
+    Rows with weight ≤ 0 are excluded (E-S is undefined there).
+    """
+    from megalista_spark.operators.dedup import portable_hash64
+
+    h = portable_hash64(F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string")))
+    # u in (0, 1]: +1 keeps ln defined at h = 0
+    u = (h + F.lit(1).cast("double")) / F.lit(float(1 << 60))
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col).cast("double") > 0)
+        .withColumn("es_key", es_key)
+        .orderBy(F.desc("es_key"), F.asc(key_col))
+        .limit(k)
+    )

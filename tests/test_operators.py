@@ -365,6 +365,24 @@ def test_kmv_set_estimates_approx_above_k(spark):
     assert abs(row["est_intersection"] - 1500) / 1500 < 0.4
 
 
+def test_weighted_sample_determinism_and_bias(spark):
+    # identical across runs; heavier keys overrepresented vs uniform
+    from megalista_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100 if i < 200 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    s1 = {r["id"] for r in weighted_sample(df, "w", "id", k=200).collect()}
+    s2 = {r["id"] for r in weighted_sample(df, "w", "id", k=200).collect()}
+    assert s1 == s2  # no RNG anywhere
+    heavy = sum(1 for i in s1 if i < 200)
+    # heavy ids are 10% of rows but carry ~92% of the weight; uniform
+    # sampling would pick ~20 of 200 — E-S must pick far more
+    assert heavy > 100
+    # zero/negative weights are excluded
+    df2 = spark.createDataFrame([(1, 0), (2, -3), (3, 5)], ["id", "w"])
+    assert {r["id"] for r in weighted_sample(df2, "w", "id", k=10).collect()} == {3}
+
+
 def test_table_diff_verdicts_and_null_tagging(spark):
     from megalista_spark.operators.cdc import table_diff
 
