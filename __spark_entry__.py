@@ -2617,6 +2617,49 @@ ORDER BY lang
 """
 
 
+def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout codes (operators/layout.py::zorder_code) over
+    (user_id, event minute): per z-bucket row counts and z ranges — the
+    write-side clustering stats a 2-D-pruning layout produces. The Morton
+    interleave is one generated integer expression, identical across
+    dialects."""
+    from megalista_spark.operators.layout import zorder_code
+
+    e = _events(spark, sf_dir).withColumn(
+        "minute", F.expr("unix_micros(ts) div 60000000")
+    )
+    z = zorder_code(e, "user_id", "minute", bits=16)
+    return (
+        z.select(F.expr("z div 1048576").alias("z_bucket"), "z")
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def _zorder_sql() -> str:
+    from megalista_spark.operators.layout import morton_interleave_sql
+
+    z = morton_interleave_sql(
+        "(user_id & 65535)",
+        "((epoch_us(ts::TIMESTAMP) // 60000000) & 65535)",
+        bits=16,
+        dialect="duckdb",
+    )
+    return f"""
+WITH coded AS (SELECT {z} AS z FROM events)
+SELECT z // 1048576 AS z_bucket, count(*)::BIGINT AS n_rows,
+       min(z) AS z_min, max(z) AS z_max
+FROM coded
+GROUP BY z_bucket
+ORDER BY z_bucket
+"""
+
+
 def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement
     (operators/sampling.py::weighted_sample): 100 documents drawn with
@@ -4073,6 +4116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_skew_join": salted_skew_join,
         "sample_documents": sample_documents,
         "weighted_sample_documents": weighted_sample_documents,
+        "zorder_bucket_stats": zorder_bucket_stats,
         "stratified_sample_by_lang": stratified_sample_by_lang,
         "training_mix": training_mix,
         "text_token_count": text_token_count,
@@ -4145,6 +4189,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_skew_join": SALTED_JOIN_SQL,
         "sample_documents": SAMPLE_SQL,
         "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
+        "zorder_bucket_stats": _zorder_sql(),
         "stratified_sample_by_lang": STRATIFIED_SQL,
         "training_mix": TRAINING_MIX_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,

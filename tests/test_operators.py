@@ -365,6 +365,20 @@ def test_kmv_set_estimates_approx_above_k(spark):
     assert abs(row["est_intersection"] - 1500) / 1500 < 0.4
 
 
+def test_zorder_code_known_values(spark):
+    # Morton: (0,0)->0 (1,0)->1 (0,1)->2 (1,1)->3 (3,3)->15 (65535,0)->
+    # alternating even bits
+    from megalista_spark.operators.layout import zorder_code
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (3, 3), (65535, 0)], ["a", "b"]
+    )
+    out = {(r["a"], r["b"]): r["z"] for r in zorder_code(df, "a", "b").collect()}
+    assert out[(0, 0)] == 0 and out[(1, 0)] == 1 and out[(0, 1)] == 2
+    assert out[(1, 1)] == 3 and out[(3, 3)] == 15
+    assert out[(65535, 0)] == sum(1 << (2 * i) for i in range(16))
+
+
 def test_weighted_sample_determinism_and_bias(spark):
     # identical across runs; heavier keys overrepresented vs uniform
     from megalista_spark.operators.sampling import weighted_sample
