@@ -2617,6 +2617,48 @@ ORDER BY lang
 """
 
 
+def trailing_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per event, the count and mean value of the
+    same user's events in the trailing hour (inclusive). One shuffle on
+    user_id + one sort — the range frame slides over the sorted run, state
+    bounded by the hour horizon, never a self-join."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).withColumn(
+        "sec", F.expr("unix_micros(ts) div 1000000")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+            F.round(F.avg("value").over(w), 6).alias("avg_value_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+TRAILING_WINDOW_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, value,
+         epoch_us(ts::TIMESTAMP) // 1000000 AS sec
+  FROM events
+)
+SELECT event_id, user_id,
+       count(*) OVER w::BIGINT AS n_trailing_1h,
+       round(avg(value) OVER w, 6) AS avg_value_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout codes (operators/layout.py::zorder_code) over
     (user_id, event minute): per z-bucket row counts and z ranges — the
@@ -4117,6 +4159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents": sample_documents,
         "weighted_sample_documents": weighted_sample_documents,
         "zorder_bucket_stats": zorder_bucket_stats,
+        "trailing_window_stats": trailing_window_stats,
         "stratified_sample_by_lang": stratified_sample_by_lang,
         "training_mix": training_mix,
         "text_token_count": text_token_count,
@@ -4190,6 +4233,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": SAMPLE_SQL,
         "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
         "zorder_bucket_stats": _zorder_sql(),
+        "trailing_window_stats": TRAILING_WINDOW_SQL,
         "stratified_sample_by_lang": STRATIFIED_SQL,
         "training_mix": TRAINING_MIX_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
