@@ -531,6 +531,51 @@ ORDER BY user_id, session_seq
 """
 
 
+def session_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-load analysis: sessionize the event stream, then sweep-line
+    the session intervals into a concurrent-sessions timeline
+    (operators/sessions.py::concurrency_sweep) — ends become +1/-1 deltas
+    pre-aggregated per second, so the one ordered running sum sorts
+    boundaries, never raw intervals."""
+    from megalista_spark.operators.sessions import concurrency_sweep, session_stats
+
+    sess = session_stats(_events(spark, sf_dir)).select(
+        F.col("session_start").cast("long").alias("s"),
+        F.col("session_end").cast("long").alias("e"),
+    )
+    return concurrency_sweep(sess, "s", "e").orderBy("at_sec")
+
+
+CONCURRENCY_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq,
+         ts
+  FROM flagged
+), iv AS (
+  SELECT epoch_us(min(ts)) // 1000000 AS s, epoch_us(max(ts)) // 1000000 AS e
+  FROM sess GROUP BY user_id, session_seq
+), deltas AS (
+  SELECT at_sec, sum(d)::BIGINT AS d FROM (
+    SELECT s AS at_sec, 1 AS d FROM iv
+    UNION ALL
+    SELECT e + 1 AS at_sec, -1 AS d FROM iv
+  ) GROUP BY at_sec
+)
+SELECT at_sec,
+       sum(d) OVER (ORDER BY at_sec ROWS UNBOUNDED PRECEDING)::BIGINT AS concurrent
+FROM deltas
+ORDER BY at_sec
+"""
+
+
 def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 60-minute window aggregation (batch form of the streaming
     rollup; epoch-aligned so date_trunc agrees)."""
@@ -4098,6 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_rollup": collect_rollup,
         "schema_project_cast": schema_project_cast,
         "sessionize_stats": sessionize_stats,
+        "session_concurrency_sweep": session_concurrency_sweep,
         "hourly_rollup": hourly_rollup,
         "dedup_exact": dedup_exact,
         "dedup_fingerprint": dedup_fingerprint,
@@ -4204,6 +4250,7 @@ def oracle_sql() -> dict[str, str]:
         "collect_rollup": COLLECT_SQL,
         "schema_project_cast": SCHEMA_PROJECT_SQL,
         "sessionize_stats": SESSIONIZE_SQL,
+        "session_concurrency_sweep": CONCURRENCY_SQL,
         "hourly_rollup": HOURLY_SQL,
         # a STREAMING query with a full oracle: single-file source → one
         # micro-batch → complete mode ≡ batch semantics (see docstring)

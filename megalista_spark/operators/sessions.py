@@ -66,6 +66,38 @@ def session_stats(
     )
 
 
+def concurrency_sweep(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line concurrency: for every boundary instant, how many
+    intervals are open — (at_sec bigint, concurrent bigint). The classic
+    max-concurrent-sessions / peak-load computation.
+
+    Interval ends become +1/-1 deltas (ends exclusive; a same-second
+    start+end nets first, so touching intervals never double-count), then
+    ONE ordered running sum per the whole timeline. The sort is the
+    scale limit — for a 100 TB timeline, pre-aggregate deltas per second
+    first (done here: groupBy collapses to ≤ |distinct seconds| rows, so
+    the window sorts boundaries, not raw intervals).
+    """
+    from pyspark.sql import Window
+
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    deltas = (
+        intervals.select(s.alias("at_sec"), F.lit(1).alias("d"))
+        .unionByName(intervals.select((e + 1).alias("at_sec"), F.lit(-1).alias("d")))
+        .groupBy("at_sec")
+        .agg(F.sum("d").alias("d"))
+    )
+    w = Window.orderBy("at_sec").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.withColumn(
+        "concurrent", F.sum("d").over(w).cast("bigint")
+    ).select("at_sec", "concurrent")
+
+
 def hopping_rollup(
     events: DataFrame,
     window_minutes: int = 60,

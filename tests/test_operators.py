@@ -365,6 +365,17 @@ def test_kmv_set_estimates_approx_above_k(spark):
     assert abs(row["est_intersection"] - 1500) / 1500 < 0.4
 
 
+def test_concurrency_sweep_known_timeline(spark):
+    # intervals [0,10] [5,15] [20,20]: peak 2 during the overlap, back to
+    # 0 after each run ends; touching at a single second still counts
+    from megalista_spark.operators.sessions import concurrency_sweep
+
+    iv = spark.createDataFrame([(0, 10), (5, 15), (20, 20)], ["s", "e"])
+    tl = {r["at_sec"]: r["concurrent"] for r in concurrency_sweep(iv, "s", "e").collect()}
+    assert tl[0] == 1 and tl[5] == 2 and tl[11] == 1 and tl[16] == 0
+    assert tl[20] == 1 and tl[21] == 0
+
+
 def test_zorder_code_known_values(spark):
     # Morton: (0,0)->0 (1,0)->1 (0,1)->2 (1,1)->3 (3,3)->15 (65535,0)->
     # alternating even bits
