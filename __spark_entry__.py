@@ -1160,6 +1160,35 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index construction (operators/text.py::inverted_index):
+    term → document frequency + capped doc-ordered "doc:tf" posting
+    string. Postings render as strings because array-of-struct renderings
+    differ across engines; the cap keeps hot-term state bounded."""
+    from megalista_spark.operators.text import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"), max_postings=20).orderBy(
+        "term"
+    )
+
+
+INVERTED_INDEX_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY term, doc_id)
+SELECT term, count(*)::BIGINT AS df,
+       array_to_string(
+         (list(doc_id::VARCHAR || ':' || tf::VARCHAR ORDER BY doc_id))[1:20], ','
+       ) AS postings
+FROM tf
+GROUP BY term
+ORDER BY term
+"""
+
+
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document by tf-idf
     (operators/text.py::tfidf_top_terms) — ratio-form idf keeps the score
@@ -4212,6 +4241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": text_quality_score,
         "text_language_id": text_language_id,
         "text_tfidf_top_terms": text_tfidf_top_terms,
+        "text_inverted_index": text_inverted_index,
     }
 
 
@@ -4321,4 +4351,5 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": QUALITY_SQL,
         "text_language_id": _lang_id_sql(),
         "text_tfidf_top_terms": TFIDF_SQL,
+        "text_inverted_index": INVERTED_INDEX_SQL,
     }

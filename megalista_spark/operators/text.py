@@ -190,3 +190,48 @@ def document_fingerprint(
         F.col(id_col),
         F.md5(normalized).alias("fingerprint"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 50,
+) -> DataFrame:
+    """Search-index construction: (term, df, postings) where postings is
+    the first ``max_postings`` "doc:tf" entries in doc order, rendered as
+    one string (engine-neutral — array-of-struct renderings differ across
+    engines, strings do not).
+
+    Scale: tokenize at scan speed, one (doc, term) shuffle for tf, one
+    term-keyed aggregate whose per-term state is capped at max_postings
+    entries AFTER the sort — hot terms (stopwords) keep full document
+    counts in ``df`` but never materialize unbounded posting arrays. For
+    a real serving index, partition the output by term range and write
+    z-ordered (operators/layout.py).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    postings = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col(id_col).alias("d"), F.col("tf")))
+                ),
+                1,
+                max_postings,
+            ),
+            lambda s: F.concat_ws(":", s["d"].cast("string"), s["tf"].cast("string")),
+        ),
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        postings.alias("postings"),
+    )

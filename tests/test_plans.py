@@ -120,3 +120,22 @@ def test_sessionize_single_exchange_for_windows(spark, entry):
     txt = formatted(entry.sessionize_stats(spark, SF))
     window_section = txt.split("Window")[0]
     assert window_section.count("Exchange") <= 2
+
+
+def test_partition_pruned_write_read_cycle(spark, tmp_path):
+    # a date-partitioned write must let a date predicate prune partitions
+    # at the SCAN (PartitionFilters), not filter rows after reading all
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "events_by_date")
+    e = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "dt", F.to_date(F.col("ts").cast("timestamp"))
+    )
+    e.write.partitionBy("dt").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).where(F.col("dt") == F.lit("2024-01-05"))
+    txt = formatted(back)
+    assert "PartitionFilters" in txt
+    assert "dt" in txt.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    # and the row count matches the unpartitioned filter
+    expected = e.where(F.to_date("ts") == F.lit("2024-01-05")).count()
+    assert back.count() == expected and expected > 0
