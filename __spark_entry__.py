@@ -2691,6 +2691,77 @@ ORDER BY lang
 """
 
 
+def dense_rank_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank per nation over customer balances, keeping ties — the
+    rank-family complement to row_number-based top-k (ties share a rank
+    and nothing is arbitrarily dropped)."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rnk", F.dense_rank().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "rnk",
+        )
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+    )
+
+
+DENSE_RANK_SQL = """
+SELECT c_nationkey::BIGINT AS c_nationkey, c_custkey,
+       round(c_acctbal, 2) AS c_acctbal, rnk
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         dense_rank() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey)::BIGINT AS rnk
+  FROM customer
+)
+WHERE rnk <= 3
+ORDER BY c_nationkey, rnk, c_custkey
+"""
+
+
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping indicators — arbitrary
+    aggregation combos in one pass (rollup/cube are special cases; this is
+    the general form planners lower them to)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus)::BIGINT AS g_status,
+               grouping(o_orderpriority)::BIGINT AS g_priority,
+               count(*)::BIGINT AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_total
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus)::BIGINT AS g_status,
+       grouping(o_orderpriority)::BIGINT AS g_priority,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
 def trailing_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame: per event, the count and mean value of the
     same user's events in the trailing hour (inclusive). One shuffle on
@@ -4235,6 +4306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_documents": weighted_sample_documents,
         "zorder_bucket_stats": zorder_bucket_stats,
         "trailing_window_stats": trailing_window_stats,
+        "dense_rank_top_balances": dense_rank_top_balances,
+        "grouping_sets_order_stats": grouping_sets_order_stats,
         "stratified_sample_by_lang": stratified_sample_by_lang,
         "training_mix": training_mix,
         "text_token_count": text_token_count,
@@ -4311,6 +4384,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
         "zorder_bucket_stats": _zorder_sql(),
         "trailing_window_stats": TRAILING_WINDOW_SQL,
+        "dense_rank_top_balances": DENSE_RANK_SQL,
+        "grouping_sets_order_stats": GROUPING_SETS_SQL,
         "stratified_sample_by_lang": STRATIFIED_SQL,
         "training_mix": TRAINING_MIX_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
