@@ -226,3 +226,45 @@ def test_stream_attribution_join_matches_batch(spark, tmp_path):
         bc, F.expr("c_ts >= p_ts - interval 5 minutes AND c_ts <= p_ts")
     ).count()
     assert got == expected and expected > 0
+
+
+def test_foreach_batch_cdc_merge_composition(spark, tmp_path):
+    # streaming micro-batches applied as CDC merges: a change stream
+    # folded into a base snapshot via foreachBatch + merge_upsert —
+    # upserts land, deletes drop, the final state equals the batch merge
+    from pyspark.sql import functions as SF
+
+    from megalista_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "v", "amt"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21, 100, "U"),
+            (3, None, None, 101, "D"),
+            (4, "d", 40, 102, "U"),
+            (2, "b3", 22, 103, "U"),  # later change to same key wins
+        ],
+        ["k", "v", "amt", "seq", "op"],
+    )
+    src = str(tmp_path / "changes")
+    changes.write.parquet(src)
+    stream = spark.readStream.schema(changes.schema).parquet(src)
+
+    state = {"result": None}
+
+    def apply_batch(batch_df, epoch_id):
+        state["result"] = merge_upsert(
+            base, batch_df, keys=["k"], order_cols=["seq"], update_cols=["v", "amt"]
+        ).collect()
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r["k"]: (r["v"], r["amt"]) for r in state["result"]}
+    assert out == {1: ("a", 10), 2: ("b3", 22), 4: ("d", 40)}  # 3 deleted
