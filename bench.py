@@ -103,6 +103,14 @@ HEADLINE = [
     "hopping_rollup_events",
     "quantile_sketch_by_flag",
     "skew_report_events",
+    "table_diff_orders",
+    "weighted_sample_documents",
+    "zorder_bucket_stats",
+    "trailing_window_stats",
+    "session_concurrency_sweep",
+    "text_inverted_index",
+    "dense_rank_top_balances",
+    "grouping_sets_order_stats",
 ]
 
 
