@@ -2691,6 +2691,74 @@ ORDER BY lang
 """
 
 
+def rank_family_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family windows in one query: ntile quartiles,
+    percent_rank, and cume_dist over customer balances per market segment
+    — one shuffle + one sort shared by all three functions."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .where(F.col("c_custkey") % 10 == 0)  # thin the gated output
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+RANK_FAMILY_SQL = """
+SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal,
+       quartile, round(pct_rank, 6) AS pct_rank, round(cume, 6) AS cume
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         ntile(4) OVER w::BIGINT AS quartile,
+         percent_rank() OVER w AS pct_rank,
+         cume_dist() OVER w AS cume
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+)
+WHERE c_custkey % 10 = 0
+ORDER BY c_mktsegment, c_custkey
+"""
+
+
+def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over order keys via the two-level bucketed form
+    (operators/sessions.py::gap_islands): local islands per key bucket
+    (distributed row_number), then boundary-fragment stitching — the
+    textbook single-global-window trick is the oracle, the scale-safe
+    algorithm is the implementation. Small bucket (4096) so stitching is
+    actually exercised at sf0.01."""
+    from megalista_spark.operators.sessions import gap_islands
+
+    o = _t(spark, sf_dir, "orders")
+    return gap_islands(o, "o_orderkey", bucket_size=4096).orderBy("run_start")
+
+
+GAP_ISLANDS_SQL = """
+WITH keys AS (SELECT DISTINCT o_orderkey FROM orders),
+g AS (
+  SELECT o_orderkey,
+         o_orderkey - row_number() OVER (ORDER BY o_orderkey) AS grp
+  FROM keys
+)
+SELECT min(o_orderkey) AS run_start, max(o_orderkey) AS run_end,
+       count(*)::BIGINT AS run_len
+FROM g
+GROUP BY grp
+ORDER BY run_start
+"""
+
+
 def dense_rank_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dense_rank per nation over customer balances, keeping ties — the
     rank-family complement to row_number-based top-k (ties share a rank
@@ -4307,6 +4375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_bucket_stats": zorder_bucket_stats,
         "trailing_window_stats": trailing_window_stats,
         "dense_rank_top_balances": dense_rank_top_balances,
+        "rank_family_balances": rank_family_balances,
+        "orderkey_gap_islands": orderkey_gap_islands,
         "grouping_sets_order_stats": grouping_sets_order_stats,
         "stratified_sample_by_lang": stratified_sample_by_lang,
         "training_mix": training_mix,
@@ -4385,6 +4455,8 @@ def oracle_sql() -> dict[str, str]:
         "zorder_bucket_stats": _zorder_sql(),
         "trailing_window_stats": TRAILING_WINDOW_SQL,
         "dense_rank_top_balances": DENSE_RANK_SQL,
+        "rank_family_balances": RANK_FAMILY_SQL,
+        "orderkey_gap_islands": GAP_ISLANDS_SQL,
         "grouping_sets_order_stats": GROUPING_SETS_SQL,
         "stratified_sample_by_lang": STRATIFIED_SQL,
         "training_mix": TRAINING_MIX_SQL,

@@ -146,3 +146,57 @@ def tumbling_rollup(
             F.round(F.sum(value_col), 6).alias("total_value"),
         )
     )
+
+
+def gap_islands(
+    df: DataFrame, key_col: str, bucket_size: int = 1 << 20
+) -> DataFrame:
+    """Gaps-and-islands over an integer key: contiguous runs of present
+    keys as (run_start, run_end, run_len).
+
+    The textbook ``key - row_number()`` trick needs ONE global window —
+    a single-partition sort, the thing that doesn't scale. This is the
+    two-level form (same shape as sharded sequence packing): local
+    islands inside ``bucket_size``-wide key buckets (row_number
+    partitioned BY BUCKET — distributed), then a fragment-stitching pass
+    that chains runs meeting at bucket boundaries. The second window IS
+    global, but over fragments (≤ keys/bucket_size + runs), not keys —
+    the standard two-level reduction.
+    """
+    from pyspark.sql import Window
+
+    keys = df.select(F.col(key_col).cast("long").alias("k")).distinct()
+    b = keys.withColumn("bucket", F.expr(f"k div {bucket_size}"))
+    w_local = Window.partitionBy("bucket").orderBy("k")
+    local = (
+        b.withColumn("grp", F.col("k") - F.row_number().over(w_local))
+        .groupBy("bucket", "grp")
+        .agg(
+            F.min("k").alias("s"),
+            F.max("k").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    w_frag = Window.orderBy("s")
+    chained = (
+        local.withColumn("prev_e", F.lag("e").over(w_frag))
+        .withColumn(
+            "new_chain",
+            F.when(
+                F.col("prev_e").isNull() | (F.col("s") != F.col("prev_e") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "chain",
+            F.sum("new_chain").over(w_frag.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        chained.groupBy("chain")
+        .agg(
+            F.min("s").alias("run_start"),
+            F.max("e").alias("run_end"),
+            F.sum("n").alias("run_len"),
+        )
+        .select("run_start", "run_end", "run_len")
+    )

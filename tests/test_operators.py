@@ -365,6 +365,20 @@ def test_kmv_set_estimates_approx_above_k(spark):
     assert abs(row["est_intersection"] - 1500) / 1500 < 0.4
 
 
+def test_gap_islands_with_bucket_straddling_runs(spark):
+    # runs [0..9] [12..12] [14..25]: bucket_size=8 splits the first and
+    # third runs across buckets — stitching must rejoin them exactly
+    from megalista_spark.operators.sessions import gap_islands
+
+    keys = list(range(10)) + [12] + list(range(14, 26))
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    runs = {
+        (r["run_start"], r["run_end"], r["run_len"])
+        for r in gap_islands(df, "k", bucket_size=8).collect()
+    }
+    assert runs == {(0, 9, 10), (12, 12, 1), (14, 25, 12)}
+
+
 def test_concurrency_sweep_known_timeline(spark):
     # intervals [0,10] [5,15] [20,20]: peak 2 during the overlap, back to
     # 0 after each run ends; touching at a single second still counts
