@@ -2691,6 +2691,49 @@ ORDER BY lang
 """
 
 
+def user_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral concentration per user: the Herfindahl index of their
+    event-type mix (Σ share² — 1.0 = single-type, 1/k = uniform over k).
+    Entropy would need ln (libm, not portable); HHI is pure integer
+    sums with one final division, so it hash-matches exactly. Two-level
+    aggregation: (user, type) counts → per-user Σcnt²/total². Top 50
+    most-active users reported."""
+    e = _events(spark, sf_dir)
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.col("sum_sq") / (F.col("n_events") * F.col("n_events")), 6
+            ).alias("hhi"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(50)
+    )
+
+
+HHI_SQL = """
+WITH per_type AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS c
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, sum(c)::BIGINT AS n_events,
+       round(sum(c * c) / (sum(c) * sum(c)), 6) AS hhi
+FROM per_type
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 50
+"""
+
+
 def rank_family_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining rank-family windows in one query: ntile quartiles,
     percent_rank, and cume_dist over customer balances per market segment
@@ -4376,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_window_stats": trailing_window_stats,
         "dense_rank_top_balances": dense_rank_top_balances,
         "rank_family_balances": rank_family_balances,
+        "user_activity_concentration": user_activity_concentration,
         "orderkey_gap_islands": orderkey_gap_islands,
         "grouping_sets_order_stats": grouping_sets_order_stats,
         "stratified_sample_by_lang": stratified_sample_by_lang,
@@ -4456,6 +4500,7 @@ def oracle_sql() -> dict[str, str]:
         "trailing_window_stats": TRAILING_WINDOW_SQL,
         "dense_rank_top_balances": DENSE_RANK_SQL,
         "rank_family_balances": RANK_FAMILY_SQL,
+        "user_activity_concentration": HHI_SQL,
         "orderkey_gap_islands": GAP_ISLANDS_SQL,
         "grouping_sets_order_stats": GROUPING_SETS_SQL,
         "stratified_sample_by_lang": STRATIFIED_SQL,

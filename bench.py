@@ -111,6 +111,9 @@ HEADLINE = [
     "text_inverted_index",
     "dense_rank_top_balances",
     "grouping_sets_order_stats",
+    "rank_family_balances",
+    "orderkey_gap_islands",
+    "user_activity_concentration",
 ]
 
 
