@@ -2958,6 +2958,102 @@ ORDER BY z_bucket
 """
 
 
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split
+    (operators/sampling.py::hash_split): assignment is a pure function of
+    the doc id, so appends never reshuffle existing rows between splits.
+    Reported as per-(split, lang) counts."""
+    from megalista_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    s = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        s.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+SPLIT_SQL = """
+WITH s AS (
+  SELECT lang,
+         CASE WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 10000 < 8000 THEN 'train'
+              WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, count(*)::BIGINT AS n_docs
+FROM s
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+def corpus_after_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup story end-to-end: MinHash-LSH candidate pairs → min-label
+    connected components → drop every non-canonical member — the corpus a
+    training run would actually consume. One anti-join against the
+    (tiny) non-canonical id set; reported as per-lang survivor counts."""
+    from megalista_spark.operators.dedup import min_label_groups, minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_hashes=16, bands=4).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    groups = min_label_groups(pairs, d.select(F.col("doc_id").alias("id")), iters=3)
+    losers = groups.where(F.col("id") != F.col("label")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = d.join(losers, "doc_id", "left_anti")
+    return (
+        survivors.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+def _dedup_apply_sql(iters: int = 3) -> str:
+    # minhash pair CTEs (same constants as the gated dedup_minhash_lsh
+    # query) + unrolled min-label rounds + anti-join application
+    pairs_sql = _minhash_sql(16, 4)
+    # strip the trailing SELECT of the pair oracle: keep its CTE chain,
+    # re-expressing the final SELECT as another CTE
+    head, _, tail = pairs_sql.rpartition("SELECT a.id AS doc_a")
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""l{k} AS (
+  SELECT n.id, least(n.label, coalesce(min(m.label), n.label)) AS label
+  FROM l{k-1} n
+  LEFT JOIN edges ed ON ed.src = n.id
+  LEFT JOIN l{k-1} m ON m.id = ed.dst
+  GROUP BY n.id, n.label
+)"""
+        )
+    rounds_sql = ",\n".join(rounds)
+    return f"""{head}, prs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM prs
+),
+l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+{rounds_sql}
+SELECT lang, count(*)::BIGINT AS n_docs
+FROM documents
+WHERE doc_id NOT IN (SELECT id FROM l{iters} WHERE id <> label)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement
     (operators/sampling.py::weighted_sample): 100 documents drawn with
@@ -4415,6 +4511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_skew_join": salted_skew_join,
         "sample_documents": sample_documents,
         "weighted_sample_documents": weighted_sample_documents,
+        "train_val_test_split": train_val_test_split,
+        "corpus_after_near_dedup": corpus_after_near_dedup,
         "zorder_bucket_stats": zorder_bucket_stats,
         "trailing_window_stats": trailing_window_stats,
         "dense_rank_top_balances": dense_rank_top_balances,
@@ -4496,6 +4594,8 @@ def oracle_sql() -> dict[str, str]:
         "salted_skew_join": SALTED_JOIN_SQL,
         "sample_documents": SAMPLE_SQL,
         "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
+        "train_val_test_split": SPLIT_SQL,
+        "corpus_after_near_dedup": _dedup_apply_sql(),
         "zorder_bucket_stats": _zorder_sql(),
         "trailing_window_stats": TRAILING_WINDOW_SQL,
         "dense_rank_top_balances": DENSE_RANK_SQL,

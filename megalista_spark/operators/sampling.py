@@ -118,3 +118,38 @@ def weighted_sample(
         .orderBy(F.desc("es_key"), F.asc(key_col))
         .limit(k)
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split: df + ``split`` column assigning each
+    row to a named part with probability ∝ weight — the train/val/test
+    primitive. Assignment is a pure function of (salt, key): stable under
+    any partitioning, any engine, and across incremental appends (a new
+    row never moves an old row between splits — the property random
+    splits lack).
+
+    Buckets: hash mod 10_000 against cumulative per-mille-of-10k
+    thresholds (integer compares, no float boundaries).
+    """
+    from megalista_spark.operators.dedup import portable_hash64
+
+    total = sum(weights.values())
+    h = portable_hash64(
+        F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string"))
+    )
+    bucket = h % 10_000
+    cum = 0.0
+    expr = None
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total * 10_000
+        cond = bucket < int(round(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
