@@ -114,6 +114,8 @@ HEADLINE = [
     "rank_family_balances",
     "orderkey_gap_islands",
     "user_activity_concentration",
+    "train_val_test_split",
+    "corpus_after_near_dedup",
 ]
 
 
