@@ -4075,6 +4075,58 @@ def streaming_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("window_start", "event_type")
 
 
+def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (F.session_window), oracle-gated:
+    Spark defines a session's end as last-event-time + gap, which the
+    oracle reproduces from the lag/cumsum sessionization CTE — proving
+    the built-in session operator and the batch formulation agree."""
+    from megalista_spark.streaming.events import (
+        read_events_stream,
+        stream_session_window_stats,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sess = stream_session_window_stats(ev, gap_minutes=30, watermark="2 hours")
+    name = "_streaming_session_stats"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+STREAMING_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       min(ts)::TIMESTAMP AS session_start,
+       (max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS session_end,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM sess
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
+"""
+
+
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of ``hourly_rollup``: the SAME tumbling-
     window aggregation under ``readStream`` (file source → watermarked
@@ -4488,6 +4540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect_customers": set_intersect_customers,
         "streaming_hourly_rollup": streaming_hourly_rollup,
         "streaming_hopping_rollup": streaming_hopping_rollup,
+        "streaming_session_stats": streaming_session_stats,
         "streaming_attribution_join": streaming_attribution_join,
         "streaming_attribution_left_join": streaming_attribution_left_join,
         "bucketed_colocated_join": bucketed_colocated_join,
@@ -4571,6 +4624,7 @@ def oracle_sql() -> dict[str, str]:
         # micro-batch → complete mode ≡ batch semantics (see docstring)
         "streaming_hourly_rollup": HOURLY_SQL,
         "streaming_hopping_rollup": HOPPING_SQL,
+        "streaming_session_stats": STREAMING_SESSION_SQL,
         "streaming_attribution_join": STREAMING_ATTRIBUTION_SQL,
         "streaming_attribution_left_join": STREAMING_ATTRIBUTION_OUTER_SQL,
         "bucketed_colocated_join": BUCKETED_JOIN_SQL,
