@@ -75,3 +75,40 @@ def test_transactional_type_wiring():
         DestinationType.ADS_OFFLINE_CONVERSION
     ).transactional_type == TransactionalType.GCLID_TIME
     assert TransactionalType.GCLID_TIME.keys == ("gclid", "time")
+
+
+def test_sql_function_registry_matches_column_twins(spark):
+    # SQL-defined functions (JVM expression bodies) must agree with the
+    # Column-API library on golden + edge inputs
+    from pyspark.sql import functions as F
+
+    from megalista_spark.functions.hashing import hash_field, normalize_email
+    from megalista_spark.sql import register_sql_functions
+
+    register_sql_functions(spark)
+    cases = [
+        "John.Doe@Gmail.com",
+        "j.o.h.n@googlemail.com",
+        "user@example.com",
+        "  padded@gmail.com  ",
+        "no-at-sign",
+        "a@b@gmail.com",
+        "MiXeD@GMAIL.COM",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["e"])
+    df.createOrReplaceTempView("_sqlfn_cases")
+    got = {
+        r["e"]: (r["n"], r["h"])
+        for r in spark.sql(
+            "SELECT e, normalize_email(e) AS n, hash_pii(e) AS h FROM _sqlfn_cases"
+        ).collect()
+    }
+    exp = {
+        r["e"]: (r["n"], r["h"])
+        for r in df.select(
+            "e",
+            normalize_email(F.col("e")).alias("n"),
+            hash_field(F.col("e")).alias("h"),
+        ).collect()
+    }
+    assert got == exp
