@@ -1733,6 +1733,48 @@ ORDER BY user_id, version
 """
 
 
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation maintenance: yesterday's rollup + today's
+    delta merged by re-aggregation must equal the from-scratch rollup —
+    the mergeable-partial-aggregate property every incremental 100 TB
+    pipeline rests on (counts and sums merge; avg re-derives from them).
+    The oracle IS the from-scratch aggregate; this query computes the
+    MERGED form."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01")
+
+    def partial(seg: DataFrame) -> DataFrame:
+        return seg.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s"),
+        )
+
+    old = partial(o.where(F.col("o_orderdate") < cutoff))
+    new = partial(o.where(F.col("o_orderdate") >= cutoff))
+    return (
+        old.unionByName(new)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .select(
+            "o_orderstatus",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round("s", 2).alias("sum_total"),
+            F.round(F.col("s") / F.col("n"), 6).alias("avg_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+INCREMENTAL_MERGE_SQL = """
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_total,
+       round(sum(o_totalprice) / count(*), 6) AS avg_total
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation (operators/cdc.py::table_diff): orders
     diffed against a deterministically perturbed copy (2% of keys dropped,
@@ -4521,6 +4563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_roundtrip_csv": source_roundtrip_csv,
         "merge_customer_updates": merge_customer_updates,
         "table_diff_orders": table_diff_orders,
+        "incremental_rollup_merge": incremental_rollup_merge,
         "scd2_user_event_history": scd2_user_event_history,
         "decontaminate_docs": decontaminate_docs,
         "repetition_filter_docs": repetition_filter_docs,
@@ -4676,6 +4719,7 @@ def oracle_sql() -> dict[str, str]:
         "source_roundtrip_csv": ROUNDTRIP_CSV_SQL,
         "merge_customer_updates": MERGE_SQL,
         "table_diff_orders": TABLE_DIFF_SQL,
+        "incremental_rollup_merge": INCREMENTAL_MERGE_SQL,
         "scd2_user_event_history": SCD2_SQL,
         "decontaminate_docs": _decontaminate_sql(),
         "repetition_filter_docs": REPETITION_SQL,
