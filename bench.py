@@ -116,6 +116,7 @@ HEADLINE = [
     "user_activity_concentration",
     "train_val_test_split",
     "corpus_after_near_dedup",
+    "incremental_rollup_merge",
 ]
 
 
