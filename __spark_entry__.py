@@ -1463,6 +1463,81 @@ def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3).orderBy("node")
 
 
+def pagerank_weighted_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted fixed-point PageRank: the same customer↔supplier graph,
+    edges weighted by purchase multiplicity (how many orders connect the
+    pair) — heavy trade relationships carry proportionally more rank.
+    Integer weighted shares (rank·w div W) keep the recurrence bit-exact;
+    the oracle unrolls the identical weighted rounds."""
+    from megalista_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(1000000)).cast("long").alias("supp"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("w"))
+    )
+    edges = pairs.selectExpr("cust AS src", "supp AS dst", "w").union(
+        pairs.selectExpr("supp AS src", "cust AS dst", "w")
+    )
+    return pagerank(edges, iterations=3, weight_col="w").orderBy("node")
+
+
+def _pagerank_weighted_sql(
+    iters: int = 3, scale: int = 10**12, damping_pct: int = 85
+) -> str:
+    d = damping_pct
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""dg{k-1} AS (
+  SELECT COALESCE(SUM(r.ru), 0)::BIGINT AS du
+  FROM r{k-1} r WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.node = r.node)
+),
+c{k} AS (
+  SELECT e.dst AS node, SUM((r.ru * e.w) // dd.deg)::BIGINT AS inu
+  FROM edges e
+  JOIN deg dd ON dd.node = e.src
+  JOIN r{k-1} r ON r.node = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT nd.node,
+         ((({100 - d} * ({scale} // n.n)) // 100)
+          + (({d} * (COALESCE(c.inu, 0) + (dg.du // n.n))) // 100))::BIGINT AS ru
+  FROM nodes nd
+  LEFT JOIN c{k} c ON c.node = nd.node
+  CROSS JOIN dg{k-1} dg CROSS JOIN n
+)"""
+        )
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH pairs AS (
+  SELECT o.o_custkey AS cust, (1000000 + l.l_suppkey)::BIGINT AS supp,
+         COUNT(DISTINCT o.o_orderkey)::BIGINT AS w
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY cust, supp
+),
+edges AS (
+  SELECT cust AS src, supp AS dst, w FROM pairs
+  UNION ALL
+  SELECT supp AS src, cust AS dst, w FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src AS node, SUM(w)::BIGINT AS deg FROM edges GROUP BY src),
+n AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+r0 AS (SELECT node, ({scale} // n.n)::BIGINT AS ru FROM nodes CROSS JOIN n),
+{rounds_sql}
+SELECT node, ru AS rank_u, round(ru / {float(scale)}, 6) AS rank
+FROM r{iters}
+ORDER BY node
+"""
+
+
 def _pagerank_sql(iters: int = 3, scale: int = 10**12, damping_pct: int = 85) -> str:
     d = damping_pct
     rounds = []
@@ -4558,6 +4633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_overlap_estimate": kmv_set_overlap_estimate,
         "near_dup_groups": near_dup_groups,
         "pagerank_supply_graph": pagerank_supply_graph,
+        "pagerank_weighted_supply": pagerank_weighted_supply,
         "triangle_count_copurchase": triangle_count_copurchase,
         "source_roundtrip_orc": source_roundtrip_orc,
         "source_roundtrip_csv": source_roundtrip_csv,
@@ -4714,6 +4790,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_set_overlap_estimate": KMV_SET_SQL,
         "near_dup_groups": _near_dup_groups_sql(),
         "pagerank_supply_graph": _pagerank_sql(),
+        "pagerank_weighted_supply": _pagerank_weighted_sql(),
         "triangle_count_copurchase": TRIANGLE_SQL,
         "source_roundtrip_orc": ROUNDTRIP_ORC_SQL,
         "source_roundtrip_csv": ROUNDTRIP_CSV_SQL,

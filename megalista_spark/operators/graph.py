@@ -51,6 +51,7 @@ def pagerank(
     iterations: int = 3,
     damping_pct: int = 85,
     scale: int = PAGERANK_SCALE,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list.
 
@@ -78,10 +79,20 @@ def pagerank(
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
+    # weighted form: share(e) = rank_u * w(e) div W(src) where W is the
+    # node's total outgoing weight. Unweighted is the w = 1 special case
+    # (sum of ones == count), so one kernel serves both. Weights must be
+    # positive integers with max_w * scale < 2^63 (max_w ~ 9e6 at the
+    # default scale) so the share product stays in int64.
+    w_expr = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
     e = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), w_expr.alias("_w")
     ).repartition("_src").persist()
-    deg = e.groupBy("_src").agg(F.count("*").cast("long").alias("_deg")).persist()
+    deg = e.groupBy("_src").agg(F.sum("_w").cast("long").alias("_deg")).persist()
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
@@ -107,7 +118,7 @@ def pagerank(
             .join(ranks.withColumnRenamed("node", "_src"), "_src")
             .select(
                 F.col("_dst").alias("node"),
-                F.expr("rank_u div _deg").alias("_share"),
+                F.expr("(rank_u * _w) div _deg").alias("_share"),
             )
             .groupBy("node")
             .agg(F.sum("_share").cast("long").alias("_inflow"))
