@@ -1661,6 +1661,38 @@ ORDER BY o_orderstatus
 """
 
 
+def source_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fidelity check for the third file-source path: a customer slice
+    written as JSON-lines and read back through schema inference must
+    aggregate identically to the parquet-derived oracle."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    path = "/tmp/spark_graft_roundtrip_jsonl"
+    c.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ROUNDTRIP_JSONL_SQL = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+WHERE c_custkey % 3 = 0
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count of the parts co-purchase graph (edge = two
     parts in the same order) via degree-orientation
@@ -4637,6 +4669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_copurchase": triangle_count_copurchase,
         "source_roundtrip_orc": source_roundtrip_orc,
         "source_roundtrip_csv": source_roundtrip_csv,
+        "source_roundtrip_jsonl": source_roundtrip_jsonl,
         "merge_customer_updates": merge_customer_updates,
         "table_diff_orders": table_diff_orders,
         "incremental_rollup_merge": incremental_rollup_merge,
@@ -4794,6 +4827,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count_copurchase": TRIANGLE_SQL,
         "source_roundtrip_orc": ROUNDTRIP_ORC_SQL,
         "source_roundtrip_csv": ROUNDTRIP_CSV_SQL,
+        "source_roundtrip_jsonl": ROUNDTRIP_JSONL_SQL,
         "merge_customer_updates": MERGE_SQL,
         "table_diff_orders": TABLE_DIFF_SQL,
         "incremental_rollup_merge": INCREMENTAL_MERGE_SQL,
