@@ -117,6 +117,8 @@ HEADLINE = [
     "train_val_test_split",
     "corpus_after_near_dedup",
     "incremental_rollup_merge",
+    "source_roundtrip_jsonl",
+    "pagerank_weighted_supply",
 ]
 
 
