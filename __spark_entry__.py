@@ -4032,6 +4032,91 @@ ORDER BY 1, 2
 """
 
 
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct users per hour from mergeable hourly HLL
+    register tables (operators/sketches.py::hll_sliding_distinct) — each
+    hour sketched once, every window a register-wise max; exact would
+    re-scan 24× per window. Estimates beside the true counts; limited to
+    the first 72 windows to bound the gated output."""
+    from megalista_spark.operators.sketches import hll_sliding_distinct
+
+    e = _events(spark, sf_dir)
+    est = hll_sliding_distinct(e, "ts", "user_id", window_hours=24, p=7)
+    hour = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")
+    pairs = e.select(hour.alias("hour"), "user_id").distinct()
+    hours = pairs.select("hour").distinct()
+    true = (
+        pairs.select(
+            F.explode(F.sequence(F.col("hour"), F.col("hour") + 23)).alias("win_hour"),
+            "user_id",
+        )
+        .join(hours.withColumnRenamed("hour", "win_hour"), "win_hour", "left_semi")
+        .groupBy("win_hour")
+        .agg(F.countDistinct("user_id").alias("true_distinct"))
+    )
+    return (
+        est.join(true, "win_hour")
+        .orderBy("win_hour")
+        .limit(72)
+    )
+
+
+def _sliding_hll_sql(window_hours: int = 24, p: int = 7) -> str:
+    from megalista_spark.operators.sketches import bitlen_case_sql, hll_alpha
+
+    m = 1 << p
+    w_bits = 60 - p
+    rmax = w_bits + 1
+    shift = 1 << w_bits
+    numer = hll_alpha(m) * (m * m) * float(1 << rmax)
+    return f"""
+WITH base AS (
+  SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS hour,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+),
+parts AS (SELECT hour, h // {shift} AS bucket, h % {shift} AS rem FROM base),
+regs AS (
+  SELECT hour, bucket,
+         max(CASE WHEN rem = 0 THEN {rmax}
+                  ELSE {rmax} - ({bitlen_case_sql('rem', w_bits)}) END) AS rho
+  FROM parts GROUP BY hour, bucket
+),
+hours AS (SELECT DISTINCT hour FROM regs),
+wins AS (
+  SELECT w.win_hour, r.bucket, max(r.rho) AS m_reg
+  FROM regs r, LATERAL unnest(range(r.hour, r.hour + {window_hours})) AS w(win_hour)
+  WHERE w.win_hour IN (SELECT hour FROM hours)
+  GROUP BY w.win_hour, r.bucket
+),
+agg AS (
+  SELECT win_hour, count(*) AS nb,
+         sum((1::BIGINT << ({rmax} - m_reg)))::BIGINT AS s_present
+  FROM wins GROUP BY win_hour
+),
+est AS (
+  SELECT win_hour,
+         CASE WHEN ({numer!r} / (s_present + ({m} - nb) * {1 << rmax})) <= {2.5 * m!r}
+                   AND nb < {m}
+              THEN round({m} * ln({m} / (({m} - nb)::DOUBLE)))::BIGINT
+              ELSE round({numer!r} / (s_present + ({m} - nb) * {1 << rmax}))::BIGINT
+         END AS est_distinct
+  FROM agg
+),
+pairs AS (SELECT DISTINCT epoch_us(ts::TIMESTAMP) // 3600000000 AS hour, user_id FROM events),
+t AS (
+  SELECT w.win_hour, count(DISTINCT p.user_id)::BIGINT AS true_distinct
+  FROM pairs p, LATERAL unnest(range(p.hour, p.hour + {window_hours})) AS w(win_hour)
+  WHERE w.win_hour IN (SELECT hour FROM hours)
+  GROUP BY w.win_hour
+)
+SELECT est.win_hour, est_distinct, true_distinct
+FROM est JOIN t ON est.win_hour = t.win_hour
+ORDER BY est.win_hour
+LIMIT 72
+"""
+
+
 def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point queries (operators/sketches.py::cms_build/
     cms_estimate): event counts for users 1-10 estimated from a 4×1024
@@ -4701,6 +4786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_estimate": kmv_distinct_estimate,
         "hll_distinct_estimate": hll_distinct_estimate,
         "cms_user_frequencies": cms_user_frequencies,
+        "sliding_distinct_users": sliding_distinct_users,
         "quantile_sketch_prices": quantile_sketch_prices,
         "quantile_sketch_by_flag": quantile_sketch_by_flag,
         "skew_report_events": skew_report_events,
@@ -4785,6 +4871,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_estimate": KMV_SQL,
         "hll_distinct_estimate": _hll_sql(),
         "cms_user_frequencies": _cms_sql(),
+        "sliding_distinct_users": _sliding_hll_sql(),
         "quantile_sketch_prices": QUANTILE_SKETCH_SQL,
         "quantile_sketch_by_flag": QUANTILE_GROUPED_SQL,
         "skew_report_events": SKEW_REPORT_SQL,

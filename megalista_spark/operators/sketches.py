@@ -471,3 +471,83 @@ def binned_quantiles_grouped(
             F.col("lo") + ((F.col("hi") - F.col("lo")) / bins) * (F.col("bin") + 1), 6
         ).alias("est"),
     )
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_hours: int = 24,
+    p: int = 7,
+) -> DataFrame:
+    """Distinct keys per trailing ``window_hours`` window, estimated from
+    hourly HLL register tables — the canonical mergeable-sketch
+    composition: registers merge by max, so each hour is sketched ONCE
+    and every trailing window is a register-wise max over its hours,
+    never a re-scan of raw data. Exact sliding distinct counts would
+    need the full key set per window; this needs m registers per hour.
+
+    Output: (win_hour bigint — the window's last hour, hours since
+    epoch — est_distinct bigint), for every hour present in the data.
+    Same integer-exact arithmetic as hll_distinct_count, parameterized
+    by ``p`` (small m keeps the raw estimator branch active at modest
+    per-window cardinalities).
+
+    Scale: hourly registers are ≤ m rows/hour however large the input;
+    the window explode replicates those register rows ×window_hours (a
+    bounded, data-independent factor), and the final two aggregates are
+    over (window, register) — everything downstream of the first
+    aggregate is sketch-sized.
+    """
+    m = 1 << p
+    w_bits = 60 - p
+    rmax = w_bits + 1
+    shift = 1 << w_bits
+    h = portable_hash64(F.col(key_col).cast("string"))
+    regs = (
+        df.select(
+            F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div 3600000000").alias(
+                "hour"
+            ),
+            h.alias("h"),
+        )
+        .selectExpr("hour", f"h DIV {shift} AS bucket", f"h % {shift} AS rem")
+        .selectExpr(
+            "hour",
+            "bucket",
+            f"CASE WHEN rem = 0 THEN {rmax} "
+            f"ELSE {rmax} - ({bitlen_case_sql('rem', w_bits)}) END AS rho",
+        )
+        .groupBy("hour", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    hours = regs.select("hour").distinct()
+    wins = (
+        regs.select(
+            F.explode(
+                F.sequence(F.col("hour"), F.col("hour") + (window_hours - 1))
+            ).alias("win_hour"),
+            "bucket",
+            "rho",
+        )
+        .join(hours.withColumnRenamed("hour", "win_hour"), "win_hour", "left_semi")
+        .groupBy("win_hour", "bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    numer = hll_alpha(m) * (m * m) * float(1 << rmax)
+    agg = wins.groupBy("win_hour").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - m_reg)")).alias(
+            "s_present"
+        ),
+    )
+    return agg.selectExpr(
+        "win_hour",
+        f"""CASE
+          WHEN ({numer!r} / (s_present + ({m} - nb) * {1 << rmax})) <= {2.5 * m!r}
+               AND nb < {m}
+          THEN CAST(round({m} * ln({m} / CAST({m} - nb AS DOUBLE))) AS BIGINT)
+          ELSE CAST(round({numer!r}
+                 / (s_present + ({m} - nb) * {1 << rmax})) AS BIGINT)
+        END AS est_distinct""",
+    )

@@ -464,6 +464,30 @@ def test_edit_distance_pairs_finds_all_ed1_kinds(spark):
     assert (1, 5) not in pairs  # distance 2
 
 
+def test_hll_sliding_distinct_tracks_true_counts(spark):
+    # 3 hours × 300 users each, 50% overlap between consecutive hours;
+    # 2-hour windows must track the true union within 3σ (m=128 → ~9.2%)
+    from pyspark.sql import functions as SF
+
+    from megalista_spark.operators.sketches import hll_sliding_distinct
+
+    rows = []
+    for hr in range(3):
+        for u in range(hr * 150, hr * 150 + 300):
+            rows.append((hr * 3600, u))
+    df = spark.createDataFrame(rows, ["sec", "user_id"]).select(
+        SF.timestamp_seconds("sec").alias("ts"), "user_id"
+    )
+    est = {
+        r["win_hour"]: r["est_distinct"]
+        for r in hll_sliding_distinct(df, "ts", "user_id", window_hours=2, p=7).collect()
+    }
+    true = {0: 300, 1: 450, 2: 450}  # window = this hour + previous
+    assert set(est) == set(true)
+    for k in true:
+        assert abs(est[k] - true[k]) / true[k] < 0.28
+
+
 def test_bloom_no_false_negatives(spark):
     # every member key must pass; non-members pass only at the fp rate
     from megalista_spark.operators.sketches import bloom_build, bloom_might_contain
