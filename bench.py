@@ -119,6 +119,7 @@ HEADLINE = [
     "incremental_rollup_merge",
     "source_roundtrip_jsonl",
     "pagerank_weighted_supply",
+    "sliding_distinct_users",
 ]
 
 
