@@ -3716,10 +3716,16 @@ ORDER BY l_returnflag, q
 def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass per-column profile of the orders table
     (operators/profiling.py::profile_columns): rows, nulls, distincts,
-    min/max — the first query a pipeline owner runs on a new data drop."""
+    min/max — the first query a pipeline owner runs on a new data drop.
+    EXACT distinct mode: countDistinct per column, planned by Spark as an
+    Expand multi-distinct (×#cols row replication + full distinct-value
+    shuffles) — the oracle-hashable form; the production default is the
+    approx mode benchmarked by profile_orders_approx."""
     from megalista_spark.operators.profiling import profile_columns
 
-    return profile_columns(_t(spark, sf_dir, "orders")).orderBy("column_name")
+    return profile_columns(
+        _t(spark, sf_dir, "orders"), distinct_mode="exact"
+    ).orderBy("column_name")
 
 
 def _profile_sql() -> str:
@@ -3740,6 +3746,80 @@ def _profile_sql() -> str:
         for c in cols
     )
     return f"SELECT * FROM ({parts}) ORDER BY column_name"
+
+
+def profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of orders in the PORTABLE-approximate distinct
+    mode (operators/profiling.py::profile_columns, distinct_mode=
+    'portable'): distinct counts are deterministic HLL estimates over the
+    portable md5 hash, so even the APPROXIMATE numbers hash-match the
+    DuckDB oracle bit-for-bit. Scale contract vs the exact query: no
+    Expand multi-distinct — per-column state collapses map-side to ≤ 512
+    registers, the shuffle is sketch-sized, and only min/max/null
+    aggregates touch full values."""
+    from megalista_spark.operators.profiling import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"), distinct_mode="portable"
+    ).orderBy("column_name")
+
+
+def _profile_approx_sql() -> str:
+    """DuckDB twin of the portable-HLL profile: per column, the same
+    register geometry, bit-length CASE chain, integer harmonic sum, and
+    the IDENTICAL final estimate expression (shared generator
+    sketches.hll_estimate_case_sql)."""
+    from megalista_spark.operators.sketches import (
+        HLL_RMAX,
+        HLL_W,
+        bitlen_case_sql,
+        hll_estimate_case_sql,
+    )
+
+    shift = 1 << HLL_W
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    parts = []
+    for c in cols:
+        parts.append(
+            f"""SELECT '{c}' AS column_name, n_rows, n_nulls,
+            coalesce(est, 0)::BIGINT AS n_distinct, min_value, max_value
+            FROM (
+              SELECT count(*)::BIGINT AS n_rows,
+                     sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+                     min({c})::VARCHAR AS min_value,
+                     max({c})::VARCHAR AS max_value
+              FROM orders
+            ) b
+            CROSS JOIN (
+              SELECT {hll_estimate_case_sql()} AS est
+              FROM (
+                SELECT count(*) AS nb,
+                       sum((1::BIGINT << ({HLL_RMAX} - m_reg)))::BIGINT AS s_present
+                FROM (
+                  SELECT bucket,
+                         max(CASE WHEN rem = 0 THEN {HLL_RMAX}
+                                  ELSE {HLL_RMAX} - ({bitlen_case_sql('rem', HLL_W)})
+                             END) AS m_reg
+                  FROM (
+                    SELECT h // {shift} AS bucket, h % {shift} AS rem
+                    FROM (
+                      SELECT ('0x' || substr(md5({c}::VARCHAR), 1, 15))::BIGINT AS h
+                      FROM orders WHERE {c} IS NOT NULL
+                    )
+                  ) GROUP BY bucket
+                )
+              )
+            ) e"""
+        )
+    un = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({un}) ORDER BY column_name"
 
 
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4791,6 +4871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_by_flag": quantile_sketch_by_flag,
         "skew_report_events": skew_report_events,
         "profile_orders_table": profile_orders_table,
+        "profile_orders_approx": profile_orders_approx,
         "funnel_view_click_purchase": funnel_view_click_purchase,
         "cms_join_size_estimate": cms_join_size_estimate,
         "bloom_prejoin_prune": bloom_prejoin_prune,
@@ -4876,6 +4957,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch_by_flag": QUANTILE_GROUPED_SQL,
         "skew_report_events": SKEW_REPORT_SQL,
         "profile_orders_table": _profile_sql(),
+        "profile_orders_approx": _profile_approx_sql(),
         "funnel_view_click_purchase": FUNNEL_SQL,
         "cms_join_size_estimate": _cms_join_sql(),
         "bloom_prejoin_prune": _bloom_sql(),

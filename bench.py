@@ -120,7 +120,26 @@ HEADLINE = [
     "source_roundtrip_jsonl",
     "pagerank_weighted_supply",
     "sliding_distinct_users",
+    "q4_order_priority",
+    "q18_large_volume_customers",
+    "merge_customer_updates",
+    "scd2_user_event_history",
+    "pii_redact_customers",
+    "chunk_docs_overlap",
+    "dedup_minhash_estimate",
+    "embedding_lsh_near_dup",
+    "profile_orders_approx",
 ]
+
+# Excluded from HEADLINE on purpose:
+#   streaming_* (5 queries)  — Structured Streaming micro-batch runs; their
+#       wall-clock is dominated by trigger/checkpoint latency, not plan cost,
+#       so timing them alongside batch queries would be noise, and the
+#       batch-equivalence oracles already cover their correctness.
+#   bucketed_colocated_join  — writes bucketed tables to a warehouse dir as a
+#       side effect; timing is dominated by the one-off table write, and
+#       repeated bench runs would measure overwrite I/O, not the join plan
+#       (the zero-Exchange plan itself is asserted in tests/test_plans.py).
 
 
 def main() -> None:
@@ -160,6 +179,7 @@ def main() -> None:
         warm[name] = round(time.perf_counter() - t1, 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -169,10 +189,27 @@ def main() -> None:
                 "queries": timings,
                 "warm_total": round(sum(warm.values()), 3),
                 "queries_warm": warm,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )
+    # The per-query map above is ~6 KB on one line; a tail-windowed capture
+    # can truncate its head and leave the driver with unparseable JSON
+    # (BENCH_r02 recorded "parsed": null that way). Emit a compact summary
+    # LAST so any tail capture keeps at least one complete JSON line.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "warm_total": round(sum(warm.values()), 3),
+                "n_queries": len(timings),
+                "sf": sf_val,
+            }
+        )
+    )
+    sys.stdout.flush()
     spark.stop()
 
 

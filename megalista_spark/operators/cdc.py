@@ -162,9 +162,20 @@ def table_diff(
     ]
 
     def digest(df: DataFrame) -> Column:
-        # null-tagged, unit-separated so ('a', null) never collides with ('a|null')
+        # null-tagged AND length-prefixed ("v<len>:<value>" / "n") so the
+        # encoding is prefix-free: a value that itself contains the join
+        # separator can never shift column boundaries and alias two
+        # different rows to one digest (('a\x1fvb','c') vs ('a','b\x1fvc'))
         parts = [
-            F.coalesce(F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("n"))
+            F.coalesce(
+                F.concat(
+                    F.lit("v"),
+                    F.length(F.col(c).cast("string")).cast("string"),
+                    F.lit(":"),
+                    F.col(c).cast("string"),
+                ),
+                F.lit("n"),
+            )
             for c in cmp_l
         ]
         return F.md5(F.concat_ws("\x1f", *parts))

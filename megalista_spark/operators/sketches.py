@@ -80,6 +80,24 @@ def hll_alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
+def hll_estimate_case_sql(nb: str = "nb", s_present: str = "s_present") -> str:
+    """The final HLL estimate as one SQL CASE expression over the register
+    aggregate (``nb`` = populated registers, ``s_present`` = integer
+    harmonic sum of present registers). Shared verbatim by the Spark
+    selectExpr and the DuckDB oracles so the estimate is the same
+    character-for-character formula on both engines (Spark and DuckDB
+    both accept this dialect-neutral form)."""
+    numer = hll_alpha(HLL_M) * (HLL_M * HLL_M) * float(1 << HLL_RMAX)
+    return f"""CASE
+          WHEN ({numer!r} / ({s_present} + ({HLL_M} - {nb}) * {1 << HLL_RMAX}))
+                 <= {2.5 * HLL_M!r}
+               AND {nb} < {HLL_M}
+          THEN CAST(round({HLL_M} * ln({HLL_M} / CAST({HLL_M} - {nb} AS DOUBLE))) AS BIGINT)
+          ELSE CAST(round({numer!r}
+                 / ({s_present} + ({HLL_M} - {nb}) * {1 << HLL_RMAX})) AS BIGINT)
+        END"""
+
+
 def hll_distinct_count(df: DataFrame, col: str) -> DataFrame:
     """One-row DataFrame: (est_distinct bigint) — Flajolet et al.'s
     HyperLogLog, but over the portable md5-derived hash so the ESTIMATE is
@@ -110,24 +128,13 @@ def hll_distinct_count(df: DataFrame, col: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rho").alias("m_reg"))
     )
-    # alpha * m^2 * 2^RMAX as one Python-rounded literal both engines parse
-    numer = hll_alpha(HLL_M) * (HLL_M * HLL_M) * float(1 << HLL_RMAX)
     agg = regs.agg(
         F.count(F.lit(1)).alias("nb"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - m_reg)")).alias(
             "s_present"
         ),
     )
-    return agg.selectExpr(
-        f"""CASE
-          WHEN ({numer!r} / (s_present + ({HLL_M} - nb) * {1 << HLL_RMAX}))
-                 <= {2.5 * HLL_M!r}
-               AND nb < {HLL_M}
-          THEN CAST(round({HLL_M} * ln({HLL_M} / CAST({HLL_M} - nb AS DOUBLE))) AS BIGINT)
-          ELSE CAST(round({numer!r}
-                 / (s_present + ({HLL_M} - nb) * {1 << HLL_RMAX})) AS BIGINT)
-        END AS est_distinct"""
-    )
+    return agg.selectExpr(f"{hll_estimate_case_sql()} AS est_distinct")
 
 
 # Count-min geometry: d affine hash rows over the 32-bit portable hash
@@ -387,13 +394,20 @@ def bloom_build(
 def bloom_might_contain(
     keys: DataFrame, col: str, words: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K
 ) -> DataFrame:
-    """The subset of ``keys`` possibly present in the filter (no false
-    negatives; false positives at the classic (1-e^(-kn/m))^k rate).
+    """The DISTINCT subset of ``keys`` possibly present in the filter (no
+    false negatives; false positives at the classic (1-e^(-kn/m))^k rate).
     Probe rows join the broadcast word table, so pruning a billion-key
     column is map-side work.
+
+    Keys are deduplicated before probing: a duplicated key would contribute
+    dup_count*k probe rows and the ``hits == k`` test would wrongly reject
+    it (a false NEGATIVE). The output was always one row per distinct key
+    (the groupBy), so the pre-distinct changes no result shape — callers
+    pruning a join column semi-join back against this distinct key set.
     """
-    probes = keys.select(
-        F.col(col).alias("key"), F.inline(F.array(*_bloom_probes(F.col(col), m, k)))
+    probes = keys.select(F.col(col).alias("key")).distinct()
+    probes = probes.select(
+        "key", F.inline(F.array(*_bloom_probes(F.col("key"), m, k)))
     )
     hit = F.expr("(bits & shiftleft(CAST(1 AS BIGINT), bit)) <> 0")
     return (

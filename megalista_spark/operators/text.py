@@ -203,13 +203,18 @@ def inverted_index(
     one string (engine-neutral — array-of-struct renderings differ across
     engines, strings do not).
 
-    Scale: tokenize at scan speed, one (doc, term) shuffle for tf, one
-    term-keyed aggregate whose per-term state is capped at max_postings
-    entries AFTER the sort — hot terms (stopwords) keep full document
-    counts in ``df`` but never materialize unbounded posting arrays. For
-    a real serving index, partition the output by term range and write
-    z-ordered (operators/layout.py).
+    Scale: tokenize at scan speed, one (doc, term) shuffle for tf, then a
+    term-partitioned ``row_number`` window ranks docs BEFORE the aggregate
+    and only rank ≤ max_postings rows reach ``collect_list`` — per-term
+    aggregation state is genuinely bounded at max_postings entries, even
+    for stopword-class terms (the window sorts its partition with Spark's
+    spillable external sort; the earlier form collected the full posting
+    list into the agg buffer before slicing). ``df`` still counts every
+    document. For a real serving index, partition the output by term
+    range and write z-ordered (operators/layout.py).
     """
+    from pyspark.sql import Window
+
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
     )
@@ -218,20 +223,23 @@ def inverted_index(
         .groupBy("term", id_col)
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    ranked = tf.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("term").orderBy(id_col))
+    )
+    # collect_list drops nulls, so only the first max_postings docs (in doc
+    # order, per the window) ever enter the per-term aggregation buffer
+    capped = F.when(
+        F.col("_rn") <= max_postings,
+        F.struct(F.col(id_col).alias("d"), F.col("tf")),
+    )
     postings = F.concat_ws(
         ",",
         F.transform(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col(id_col).alias("d"), F.col("tf")))
-                ),
-                1,
-                max_postings,
-            ),
+            F.sort_array(F.collect_list(capped)),
             lambda s: F.concat_ws(":", s["d"].cast("string"), s["tf"].cast("string")),
         ),
     )
-    return tf.groupBy("term").agg(
+    return ranked.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df"),
         postings.alias("postings"),
     )

@@ -501,6 +501,45 @@ def test_bloom_no_false_negatives(spark):
     assert kept_o < 50  # fp rate ~0.1% at n=500, m=16384, k=4 — 5% margin
 
 
+def test_bloom_probe_side_duplicates_still_pass(spark):
+    # regression: a duplicated probe key used to contribute dup*k probe
+    # rows, fail the hits==k test, and drop a PRESENT key (false negative)
+    from megalista_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    members = spark.createDataFrame([(5,), (7,)], ["k"])
+    words = bloom_build(members, "k")
+    probes = spark.createDataFrame([(5,), (5,), (7,)], ["k"])
+    kept = {r.key for r in bloom_might_contain(probes, "k", words).collect()}
+    assert kept == {5, 7}
+
+
+def test_profile_modes_agree_and_approx_has_no_expand(spark):
+    # the three distinct modes agree (approx/portable within HLL error);
+    # the default (approx) plan must NOT contain the Expand multi-distinct
+    # replication that makes exact mode ~#cols× the scan work
+    from megalista_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(i, i % 97, f"s{i % 13}", None if i % 10 == 0 else float(i)) for i in range(2000)],
+        ["a", "b", "c", "d"],
+    )
+    exact = {r.column_name: r for r in profile_columns(df, distinct_mode="exact").collect()}
+    approx = {r.column_name: r for r in profile_columns(df).collect()}
+    portable = {r.column_name: r for r in profile_columns(df, distinct_mode="portable").collect()}
+    for col in "abcd":
+        e, a, p = exact[col], approx[col], portable[col]
+        assert e.n_rows == a.n_rows == p.n_rows == 2000
+        assert e.n_nulls == a.n_nulls == p.n_nulls
+        assert e.min_value == a.min_value == p.min_value
+        assert e.max_value == a.max_value == p.max_value
+        for est in (a.n_distinct, p.n_distinct):
+            assert abs(est - e.n_distinct) <= max(3, 0.15 * e.n_distinct)
+    plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    exact_plan = profile_columns(df, distinct_mode="exact")._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan  # the blowup approx mode exists to avoid
+
+
 def test_cms_overestimate_guarantee_and_merge(spark):
     # est >= true for every key even under forced collisions (w=16), and
     # two sketches merged counter-wise equal the sketch of the union
