@@ -686,6 +686,66 @@ ORDER BY doc_id
 """
 
 
+def decontaminate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (operators/curation.py::
+    remove_contaminated_spans): same bench/train split as
+    decontaminate_docs, but instead of a per-doc flag the output is the
+    CLEANED text — every token in any benchmark-shared 13-gram removed,
+    rest kept. One-sided guarantee: hash matching can only over-remove,
+    never leave a true benchmark 13-gram behind."""
+    from megalista_spark.operators.curation import remove_contaminated_spans
+    from megalista_spark.operators.sampling import sample_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(sample_bucket(F.col("doc_id"), "bench") < 1000)
+    train = d.where(sample_bucket(F.col("doc_id"), "bench") >= 1000)
+    return remove_contaminated_spans(train, bench, n=13).orderBy("doc_id")
+
+
+def _decontaminate_spans_sql(n: int = 13) -> str:
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS w
+  FROM documents
+), bench AS (
+  SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT list_distinct(
+             list_transform(range(1, greatest(len(w) - {n - 1}, 1) + 1),
+                            i -> array_to_string(w[i:i+{n - 1}], ' '))) AS shingles
+    FROM toks WHERE {_bucket_sql('doc_id', 'bench')} < 1000
+  ), unnest(shingles) AS u(s)
+), train AS (
+  SELECT doc_id, w FROM toks WHERE {_bucket_sql('doc_id', 'bench')} >= 1000
+), pos_sh AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(array_to_string(w[i:i+{n - 1}], ' ')), 1, 15))::BIGINT AS h
+  FROM train, unnest(range(1, greatest(len(w) - {n - 1}, 1) + 1)) AS r(i)
+), starts AS (
+  SELECT DISTINCT doc_id, i FROM pos_sh JOIN bench USING (h)
+), tok_rows AS (
+  SELECT doc_id, p, w[p] AS tok
+  FROM train, unnest(range(1, len(w) + 1)) AS r(p)
+), kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM tok_rows t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM starts s
+    WHERE s.doc_id = t.doc_id AND s.i <= t.p AND t.p <= s.i + {n - 1}
+  )
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT tr.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       (len(tr.w) - coalesce(a.n_kept, 0))::BIGINT AS n_tokens_removed
+FROM train tr LEFT JOIN agg a USING (doc_id)
+ORDER BY tr.doc_id
+"""
+
+
 def repetition_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality stats + pass flag per document
     (operators/curation.py::repetition_stats) — zero-shuffle expression
@@ -1054,6 +1114,112 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(
         emb, queries, k=10, nprobe=3, centroids=cents
     ).orderBy("query_id", "rank")
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.py::ivfpq_topk): coarse cells +
+    product-quantized integer residual codes + asymmetric-distance
+    scoring — the 32× index-memory ANN path. All arithmetic is exact
+    bigint (components quantized to round(x·1e6)), so codes AND distances
+    are engine-portable and the oracle reproduces them bit-for-bit."""
+    from megalista_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(
+        emb, queries, k=10, num_coarse=8, nprobe=2, m_subs=8, k_codes=16
+    ).orderBy("query_id", "rank")
+
+
+def _ivfpq_sql(
+    k: int = 10,
+    num_coarse: int = 8,
+    nprobe: int = 2,
+    m_subs: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of ivfpq_topk: identical integer quantization, coarse
+    assignment, residual PQ codes, LUT, and ADC sums — every distance is
+    exact bigint arithmetic, so the comparison is bit-for-bit."""
+    sub_d = dim // m_subs
+    l2 = (
+        lambda a, b, n: f"list_sum(list_transform(range(1, {n} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))::BIGINT"
+    )
+    return f"""
+WITH cq AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(embedding::DOUBLE[], x -> round(x * {scale})::BIGINT) AS qv
+  FROM embeddings
+),
+coarse AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, qv AS cvec
+  FROM (SELECT * FROM cq ORDER BY id LIMIT {num_coarse})
+),
+c_assign AS MATERIALIZED (
+  SELECT id, cell,
+         list_transform(range(1, {dim} + 1), i -> qv[i] - cvec[i]) AS res
+  FROM (
+    SELECT cq.id, cq.qv, co.cell, co.cvec,
+           row_number() OVER (PARTITION BY cq.id
+                              ORDER BY {l2('cq.qv', 'co.cvec', dim)}, co.cell) AS r
+    FROM cq CROSS JOIN coarse co
+  ) WHERE r = 1
+),
+c_sub AS MATERIALIZED (
+  SELECT id, cell, m, res[m * {sub_d} + 1 : m * {sub_d} + {sub_d}] AS sub
+  FROM c_assign, unnest(range(0, {m_subs})) AS t(m)
+),
+codebook AS MATERIALIZED (
+  SELECT m, code_id, res[m * {sub_d} + 1 : m * {sub_d} + {sub_d}] AS csub
+  FROM (
+    SELECT row_number() OVER (ORDER BY id) - 1 AS code_id, res
+    FROM (SELECT * FROM c_assign ORDER BY id LIMIT {k_codes})
+  ), unnest(range(0, {m_subs})) AS t(m)
+),
+codes AS MATERIALIZED (
+  SELECT id, cell, m, code_id AS code
+  FROM (
+    SELECT s.id, s.cell, s.m, cb.code_id,
+           row_number() OVER (PARTITION BY s.id, s.m
+                              ORDER BY {l2('s.sub', 'cb.csub', sub_d)}, cb.code_id) AS r
+    FROM c_sub s JOIN codebook cb USING (m)
+  ) WHERE r = 1
+),
+q_assign AS (
+  SELECT id AS query_id, cell,
+         list_transform(range(1, {dim} + 1), i -> qv[i] - cvec[i]) AS res
+  FROM (
+    SELECT cq.id, cq.qv, co.cell, co.cvec,
+           row_number() OVER (PARTITION BY cq.id
+                              ORDER BY {l2('cq.qv', 'co.cvec', dim)}, co.cell) AS r
+    FROM cq CROSS JOIN coarse co WHERE cq.id < 5
+  ) WHERE r <= {nprobe}
+),
+lut AS (
+  SELECT q.query_id, q.cell, t.m, cb.code_id AS code,
+         {l2(f'q.res[t.m * {sub_d} + 1 : t.m * {sub_d} + {sub_d}]', 'cb.csub', sub_d)} AS ld
+  FROM q_assign q, unnest(range(0, {m_subs})) AS t(m)
+  JOIN codebook cb ON cb.m = t.m
+),
+adc AS (
+  SELECT l.query_id, c.id AS neighbor_id, sum(l.ld)::BIGINT AS adc_dist
+  FROM codes c JOIN lut l ON l.cell = c.cell AND l.m = c.m AND l.code = c.code
+  WHERE c.id != l.query_id
+  GROUP BY l.query_id, c.id
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id)::BIGINT AS rank
+  FROM adc
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
 
 
 def _ivf_trained_sql() -> str:
@@ -1435,6 +1601,45 @@ l0 AS (SELECT vec_id AS id, vec_id AS label FROM e),
 SELECT id, label AS group_label, (id = label) AS is_canonical
 FROM l{iters}
 ORDER BY id
+"""
+
+
+def near_dup_groups_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group resolution iterated to a FIXPOINT (operators/
+    dedup.py::min_label_groups_fixpoint): exact connected components of
+    the near-dup pair graph, for corpora whose duplicate chains may be
+    deeper than a fixed round count. Convergence costs one decimal-sum
+    scalar per round. The oracle is iteration-count-independent: a
+    recursive CTE computes min-reachable-id per node — TRUE connected
+    components — which the fixpoint must equal exactly."""
+    from megalista_spark.operators.dedup import min_label_groups_fixpoint
+    from megalista_spark.operators.similarity import embedding_near_dup_pairs_blocked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs_blocked(emb, threshold=0.45)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return min_label_groups_fixpoint(pairs, nodes).orderBy("id")
+
+
+NEAR_DUP_FIXPOINT_SQL = """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM prs
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT reach.id, ed.dst FROM reach JOIN edges ed ON ed.src = reach.r
+)
+SELECT id, min(r) AS group_label, (id = min(r)) AS is_canonical
+FROM reach GROUP BY id ORDER BY id
 """
 
 
@@ -4826,9 +5031,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
         "grouped_zscore_by_lang": grouped_zscore_by_lang,
         "kmv_set_overlap_estimate": kmv_set_overlap_estimate,
         "near_dup_groups": near_dup_groups,
+        "near_dup_groups_fixpoint": near_dup_groups_fixpoint,
         "pagerank_supply_graph": pagerank_supply_graph,
         "pagerank_weighted_supply": pagerank_weighted_supply,
         "triangle_count_copurchase": triangle_count_copurchase,
@@ -4840,6 +5047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup_merge": incremental_rollup_merge,
         "scd2_user_event_history": scd2_user_event_history,
         "decontaminate_docs": decontaminate_docs,
+        "decontaminate_spans_docs": decontaminate_spans_docs,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -4988,9 +5196,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ANN_SQL,
         "ann_ivf_topk": IVF_SQL,
         "ann_ivf_trained_topk": _ivf_trained_sql(),
+        "ann_ivfpq_topk": _ivfpq_sql(),
         "grouped_zscore_by_lang": GROUPED_ZSCORE_SQL,
         "kmv_set_overlap_estimate": KMV_SET_SQL,
         "near_dup_groups": _near_dup_groups_sql(),
+        "near_dup_groups_fixpoint": NEAR_DUP_FIXPOINT_SQL,
         "pagerank_supply_graph": _pagerank_sql(),
         "pagerank_weighted_supply": _pagerank_weighted_sql(),
         "triangle_count_copurchase": TRIANGLE_SQL,
@@ -5002,6 +5212,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_rollup_merge": INCREMENTAL_MERGE_SQL,
         "scd2_user_event_history": SCD2_SQL,
         "decontaminate_docs": _decontaminate_sql(),
+        "decontaminate_spans_docs": _decontaminate_spans_sql(),
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

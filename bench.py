@@ -129,6 +129,9 @@ HEADLINE = [
     "dedup_minhash_estimate",
     "embedding_lsh_near_dup",
     "profile_orders_approx",
+    "near_dup_groups_fixpoint",
+    "decontaminate_spans_docs",
+    "ann_ivfpq_topk",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -85,6 +85,90 @@ def decontaminate(
     )
 
 
+def remove_contaminated_spans(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-SUBSTRING decontamination (Lee et al. 2021 "Deduplicating
+    Training Data" span form of the GPT-3/Gopher 13-gram rule): instead of
+    flagging/dropping whole documents (``decontaminate``), remove from
+    each training document every token that participates in ANY word
+    ``n``-gram occurring in the benchmark, keeping the rest of the text.
+
+    GUARANTEE (one-sided, by construction): every occurrence of a
+    benchmark ``n``-gram in the ORIGINAL training text is destroyed —
+    matching is by 60-bit portable hash, so a hash collision can only
+    remove MORE tokens (false positive), never leave a true match behind.
+    Caveat, stated because it is inherent to span removal (Lee et al.
+    share it): deleting a span makes its neighbors adjacent, and the new
+    juncture could in principle form a fresh benchmark n-gram; a
+    paranoid pipeline iterates the operator to a fixpoint (one extra pass
+    is virtually always empty).
+
+    Output: ``(doc_id, clean_text, n_tokens_removed)`` for every train
+    document (0 removed → text round-trips through the whitespace
+    tokenizer unchanged).
+
+    Scale shape: identical to ``decontaminate`` — benchmark hashes are
+    distinct-collapsed and broadcast, the train side shuffles only the
+    per-doc matched-start sets (tiny), and span masking is a per-row
+    array expression. One extra (id, starts) groupBy vs the flag form.
+    """
+    toked = _tokenized(train, text_col, id_col)
+    # positional shingles: start i covers tokens [i, i+n-1] (1-based);
+    # docs shorter than n yield their full token join at i=1 (the same
+    # short-doc contract as shingles_from_tokens)
+    pos_sh = toked.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("_toks") - F.lit(n - 1), F.lit(1))
+                ),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice(F.col("_toks"), i, n)).alias("sh"),
+                ),
+            )
+        ).alias("_ps"),
+    ).select("id", F.col("_ps.pos").alias("pos"), portable_hash64(F.col("_ps.sh")).alias("_h"))
+    b_sh = (
+        _tokenized(benchmark, text_col, id_col)
+        .select(F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("_sh"))
+        .select(portable_hash64(F.col("_sh")).alias("_h"))
+        .distinct()
+    )
+    starts = (
+        pos_sh.join(F.broadcast(b_sh), "_h")
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("_starts"))
+    )
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("_starts"), lambda s: F.sequence(s, s + F.lit(n - 1)))
+        )
+    )
+    masked = (
+        toked.join(starts, "id", "left")
+        .withColumn("_cov", F.coalesce(cov, F.array().cast("array<int>")))
+        .withColumn(
+            "_kept",
+            F.filter(
+                F.col("_toks"),
+                lambda tok, idx: ~F.array_contains(F.col("_cov"), idx + F.lit(1)),
+            ),
+        )
+    )
+    return masked.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(" ", F.col("_kept")).alias("clean_text"),
+        (F.size("_toks") - F.size("_kept")).cast("bigint").alias("n_tokens_removed"),
+    )
+
+
 # ------------------------------------------------ repetition quality filters
 
 

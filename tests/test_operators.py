@@ -343,6 +343,110 @@ def test_min_label_groups_resolves_components(spark):
     }
 
 
+def test_ivfpq_topk_invariants(spark, sf_dir):
+    # integer ADC distances, dense ranks from 1 ordered by (dist, id),
+    # no self-matches, fully deterministic across runs
+    from pyspark.sql import functions as SF
+
+    from megalista_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(SF.col("vec_id") < 3).select(
+        SF.col("vec_id").alias("query_id"), "embedding"
+    )
+    r1 = ivfpq_topk(emb, qs, k=5).orderBy("query_id", "rank").collect()
+    r2 = ivfpq_topk(emb, qs, k=5).orderBy("query_id", "rank").collect()
+    assert r1 == r2  # exact integer math -> bit-stable
+    by_q = {}
+    for r in r1:
+        assert r.query_id != r.neighbor_id
+        assert isinstance(r.adc_dist, int) and r.adc_dist >= 0
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        dists = [r.adc_dist for r in rows]
+        assert dists == sorted(dists)
+
+
+def test_exact_substring_decontamination_guarantee(spark):
+    # property: after span removal, NO benchmark 13-gram exists anywhere
+    # in the cleaned corpus; untouched docs round-trip byte-identical
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from megalista_spark.operators.curation import remove_contaminated_spans
+    from megalista_spark.operators.dedup import _tokenized, shingles_from_tokens
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    bench_text = " ".join(rng.choice(vocab) for _ in range(20))
+    bench_toks = bench_text.split()
+    train_rows, planted = [], set()
+    for d in range(20):
+        words = [rng.choice(vocab) for _ in range(30)]
+        if d % 2 == 0:  # plant a benchmark 13-gram at a random offset
+            off = rng.randrange(0, len(words) - 13)
+            start = rng.randrange(0, len(bench_toks) - 13)
+            words[off : off + 13] = bench_toks[start : start + 13]
+            planted.add(d)
+        train_rows.append((d, " ".join(words)))
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(1000, bench_text)], ["doc_id", "text"])
+
+    cleaned = remove_contaminated_spans(train, bench, n=13)
+    out = {r.doc_id: r for r in cleaned.collect()}
+    originals = dict(train_rows)
+    for d, r in out.items():
+        if d not in planted:
+            assert r.clean_text == originals[d] and r.n_tokens_removed == 0
+        else:
+            assert r.n_tokens_removed >= 13
+
+    # the guarantee itself: recompute shingles of the cleaned corpus and
+    # intersect with the benchmark shingle set — must be empty
+    clean_df = spark.createDataFrame(
+        [(d, r.clean_text) for d, r in out.items() if r.clean_text], ["doc_id", "text"]
+    )
+    c_sh = _tokenized(clean_df, "text", "doc_id").select(
+        SF.explode(shingles_from_tokens(SF.col("_toks"), 13)).alias("sh")
+    )
+    b_sh = _tokenized(bench, "text", "doc_id").select(
+        SF.explode(shingles_from_tokens(SF.col("_toks"), 13)).alias("sh")
+    )
+    assert c_sh.join(b_sh, "sh").count() == 0
+
+
+def test_min_label_fixpoint_converges_deep_chain(spark):
+    # a 20-deep path under-merges at any fixed iters < 20; the fixpoint
+    # variant must label every node with the chain head and stop early on
+    # the sum-of-labels convergence signal
+    from megalista_spark.operators.dedup import (
+        min_label_groups,
+        min_label_groups_fixpoint,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 120)]  # path 100-101-...-120
+    pairs = spark.createDataFrame(chain + [(7, 8)], ["id_a", "id_b"])
+    node_ids = list(range(100, 121)) + [7, 8, 500]
+    nodes = spark.createDataFrame([(i,) for i in node_ids], ["id"])
+
+    fixed = {
+        r["id"]: r["group_label"]
+        for r in min_label_groups(pairs, nodes, iters=3).collect()
+    }
+    assert fixed[120] != 100  # the fixed-iters contract under-merges here
+
+    got = {
+        r["id"]: (r["group_label"], r["is_canonical"])
+        for r in min_label_groups_fixpoint(pairs, nodes).collect()
+    }
+    for i in range(100, 121):
+        assert got[i] == (100, i == 100)
+    assert got[7] == (7, True) and got[8] == (7, False)
+    assert got[500] == (500, True)
+
+
 def test_kmv_set_estimates_exact_below_k(spark):
     # below k distinct hashes the sketch IS the set — union and
     # intersection must be exact

@@ -268,3 +268,64 @@ def test_foreach_batch_cdc_merge_composition(spark, tmp_path):
     q.awaitTermination()
     out = {r["k"]: (r["v"], r["amt"]) for r in state["result"]}
     assert out == {1: ("a", 10), 2: ("b3", 22), 4: ("d", 40)}  # 3 deleted
+
+
+def test_stream_attribution_join_recovers_from_checkpoint(spark, tmp_path):
+    # state recovery / exactly-once: run the join, "kill" it (the query
+    # terminates after draining the files present), append new source
+    # files, restart from the SAME checkpoint. Run 2 must (a) not re-emit
+    # run-1 pairs (file-sink metadata + committed offsets) and (b) join
+    # run-2 purchases against run-1 clicks RESTORED FROM JOIN STATE.
+    from datetime import datetime, timedelta
+
+    from megalista_spark.streaming.events import stream_attribution_join
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    c_dir, p_dir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt_recover")
+    c_schema = "click_id long, c_ts timestamp"
+    p_schema = "purchase_id long, p_ts timestamp"
+
+    def write(rows, schema, path):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    def sec(s):
+        return t0 + timedelta(seconds=s)
+
+    # run 1 inputs: clicks at +0/+60/+120, one purchase at +90
+    write([(0, sec(0)), (60, sec(60)), (120, sec(120))], c_schema, c_dir)
+    write([(10, sec(90))], p_schema, p_dir)
+
+    def run():
+        cs = spark.readStream.schema(c_schema).parquet(c_dir)
+        ps = spark.readStream.schema(p_schema).parquet(p_dir)
+        j = stream_attribution_join(cs, ps, window_seconds=300)
+        q = (
+            j.select("purchase_id", "click_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()  # processes run-1 files, then the query dies
+
+    # run 2 inputs: purchase at +200 must attribute to the RUN-1 clicks
+    # (only reachable through checkpointed join state); purchase at +420
+    # spans both runs' clicks
+    write([(400, sec(400))], c_schema, c_dir)
+    write([(11, sec(200)), (12, sec(420))], p_schema, p_dir)
+    run()  # restart from the same checkpoint
+
+    rows = spark.read.parquet(out).collect()
+    got = {(r.purchase_id, r.click_id) for r in rows}
+    assert len(rows) == len(got)  # exactly-once: no duplicated pair
+    assert got == {
+        (10, 0), (10, 60),                # run 1 (window: [p_ts-300, p_ts])
+        (11, 0), (11, 60), (11, 120),     # run-1 clicks from restored state
+        (12, 120), (12, 400),             # cross-run + run-2 click
+    }
