@@ -132,6 +132,7 @@ HEADLINE = [
     "near_dup_groups_fixpoint",
     "decontaminate_spans_docs",
     "ann_ivfpq_topk",
+    "dedup_spans_docs",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -118,10 +118,27 @@ def remove_contaminated_spans(
     array expression. One extra (id, starts) groupBy vs the flag form.
     """
     toked = _tokenized(train, text_col, id_col)
-    # positional shingles: start i covers tokens [i, i+n-1] (1-based);
-    # docs shorter than n yield their full token join at i=1 (the same
-    # short-doc contract as shingles_from_tokens)
-    pos_sh = toked.select(
+    pos_sh = _positional_shingle_hashes(toked, n)
+    b_sh = (
+        _tokenized(benchmark, text_col, id_col)
+        .select(F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("_sh"))
+        .select(portable_hash64(F.col("_sh")).alias("_h"))
+        .distinct()
+    )
+    starts = (
+        pos_sh.join(F.broadcast(b_sh), "_h")
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("_starts"))
+    )
+    return _mask_spans(toked, starts, n, id_col)
+
+
+def _positional_shingle_hashes(toked: DataFrame, n: int) -> DataFrame:
+    """(id, pos, _h): 60-bit hash of the word n-gram starting at 1-based
+    token position ``pos`` (covers tokens [pos, pos+n-1]); docs shorter
+    than n yield their full token join at pos=1 — the same short-doc
+    contract as shingles_from_tokens."""
+    return toked.select(
         "id",
         F.explode(
             F.transform(
@@ -134,18 +151,18 @@ def remove_contaminated_spans(
                 ),
             )
         ).alias("_ps"),
-    ).select("id", F.col("_ps.pos").alias("pos"), portable_hash64(F.col("_ps.sh")).alias("_h"))
-    b_sh = (
-        _tokenized(benchmark, text_col, id_col)
-        .select(F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("_sh"))
-        .select(portable_hash64(F.col("_sh")).alias("_h"))
-        .distinct()
+    ).select(
+        "id", F.col("_ps.pos").alias("pos"), portable_hash64(F.col("_ps.sh")).alias("_h")
     )
-    starts = (
-        pos_sh.join(F.broadcast(b_sh), "_h")
-        .groupBy("id")
-        .agg(F.collect_set("pos").alias("_starts"))
-    )
+
+
+def _mask_spans(
+    toked: DataFrame, starts: DataFrame, n: int, id_col: str
+) -> DataFrame:
+    """Drop from each doc every token covered by a span of length ``n``
+    starting at any position in its ``_starts`` set; emit
+    (id_col, clean_text, n_tokens_removed). Pure array expressions —
+    zero shuffle beyond the ``starts`` join."""
     cov = F.array_distinct(
         F.flatten(
             F.transform(F.col("_starts"), lambda s: F.sequence(s, s + F.lit(n - 1)))
@@ -167,6 +184,47 @@ def remove_contaminated_spans(
         F.concat_ws(" ", F.col("_kept")).alias("clean_text"),
         (F.size("_toks") - F.size("_kept")).cast("bigint").alias("n_tokens_removed"),
     )
+
+
+def dedup_repeated_spans(
+    df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-INTERNAL exact-substring dedup (the within-corpus
+    counterpart of ``remove_contaminated_spans``; Lee et al. 2021 run the
+    same rule at 50-gram granularity over suffix arrays): every word
+    ``n``-gram occurring in MORE THAN ONE document is kept only in the
+    lowest-id document containing it — all other documents lose the
+    tokens of their occurrences. A gram repeated only WITHIN a single
+    document is untouched (that is ``repetition_stats`` territory).
+
+    Output: (doc_id, clean_text, n_tokens_removed) for every document
+    (owners included, with their text intact unless some OTHER gram they
+    hold is owned elsewhere).
+
+    Scale shape: unlike decontamination there is no tiny benchmark side —
+    the owner table (min doc per cross-doc gram) is corpus-sized, so the
+    owner join is a plain hash-shuffle on the 8-byte gram hash, not a
+    broadcast. Cost: two (hash)-keyed shuffles (owner agg + join back),
+    both map-side-combinable; span masking stays per-row expressions.
+    """
+    toked = _tokenized(df, text_col, id_col)
+    pos_sh = _positional_shingle_hashes(toked, n)
+    owners = (
+        pos_sh.groupBy("_h")
+        .agg(F.min("id").alias("_owner"), F.countDistinct("id").alias("_ndocs"))
+        .where(F.col("_ndocs") >= 2)
+        .select("_h", "_owner")
+    )
+    starts = (
+        pos_sh.join(owners, "_h")
+        .where(F.col("id") != F.col("_owner"))
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("_starts"))
+    )
+    return _mask_spans(toked, starts, n, id_col)
 
 
 # ------------------------------------------------ repetition quality filters

@@ -154,6 +154,29 @@ def stream_sink_foreach_batch(
     )
 
 
+def stream_enrich_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-STATIC dimension enrichment — the third join family next to
+    stream-stream (``stream_attribution_join``) and batch joins: the
+    static side is a plain batch DataFrame that Spark re-resolves every
+    micro-batch, so a slowly-changing dimension picks up updates between
+    batches with NO join state at all (nothing is buffered, nothing is
+    watermarked — the stream side passes through map-side).
+
+    The dimension is broadcast: at 100 TB-of-stream scale the events
+    never shuffle for this join; a dimension too big to broadcast would
+    flip to a shuffled stream-static join, at which point pre-bucketing
+    the dimension on the key (operators/bucketed.py) restores map-side
+    behavior. ``how`` follows Spark's stream-static support matrix
+    (inner and left_outer with the stream on the left)."""
+    return events.join(F.broadcast(dim), events[stream_key] == dim[dim_key], how)
+
+
 def stream_dedup_events(
     events: DataFrame,
     keys: list[str] | None = None,

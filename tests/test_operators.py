@@ -417,6 +417,31 @@ def test_exact_substring_decontamination_guarantee(spark):
     assert c_sh.join(b_sh, "sh").count() == 0
 
 
+def test_dedup_repeated_spans_keeps_owner_only(spark):
+    # a 13-gram shared by docs 1/5/9 survives only in doc 1 (lowest id);
+    # a gram repeated within ONE doc is untouched
+    from megalista_spark.operators.curation import dedup_repeated_spans
+
+    shared = " ".join(f"s{i}" for i in range(13))
+    uniq = lambda d: " ".join(f"u{d}_{i}" for i in range(5))  # noqa: E731
+    rows = [
+        (1, f"{uniq(1)} {shared}"),
+        (5, f"{shared} {uniq(5)}"),
+        (9, f"{uniq(9)} {shared} tail"),
+        (3, f"{shared.replace('s', 'x')} {shared.replace('s', 'x')}"),  # intra-doc repeat only
+    ]
+    out = {
+        r.doc_id: r
+        for r in dedup_repeated_spans(
+            spark.createDataFrame(rows, ["doc_id", "text"]), n=13
+        ).collect()
+    }
+    assert out[1].n_tokens_removed == 0 and out[1].clean_text == rows[0][1]
+    assert out[5].n_tokens_removed == 13 and out[5].clean_text == uniq(5)
+    assert out[9].n_tokens_removed == 13 and out[9].clean_text == f"{uniq(9)} tail"
+    assert out[3].n_tokens_removed == 0  # intra-doc repetition is not cross-doc
+
+
 def test_min_label_fixpoint_converges_deep_chain(spark):
     # a 20-deep path under-merges at any fixed iters < 20; the fixpoint
     # variant must label every node with the chain head and stop early on
