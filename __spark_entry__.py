@@ -638,6 +638,73 @@ WITH toks AS MATERIALIZED (
 """
 
 
+def corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training vocabulary (operators/text.py::build_vocab):
+    top-200 terms with dense deterministic ids, total tf, and doc
+    frequency — the global top-k is TakeOrderedAndProject (per-partition
+    heaps), never a full sort; df comes from the already-per-doc-distinct
+    tf relation (no countDistinct pass)."""
+    from megalista_spark.operators.text import build_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    return build_vocab(d, max_terms=200).orderBy("term_id")
+
+
+VOCAB_SQL = """
+WITH tf AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      t -> t != '')) AS term
+    FROM documents
+  ) GROUP BY term, doc_id
+), totals AS (
+  SELECT term, sum(tf)::BIGINT AS tf, count(*)::BIGINT AS df
+  FROM tf GROUP BY term
+), top AS (
+  SELECT * FROM totals ORDER BY tf DESC, term LIMIT 200
+)
+SELECT (row_number() OVER (ORDER BY tf DESC, term) - 1)::BIGINT AS term_id,
+       term, tf, df
+FROM top ORDER BY term_id
+"""
+
+
+def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-drop dedup (operators/dedup.py::incremental_dedup): the 20%
+    hash-sampled 'increment' survives only where its formatting-robust
+    fingerprint is absent from the 80% 'corpus' AND not claimed by a
+    lower-id increment doc — the reference's uploaded-keys anti-join
+    shape applied to corpus construction."""
+    from megalista_spark.operators.dedup import incremental_dedup
+    from megalista_spark.operators.sampling import sample_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    inc = d.where(sample_bucket(F.col("doc_id"), "incr") < 2000)
+    corp = d.where(sample_bucket(F.col("doc_id"), "incr") >= 2000)
+    return incremental_dedup(inc, corp).select("doc_id").orderBy("doc_id")
+
+
+def _incremental_dedup_sql() -> str:
+    return rf"""
+WITH fp AS MATERIALIZED (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^A-Za-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS fingerprint,
+         {_bucket_sql('doc_id', 'incr')} AS bucket
+  FROM documents
+), inc AS (SELECT doc_id, fingerprint FROM fp WHERE bucket < 2000),
+corp AS (SELECT DISTINCT fingerprint FROM fp WHERE bucket >= 2000),
+fresh AS (
+  SELECT i.doc_id, i.fingerprint FROM inc i
+  WHERE NOT EXISTS (SELECT 1 FROM corp c WHERE c.fingerprint = i.fingerprint)
+)
+SELECT doc_id FROM fresh f
+WHERE doc_id = (SELECT min(doc_id) FROM fresh g WHERE g.fingerprint = f.fingerprint)
+ORDER BY doc_id
+"""
+
+
 def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/curation.py::decontaminate):
     the 10% hash-sampled 'benchmark' split vs the remaining 90% 'train'
@@ -5089,6 +5156,10 @@ _GATE_ROTATION_FIRST = [
     "ann_ivfpq_topk",
     "near_dup_groups_fixpoint",
     "decontaminate_spans_docs",
+    "dedup_spans_docs",
+    "corpus_vocab",
+    "incremental_corpus_dedup",
+    "streaming_enriched_rollup",
     "profile_orders_approx",
     "source_roundtrip_csv",
     "source_roundtrip_jsonl",
@@ -5213,6 +5284,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "decontaminate_docs": decontaminate_docs,
         "decontaminate_spans_docs": decontaminate_spans_docs,
         "dedup_spans_docs": dedup_spans_docs,
+        "corpus_vocab": corpus_vocab,
+        "incremental_corpus_dedup": incremental_corpus_dedup,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -5381,6 +5454,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": _decontaminate_sql(),
         "decontaminate_spans_docs": _decontaminate_spans_sql(),
         "dedup_spans_docs": _dedup_spans_sql(),
+        "corpus_vocab": VOCAB_SQL,
+        "incremental_corpus_dedup": _incremental_dedup_sql(),
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

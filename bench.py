@@ -133,6 +133,8 @@ HEADLINE = [
     "decontaminate_spans_docs",
     "ann_ivfpq_topk",
     "dedup_spans_docs",
+    "corpus_vocab",
+    "incremental_corpus_dedup",
 ]
 
 # Excluded from HEADLINE on purpose:

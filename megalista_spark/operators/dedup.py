@@ -650,3 +650,45 @@ def edit_distance_pairs(
         .distinct()
         .where(F.levenshtein("name_a", "name_b") <= max_distance)
     )
+
+
+def incremental_dedup(
+    increment: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The daily-drop dedup flow: new documents survive only if their
+    formatting-robust fingerprint (operators/text.py::
+    document_fingerprint) appears neither in the EXISTING corpus nor
+    earlier (lower id) within the increment itself. The same
+    transactional shape as the reference's uploaded-keys anti-join
+    (sources/data_source.py) applied to corpus construction.
+
+    Scale: both sides reduce to (id, 128-bit fingerprint) before
+    anything wide; the corpus side collapses to DISTINCT fingerprints
+    (map-side combine) — a left-anti hash join that AQE broadcasts when
+    the fingerprint set fits, exactly like the control-table dedup. The
+    intra-increment keep-first is one fingerprint-keyed min-id join, not
+    a window over the whole increment.
+    """
+    from megalista_spark.operators.text import document_fingerprint
+
+    inc_fp = document_fingerprint(increment, text_col, id_col).select(
+        F.col(id_col).alias("id"), "fingerprint"
+    )
+    seen = (
+        document_fingerprint(corpus, text_col, id_col)
+        .select("fingerprint")
+        .distinct()
+    )
+    fresh = inc_fp.join(seen, "fingerprint", "left_anti")
+    first = fresh.groupBy("fingerprint").agg(F.min("id").alias("_keep"))
+    survivors = fresh.join(first, "fingerprint").where(
+        F.col("id") == F.col("_keep")
+    )
+    return (
+        increment.join(
+            survivors.select(F.col("id").alias(id_col)), id_col, "left_semi"
+        )
+    )

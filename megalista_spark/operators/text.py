@@ -243,3 +243,46 @@ def inverted_index(
         F.count(F.lit(1)).cast("bigint").alias("df"),
         postings.alias("postings"),
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_terms: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary for tokenizer/embedding training: the
+    ``max_terms`` most frequent terms with dense integer ids —
+    (term_id, term, tf, df), ordered by (tf desc, term asc) so the id
+    assignment is total and deterministic.
+
+    Scale: one (doc, term) shuffle collapses token multiplicity into
+    per-doc tf (map-side combine), one term-keyed agg sums tf and counts
+    docs WITHOUT a countDistinct (the tf relation is already per-doc
+    distinct — the tfidf_top_terms trick), then the global top-max_terms
+    is ``orderBy().limit()`` — Spark compiles it to TakeOrderedAndProject
+    (per-partition heaps, k rows to the driver-side merge, NO global
+    sort), and the id-assigning window runs over ≤ max_terms rows.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    totals = tf.groupBy("term").agg(
+        F.sum("tf").cast("bigint").alias("tf"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    top = totals.orderBy(F.desc("tf"), F.asc("term")).limit(max_terms)
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    return top.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("term_id"),
+        "term",
+        "tf",
+        "df",
+    )
