@@ -4798,6 +4798,102 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("window_start", "event_type")
 
 
+def validate_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level data-quality gate (operators/expectations.py::
+    check_constraints): the whole row-rule suite rides ONE scan's
+    aggregate; the uniqueness rule is one hash-groupBy. The (rule,
+    n_violations, passed) relation is what a 100 TB ingest persists and
+    alerts on before the pipeline runs."""
+    from megalista_spark.operators.expectations import check_constraints
+
+    o = _t(spark, sf_dir, "orders")
+    return check_constraints(
+        o,
+        row_rules={
+            "positive_total": "o_totalprice > 0",
+            "orderdate_not_null": "o_orderdate IS NOT NULL",
+            "known_status": "o_orderstatus IN ('O', 'F', 'P')",
+            "priority_prefixed": "o_orderpriority LIKE '%-%'",
+        },
+        unique_cols=["o_orderkey"],
+    )
+
+
+VALIDATE_ORDERS_SQL = """
+SELECT rule, n_violations, (n_violations = 0) AS passed FROM (
+  SELECT 'positive_total' AS rule,
+         sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)::BIGINT AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'orderdate_not_null',
+         sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'known_status',
+         sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END)::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'priority_prefixed',
+         sum(CASE WHEN o_orderpriority LIKE '%-%' THEN 0 ELSE 1 END)::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'unique_o_orderkey',
+         (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT
+  FROM orders
+) t
+ORDER BY rule
+"""
+
+
+def streaming_transactional_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CORE semantic — uploaded-keys transactional
+    anti-join dedup — applied to a STREAM (streaming/events.py::
+    stream_transactional_dedup): events whose id is in the static
+    'uploaded' control table (every 7th id, deterministic) are dropped
+    mid-stream via a stateless stream-static broadcast LEFT ANTI join,
+    then rolled up per type. Complete-mode availableNow ≡ the batch
+    anti-join, which is the oracle."""
+    from megalista_spark.streaming.events import (
+        read_events_stream,
+        stream_transactional_dedup,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    uploaded = (
+        spark.range(0, 100000)
+        .select((F.col("id") * 7).alias("event_id"))
+    )
+    kept = stream_transactional_dedup(ev, uploaded, key="event_id")
+    agg = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    name = "_streaming_txn_dedup"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("event_type")
+
+
+STREAM_TXN_DEDUP_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+WHERE event_id % 7 != 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STATIC dimension join (streaming/events.py::
     stream_enrich_dimension): the event stream enriched against the
@@ -5159,6 +5255,8 @@ _GATE_ROTATION_FIRST = [
     "dedup_spans_docs",
     "corpus_vocab",
     "incremental_corpus_dedup",
+    "validate_orders_quality",
+    "streaming_transactional_dedup",
     "streaming_enriched_rollup",
     "profile_orders_approx",
     "source_roundtrip_csv",
@@ -5286,6 +5384,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "dedup_spans_docs": dedup_spans_docs,
         "corpus_vocab": corpus_vocab,
         "incremental_corpus_dedup": incremental_corpus_dedup,
+        "validate_orders_quality": validate_orders_quality,
+        "streaming_transactional_dedup": streaming_transactional_dedup,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -5456,6 +5556,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans_docs": _dedup_spans_sql(),
         "corpus_vocab": VOCAB_SQL,
         "incremental_corpus_dedup": _incremental_dedup_sql(),
+        "validate_orders_quality": VALIDATE_ORDERS_SQL,
+        "streaming_transactional_dedup": STREAM_TXN_DEDUP_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

@@ -135,6 +135,7 @@ HEADLINE = [
     "dedup_spans_docs",
     "corpus_vocab",
     "incremental_corpus_dedup",
+    "validate_orders_quality",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -1,0 +1,86 @@
+"""Data-quality expectations — declarative constraint checking over a
+table (the Deequ/Great-Expectations shape, engine-native): each rule
+compiles into the SAME scan's aggregate, so a whole rule suite costs one
+pass over the data plus one groupBy per uniqueness rule.
+
+The output is a small (rule, n_violations, passed) relation — the thing a
+pipeline gate persists and alerts on. The reference's per-destination
+schema validation (megalista_dataflow/error/error_handling.py and the
+required-column asserts in each uploader) is the row-level cousin; this
+operator is the table-level contract a 100 TB ingest runs BEFORE the
+pipeline touches anything.
+
+Scale: row rules are sums of boolean expressions — one scan, map-side
+partial agg, a #rules-column single row out. Uniqueness rules each cost
+one hash-groupBy on the key (map-side combine collapses unique keys);
+NULLs are ignored by uniqueness (SQL UNIQUE convention — use a row rule
+for NOT NULL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def check_constraints(
+    df: DataFrame,
+    row_rules: dict[str, str] | None = None,
+    unique_cols: list[str] | None = None,
+) -> DataFrame:
+    """Evaluate constraints; returns (rule, n_violations, passed) ordered
+    by rule name.
+
+    ``row_rules``: {rule_name: boolean SQL over the row} — a row violates
+    the rule when the expression is FALSE **or NULL** (a rule that cannot
+    be evaluated is a violation, the conservative gate).
+    ``unique_cols``: column names that must be unique among non-null
+    values; n_violations counts the EXCESS rows (total non-null minus
+    distinct), so one duplicated value contributes duplicates-1.
+    """
+    row_rules = row_rules or {}
+    unique_cols = unique_cols or []
+    spark = df.sparkSession
+    parts: list[DataFrame] = []
+
+    if row_rules:
+        aggs = [
+            F.sum(
+                F.when(F.expr(cond), F.lit(0)).otherwise(F.lit(1))
+            ).cast("bigint").alias(name)
+            for name, cond in row_rules.items()
+        ]
+        one = df.agg(*aggs)
+        rows = [
+            F.struct(
+                F.lit(name).alias("rule"), F.col(name).alias("n_violations")
+            )
+            for name in row_rules
+        ]
+        parts.append(one.select(F.inline(F.array(*rows))))
+
+    for col in unique_cols:
+        dup = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.coalesce(F.sum(F.col("_c") - 1), F.lit(0))
+                .cast("bigint")
+                .alias("n_violations")
+            )
+            .select(
+                F.lit(f"unique_{col}").alias("rule"),
+                "n_violations",
+            )
+        )
+        parts.append(dup)
+
+    if not parts:
+        return spark.createDataFrame([], "rule string, n_violations bigint, passed boolean")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "rule", "n_violations", (F.col("n_violations") == 0).alias("passed")
+    ).orderBy("rule")

@@ -177,6 +177,31 @@ def stream_enrich_dimension(
     return events.join(F.broadcast(dim), events[stream_key] == dim[dim_key], how)
 
 
+def stream_transactional_dedup(
+    events: DataFrame,
+    uploaded: DataFrame,
+    key: str = "event_id",
+    uploaded_key: str | None = None,
+) -> DataFrame:
+    """The reference's transactional anti-join dedup (uploaded-keys
+    control table, sources/data_source.py) applied to a STREAM: rows
+    whose key already exists in the static control table are dropped
+    before the sink. Stream-static LEFT ANTI is stateless on the stream
+    side — Spark re-resolves the static table each micro-batch, so a
+    control table appended to between batches takes effect immediately;
+    combine with ``stream_dedup_events`` (watermarked within-stream
+    dedup) for redeliveries inside the same run.
+
+    At 100 TB-of-stream: the control side holds ~15 days of keys and
+    broadcasts (the batch path's own contract); the stream never
+    shuffles for this join."""
+    ukey = uploaded_key or key
+    u = uploaded.select(F.col(ukey).alias("__u_key")).distinct()
+    return events.join(
+        F.broadcast(u), events[key] == F.col("__u_key"), "left_anti"
+    )
+
+
 def stream_dedup_events(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -417,6 +417,35 @@ def test_exact_substring_decontamination_guarantee(spark):
     assert c_sh.join(b_sh, "sh").count() == 0
 
 
+def test_check_constraints_counts_violations(spark):
+    from megalista_spark.operators.expectations import check_constraints
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "X"), (2, 0.0, "F"), (None, None, None)],
+        "k int, amt double, st string",
+    )
+    got = {
+        r.rule: (r.n_violations, r.passed)
+        for r in check_constraints(
+            df,
+            row_rules={
+                "amt_positive": "amt > 0",  # -5, 0, NULL all violate
+                "known_status": "st IN ('O', 'F')",
+            },
+            unique_cols=["k"],
+        ).collect()
+    }
+    assert got == {
+        "amt_positive": (3, False),
+        "known_status": (2, False),  # 'X' and NULL
+        "unique_k": (1, False),  # k=2 twice -> 1 excess; NULL ignored
+    }
+    clean = check_constraints(
+        df.where("k = 1"), row_rules={"amt_positive": "amt > 0"}, unique_cols=["k"]
+    ).collect()
+    assert all(r.passed for r in clean)
+
+
 def test_dedup_repeated_spans_keeps_owner_only(spark):
     # a 13-gram shared by docs 1/5/9 survives only in doc 1 (lowest id);
     # a gram repeated within ONE doc is untouched

@@ -329,3 +329,30 @@ def test_stream_attribution_join_recovers_from_checkpoint(spark, tmp_path):
         (11, 0), (11, 60), (11, 120),     # run-1 clicks from restored state
         (12, 120), (12, 400),             # cross-run + run-2 click
     }
+
+
+def test_stream_transactional_dedup_drops_uploaded_keys(spark, tmp_path):
+    # the uploaded-keys anti-join (the reference's core transactional
+    # semantic) applied mid-stream: keys present in the static control
+    # table never reach the sink; appending to the control table between
+    # runs takes effect on the next micro-batch (static side re-resolved)
+    from megalista_spark.streaming.events import stream_transactional_dedup
+
+    src = tmp_path / "ev"
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "event_id long, value double"
+    ).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema("event_id long, value double").parquet(str(src))
+    uploaded = spark.createDataFrame([(i,) for i in range(0, 20, 2)], ["event_id"])
+    kept = stream_transactional_dedup(stream, uploaded, key="event_id")
+    q = (
+        kept.writeStream.format("memory")
+        .queryName("_txn_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_txn"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.table("_txn_dedup_stream").collect())
+    assert got == list(range(1, 20, 2))  # odd ids only
