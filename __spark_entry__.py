@@ -1760,6 +1760,22 @@ FROM reach GROUP BY id ORDER BY id
 """
 
 
+def near_dup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by O(log n) alternating star contraction
+    (operators/graph.py::star_contraction_components) over the same
+    near-dup pair graph as near_dup_groups_fixpoint — the deep-component
+    scale path (min-label costs O(diameter) rounds; contraction halves
+    component height per alternation). Same iteration-free recursive-CTE
+    oracle: both must equal TRUE connected components exactly."""
+    from megalista_spark.operators.graph import star_contraction_components
+    from megalista_spark.operators.similarity import embedding_near_dup_pairs_blocked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs_blocked(emb, threshold=0.45)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return star_contraction_components(pairs, nodes).orderBy("id")
+
+
 def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank (operators/graph.py::pagerank, 3 iterations)
     over the customer↔supplier purchase graph: distinct (o_custkey,
@@ -5251,6 +5267,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_ROTATION_FIRST = [
     "ann_ivfpq_topk",
     "near_dup_groups_fixpoint",
+    "near_dup_groups_star",
     "decontaminate_spans_docs",
     "dedup_spans_docs",
     "corpus_vocab",
@@ -5369,6 +5386,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "kmv_set_overlap_estimate": kmv_set_overlap_estimate,
         "near_dup_groups": near_dup_groups,
         "near_dup_groups_fixpoint": near_dup_groups_fixpoint,
+        "near_dup_groups_star": near_dup_groups_star,
         "pagerank_supply_graph": pagerank_supply_graph,
         "pagerank_weighted_supply": pagerank_weighted_supply,
         "triangle_count_copurchase": triangle_count_copurchase,
@@ -5541,6 +5559,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_set_overlap_estimate": KMV_SET_SQL,
         "near_dup_groups": _near_dup_groups_sql(),
         "near_dup_groups_fixpoint": NEAR_DUP_FIXPOINT_SQL,
+        "near_dup_groups_star": NEAR_DUP_FIXPOINT_SQL,
         "pagerank_supply_graph": _pagerank_sql(),
         "pagerank_weighted_supply": _pagerank_weighted_sql(),
         "triangle_count_copurchase": TRIANGLE_SQL,

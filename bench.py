@@ -136,6 +136,7 @@ HEADLINE = [
     "corpus_vocab",
     "incremental_corpus_dedup",
     "validate_orders_quality",
+    "near_dup_groups_star",
 ]
 
 # Excluded from HEADLINE on purpose:

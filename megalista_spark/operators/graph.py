@@ -202,3 +202,102 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         wedges.join(closing, ["w1", "w2"], "left_semi")
         .agg(F.count(F.lit(1)).cast("bigint").alias("triangle_count"))
     )
+
+
+def star_contraction_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_rounds: int = 25,
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    id_col: str = "id",
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond" — public method): the deep-graph complement to
+    ``dedup.min_label_groups_fixpoint``. Min-label Pregel needs
+    O(component diameter) rounds — a 10^6-hop chain means 10^6 shuffles;
+    star contraction halves component height per alternation, so
+    O(log n) rounds suffice for ANY topology.
+
+      large-star(u): attach every neighbor v > u to m = min(N(u) ∪ {u})
+      small-star(u): attach every neighbor v ≤ u (and u) to m
+
+    Each half-round is one groupBy + one join on the node id (shuffle ∝
+    edges), the edge set only shrinks toward the final star forest, and
+    every round is localCheckpointed (the fixpoint lesson: iterative
+    lineage otherwise doubles per round). Convergence = the edge set
+    stops changing, detected EXACTLY with two scalar actions per round
+    (count + exceptAll count — no checksum collisions).
+
+    Output contract identical to the min-label forms:
+    (id, group_label, is_canonical) for every node in ``nodes``, label =
+    component minimum. Property-tested equal to
+    ``min_label_groups_fixpoint`` on random graphs and deep chains.
+    """
+    a, b = pair_cols
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least(F.col("_mv"), F.col("u")).alias("m"))
+        )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        sym = _sym(e)
+        m = _mins(sym)
+        joined = sym.join(m, "u")
+        if large:
+            out = joined.where(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            out = (
+                joined.where(F.col("v") <= F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+            )
+        return (
+            out.where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(max_rounds):
+        after_large = _star(edges, large=True)
+        after_small = _star(after_large, large=False)
+        # exact change detection: same count and no row outside the old set
+        changed = (
+            after_small.count() != edges.count()
+            or after_small.exceptAll(edges).count() > 0
+        )
+        edges = after_small
+        if not changed:
+            break
+
+    # the converged edge set is a star forest: every edge is (node, root)
+    labels = (
+        _sym(edges)
+        .groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least(F.col("_mv"), F.col("u")).alias("label"))
+    )
+    out = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, F.col("id") == F.col("u"), "left")
+        .select(
+            "id", F.coalesce(F.col("label"), F.col("id")).alias("group_label")
+        )
+    )
+    return out.select(
+        "id", "group_label", (F.col("id") == F.col("group_label")).alias("is_canonical")
+    )

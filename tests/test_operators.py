@@ -501,6 +501,35 @@ def test_min_label_fixpoint_converges_deep_chain(spark):
     assert got[500] == (500, True)
 
 
+def test_star_contraction_matches_fixpoint_on_random_graphs(spark):
+    # O(log n) star contraction must produce the identical component
+    # labeling as min-label fixpoint on random graphs AND a deep chain
+    import random
+
+    from megalista_spark.operators.dedup import min_label_groups_fixpoint
+    from megalista_spark.operators.graph import star_contraction_components
+
+    rng = random.Random(7)
+    node_ids = list(range(60))
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    edges = [(u, v) for u, v in edges if u != v]
+    chain = [(100 + i, 101 + i) for i in range(30)]  # 30-deep path
+    pairs = spark.createDataFrame(edges + chain, ["id_a", "id_b"])
+    nodes = spark.createDataFrame(
+        [(i,) for i in node_ids + list(range(100, 131))], ["id"]
+    )
+    star = {
+        r["id"]: (r["group_label"], r["is_canonical"])
+        for r in star_contraction_components(pairs, nodes).collect()
+    }
+    fix = {
+        r["id"]: (r["group_label"], r["is_canonical"])
+        for r in min_label_groups_fixpoint(pairs, nodes).collect()
+    }
+    assert star == fix
+    assert star[130] == (100, False)  # deep chain fully merged
+
+
 def test_kmv_set_estimates_exact_below_k(spark):
     # below k distinct hashes the sketch IS the set — union and
     # intersection must be exact
