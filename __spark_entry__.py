@@ -4814,6 +4814,57 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("window_start", "event_type")
 
 
+def tfidf_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse term-vector cosine pairs (operators/text.py::
+    tfidf_cosine_pairs) — the inverted-index complement of embedding
+    near-dup: integer tf·idf weights (idf quantized ×1000) make dot
+    products and norms exact decimal sums, so the cosine itself
+    hash-matches the oracle. df=1 terms drop free; max_term_df caps hot
+    terms."""
+    from megalista_spark.operators.text import tfidf_cosine_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def _tfidf_cosine_sql(threshold: float = 0.5, max_df: int = 100, scale: int = 1000) -> str:
+    return rf"""
+WITH tf AS MATERIALIZED (
+  SELECT doc_id AS id, term, count(*) AS tf
+  FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      t -> t != '')) AS term
+    FROM documents
+  ) GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+  HAVING count(*) > 1 AND count(*) <= {max_df}
+), n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+weighted AS MATERIALIZED (
+  SELECT term, id,
+         tf * round({float(scale)!r} * (n_docs + 1.0) / (df + 1.0))::BIGINT AS w
+  FROM tf JOIN dfc USING (term) CROSS JOIN n
+),
+norms AS (
+  SELECT id, sqrt((sum(w::DECIMAL(19,0) * w::DECIMAL(19,0)))::DOUBLE) AS norm
+  FROM weighted GROUP BY id
+),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         sum(a.w::DECIMAL(19,0) * b.w::DECIMAL(19,0)) AS dot
+  FROM weighted a JOIN weighted b ON a.term = b.term AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round((dot::DOUBLE) / (na.norm * nb.norm), 6) AS cos_sim
+FROM dots
+JOIN norms na ON na.id = id_a
+JOIN norms nb ON nb.id = id_b
+WHERE round((dot::DOUBLE) / (na.norm * nb.norm), 6) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 def validate_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-level data-quality gate (operators/expectations.py::
     check_constraints): the whole row-rule suite rides ONE scan's
@@ -5274,6 +5325,7 @@ _GATE_ROTATION_FIRST = [
     "incremental_corpus_dedup",
     "validate_orders_quality",
     "streaming_transactional_dedup",
+    "tfidf_cosine_dup_pairs",
     "streaming_enriched_rollup",
     "profile_orders_approx",
     "source_roundtrip_csv",
@@ -5404,6 +5456,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "incremental_corpus_dedup": incremental_corpus_dedup,
         "validate_orders_quality": validate_orders_quality,
         "streaming_transactional_dedup": streaming_transactional_dedup,
+        "tfidf_cosine_dup_pairs": tfidf_cosine_dup_pairs,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -5577,6 +5630,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_corpus_dedup": _incremental_dedup_sql(),
         "validate_orders_quality": VALIDATE_ORDERS_SQL,
         "streaming_transactional_dedup": STREAM_TXN_DEDUP_SQL,
+        "tfidf_cosine_dup_pairs": _tfidf_cosine_sql(),
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

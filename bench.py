@@ -137,6 +137,7 @@ HEADLINE = [
     "incremental_corpus_dedup",
     "validate_orders_quality",
     "near_dup_groups_star",
+    "tfidf_cosine_dup_pairs",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -286,3 +286,104 @@ def build_vocab(
         "tf",
         "df",
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_term_df: int = 100,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Sparse TEXT cosine similarity pairs — the term-vector complement
+    of the dense embedding near-dup family: all document pairs with
+    cosine(tfidf_a, tfidf_b) ≥ threshold, computed on the inverted
+    index so only documents sharing ≥1 term ever meet.
+
+    Engine-portable float contract: weights are INTEGERS —
+    w = tf · round(idf_scale·(N+1)/(df+1)) — so pair dot products and
+    squared norms are exact bigint sums (order-independent, immune to
+    shuffle-order float drift); the only float ops are one sqrt and one
+    divide per doc/pair, both correctly-rounded IEEE, so the oracle
+    hash-matches. idf quantization to 1/idf_scale is part of the
+    operator's contract (3 decimals by default). Dot/norm² accumulate as
+    decimal(38,0) — rare-term weights grow ∝ N·idf_scale and a bigint
+    w² sum would overflow beyond ~10^5 docs; decimal keeps the sums
+    exact (and portable — DuckDB DECIMAL matches) at any corpus size,
+    converting to double only for the final sqrt/divide.
+
+    Scale shape (the ngram_jaccard discipline): ONE (doc, term) shuffle
+    for tf; df from the collapsed tf relation (no countDistinct);
+    df=1 terms drop (cannot form a pair — free, exact); ``max_term_df``
+    caps hot stopword-class terms (recall heuristic, documented);
+    intra-term pairs come from the bucket-grouping form (corpus weighted
+    ONCE, sorted member list, ordered pairs) — never a self-join that
+    recomputes the index for its second side.
+
+    Output: (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    from megalista_spark.operators.dedup import _ordered_pairs
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    weighted = (
+        tf.join(dfc.where((F.col("df") > 1) & (F.col("df") <= max_term_df)), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "id",
+            (
+                F.col("tf")
+                * F.round(
+                    F.lit(float(idf_scale)) * (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    # norms over the SAME pruned weight relation the pairs use, so the
+    # cosine is exactly the cosine of the pruned vectors (self-consistent)
+    wd = F.col("w").cast("decimal(19,0)")
+    norms = weighted.groupBy("id").agg(
+        F.sqrt(F.sum(wd * wd).cast("double")).alias("norm")
+    )
+    buckets = (
+        weighted.groupBy("term")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "w"))).alias("ms"))
+        .where(F.size("ms") >= 2)
+    )
+    dots = (
+        buckets.select(F.explode(_ordered_pairs(F.col("ms"))).alias("p"))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            (
+                F.col("p.a.w").cast("decimal(19,0)")
+                * F.col("p.b.w").cast("decimal(19,0)")
+            ).alias("prod"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("prod").alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm").alias("_na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm").alias("_nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot").cast("double") / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -219,3 +219,32 @@ class BigQueryDataSource(DataSource):
                 "BigQuery connector not available in this environment; "
                 "use a FILE source or add the spark-bigquery jar"
             ) from exc
+
+
+def read_evolving_parquet(
+    spark: SparkSession,
+    path: str,
+    target_schema: "StructType | None" = None,
+):
+    """Schema-evolution-tolerant parquet read — the ingest reality of a
+    long-lived 100 TB table: files written months apart carry different
+    column sets (added fields) and widened primitive types.
+
+    With a ``target_schema`` (the table contract), the scan reads with
+    that EXPLICIT schema: columns absent from old files surface as typed
+    NULLs, columns a file has that the contract lacks are pruned at the
+    reader (never deserialized), and narrower on-disk primitives (INT32
+    under a BIGINT contract, FLOAT under DOUBLE) widen in the vectorized
+    reader — Spark 4 type widening. One scan, no footer-merge pass, and
+    downstream code (the schema registry's projection/validation, sinks)
+    sees one stable shape regardless of file vintage. Note
+    ``mergeSchema=true`` (the no-contract fallback below) REFUSES
+    type-widened file sets (CANNOT_MERGE_SCHEMAS) — the contract form is
+    the robust one, which is why sources should carry declared schemas.
+
+    The reference has no analogue (its BQ source delegates evolution to
+    BigQuery); this is the file-lake counterpart of that guarantee.
+    """
+    if target_schema is None:
+        return spark.read.option("mergeSchema", "true").parquet(path)
+    return spark.read.schema(target_schema).parquet(path)

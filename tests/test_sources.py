@@ -1,0 +1,31 @@
+
+
+def test_read_evolving_parquet_normalizes_mixed_vintages(spark, tmp_path):
+    # file 1: (k int, v string) — file 2 adds a column and widens k
+    from pyspark.sql import types as T
+
+    from megalista_spark.sources.data_source import read_evolving_parquet
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "k bigint, v string, score double"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    target = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("added_later", T.StringType()),  # in contract, in no file
+        ]
+    )
+    out = read_evolving_parquet(spark, path, target)
+    assert [f.name for f in out.schema.fields] == ["k", "v", "score", "added_later"]
+    assert dict(out.dtypes) == {
+        "k": "bigint", "v": "string", "score": "double", "added_later": "string"
+    }
+    rows = {r.k: (r.v, r.score, r.added_later) for r in out.collect()}
+    assert rows == {1: ("a", None, None), 2: ("b", None, None), 3: ("c", 9.5, None)}
