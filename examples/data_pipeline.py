@@ -42,9 +42,11 @@ def main() -> None:
     fp = document_fingerprint(intake).groupBy("fingerprint").count().where("count > 1")
     print(f"fingerprint collisions: {fp.count()}")
 
-    # 4. quality gate
+    # 4. quality gate — stats relation joins back to the docs for text
     q = quality_score(intake)
-    kept = q.where(F.col("passes_quality"))
+    kept = intake.join(
+        q.where(F.col("passes_quality")).select("doc_id"), "doc_id"
+    )
     print(f"quality gate: {q.count()} -> {kept.count()} pass")
 
     # 5. language rebalance: downsample dominant en, keep the rest
@@ -81,6 +83,42 @@ def main() -> None:
 
     packed = pack_sequences(kept.select("doc_id", "text"), budget=512)
     print(f"packed sequences: {packed.count()}")
+
+    # 10. contract gate before anything ships: declarative expectations
+    from megalista_spark.operators.expectations import check_constraints
+
+    check_constraints(
+        docs,
+        row_rules={"text_nonempty": "length(trim(text)) > 0",
+                   "lang_known": "lang IS NOT NULL"},
+        unique_cols=["doc_id"],
+    ).show()
+
+    # 11. exact-substring hygiene: cross-doc repeated 13-gram spans kept
+    #     only in their owner doc; then a tokenizer vocab off the result
+    from megalista_spark.operators.curation import dedup_repeated_spans
+    from megalista_spark.operators.text import build_vocab
+
+    cleaned = dedup_repeated_spans(docs, n=13)
+    print(
+        "span-dedup tokens removed:",
+        cleaned.agg(F.sum("n_tokens_removed")).collect()[0][0],
+    )
+    build_vocab(cleaned.select(
+        F.col("doc_id"), F.col("clean_text").alias("text")
+    ), max_terms=10).show()
+
+    # 12. duplicate GROUPS from the near-dup pairs (exact components,
+    #     O(log n) star contraction — depth-proof)
+    from megalista_spark.operators.graph import star_contraction_components
+    from megalista_spark.operators.similarity import embedding_near_dup_pairs_blocked
+
+    pairs = embedding_near_dup_pairs_blocked(emb, threshold=0.45)
+    groups = star_contraction_components(
+        pairs, emb.select(F.col("vec_id").alias("id"))
+    )
+    print("non-singleton groups:",
+          groups.where(~F.col("is_canonical")).count())
     spark.stop()
 
 

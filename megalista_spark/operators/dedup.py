@@ -493,11 +493,15 @@ def min_label_groups(
     the duplicate clusters.
 
     Scale: each round is one groupBy on the edge destination + one join
-    back — shuffle ∝ edges, the classic Pregel round. Labels persist per
-    round (the corpus-persist discipline of clustering.py: iterative
-    lineage otherwise re-runs every prior round per reference). For
-    web-scale graphs with deep components swap in alternating
-    star-contraction; near-dup components are shallow by construction.
+    back — shuffle ∝ edges, the classic Pregel round. Labels
+    localCheckpoint per round: each round references the prior labels
+    TWICE, so an un-truncated lineage doubles per round and the unrolled
+    plan's analysis/compile dominates wall-clock (measured: the FIXPOINT
+    variant with truncation beat this fixed-3-round form at sf0.1 before
+    this change). For web-scale graphs with deep components use
+    ``min_label_groups_fixpoint`` or the O(log n)
+    ``graph.star_contraction_components``; near-dup components are
+    shallow by construction.
     """
     a, b = pair_cols
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -519,7 +523,7 @@ def min_label_groups(
                     F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
     return labels.select(
         "id",
