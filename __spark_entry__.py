@@ -1339,6 +1339,144 @@ ORDER BY query_id, rank
 """
 
 
+def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over TRAINED codebooks (operators/similarity.py::
+    ivfpq_train_codebooks): grouped integer k-means on the coarse
+    residuals — all M subspaces in one dataflow per Lloyd round, exact
+    integer sums + one round-half-away-from-zero divide per codeword
+    component — feeding ivfpq_topk(codebooks=...). The full
+    train-then-index-then-search path is oracle-gated end to end: the
+    SQL unrolls the same two Lloyd rounds per subspace and reproduces
+    codebooks, codes, and ADC distances bit-for-bit."""
+    from megalista_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_train_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = ivfpq_train_codebooks(emb, num_coarse=8, m_subs=8, k_codes=16, iters=2)
+    return ivfpq_topk(
+        emb, queries, k=10, num_coarse=8, nprobe=2, m_subs=8, codebooks=cb
+    ).orderBy("query_id", "rank")
+
+
+def _ivfpq_trained_sql(
+    k: int = 10,
+    num_coarse: int = 8,
+    nprobe: int = 2,
+    m_subs: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of the trained IVF-PQ path: same quantization/coarse/
+    residual CTEs as _ivfpq_sql, plus the unrolled per-subspace Lloyd
+    rounds (exact integer sums, one double divide+round per component,
+    empty codewords keep their previous value)."""
+    sub_d = dim // m_subs
+    l2 = (
+        lambda a, b, n: f"list_sum(list_transform(range(1, {n} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))::BIGINT"
+    )
+    lloyd = []
+    prev = "cb0"
+    for t in range(1, iters + 1):
+        lloyd.append(f"""asg{t} AS (
+  SELECT m, code_id, sub FROM (
+    SELECT s.m, cb.code_id, s.sub,
+           row_number() OVER (PARTITION BY s.id, s.m
+                              ORDER BY {l2('s.sub', 'cb.csub', sub_d)}, cb.code_id) AS r
+    FROM c_sub s JOIN {prev} cb USING (m)
+  ) WHERE r = 1
+), upd{t} AS (
+  SELECT m, code_id, list(mval ORDER BY pos) AS new_csub FROM (
+    SELECT m, code_id, pos, round((sum(sub[pos]))::DOUBLE / count(*))::BIGINT AS mval
+    FROM asg{t}, unnest(range(1, {sub_d} + 1)) AS r(pos)
+    GROUP BY m, code_id, pos
+  ) GROUP BY m, code_id
+), cb{t} AS MATERIALIZED (
+  SELECT p.m, p.code_id, coalesce(u.new_csub, p.csub) AS csub
+  FROM {prev} p LEFT JOIN upd{t} u USING (m, code_id)
+)""")
+        prev = f"cb{t}"
+    lloyd_sql = ",\n".join(lloyd)
+    return f"""
+WITH cq AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(embedding::DOUBLE[], x -> round(x * {scale})::BIGINT) AS qv
+  FROM embeddings
+),
+coarse AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, qv AS cvec
+  FROM (SELECT * FROM cq ORDER BY id LIMIT {num_coarse})
+),
+c_assign AS MATERIALIZED (
+  SELECT id, cell,
+         list_transform(range(1, {dim} + 1), i -> qv[i] - cvec[i]) AS res
+  FROM (
+    SELECT cq.id, cq.qv, co.cell, co.cvec,
+           row_number() OVER (PARTITION BY cq.id
+                              ORDER BY {l2('cq.qv', 'co.cvec', dim)}, co.cell) AS r
+    FROM cq CROSS JOIN coarse co
+  ) WHERE r = 1
+),
+c_sub AS MATERIALIZED (
+  SELECT id, cell, m, res[m * {sub_d} + 1 : m * {sub_d} + {sub_d}] AS sub
+  FROM c_assign, unnest(range(0, {m_subs})) AS t(m)
+),
+cb0 AS MATERIALIZED (
+  SELECT m, code_id, res[m * {sub_d} + 1 : m * {sub_d} + {sub_d}] AS csub
+  FROM (
+    SELECT row_number() OVER (ORDER BY id) - 1 AS code_id, res
+    FROM (SELECT * FROM c_assign ORDER BY id LIMIT {k_codes})
+  ), unnest(range(0, {m_subs})) AS t(m)
+),
+{lloyd_sql},
+codes AS MATERIALIZED (
+  SELECT id, cell, m, code_id AS code
+  FROM (
+    SELECT s.id, s.cell, s.m, cb.code_id,
+           row_number() OVER (PARTITION BY s.id, s.m
+                              ORDER BY {l2('s.sub', 'cb.csub', sub_d)}, cb.code_id) AS r
+    FROM c_sub s JOIN {prev} cb USING (m)
+  ) WHERE r = 1
+),
+q_assign AS (
+  SELECT id AS query_id, cell,
+         list_transform(range(1, {dim} + 1), i -> qv[i] - cvec[i]) AS res
+  FROM (
+    SELECT cq.id, cq.qv, co.cell, co.cvec,
+           row_number() OVER (PARTITION BY cq.id
+                              ORDER BY {l2('cq.qv', 'co.cvec', dim)}, co.cell) AS r
+    FROM cq CROSS JOIN coarse co WHERE cq.id < 5
+  ) WHERE r <= {nprobe}
+),
+lut AS (
+  SELECT q.query_id, q.cell, t.m, cb.code_id AS code,
+         {l2(f'q.res[t.m * {sub_d} + 1 : t.m * {sub_d} + {sub_d}]', 'cb.csub', sub_d)} AS ld
+  FROM q_assign q, unnest(range(0, {m_subs})) AS t(m)
+  JOIN {prev} cb ON cb.m = t.m
+),
+adc AS (
+  SELECT l.query_id, c.id AS neighbor_id, sum(l.ld)::BIGINT AS adc_dist
+  FROM codes c JOIN lut l ON l.cell = c.cell AND l.m = c.m AND l.code = c.code
+  WHERE c.id != l.query_id
+  GROUP BY l.query_id, c.id
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id)::BIGINT AS rank
+  FROM adc
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def _ivf_trained_sql() -> str:
     return f"""
 WITH {_KMEANS_CTES},
@@ -5317,6 +5455,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (scripts/compare_oracle.py) at sf0.01.
 _GATE_ROTATION_FIRST = [
     "ann_ivfpq_topk",
+    "ann_ivfpq_trained_topk",
     "near_dup_groups_fixpoint",
     "near_dup_groups_star",
     "decontaminate_spans_docs",
@@ -5434,6 +5573,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "ann_ivfpq_topk": ann_ivfpq_topk,
+        "ann_ivfpq_trained_topk": ann_ivfpq_trained_topk,
         "grouped_zscore_by_lang": grouped_zscore_by_lang,
         "kmv_set_overlap_estimate": kmv_set_overlap_estimate,
         "near_dup_groups": near_dup_groups,
@@ -5608,6 +5748,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": IVF_SQL,
         "ann_ivf_trained_topk": _ivf_trained_sql(),
         "ann_ivfpq_topk": _ivfpq_sql(),
+        "ann_ivfpq_trained_topk": _ivfpq_trained_sql(),
         "grouped_zscore_by_lang": GROUPED_ZSCORE_SQL,
         "kmv_set_overlap_estimate": KMV_SET_SQL,
         "near_dup_groups": _near_dup_groups_sql(),

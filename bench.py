@@ -138,6 +138,7 @@ HEADLINE = [
     "validate_orders_quality",
     "near_dup_groups_star",
     "tfidf_cosine_dup_pairs",
+    "ann_ivfpq_trained_topk",
 ]
 
 # Excluded from HEADLINE on purpose:

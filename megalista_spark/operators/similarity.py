@@ -390,6 +390,172 @@ def embedding_lsh_near_dup_pairs(
 # ------------------------------------------------------- IVF-PQ (integer)
 
 
+def _pq_quant(c: Column, scale: int) -> Column:
+    """Integer quantization: round(x·scale) per component as bigint."""
+    return F.transform(c, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def _pq_l2(a: Column, b: Column) -> Column:
+    """Exact bigint squared L2 (left-to-right integer fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_coarse(corpus_q: DataFrame, num_coarse: int) -> DataFrame:
+    """Deterministic coarse quantizer: the num_coarse lowest-id quantized
+    vectors, cell = rank by id."""
+    wq = Window.orderBy("id")
+    return (
+        corpus_q.orderBy("id")
+        .limit(num_coarse)
+        .select((F.row_number().over(wq) - 1).alias("cell"), F.col("qv").alias("cvec"))
+    )
+
+
+def _pq_assign(v_df: DataFrame, coarse: DataFrame, key: str, probes: int) -> DataFrame:
+    """(key, cell, res): each vector's `probes` L2-nearest cells (ties to
+    the lower cell) with the integer residual vs that cell's center."""
+    scored = v_df.join(F.broadcast(coarse)).select(
+        key, "qv", "cell", "cvec", _pq_l2(F.col("qv"), F.col("cvec")).alias("_d")
+    )
+    w = Window.partitionBy(key).orderBy(F.asc("_d"), F.asc("cell"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= probes)
+        .select(
+            key,
+            "cell",
+            F.zip_with(F.col("qv"), F.col("cvec"), lambda a, b: a - b).alias("res"),
+        )
+    )
+
+
+def _pq_subspaces(res_df: DataFrame, key: str, m_subs: int, sub_d: int) -> DataFrame:
+    """Explode residuals into (key, cell, m, sub) subvector rows."""
+    return res_df.select(
+        key,
+        "cell",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m_subs - 1)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice(F.col("res"), m * sub_d + 1, sub_d).alias("sub"),
+                ),
+            )
+        ).alias("_s"),
+    ).select(key, "cell", F.col("_s.m").alias("m"), F.col("_s.sub").alias("sub"))
+
+
+def ivfpq_train_codebooks(
+    df: DataFrame,
+    num_coarse: int = 8,
+    m_subs: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TRAINED per-subspace PQ codebooks — grouped integer k-means over
+    the coarse residuals, feeding ``ivfpq_topk(codebooks=...)`` exactly
+    as ``kmeans_centroids`` feeds ``ivf_cosine_topk(centroids=...)``.
+
+    All M subspaces train in ONE dataflow per Lloyd round (the subspace
+    id is a grouping column — no per-subspace job loop): assignment is a
+    broadcast-codebook join + per-(id, m) integer argmin, the update is
+    one (m, code, pos) mean shuffle. Codeword components are
+    round-half-away-from-zero integer means — Spark's ROUND and DuckDB's
+    round() agree on exact .5 ties (both away from zero), and sums of
+    integer-valued doubles stay exact below 2^53, so the TRAINED
+    codebooks are bit-identical cross-engine (the same fixed-point
+    discipline as the distances). A codeword that loses all members in a
+    round keeps its previous value (left-join + coalesce — deterministic
+    and mirrored in the oracle SQL).
+
+    Model state (M·K codewords) materializes to the driver each round so
+    iteration lineage stays flat (clustering.py's discipline).
+
+    Output: (m, code_id, csub array<bigint>).
+    """
+    sub_d = dim // m_subs
+    spark = df.sparkSession
+    corpus_q = df.select(
+        F.col(id_col).alias("id"), _pq_quant(F.col(vec_col), scale).alias("qv")
+    )
+    coarse = _pq_coarse(corpus_q, num_coarse)
+    corpus_res = _pq_assign(corpus_q, coarse, "id", 1)
+    sub = _pq_subspaces(corpus_res, "id", m_subs, sub_d).select("id", "m", "sub")
+    sub = sub.persist()
+
+    wq = Window.orderBy("id")
+    codebook = (
+        _pq_subspaces(
+            corpus_res.orderBy("id")
+            .limit(k_codes)
+            .select((F.row_number().over(wq) - 1).alias("code_id"), "cell", "res"),
+            "code_id",
+            m_subs,
+            sub_d,
+        )
+        .select("m", "code_id", F.col("sub").alias("csub"))
+    )
+
+    def _materialize(cb: DataFrame) -> DataFrame:
+        rows = [(r["m"], r["code_id"], list(r["csub"])) for r in cb.collect()]
+        return spark.createDataFrame(rows, "m int, code_id int, csub array<bigint>")
+
+    codebook = _materialize(codebook)
+    for _ in range(iters):
+        assigned = (
+            sub.join(F.broadcast(codebook), "m")
+            .select(
+                "id",
+                "m",
+                "sub",
+                F.struct(
+                    _pq_l2(F.col("sub"), F.col("csub")).alias("d"),
+                    F.col("code_id").alias("c"),
+                ).alias("_dc"),
+            )
+            .groupBy("id", "m")
+            .agg(F.min("_dc").alias("_best"), F.first("sub").alias("sub"))
+            .select("m", F.col("_best.c").alias("code_id"), "sub")
+        )
+        updated = (
+            assigned.select("m", "code_id", F.posexplode("sub").alias("pos", "val"))
+            .groupBy("m", "code_id", "pos")
+            # exact integer sum then ONE double divide+round — not avg(),
+            # whose accumulator (incremental double vs exact sum) is
+            # engine-specific; this form is bit-identical cross-engine
+            .agg(
+                F.round(
+                    F.sum("val").cast("double") / F.count(F.lit(1))
+                ).cast("long").alias("mval")
+            )
+            .groupBy("m", "code_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                    lambda s: s.getField("mval"),
+                ).alias("new_csub")
+            )
+        )
+        codebook = _materialize(
+            codebook.join(updated, ["m", "code_id"], "left").select(
+                "m",
+                "code_id",
+                F.coalesce(F.col("new_csub"), F.col("csub")).alias("csub"),
+            )
+        )
+    sub.unpersist()
+    return codebook
+
+
 def ivfpq_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -403,6 +569,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate nearest neighbors — the 100 TB ANN memory
     answer: each corpus vector is stored as one coarse cell id plus
@@ -420,9 +587,11 @@ def ivfpq_topk(
          (deterministic, the ``ivf_cosine_topk`` fallback convention);
          every vector joins its L2-nearest cell, ties to the lower cell.
       3. residual r = q − cell_center, split into ``m_subs`` subvectors;
-         per-subspace codebooks are the residual subvectors of the
-         ``k_codes`` lowest-id corpus vectors; encode = per-(vector,
-         subspace) argmin over codewords (ties to the lower code).
+         per-subspace codebooks default to the residual subvectors of
+         the ``k_codes`` lowest-id corpus vectors, or pass TRAINED
+         codebooks from ``ivfpq_train_codebooks`` via ``codebooks=``
+         (columns (m, code_id, csub)); encode = per-(vector, subspace)
+         argmin over codewords (ties to the lower code).
       4. query side: probe the ``nprobe`` nearest cells, build the
          (query, cell, subspace, code) → partial-distance LUT, and score
          every candidate as the sum of M LUT entries (ADC).
@@ -440,73 +609,43 @@ def ivfpq_topk(
     per id, scan-priced at 100 TB corpus scale.
     """
     sub_d = dim // m_subs
-    quant = lambda c: F.transform(  # noqa: E731
-        c, lambda x: F.round(x.cast("double") * scale).cast("long")
+    l2 = _pq_l2
+    corpus_q = df.select(
+        F.col(id_col).alias("id"), _pq_quant(F.col(vec_col), scale).alias("qv")
     )
-    l2 = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-
-    corpus_q = df.select(F.col(id_col).alias("id"), quant(F.col(vec_col)).alias("qv"))
-    wq = Window.orderBy("id")
-    coarse = (
-        corpus_q.orderBy("id")
-        .limit(num_coarse)
-        .select(
-            (F.row_number().over(wq) - 1).alias("cell"), F.col("qv").alias("cvec")
-        )
-    )
+    coarse = _pq_coarse(corpus_q, num_coarse)
 
     def assign(v_df: DataFrame, key: str, probes: int) -> DataFrame:
-        scored = v_df.join(F.broadcast(coarse)).select(
-            key, "qv", "cell", "cvec", l2(F.col("qv"), F.col("cvec")).alias("_d")
-        )
-        w = Window.partitionBy(key).orderBy(F.asc("_d"), F.asc("cell"))
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") <= probes)
-            .select(
-                key,
-                "cell",
-                F.zip_with(F.col("qv"), F.col("cvec"), lambda a, b: a - b).alias(
-                    "res"
-                ),
-            )
-        )
+        return _pq_assign(v_df, coarse, key, probes)
 
     def subspaces(res_df: DataFrame, key: str) -> DataFrame:
-        return res_df.select(
-            key,
-            "cell",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(m_subs - 1)),
-                    lambda m: F.struct(
-                        m.alias("m"),
-                        F.slice(F.col("res"), m * sub_d + 1, sub_d).alias("sub"),
-                    ),
-                )
-            ).alias("_s"),
-        ).select(key, "cell", F.col("_s.m").alias("m"), F.col("_s.sub").alias("sub"))
+        return _pq_subspaces(res_df, key, m_subs, sub_d)
 
     corpus_res = assign(corpus_q, "id", 1)
     corpus_sub = subspaces(corpus_res, "id")
 
-    codebook = (
-        subspaces(
-            corpus_res.orderBy("id")
-            .limit(k_codes)
-            .select(
-                (F.row_number().over(wq.orderBy("id")) - 1).alias("code_id"),
-                "cell",
-                "res",
-            ),
-            "code_id",
+    if codebooks is not None:
+        cbm, cbc, cbv = codebooks.columns[:3]
+        codebook = codebooks.select(
+            F.col(cbm).alias("m"),
+            F.col(cbc).alias("code_id"),
+            F.col(cbv).alias("csub"),
         )
-        .select("m", "code_id", F.col("sub").alias("csub"))
-    )
+    else:
+        wq = Window.orderBy("id")
+        codebook = (
+            subspaces(
+                corpus_res.orderBy("id")
+                .limit(k_codes)
+                .select(
+                    (F.row_number().over(wq) - 1).alias("code_id"),
+                    "cell",
+                    "res",
+                ),
+                "code_id",
+            )
+            .select("m", "code_id", F.col("sub").alias("csub"))
+        )
 
     enc_scored = corpus_sub.join(F.broadcast(codebook), "m").select(
         "id", "cell", "m", F.struct(l2(F.col("sub"), F.col("csub")).alias("d"), F.col("code_id").alias("c")).alias("_dc")
@@ -518,7 +657,8 @@ def ivfpq_topk(
     )
 
     q_q = queries.select(
-        F.col(query_id_col).alias("query_id"), quant(F.col(vec_col)).alias("qv")
+        F.col(query_id_col).alias("query_id"),
+        _pq_quant(F.col(vec_col), scale).alias("qv"),
     )
     q_sub = subspaces(assign(q_q, "query_id", nprobe), "query_id")
     lut = q_sub.join(F.broadcast(codebook), "m").select(
