@@ -257,3 +257,78 @@ def test_binned_quantiles_error_bound_batch(spark):
 
         true = svals[math.ceil(q * len(svals)) - 1]
         assert true <= est <= true + 2 * width
+
+
+def test_bloom_random_multiset_probes_no_false_negatives_batch(spark):
+    # regression family for the duplicate-probe false-negative bug: probe
+    # with random MULTISETS (heavy duplication) — every member must pass
+    import random
+
+    from megalista_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    rng = random.Random(11)
+    members = sorted(rng.sample(range(100000), 300))
+    probes = [rng.choice(members) for _ in range(900)]  # ~3x duplication
+    probes += [rng.randrange(200000, 300000) for _ in range(200)]  # non-members
+    words = bloom_build(spark.createDataFrame([(m,) for m in members], ["k"]), "k")
+    kept = {
+        r.key
+        for r in bloom_might_contain(
+            spark.createDataFrame([(p,) for p in probes], ["k"]), "k", words
+        ).collect()
+    }
+    assert set(probes) & set(members) <= kept  # no false negatives, ever
+
+
+def test_table_diff_separator_in_values_batch(spark):
+    # regression: a value containing the old join separator (0x1f) used
+    # to shift column boundaries and alias two different rows
+    from megalista_spark.operators.cdc import table_diff
+
+    left = spark.createDataFrame([(1, "a\x1fvb", "c"), (2, "x", "y")], ["k", "p", "q"])
+    right = spark.createDataFrame([(1, "a", "b\x1fvc"), (2, "x", "y")], ["k", "p", "q"])
+    got = {r.k: r.verdict for r in table_diff(left, right, ["k"]).collect()}
+    assert got == {1: "changed"}  # row 2 identical -> dropped
+
+
+def test_ivfpq_trained_codebooks_deterministic_batch(spark, sf_dir):
+    # exact integer training -> two runs must be bit-identical
+    from megalista_spark.operators.similarity import ivfpq_train_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(map(tuple, ivfpq_train_codebooks(emb, iters=2).collect()))
+    b = sorted(map(tuple, ivfpq_train_codebooks(emb, iters=2).collect()))
+    assert a == b
+    assert len(a) == 8 * 16  # M x K codewords, empty ones kept
+
+
+def test_inverted_index_matches_naive_batch(spark):
+    # the bounded-state form must produce exactly the naive semantics:
+    # df = all docs containing the term, postings = first max_postings
+    # docs in id order as "doc:tf"
+    import random
+    from collections import defaultdict
+
+    from megalista_spark.operators.text import inverted_index
+
+    rng = random.Random(23)
+    vocab = [f"t{i}" for i in range(12)]  # small vocab -> hot terms
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 30))))
+        for d in range(40)
+    ]
+    got = {
+        r.term: (r.df, r.postings)
+        for r in inverted_index(
+            spark.createDataFrame(docs, ["doc_id", "text"]), max_postings=3
+        ).collect()
+    }
+    naive = defaultdict(dict)
+    for d, text in docs:
+        for tok in text.split():
+            naive[tok][d] = naive[tok].get(d, 0) + 1
+    for term, by_doc in naive.items():
+        first = sorted(by_doc)[:3]
+        want = ",".join(f"{d}:{by_doc[d]}" for d in first)
+        assert got[term] == (len(by_doc), want)
+    assert set(got) == set(naive)
