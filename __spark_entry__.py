@@ -4957,15 +4957,16 @@ def tfidf_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf_cosine_pairs) — the inverted-index complement of embedding
     near-dup: integer tf·idf weights (idf quantized ×1000) make dot
     products and norms exact decimal sums, so the cosine itself
-    hash-matches the oracle. df=1 terms drop free; max_term_df caps hot
-    terms."""
+    hash-matches the oracle. df=1 terms drop free; hot terms cap at a
+    FRACTION of the corpus (df ≤ 0.2·N) so the prune holds meaning at
+    every scale factor."""
     from megalista_spark.operators.text import tfidf_cosine_pairs
 
     d = _t(spark, sf_dir, "documents")
     return tfidf_cosine_pairs(d, threshold=0.5).orderBy("id_a", "id_b")
 
 
-def _tfidf_cosine_sql(threshold: float = 0.5, max_df: int = 100, scale: int = 1000) -> str:
+def _tfidf_cosine_sql(threshold: float = 0.5, max_df_frac: float = 0.2, scale: int = 1000) -> str:
     return rf"""
 WITH tf AS MATERIALIZED (
   SELECT doc_id AS id, term, count(*) AS tf
@@ -4976,7 +4977,9 @@ WITH tf AS MATERIALIZED (
   ) GROUP BY doc_id, term
 ), dfc AS (
   SELECT term, count(*) AS df FROM tf GROUP BY term
-  HAVING count(*) > 1 AND count(*) <= {max_df}
+  HAVING count(*) > 1
+     AND count(*) <= greatest(2, floor({max_df_frac!r} *
+                                       (SELECT count(*)::DOUBLE FROM documents)))
 ), n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
 weighted AS MATERIALIZED (
   SELECT term, id,

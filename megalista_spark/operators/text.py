@@ -293,7 +293,8 @@ def tfidf_cosine_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_term_df: int = 100,
+    max_term_df: int | None = None,
+    max_term_df_frac: float = 0.2,
     idf_scale: int = 1000,
 ) -> DataFrame:
     """Sparse TEXT cosine similarity pairs — the term-vector complement
@@ -315,11 +316,15 @@ def tfidf_cosine_pairs(
 
     Scale shape (the ngram_jaccard discipline): ONE (doc, term) shuffle
     for tf; df from the collapsed tf relation (no countDistinct);
-    df=1 terms drop (cannot form a pair — free, exact); ``max_term_df``
-    caps hot stopword-class terms (recall heuristic, documented);
-    intra-term pairs come from the bucket-grouping form (corpus weighted
-    ONCE, sorted member list, ordered pairs) — never a self-join that
-    recomputes the index for its second side.
+    df=1 terms drop (cannot form a pair — free, exact); hot
+    stopword-class terms are capped at ``max_term_df`` when given, else
+    at ``floor(max_term_df_frac · N)`` — a FRACTION, because an absolute
+    cap silently degrades as the corpus grows (at 10× the docs the same
+    cap=100 pruned every shared term of true duplicate pairs and the
+    operator returned nothing); intra-term pairs come from the
+    bucket-grouping form (corpus weighted ONCE, sorted member list,
+    ordered pairs) — never a self-join that recomputes the index for
+    its second side.
 
     Output: (id_a, id_b, cos_sim) with id_a < id_b.
     """
@@ -335,8 +340,21 @@ def tfidf_cosine_pairs(
     )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    cap = (
+        F.lit(max_term_df).cast("long")
+        if max_term_df is not None
+        else F.greatest(
+            F.lit(2).cast("long"),
+            F.floor(F.lit(max_term_df_frac) * F.col("n_docs")).cast("long"),
+        )
+    )
+    kept_terms = (
+        dfc.crossJoin(F.broadcast(n))
+        .where((F.col("df") > 1) & (F.col("df") <= cap))
+        .select("term", "df")
+    )
     weighted = (
-        tf.join(dfc.where((F.col("df") > 1) & (F.col("df") <= max_term_df)), "term")
+        tf.join(kept_terms, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "term",
