@@ -62,14 +62,27 @@ def stream_tumbling_rollup(
     value_col: str = "value",
 ) -> DataFrame:
     """Watermarked tumbling-window rollup — same output schema as the batch
-    ``tumbling_rollup`` so results are comparable query-for-query."""
-    win = F.window(F.col(ts_col), f"{minutes} minutes")
+    ``tumbling_rollup`` so results are comparable query-for-query.
+
+    Grouping is on the WINDOW column itself (start projected after the
+    agg): grouping on ``window.start`` strips the event-time attribute
+    and Spark then refuses APPEND mode ("aggregation without watermark"),
+    which would confine the operator to complete/update — fine for tests,
+    broken for production append sinks."""
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(win.getField("start").alias("window_start"), F.col(key_col))
+        .groupBy(
+            F.window(F.col(ts_col), f"{minutes} minutes").alias("_w"), F.col(key_col)
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "total_value",
         )
     )
 
@@ -85,16 +98,26 @@ def stream_hopping_rollup(
 ) -> DataFrame:
     """Watermarked hopping-window rollup — streaming twin of the batch
     ``hopping_rollup``; state holds window/slide open windows per key,
-    all bounded by the watermark horizon."""
-    win = F.window(
-        F.col(ts_col), f"{window_minutes} minutes", f"{slide_minutes} minutes"
-    )
+    all bounded by the watermark horizon. Groups on the window column
+    (not window.start) so append mode stays supported — see
+    ``stream_tumbling_rollup``."""
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(win.getField("start").alias("window_start"), F.col(key_col))
+        .groupBy(
+            F.window(
+                F.col(ts_col), f"{window_minutes} minutes", f"{slide_minutes} minutes"
+            ).alias("_w"),
+            F.col(key_col),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "total_value",
         )
     )
 

@@ -356,3 +356,61 @@ def test_stream_transactional_dedup_drops_uploaded_keys(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.event_id for r in spark.table("_txn_dedup_stream").collect())
     assert got == list(range(1, 20, 2))  # odd ids only
+
+
+def test_stream_rollup_drops_late_data_in_append_mode(spark, tmp_path):
+    # watermark contract: in APPEND mode a window only emits once the
+    # watermark passes its end; events arriving in a later batch that are
+    # older than the advanced watermark never count. Two-batch replay:
+    # batch 2 carries a straggler 10 hours older than batch-2's max ts —
+    # far beyond the 1h watermark — plus fresh rows that advance time.
+    from datetime import datetime, timedelta
+
+    from megalista_spark.streaming.events import stream_tumbling_rollup
+
+    t0 = datetime(2024, 3, 1, 0, 0, 0)
+    src = tmp_path / "late_ev"
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    out = tmp_path / "late_out"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        agg = stream_tumbling_rollup(stream, minutes=60, watermark="1 hour")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two events in hour 0, one at hour 12 (advances watermark to 11:00)
+    write([
+        (1, t0 + timedelta(minutes=10), "click", 1.0),
+        (2, t0 + timedelta(minutes=20), "click", 2.0),
+        (3, t0 + timedelta(hours=12), "click", 4.0),
+    ])
+    run()
+    # batch 2: a straggler back in hour 0 (behind the 11:00 watermark —
+    # its window is closed and already emitted; must NOT be re-counted)
+    # and a fresh event that keeps the stream moving
+    write([
+        (4, t0 + timedelta(minutes=30), "click", 100.0),
+        (5, t0 + timedelta(hours=13), "click", 8.0),
+    ])
+    run()
+
+    got = {
+        r["window_start"]: (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got[t0] == (2, 3.0)  # hour-0 window: only the on-time events
+    assert 100.0 not in {v for _, v in got.values()}
