@@ -67,3 +67,50 @@ def zorder_write_layout(
         .repartitionByRange(n_files, "z")
         .sortWithinPartitions("z")
     )
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_mb: int = 256,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction — the other half of write-side layout: a
+    long-lived table accumulating per-micro-batch / per-task files pays
+    O(#files) listing + footer reads on EVERY scan, and a 100 TB table
+    with 10 MB files is 10M files. Rewrite ``src`` into ``dst`` with
+    file sizes near ``target_file_mb``; returns the output file count.
+
+    File count = ceil(source bytes / target): sizing from the SOURCE
+    listing (file metadata only — no data pass, no sampling job). With
+    ``sort_cols`` the rewrite is range-partitioned + sorted within
+    partitions, so compaction doubles as single-axis clustering
+    (row-group min/max stay tight — see zorder_write_layout for the
+    2-D form); without, a round-robin repartition balances file sizes.
+
+    Compression usually tightens on rewrite (bigger row groups,
+    sorted runs), so actual files land somewhat under target — the safe
+    side of the trade.
+    """
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src)
+    fs = path.getFileSystem(conf)
+    total = fs.getContentSummary(path).getLength()
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(src)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        out = out.sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst)
+    dst_path = jvm.org.apache.hadoop.fs.Path(dst)
+    statuses = fs.listStatus(dst_path)
+    return sum(
+        1 for s in statuses if s.getPath().getName().endswith(".parquet")
+    )

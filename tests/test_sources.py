@@ -29,3 +29,21 @@ def test_read_evolving_parquet_normalizes_mixed_vintages(spark, tmp_path):
     }
     rows = {r.k: (r.v, r.score, r.added_later) for r in out.collect()}
     assert rows == {1: ("a", None, None), 2: ("b", None, None), 3: ("c", 9.5, None)}
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from megalista_spark.operators.layout import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(0, 20000).selectExpr("id AS k", "id % 7 AS v")
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    n = compact_parquet(spark, src, dst, target_file_mb=256, sort_cols=["k"])
+    assert n == 1  # well under one 256 MB target
+    out = spark.read.parquet(dst)
+    assert out.count() == 20000
+    assert out.selectExpr("sum(k)", "sum(v)").collect() == df.selectExpr(
+        "sum(k)", "sum(v)"
+    ).collect()
