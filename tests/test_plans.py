@@ -139,3 +139,38 @@ def test_partition_pruned_write_read_cycle(spark, tmp_path):
     # and the row count matches the unpartitioned filter
     expected = e.where(F.to_date("ts") == F.lit("2024-01-05")).count()
     assert back.count() == expected and expected > 0
+
+
+def test_tfidf_pairs_no_python_term_joins_hashed(spark, entry):
+    # the sparse cosine pair plan must stay JVM-side (no row-at-a-time
+    # Python); document joins are equi hash joins on term/id (the only
+    # nested-loop joins are crosses against ONE-ROW count aggregates —
+    # bounded by construction); never a CartesianProduct of data
+    txt = plan_of(entry.tfidf_cosine_dup_pairs(spark, SF))
+    assert "BatchEvalPython" not in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin [term" in txt
+
+
+def test_span_dedup_no_python_no_nested_loop(spark, entry):
+    # corpus-internal span dedup: owner join is a hash join on the gram
+    # hash; masking is pure expressions
+    txt = plan_of(entry.dedup_spans_docs(spark, SF))
+    assert "BatchEvalPython" not in txt
+    assert "NestedLoopJoin" not in txt and "CartesianProduct" not in txt
+
+
+def test_decontaminate_spans_benchmark_side_broadcast(spark, entry):
+    # the benchmark shingle-hash set must BROADCAST (the 100 TB train
+    # side never shuffles for the hash join)
+    txt = plan_of(entry.decontaminate_spans_docs(spark, SF))
+    assert "BroadcastHashJoin" in txt
+    assert "BatchEvalPython" not in txt
+
+
+def test_ivfpq_codebook_and_lut_joins_broadcast(spark, entry):
+    # IVF-PQ: codebook and LUT joins broadcast; the only non-equi join is
+    # the bounded coarse-centroid cross-score (8 rows)
+    txt = plan_of(entry.ann_ivfpq_topk(spark, SF))
+    assert txt.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in txt
