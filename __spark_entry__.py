@@ -4836,6 +4836,76 @@ ORDER BY media_id
 """
 
 
+def multimodal_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup (operators/multimodal.py::media_dedup_exact):
+    JVM-side sha2 over the binary column — no Python anywhere — then the
+    standard digest hash-groupBy. Duplicates are planted (docs with
+    id < 50 re-appear as media_id + 1,000,000) so dup_count = 2 clusters
+    exist and the oracle checks real collapse behavior, with the
+    lowest-media-id survivor rule observable."""
+    from megalista_spark.operators.multimodal import media_dedup_exact
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    ).unionByName(
+        d.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000).alias("media_id"),
+            F.encode(F.col("text"), "UTF-8").alias("content"),
+        )
+    )
+    return media_dedup_exact(media).orderBy("media_id")
+
+
+MEDIA_DEDUP_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+)
+SELECT min(media_id) AS media_id, sha256(text) AS content_sha256,
+       count(*)::BIGINT AS dup_count
+FROM m
+GROUP BY sha256(text)
+ORDER BY media_id
+"""
+
+
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing (operators/multimodal.py::
+    sample_video_frames): the kernel-side explode — output rows are
+    decoupled from input rows, exactly how a real demuxer behaves. The
+    stub digest is sha256(content || ':' || frame_index), so DuckDB
+    reproduces every sampled frame row; durations are synthesized
+    deterministically from the id."""
+    from megalista_spark.operators.multimodal import sample_video_frames
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            (((F.col("doc_id") % 30) + 1) * 1000).alias("duration_ms")
+        ).alias("meta"),
+    )
+    return sample_video_frames(media, every_n=10).orderBy(
+        "media_id", "frame_index"
+    )
+
+
+FRAME_SAMPLES_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         ((doc_id % 30) + 1) * 1000 AS duration_ms
+  FROM documents
+)
+SELECT media_id, i AS frame_index,
+       sha256(text || ':' || i::VARCHAR) AS frame_sha256
+FROM m, unnest(range(0, greatest(duration_ms // 1000, 1), 10)) AS r(i)
+ORDER BY media_id, frame_index
+"""
+
+
 def streaming_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``hopping_rollup_events`` — the same overlapping
     60/30 windows under readStream with watermarked state (one open-window
@@ -5468,6 +5538,8 @@ _GATE_ROTATION_FIRST = [
     "validate_orders_quality",
     "streaming_transactional_dedup",
     "tfidf_cosine_dup_pairs",
+    "multimodal_media_dedup",
+    "multimodal_frame_samples",
     "streaming_enriched_rollup",
     "profile_orders_approx",
     "source_roundtrip_csv",
@@ -5623,6 +5695,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "streaming_attribution_left_join": streaming_attribution_left_join,
         "bucketed_colocated_join": bucketed_colocated_join,
         "multimodal_image_features": multimodal_image_features,
+        "multimodal_media_dedup": multimodal_media_dedup,
+        "multimodal_frame_samples": multimodal_frame_samples,
         "kmeans_embeddings": kmeans_embeddings,
         "kmv_distinct_estimate": kmv_distinct_estimate,
         "hll_distinct_estimate": hll_distinct_estimate,
@@ -5710,6 +5784,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_attribution_left_join": STREAMING_ATTRIBUTION_OUTER_SQL,
         "bucketed_colocated_join": BUCKETED_JOIN_SQL,
         "multimodal_image_features": MULTIMODAL_SQL,
+        "multimodal_media_dedup": MEDIA_DEDUP_SQL,
+        "multimodal_frame_samples": FRAME_SAMPLES_SQL,
         "kmeans_embeddings": KMEANS_SQL,
         "kmv_distinct_estimate": KMV_SQL,
         "hll_distinct_estimate": _hll_sql(),

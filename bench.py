@@ -139,6 +139,8 @@ HEADLINE = [
     "near_dup_groups_star",
     "tfidf_cosine_dup_pairs",
     "ann_ivfpq_trained_topk",
+    "multimodal_media_dedup",
+    "multimodal_frame_samples",
 ]
 
 # Excluded from HEADLINE on purpose:

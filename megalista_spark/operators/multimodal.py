@@ -125,13 +125,17 @@ def sample_video_frames(
             ):
                 if content is None or duration is None or pd.isna(duration) or duration <= 0:
                     continue  # not a timed medium → nothing to sample
-                # fake: one frame per second of duration, sampled every_n
+                # fake: one frame per second of duration, sampled every_n.
+                # digest = sha256(content || ":frame_index" ascii) — the
+                # separator keeps it injective per frame and ASCII-safe so
+                # a SQL oracle reproduces it (engines' sha256 functions are
+                # commonly VARCHAR-only; raw BE32 bytes contain NULs)
                 n_frames = max(int(duration // 1000), 1)
                 for i in range(0, n_frames, every_n):
                     ids.append(media_id)
                     idxs.append(i)
                     hashes.append(
-                        hashlib.sha256(content + i.to_bytes(4, "big")).hexdigest()
+                        hashlib.sha256(content + f":{i}".encode()).hexdigest()
                     )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_index": idxs, "frame_sha256": hashes}
