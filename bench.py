@@ -189,6 +189,11 @@ def main() -> None:
         t1 = time.perf_counter()
         fn(spark, sf_dir).count()
         warm[name] = round(time.perf_counter() - t1, 3)
+        # drop caches/checkpoint blocks the query persisted: across a
+        # 100+-query session leaked cache blocks inflate heap/GC and the
+        # later small queries' times creep up (~0.3-0.6s each, measured);
+        # clearing OUTSIDE the timed window keeps every query self-paid
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -525,6 +525,9 @@ def min_label_groups(
             )
             .localCheckpoint(eager=True)
         )
+    # final labels are checkpointed (independent lineage) — release the
+    # edge cache instead of leaking it into a long-lived session
+    sym.unpersist()
     return labels.select(
         "id",
         F.col("label").alias("group_label"),
