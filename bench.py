@@ -144,7 +144,7 @@ HEADLINE = [
 ]
 
 # Excluded from HEADLINE on purpose:
-#   streaming_* (5 queries)  — Structured Streaming micro-batch runs; their
+#   streaming_* (7 queries)  — Structured Streaming micro-batch runs; their
 #       wall-clock is dominated by trigger/checkpoint latency, not plan cost,
 #       so timing them alongside batch queries would be noise, and the
 #       batch-equivalence oracles already cover their correctness.
