@@ -103,7 +103,11 @@ def profile_columns(
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}")
+            # coalesce: sum over ZERO rows is NULL — an empty table's
+            # null count is 0, matching n_rows=0 / n_distinct=0
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias(f"__nulls_{c}")
         )
         if distinct_mode == "exact":
             aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))

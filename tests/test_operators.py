@@ -417,6 +417,29 @@ def test_exact_substring_decontamination_guarantee(spark):
     assert c_sh.join(b_sh, "sh").count() == 0
 
 
+def test_operators_handle_empty_inputs(spark):
+    # an empty drop/partition must produce empty-but-typed results, not
+    # crashes or NULL-infested rows, across the pipeline-entry operators
+    from megalista_spark.operators.curation import remove_contaminated_spans
+    from megalista_spark.operators.dedup import exact_dedup, incremental_dedup
+    from megalista_spark.operators.profiling import profile_columns
+    from megalista_spark.operators.text import build_vocab, tfidf_cosine_pairs
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    one = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+
+    prof = {r.column_name: r for r in profile_columns(empty).collect()}
+    assert prof["text"].n_rows == 0
+    assert prof["text"].n_nulls == 0 and prof["text"].n_distinct == 0
+    assert build_vocab(empty).count() == 0
+    assert tfidf_cosine_pairs(empty).count() == 0
+    assert tfidf_cosine_pairs(one).count() == 0  # one doc can't pair
+    assert exact_dedup(empty).count() == 0
+    assert incremental_dedup(empty, one).count() == 0
+    assert incremental_dedup(one, empty).count() == 1  # nothing seen -> survives
+    assert remove_contaminated_spans(empty, one).count() == 0
+
+
 def test_check_constraints_counts_violations(spark):
     from megalista_spark.operators.expectations import check_constraints
 
