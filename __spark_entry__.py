@@ -5076,6 +5076,42 @@ ORDER BY id_a, id_b
 """
 
 
+def corpus_frequency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-lite quality scoring (operators/text.py::
+    corpus_frequency_score): per-doc mean token document-frequency and
+    rare-token fraction — ratios of exact integer sums, no logs, so the
+    floats hash-match the oracle."""
+    from megalista_spark.operators.text import corpus_frequency_score
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_frequency_score(d).orderBy("doc_id")
+
+
+CORPUS_FREQ_SQL = """
+WITH tf AS MATERIALIZED (
+  SELECT doc_id AS id, term, count(*) AS tf
+  FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      t -> t != '')) AS term
+    FROM documents
+  ) GROUP BY doc_id, term
+), dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+per AS (
+  SELECT id, sum(tf)::BIGINT AS n_tokens,
+         sum(tf * df)::BIGINT AS df_sum,
+         sum(CASE WHEN df <= 2 THEN tf ELSE 0 END)::BIGINT AS rare
+  FROM tf JOIN dfc USING (term) GROUP BY id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(round(p.df_sum / (p.n_tokens * n.n_docs), 6), 0.0) AS mean_token_df,
+       coalesce(round(p.rare / p.n_tokens, 6), 0.0) AS rare_frac
+FROM documents d LEFT JOIN per p ON p.id = d.doc_id CROSS JOIN n
+ORDER BY d.doc_id
+"""
+
+
 def validate_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-level data-quality gate (operators/expectations.py::
     check_constraints): the whole row-rule suite rides ONE scan's
@@ -5538,6 +5574,7 @@ _GATE_ROTATION_FIRST = [
     "validate_orders_quality",
     "streaming_transactional_dedup",
     "tfidf_cosine_dup_pairs",
+    "corpus_frequency_scores",
     "multimodal_media_dedup",
     "multimodal_frame_samples",
     "streaming_enriched_rollup",
@@ -5672,6 +5709,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "validate_orders_quality": validate_orders_quality,
         "streaming_transactional_dedup": streaming_transactional_dedup,
         "tfidf_cosine_dup_pairs": tfidf_cosine_dup_pairs,
+        "corpus_frequency_scores": corpus_frequency_scores,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -5851,6 +5889,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_orders_quality": VALIDATE_ORDERS_SQL,
         "streaming_transactional_dedup": STREAM_TXN_DEDUP_SQL,
         "tfidf_cosine_dup_pairs": _tfidf_cosine_sql(),
+        "corpus_frequency_scores": CORPUS_FREQ_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

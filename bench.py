@@ -141,6 +141,7 @@ HEADLINE = [
     "ann_ivfpq_trained_topk",
     "multimodal_media_dedup",
     "multimodal_frame_samples",
+    "corpus_frequency_scores",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -405,3 +405,66 @@ def tfidf_cosine_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def corpus_frequency_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_df_max: int = 2,
+) -> DataFrame:
+    """Corpus-statistics quality signal — the engine-portable stand-in
+    for LM-perplexity filtering: documents dominated by corpus-rare
+    tokens are gibberish/OCR noise; documents of only ubiquitous tokens
+    are boilerplate. Per document:
+
+      mean_token_df  — mean document-frequency of its token INSTANCES,
+                       as a fraction of corpus size (high ⇒ generic)
+      rare_frac      — fraction of instances whose token appears in
+                       ≤ ``rare_df_max`` documents (high ⇒ noise)
+
+    Both are ratios of exact integer sums (Σ df over instances, counts)
+    divided once at the output boundary — no logs (libm-dependent), no
+    float accumulation — so an external oracle hash-matches (the same
+    ratio-form trick as ``tfidf_top_terms``). Rounded to 6dp.
+
+    Scale: ONE (doc, term) shuffle for tf, df from the collapsed tf
+    relation, a doc-keyed weighted sum — the tf-idf plan shape, reused.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    per_doc = (
+        tf.join(dfc, "term")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("df")).cast("bigint").alias("_df_sum"),
+            F.sum(
+                F.when(F.col("df") <= rare_df_max, F.col("tf")).otherwise(F.lit(0))
+            ).cast("bigint").alias("_rare"),
+        )
+    )
+    out = per_doc.crossJoin(F.broadcast(n)).select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.round(
+            F.col("_df_sum") / (F.col("n_tokens") * F.col("n_docs")), 6
+        ).alias("mean_token_df"),
+        F.round(F.col("_rare") / F.col("n_tokens"), 6).alias("rare_frac"),
+    )
+    # docs that tokenize to nothing still get a row (0, 0.0, 0.0)
+    ids = df.select(F.col(id_col))
+    return ids.join(out, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("mean_token_df", F.lit(0.0)).alias("mean_token_df"),
+        F.coalesce("rare_frac", F.lit(0.0)).alias("rare_frac"),
+    )
