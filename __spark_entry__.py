@@ -3709,6 +3709,42 @@ ORDER BY doc_id
 """
 
 
+def weighted_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted sampling (operators/sampling.py::
+    weighted_sample_by_group): top-20 documents per language with
+    probability ∝ n_chars — one group-partitioned rank window, no global
+    order anywhere; the Efraimidis-Spirakis keys are ranked AFTER 6dp
+    rounding so the cut is engine-portable."""
+    from megalista_spark.operators.sampling import weighted_sample_by_group
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        weighted_sample_by_group(
+            d.select("doc_id", "lang", "n_chars"), "n_chars", "doc_id", "lang", k=20
+        )
+        .select("lang", "rank", "doc_id", "n_chars", "es_key")
+        .orderBy("lang", "rank")
+    )
+
+
+WEIGHTED_BY_LANG_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         round(ln((('0x' || substr(md5('wrs|' || doc_id::VARCHAR), 1, 15))::BIGINT + 1.0)
+                  / 1152921504606846976.0) / n_chars::DOUBLE, 6) AS es_key
+  FROM documents
+  WHERE n_chars::DOUBLE > 0
+), ranked AS (
+  SELECT lang, doc_id, n_chars, es_key,
+         row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id)::BIGINT AS rank
+  FROM keyed
+)
+SELECT lang, rank, doc_id, n_chars, es_key
+FROM ranked WHERE rank <= 20
+ORDER BY lang, rank
+"""
+
+
 def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshape (DataFrame.unpivot / melt) + per-metric profile —
     the feature-table melt every training pipeline runs. Unpivot is a
@@ -5575,6 +5611,7 @@ _GATE_ROTATION_FIRST = [
     "streaming_transactional_dedup",
     "tfidf_cosine_dup_pairs",
     "corpus_frequency_scores",
+    "weighted_sample_by_lang",
     "multimodal_media_dedup",
     "multimodal_frame_samples",
     "streaming_enriched_rollup",
@@ -5710,6 +5747,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "streaming_transactional_dedup": streaming_transactional_dedup,
         "tfidf_cosine_dup_pairs": tfidf_cosine_dup_pairs,
         "corpus_frequency_scores": corpus_frequency_scores,
+        "weighted_sample_by_lang": weighted_sample_by_lang,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -5890,6 +5928,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_transactional_dedup": STREAM_TXN_DEDUP_SQL,
         "tfidf_cosine_dup_pairs": _tfidf_cosine_sql(),
         "corpus_frequency_scores": CORPUS_FREQ_SQL,
+        "weighted_sample_by_lang": WEIGHTED_BY_LANG_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

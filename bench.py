@@ -142,6 +142,7 @@ HEADLINE = [
     "multimodal_media_dedup",
     "multimodal_frame_samples",
     "corpus_frequency_scores",
+    "weighted_sample_by_lang",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -120,6 +120,44 @@ def weighted_sample(
     )
 
 
+def weighted_sample_by_group(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    group_col: str,
+    k: int = 10,
+    salt: str = "wrs",
+) -> DataFrame:
+    """Per-stratum Efraimidis-Spirakis weighted sampling — the
+    training-mix workhorse: the top-``k`` weighted picks WITHIN each
+    group (language, source, domain), same deterministic hash-derived
+    keys as ``weighted_sample`` so the choice is stable under any
+    partitioning/engine and across re-runs.
+
+    Scale: ONE shuffle, partitioned by the group — the rank window never
+    orders more than a group's rows, so no global sort exists anywhere
+    (the global form uses TakeOrdered; the grouped form is the
+    per-stratum counterpart). Output keeps ``es_key`` and the in-group
+    ``rank`` for auditability.
+    """
+    from pyspark.sql import Window
+
+    from megalista_spark.operators.dedup import portable_hash64
+
+    h = portable_hash64(
+        F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string"))
+    )
+    u = (h + F.lit(1).cast("double")) / F.lit(float(1 << 60))
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(F.desc("es_key"), F.asc(key_col))
+    return (
+        df.where(F.col(weight_col).cast("double") > 0)
+        .withColumn("es_key", F.round(es_key, 6))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,
