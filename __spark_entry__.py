@@ -1344,10 +1344,14 @@ def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq_train_codebooks): grouped integer k-means on the coarse
     residuals — all M subspaces in one dataflow per Lloyd round, exact
     integer sums + one round-half-away-from-zero divide per codeword
-    component — feeding ivfpq_topk(codebooks=...). The full
+    component — feeding ivfpq_topk(codebooks=...). Training reads a
+    deterministic ≈256-row hash sample of the corpus (train_cap — the
+    stage whose cost must NOT grow with corpus size; the coarse
+    quantizer and encode/search still see every vector). The full
     train-then-index-then-search path is oracle-gated end to end: the
-    SQL unrolls the same two Lloyd rounds per subspace and reproduces
-    codebooks, codes, and ADC distances bit-for-bit."""
+    SQL applies the identical md5-bucket training filter and unrolls the
+    same two Lloyd rounds per subspace, reproducing codebooks, codes,
+    and ADC distances bit-for-bit."""
     from megalista_spark.operators.similarity import (
         ivfpq_topk,
         ivfpq_train_codebooks,
@@ -1357,7 +1361,9 @@ def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cb = ivfpq_train_codebooks(emb, num_coarse=8, m_subs=8, k_codes=16, iters=2)
+    cb = ivfpq_train_codebooks(
+        emb, num_coarse=8, m_subs=8, k_codes=16, iters=2, train_cap=256
+    )
     return ivfpq_topk(
         emb, queries, k=10, num_coarse=8, nprobe=2, m_subs=8, codebooks=cb
     ).orderBy("query_id", "rank")
@@ -1372,11 +1378,16 @@ def _ivfpq_trained_sql(
     iters: int = 2,
     dim: int = 64,
     scale: int = 1_000_000,
+    train_cap: int = 256,
+    train_salt: str = "pqtrain",
 ) -> str:
     """DuckDB twin of the trained IVF-PQ path: same quantization/coarse/
-    residual CTEs as _ivfpq_sql, plus the unrolled per-subspace Lloyd
-    rounds (exact integer sums, one double divide+round per component,
-    empty codewords keep their previous value)."""
+    residual CTEs as _ivfpq_sql, plus the md5-bucket training sample
+    (t_assign/t_sub — the Lloyd rounds and codebook init see only ≈
+    train_cap rows, exactly mirroring ivfpq_train_codebooks(train_cap=))
+    and the unrolled per-subspace Lloyd rounds (exact integer sums, one
+    double divide+round per component, empty codewords keep their
+    previous value)."""
     sub_d = dim // m_subs
     l2 = (
         lambda a, b, n: f"list_sum(list_transform(range(1, {n} + 1), "
@@ -1390,7 +1401,7 @@ def _ivfpq_trained_sql(
     SELECT s.m, cb.code_id, s.sub,
            row_number() OVER (PARTITION BY s.id, s.m
                               ORDER BY {l2('s.sub', 'cb.csub', sub_d)}, cb.code_id) AS r
-    FROM c_sub s JOIN {prev} cb USING (m)
+    FROM t_sub s JOIN {prev} cb USING (m)
   ) WHERE r = 1
 ), upd{t} AS (
   SELECT m, code_id, list(mval ORDER BY pos) AS new_csub FROM (
@@ -1428,11 +1439,22 @@ c_sub AS MATERIALIZED (
   SELECT id, cell, m, res[m * {sub_d} + 1 : m * {sub_d} + {sub_d}] AS sub
   FROM c_assign, unnest(range(0, {m_subs})) AS t(m)
 ),
+tn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+t_assign AS MATERIALIZED (
+  SELECT a.id, a.cell, a.res FROM c_assign a, tn
+  WHERE ('0x' || substr(md5('{train_salt}|' || a.id::VARCHAR), 1, 15))::BIGINT
+        % 10000
+        < least(10000, ({train_cap} * 10000 + tn.n - 1) // tn.n)
+),
+t_sub AS MATERIALIZED (
+  SELECT id, cell, m, res[m * {sub_d} + 1 : m * {sub_d} + {sub_d}] AS sub
+  FROM t_assign, unnest(range(0, {m_subs})) AS t(m)
+),
 cb0 AS MATERIALIZED (
   SELECT m, code_id, res[m * {sub_d} + 1 : m * {sub_d} + {sub_d}] AS csub
   FROM (
     SELECT row_number() OVER (ORDER BY id) - 1 AS code_id, res
-    FROM (SELECT * FROM c_assign ORDER BY id LIMIT {k_codes})
+    FROM (SELECT * FROM t_assign ORDER BY id LIMIT {k_codes})
   ), unnest(range(0, {m_subs})) AS t(m)
 ),
 {lloyd_sql},

@@ -621,11 +621,19 @@ def edit_distance_pairs(
     on every engine) removes block coincidences.
 
     Neighborhood size is len(s)+1, so the exploded relation is ~avg_len ×
-    corpus — linear, shuffled on the variant string. A hot variant (e.g.
-    every row one char from a template) degrades like any hot join key and
-    takes the same remedies (AQE skew split / salting). max_distance is
-    fixed at 1: the d>1 generalization explodes C(len,d) variants and
-    belongs to the MinHash/SimHash family instead.
+    corpus — linear, shuffled on an 8-byte xxhash64 of the variant rather
+    than the variant string itself (≈⅓ the shuffle bytes at TPC-H name
+    lengths, and a long-vs-string join key compare). Hashing is lossless
+    here: equal variants always collide (no false negatives), and a
+    cross-variant hash collision can only ADD a candidate pair, which the
+    exact levenshtein check then keeps only if the pair is a true
+    distance-≤1 pair — in which case the deletion-neighborhood guarantee
+    says it already meets in a genuinely shared block and the distinct
+    folds it — so the output set is bit-identical to the string-keyed
+    join. A hot variant (e.g. every row one char from a template) degrades
+    like any hot join key and takes the same remedies (AQE skew split /
+    salting). max_distance is fixed at 1: the d>1 generalization explodes
+    C(len,d) variants and belongs to the MinHash/SimHash family instead.
 
     Output: (id_a, id_b, name_a, name_b), id_a < id_b, distinct.
     """
@@ -643,15 +651,15 @@ def edit_distance_pairs(
     )
     v = df.select(
         F.col(id_col).alias("id"), s.alias("name"), F.explode(variants).alias("variant")
-    )
+    ).select("id", "name", F.xxhash64("variant").alias("vh"))
     a = v.select(
-        F.col("variant"), F.col("id").alias("id_a"), F.col("name").alias("name_a")
+        F.col("vh"), F.col("id").alias("id_a"), F.col("name").alias("name_a")
     )
     b = v.select(
-        F.col("variant"), F.col("id").alias("id_b"), F.col("name").alias("name_b")
+        F.col("vh"), F.col("id").alias("id_b"), F.col("name").alias("name_b")
     )
     return (
-        a.join(b, ["variant"])
+        a.join(b, ["vh"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "name_a", "name_b")
         .distinct()

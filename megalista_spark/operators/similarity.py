@@ -460,6 +460,8 @@ def ivfpq_train_codebooks(
     scale: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int | None = None,
+    train_salt: str = "pqtrain",
 ) -> DataFrame:
     """TRAINED per-subspace PQ codebooks — grouped integer k-means over
     the coarse residuals, feeding ``ivfpq_topk(codebooks=...)`` exactly
@@ -480,6 +482,28 @@ def ivfpq_train_codebooks(
     Model state (M·K codewords) materializes to the driver each round so
     iteration lineage stays flat (clustering.py's discipline).
 
+    ``train_cap`` bounds the TRAINING corpus to ≈cap rows via the
+    portable deterministic hash sampler (sampling.py's family): codebook
+    training is the one stage whose cost would otherwise grow with the
+    corpus, and PQ codebooks are always fit on a sample at scale (Jégou
+    et al. train on ~100k of billions). The coarse quantizer and the
+    encode/search path still see the FULL corpus — only the Lloyd rounds
+    see the sample — and the sample is a pure function of (salt, id), so
+    any engine reproduces the identical trained codebooks (the DuckDB
+    oracle applies the same md5-bucket filter). cap ≥ n keeps every row.
+
+    With ``train_cap`` set, the Lloyd rounds run DRIVER-LOCAL over the
+    collected sample: model state is O(cap·dim) integers by construction
+    — the same bounded-state license as the k-row centroid collect in
+    clustering.py — and the distributed per-round dataflow's ~10-stage
+    constant (2 collects + 3 shuffles per round over what is now a
+    few-hundred-row relation) disappears. The numpy kernel reproduces
+    the exact integer contract: int64 L2, argmin ties to the lower code,
+    exact int64 component sums with ONE double divide and a
+    round-half-away-from-zero per codeword component, empty codewords
+    keep their previous value. ``train_cap=None`` keeps the fully
+    distributed rounds (unbounded training set).
+
     Output: (m, code_id, csub array<bigint>).
     """
     sub_d = dim // m_subs
@@ -488,6 +512,58 @@ def ivfpq_train_codebooks(
         F.col(id_col).alias("id"), _pq_quant(F.col(vec_col), scale).alias("qv")
     )
     coarse = _pq_coarse(corpus_q, num_coarse)
+    if train_cap is not None:
+        import numpy as np
+
+        from megalista_spark.operators.dedup import portable_hash64
+
+        n = corpus_q.count()
+        buckets = min(10_000, -(-train_cap * 10_000 // max(n, 1)))  # ceil
+        train_q = corpus_q.where(
+            portable_hash64(
+                F.concat(F.lit(train_salt), F.lit("|"), F.col("id").cast("string"))
+            )
+            % 10_000
+            < buckets
+        )
+        # bounded collect: ≈cap rows of (id, residual) — O(cap·dim) ints
+        sample = sorted(
+            (r["id"], list(r["res"]))
+            for r in _pq_assign(train_q, coarse, "id", 1).collect()
+        )
+        R = np.array([res for _, res in sample], dtype=np.int64)  # (s, dim)
+        S = R.reshape(len(sample), m_subs, sub_d)  # (s, M, sub_d)
+        # init: residual subvectors of the k_codes lowest-id sample rows
+        C = S[:k_codes].transpose(1, 0, 2).copy()  # (M, K, sub_d)
+        for _ in range(iters):
+            # (M, s, K) int64 squared L2; argmin ties → lowest code
+            d2 = ((S.transpose(1, 0, 2)[:, :, None, :] - C[:, None, :, :]) ** 2).sum(
+                axis=3
+            )
+            best = d2.argmin(axis=2)  # (M, s)
+            for mi in range(m_subs):
+                for code in range(C.shape[1]):
+                    members = S[best[mi] == code, mi, :]
+                    if len(members):
+                        mean = members.sum(axis=0, dtype=np.int64).astype(
+                            np.float64
+                        ) / len(members)
+                        # round half away from zero by comparing the
+                        # double's fraction directly — floor(|x|+0.5)
+                        # can round up one ulp early and diverge from
+                        # Spark/DuckDB ROUND on the same double
+                        a = np.abs(mean)
+                        fl = np.floor(a)
+                        r = np.where(a - fl >= 0.5, fl + 1.0, fl)
+                        C[mi, code] = (np.sign(mean) * r).astype(np.int64)
+        return spark.createDataFrame(
+            [
+                (mi, code, [int(x) for x in C[mi, code]])
+                for mi in range(m_subs)
+                for code in range(C.shape[1])
+            ],
+            "m int, code_id int, csub array<bigint>",
+        )
     corpus_res = _pq_assign(corpus_q, coarse, "id", 1)
     sub = _pq_subspaces(corpus_res, "id", m_subs, sub_d).select("id", "m", "sub")
     sub = sub.persist()
