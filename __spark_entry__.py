@@ -5605,6 +5605,150 @@ LIMIT 20
 """
 
 
+def _doc_cascade_rules() -> "list[tuple[str, F.Column]]":
+    """The C4/Gopher-style rule set the cascade queries share: integer
+    comparisons only (k·count vs count — no float thresholds), built
+    from the same token/punct/stopword expressions as text.py's
+    quality_score so the DuckDB mirror is exact."""
+    from megalista_spark.operators.text import PUNCT_PATTERN, STOPWORDS, _ws_tokens
+
+    text = F.col("text")
+    n_chars = F.length(text).cast("long")
+    n_tokens = F.size(_ws_tokens(text)).cast("long")
+    n_punct = F.regexp_count(text, F.lit(PUNCT_PATTERN)).cast("long")
+    stop_rx = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_stop = F.regexp_count(F.lower(text), F.lit(stop_rx)).cast("long")
+    return [
+        ("too_short", n_tokens < 20),
+        ("punct_heavy", 50 * n_punct > n_chars),
+        ("low_stopword", 20 * n_stop < n_tokens),
+        ("long_words", (n_chars - (n_tokens - 1)) > 5 * n_tokens),
+    ]
+
+
+_CASCADE_BASE_SQL = r"""
+base AS (
+  SELECT doc_id, source,
+    length(text)::BIGINT AS n_chars,
+    len(list_filter(string_split_regex(trim(text), '\s+'), t -> t != ''))::BIGINT AS n_tokens,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS n_punct,
+    len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b'))::BIGINT AS n_stop
+  FROM documents
+),
+v AS (
+  SELECT *, CASE
+    WHEN n_tokens < 20 THEN 'too_short'
+    WHEN 50 * n_punct > n_chars THEN 'punct_heavy'
+    WHEN 20 * n_stop < n_tokens THEN 'low_stopword'
+    WHEN (n_chars - (n_tokens - 1)) > 5 * n_tokens THEN 'long_words'
+    ELSE 'PASS' END AS verdict
+  FROM base
+)"""
+
+
+def curation_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter cascade attrition report (operators/curation.py::
+    cascade_stats): each document attributed to the FIRST rule it trips,
+    plus order-independent total_fail per rule — the per-rule
+    observability a 100 TB filtering run needs. One scan, one global
+    conditional-sum aggregate, zero joins."""
+    from megalista_spark.operators.curation import cascade_stats
+
+    return cascade_stats(
+        _t(spark, sf_dir, "documents"), _doc_cascade_rules()
+    ).orderBy("stage")
+
+
+CASCADE_STATS_SQL = rf"""
+WITH {_CASCADE_BASE_SQL},
+ff AS (SELECT verdict, count(*)::BIGINT AS n FROM v GROUP BY verdict),
+rules(stage, rule) AS (VALUES
+  (0, 'too_short'), (1, 'punct_heavy'), (2, 'low_stopword'),
+  (3, 'long_words'), (4, 'PASS')),
+tf AS (
+  SELECT
+    coalesce(sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END), 0)::BIGINT AS t0,
+    coalesce(sum(CASE WHEN 50 * n_punct > n_chars THEN 1 ELSE 0 END), 0)::BIGINT AS t1,
+    coalesce(sum(CASE WHEN 20 * n_stop < n_tokens THEN 1 ELSE 0 END), 0)::BIGINT AS t2,
+    coalesce(sum(CASE WHEN (n_chars - (n_tokens - 1)) > 5 * n_tokens THEN 1 ELSE 0 END), 0)::BIGINT AS t3,
+    coalesce(sum(CASE WHEN verdict = 'PASS' THEN 1 ELSE 0 END), 0)::BIGINT AS t4
+  FROM v)
+SELECT r.stage::INTEGER AS stage, r.rule,
+       coalesce(ff.n, 0)::BIGINT AS first_fail,
+       CASE r.stage WHEN 0 THEN tf.t0 WHEN 1 THEN tf.t1 WHEN 2 THEN tf.t2
+                    WHEN 3 THEN tf.t3 ELSE tf.t4 END AS total_fail
+FROM rules r LEFT JOIN ff ON ff.verdict = r.rule CROSS JOIN tf
+ORDER BY stage
+"""
+
+
+def source_quality_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation (operators/curation.py::
+    source_quality_stats): sources scored by the fraction of their
+    documents passing the full cascade; below 50% (integer permyriad
+    compare, no float boundary) the source is blocklisted wholesale —
+    the RefinedWeb/Dolma domain-filter move. Output is
+    domain-cardinality sized and broadcasts into the anti-join that
+    applies it (apply_source_blocklist)."""
+    from megalista_spark.operators.curation import source_quality_stats
+
+    rules = _doc_cascade_rules()
+    fails = rules[0][1]
+    for _, cond in rules[1:]:
+        fails = fails | cond
+    return source_quality_stats(
+        _t(spark, sf_dir, "documents"), ~fails, min_pass_permyriad=5000
+    ).orderBy("source")
+
+
+SOURCE_BLOCKLIST_SQL = rf"""
+WITH {_CASCADE_BASE_SQL}
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN verdict = 'PASS' THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+       round(sum(CASE WHEN verdict = 'PASS' THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS pass_rate,
+       sum(CASE WHEN verdict = 'PASS' THEN 1 ELSE 0 END) * 10000 < 5000 * count(*) AS blocked
+FROM v
+GROUP BY source
+ORDER BY source
+"""
+
+
+def budget_fill_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus assembly (operators/sampling.py::
+    budget_fill): per source, take documents longest-first until the
+    cumulative char count would exceed 3000 — the greedy budget prefix
+    every mixture-weighted pre-training corpus build runs. One window
+    shuffle keyed by source; exact bigint running sums."""
+    from megalista_spark.operators.sampling import budget_fill
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        budget_fill(
+            d, group_col="source", weight_col="n_chars", budget=3000,
+            order_col="n_chars", id_col="doc_id",
+        )
+        .select("source", "doc_id", "n_chars", "rank", "cum_weight")
+        .orderBy("source", "rank")
+    )
+
+
+BUDGET_FILL_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rank,
+         sum(n_chars) OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_weight
+  FROM documents
+)
+SELECT source, doc_id, n_chars, rank, cum_weight
+FROM ranked WHERE cum_weight <= 3000
+ORDER BY source, rank
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -5621,6 +5765,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the whole roster — every name here is green in the local mirror
 # (scripts/compare_oracle.py) at sf0.01.
 _GATE_ROTATION_FIRST = [
+    "curation_cascade_stats",
+    "source_quality_blocklist",
+    "budget_fill_by_source",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
     "near_dup_groups_fixpoint",
@@ -5770,6 +5917,9 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "tfidf_cosine_dup_pairs": tfidf_cosine_dup_pairs,
         "corpus_frequency_scores": corpus_frequency_scores,
         "weighted_sample_by_lang": weighted_sample_by_lang,
+        "curation_cascade_stats": curation_cascade_stats,
+        "source_quality_blocklist": source_quality_blocklist,
+        "budget_fill_by_source": budget_fill_by_source,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -5951,6 +6101,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_cosine_dup_pairs": _tfidf_cosine_sql(),
         "corpus_frequency_scores": CORPUS_FREQ_SQL,
         "weighted_sample_by_lang": WEIGHTED_BY_LANG_SQL,
+        "curation_cascade_stats": CASCADE_STATS_SQL,
+        "source_quality_blocklist": SOURCE_BLOCKLIST_SQL,
+        "budget_fill_by_source": BUDGET_FILL_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

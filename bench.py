@@ -143,6 +143,9 @@ HEADLINE = [
     "multimodal_frame_samples",
     "corpus_frequency_scores",
     "weighted_sample_by_lang",
+    "curation_cascade_stats",
+    "source_quality_blocklist",
+    "budget_fill_by_source",
 ]
 
 # Excluded from HEADLINE on purpose:

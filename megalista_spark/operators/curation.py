@@ -361,3 +361,147 @@ def pii_redact(
         cur.alias("redacted_text"),
         *counts,
     )
+
+
+# --------------------------------------------------------- filter cascade
+
+
+def filter_cascade(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+    verdict_col: str = "verdict",
+) -> DataFrame:
+    """C4/Gopher-style quality-filter cascade with per-rule attribution:
+    each row is stamped with the name of the FIRST rule (in the given
+    priority order) whose fail-condition it trips, or 'PASS'. The verdict
+    column is what makes a 100 TB filtering run debuggable — "we dropped
+    31% of CommonCrawl" is useless without knowing WHICH rule took each
+    document.
+
+    ``rules`` is [(name, fail_condition)] — conditions are plain Column
+    expressions, so the whole cascade compiles to one CASE chain inside
+    whole-stage codegen: scan-speed, zero shuffle, no UDFs.
+    """
+    verdict = F.lit("PASS")
+    for name, fail in reversed(rules):
+        verdict = F.when(fail, F.lit(name)).otherwise(verdict)
+    return df.withColumn(verdict_col, verdict)
+
+
+def cascade_keep(
+    df: DataFrame, rules: list[tuple[str, Column]], verdict_col: str = "verdict"
+) -> DataFrame:
+    """Rows surviving every cascade rule (verdict = PASS), verdict column
+    dropped — the corpus that flows to the next pipeline stage."""
+    return (
+        filter_cascade(df, rules, verdict_col)
+        .where(F.col(verdict_col) == "PASS")
+        .drop(verdict_col)
+    )
+
+
+def cascade_stats(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Per-rule attrition report for a filter cascade: one row per rule
+    with the rows it took FIRST (cascade-ordered attribution — these sum
+    to the total dropped) and the rows that trip it regardless of order
+    (total_fail — the rule-overlap signal), plus a final PASS row.
+
+    Scale: ONE scan — every first_fail/total_fail is a conditional sum
+    in a single global aggregate (map-side partial agg, 32 rows to one
+    reducer), then the one-row result explodes into the per-rule report.
+    No joins, no second pass over the data.
+    """
+    ann = filter_cascade(df, rules, "_v")
+    aggs = []
+    for i, (name, fail) in enumerate(rules):
+        aggs.append(
+            F.coalesce(
+                F.sum((F.col("_v") == name).cast("long")), F.lit(0).cast("long")
+            ).alias(f"_ff{i}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(fail.cast("long")), F.lit(0).cast("long")).alias(
+                f"_tf{i}"
+            )
+        )
+    aggs.append(
+        F.coalesce(
+            F.sum((F.col("_v") == "PASS").cast("long")), F.lit(0).cast("long")
+        ).alias("_pass")
+    )
+    one = ann.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(i).cast("int").alias("stage"),
+            F.lit(name).alias("rule"),
+            F.col(f"_ff{i}").alias("first_fail"),
+            F.col(f"_tf{i}").alias("total_fail"),
+        )
+        for i, (name, _) in enumerate(rules)
+    ]
+    entries.append(
+        F.struct(
+            F.lit(len(rules)).cast("int").alias("stage"),
+            F.lit("PASS").alias("rule"),
+            F.col("_pass").alias("first_fail"),
+            F.col("_pass").alias("total_fail"),
+        )
+    )
+    return one.select(F.explode(F.array(*entries)).alias("_e")).select("_e.*")
+
+
+# ------------------------------------------------- source-level curation
+
+
+def source_quality_stats(
+    df: DataFrame,
+    pass_cond: Column,
+    source_col: str = "source",
+    min_pass_permyriad: int = 5000,
+) -> DataFrame:
+    """Domain/source-level curation (the RefinedWeb/Dolma move): score
+    every SOURCE by the fraction of its documents passing a quality
+    predicate, and flag sources below the threshold for blocklisting —
+    low-quality domains are dropped wholesale, which removes spam sites
+    no per-document rule catches.
+
+    The threshold is a permyriad integer (5000 = 50%) so the blocked
+    flag is an exact integer comparison (n_pass·10000 < thr·n_docs) —
+    no float boundary, identical in any engine. pass_rate is emitted
+    rounded for human eyes only.
+
+    Scale: one groupBy(source) — map-side combine reduces each partition
+    to its distinct sources before the shuffle; the result is
+    domain-cardinality sized (tiny), broadcastable into the anti-join
+    that applies the blocklist (``apply_source_blocklist``).
+    """
+    thr = F.lit(min_pass_permyriad).cast("long")
+    return (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(pass_cond.cast("long")).cast("long").alias("n_pass"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_pass",
+            F.round(F.col("n_pass").cast("double") / F.col("n_docs"), 6).alias(
+                "pass_rate"
+            ),
+            (F.col("n_pass") * 10_000 < thr * F.col("n_docs")).alias("blocked"),
+        )
+    )
+
+
+def apply_source_blocklist(
+    df: DataFrame, stats: DataFrame, source_col: str = "source"
+) -> DataFrame:
+    """Drop every document whose source is blocklisted — a broadcast
+    left-anti join against the (tiny, domain-cardinality) stats table."""
+    blocked = stats.where(F.col("blocked")).select(
+        F.col("source").alias(source_col)
+    )
+    return df.join(F.broadcast(blocked), source_col, "left_anti")

@@ -191,3 +191,50 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def budget_fill(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy per-group budget fill — the token-budget corpus assembly
+    step: within each group (source, language, domain) take rows in
+    preference order until the group's cumulative weight (token count,
+    char count) would exceed ``budget``; a row is kept only if the
+    running total INCLUDING it stays ≤ budget (strict greedy prefix —
+    the first row over budget and everything after it drop).
+
+    Preference order is ``order_col`` DESCENDING (e.g. a quality score,
+    or document length for the longest-first heuristic), tie-broken by
+    ascending id so the prefix is total-ordered and deterministic.
+    ``order_col=None`` fills in ascending-id (arrival) order.
+
+    Output: the surviving rows + their in-group fill ``rank`` and
+    running ``cum_weight`` for auditability.
+
+    Scale: ONE shuffle, partitioned by the group — the window orders
+    only within a group. The cumulative sum is a running window
+    aggregate (no self-join); weights sum as bigint, exact. A group
+    whose rows all fit costs the same as one that truncates — the
+    window still scans the group once. Skewed group sizes take the
+    standard hot-key remedies upstream; the operator itself never
+    materializes a group in memory (window agg streams in sort order).
+    """
+    ordering = (
+        [F.col(order_col).desc(), F.col(id_col).asc()]
+        if order_col is not None
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy(group_col).orderBy(*ordering)
+    cum = F.sum(F.col(weight_col).cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_weight", cum)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("cum_weight") <= budget)
+    )

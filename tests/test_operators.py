@@ -1224,3 +1224,83 @@ def test_scd2_history_collapses_runs(spark):
         (2, 1, None, 1, 3, False),
         (2, 2, "z", 3, None, True),
     ]
+
+
+def test_filter_cascade_first_fail_attribution(spark):
+    from megalista_spark.operators.curation import (
+        cascade_keep,
+        cascade_stats,
+        filter_cascade,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, 9), (2, 2, 2), (3, 9, 2), (4, 9, 9)], ["id", "a", "b"]
+    )
+    rules = [("a_small", F.col("a") < 5), ("b_small", F.col("b") < 5)]
+    verdicts = {
+        r["id"]: r["verdict"] for r in filter_cascade(df, rules).collect()
+    }
+    # row 2 trips both rules but is attributed to the FIRST (a_small)
+    assert verdicts == {1: "a_small", 2: "a_small", 3: "b_small", 4: "PASS"}
+    stats = {r["rule"]: r for r in cascade_stats(df, rules).collect()}
+    assert stats["a_small"]["first_fail"] == 2
+    assert stats["a_small"]["total_fail"] == 2
+    assert stats["b_small"]["first_fail"] == 1
+    assert stats["b_small"]["total_fail"] == 2  # row 2 counted here too
+    assert stats["PASS"]["first_fail"] == 1
+    # first_fail attribution partitions the corpus
+    assert sum(s["first_fail"] for s in stats.values()) == df.count()
+    kept = cascade_keep(df, rules)
+    assert [r["id"] for r in kept.collect()] == [4]
+    assert "verdict" not in kept.columns
+
+
+def test_cascade_stats_empty_input(spark):
+    from megalista_spark.operators.curation import cascade_stats
+
+    df = spark.createDataFrame([], "id long, a long")
+    rules = [("neg", F.col("a") < 0)]
+    rows = {r["rule"]: r for r in cascade_stats(df, rules).collect()}
+    assert rows["neg"]["first_fail"] == 0 and rows["PASS"]["first_fail"] == 0
+
+
+def test_source_blocklist_integer_threshold(spark):
+    from megalista_spark.operators.curation import (
+        apply_source_blocklist,
+        source_quality_stats,
+    )
+
+    # s1: 1/2 pass (exactly 50% — NOT blocked at threshold 5000);
+    # s2: 1/3 pass (blocked); s3: 2/2 pass
+    df = spark.createDataFrame(
+        [("s1", 1), ("s1", 0), ("s2", 1), ("s2", 0), ("s2", 0),
+         ("s3", 1), ("s3", 1)],
+        ["source", "ok"],
+    )
+    stats = source_quality_stats(df, F.col("ok") == 1, min_pass_permyriad=5000)
+    by = {r["source"]: r for r in stats.collect()}
+    assert not by["s1"]["blocked"]  # boundary: exactly at threshold keeps
+    assert by["s2"]["blocked"]
+    assert not by["s3"]["blocked"]
+    survivors = apply_source_blocklist(df, stats)
+    assert sorted(set(r["source"] for r in survivors.collect())) == ["s1", "s3"]
+
+
+def test_budget_fill_greedy_prefix(spark):
+    from megalista_spark.operators.sampling import budget_fill
+
+    df = spark.createDataFrame(
+        [("g1", 1, 40), ("g1", 2, 40), ("g1", 3, 30), ("g1", 4, 5),
+         ("g2", 5, 200)],
+        ["grp", "doc_id", "w"],
+    )
+    out = budget_fill(
+        df, group_col="grp", weight_col="w", budget=100, order_col="w"
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # g1 longest-first: 40+40 = 80 kept; +30 would hit 110 > 100 so doc 3
+    # AND everything after it (doc 4, though 85 ≤ 100) drop — strict prefix
+    assert sorted(rows) == [1, 2]
+    assert rows[2]["cum_weight"] == 80 and rows[2]["rank"] == 2
+    # g2's single doc exceeds the budget alone
+    assert 5 not in rows
