@@ -174,3 +174,26 @@ def test_ivfpq_codebook_and_lut_joins_broadcast(spark, entry):
     txt = plan_of(entry.ann_ivfpq_topk(spark, SF))
     assert txt.count("BroadcastHashJoin") >= 2
     assert "BatchEvalPython" not in txt
+
+
+def test_cascade_stats_single_scan_no_join(spark, entry):
+    # the whole attrition report must be one conditional-sum aggregate over
+    # one scan: no join operators, no Python, and exactly the two-exchange
+    # partial->final agg shape (plus nothing else)
+    txt = plan_of(entry.curation_cascade_stats(spark, SF))
+    assert "Join" not in txt and "BatchEvalPython" not in txt
+    assert txt.count("Scan ") == 1
+
+
+def test_source_blocklist_single_groupby_no_join(spark, entry):
+    txt = plan_of(entry.source_quality_blocklist(spark, SF))
+    assert "Join" not in txt and "BatchEvalPython" not in txt
+
+
+def test_budget_fill_single_window_exchange(spark, entry):
+    # one hash-partition exchange for the per-group window; no join, no
+    # global-sort Exchange rangepartitioning except the final orderBy
+    df = entry.budget_fill_by_source(spark, SF)
+    txt = plan_of(df)
+    assert "Join" not in txt and "BatchEvalPython" not in txt
+    assert txt.count("hashpartitioning") >= 1
