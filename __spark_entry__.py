@@ -5749,6 +5749,110 @@ ORDER BY source, rank
 """
 
 
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus build as ONE composed dataflow — the
+    flagship composition query: quality cascade → domain blocklist →
+    exact fingerprint dedup (keep lowest id) → per-source token-budget
+    fill → deterministic train split, reported as per-stage surviving
+    row counts (the attrition funnel every corpus construction run
+    publishes).
+
+    Every stage is the real operator (curation.py / text.py /
+    sampling.py), so this query is also an integration test that the
+    operators compose. The funnel output re-aggregates each stage
+    prefix; production would `observe()` counters on one pass or persist
+    stage outputs — the recomputation here is the price of a single
+    self-contained DataFrame with a SQL twin.
+    """
+    from megalista_spark.operators.curation import (
+        apply_source_blocklist,
+        cascade_keep,
+        source_quality_stats,
+    )
+    from megalista_spark.operators.sampling import budget_fill, hash_split
+    from megalista_spark.operators.text import document_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    rules = _doc_cascade_rules()
+    fails = rules[0][1]
+    for _, cond in rules[1:]:
+        fails = fails | cond
+
+    s1 = cascade_keep(d, rules)
+    stats = source_quality_stats(d, ~fails, min_pass_permyriad=5000)
+    s2 = apply_source_blocklist(s1, stats)
+    fp = document_fingerprint(s2)
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    s3 = s2.join(keep.select("doc_id"), "doc_id", "left_semi")
+    s4 = budget_fill(
+        s3, group_col="source", weight_col="n_chars", budget=3000,
+        order_col="n_chars", id_col="doc_id",
+    )
+    s5 = hash_split(s4, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).where(
+        F.col("split") == "train"
+    )
+
+    stages = [
+        (0, "raw", d),
+        (1, "quality_pass", s1),
+        (2, "source_filtered", s2),
+        (3, "deduped", s3),
+        (4, "budget_filled", s4),
+        (5, "train_split", s5),
+    ]
+    out = None
+    for i, name, df_stage in stages:
+        row = df_stage.agg(
+            F.lit(i).cast("int").alias("stage"),
+            F.lit(name).alias("name"),
+            F.coalesce(F.count(F.lit(1)).cast("long"), F.lit(0)).alias("n_docs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage")
+
+
+CORPUS_BUILD_SQL = rf"""
+WITH {_CASCADE_BASE_SQL},
+s1 AS (SELECT doc_id, source, n_chars FROM v WHERE verdict = 'PASS'),
+blocked AS (
+  SELECT source FROM v GROUP BY source
+  HAVING sum(CASE WHEN verdict = 'PASS' THEN 1 ELSE 0 END) * 10000 < 5000 * count(*)
+),
+s2 AS (
+  SELECT s1.* FROM s1 WHERE s1.source NOT IN (SELECT source FROM blocked)
+),
+fp AS (
+  SELECT s2.doc_id, s2.source, s2.n_chars,
+         md5(trim(regexp_replace(regexp_replace(lower(d.text), '[^A-Za-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS fingerprint
+  FROM s2 JOIN documents d USING (doc_id)
+),
+s3 AS (
+  SELECT doc_id, source, n_chars FROM fp f
+  WHERE doc_id = (SELECT min(g.doc_id) FROM fp g WHERE g.fingerprint = f.fingerprint)
+),
+s4 AS (
+  SELECT doc_id, source, n_chars FROM (
+    SELECT *, sum(n_chars) OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+    FROM s3
+  ) WHERE cum <= 3000
+),
+s5 AS (
+  SELECT * FROM s4
+  WHERE ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < 8000
+)
+SELECT 0::INTEGER AS stage, 'raw' AS name, (SELECT count(*) FROM documents)::BIGINT AS n_docs
+UNION ALL SELECT 1, 'quality_pass', (SELECT count(*) FROM s1)
+UNION ALL SELECT 2, 'source_filtered', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'deduped', (SELECT count(*) FROM s3)
+UNION ALL SELECT 4, 'budget_filled', (SELECT count(*) FROM s4)
+UNION ALL SELECT 5, 'train_split', (SELECT count(*) FROM s5)
+ORDER BY stage
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -5768,6 +5872,7 @@ _GATE_ROTATION_FIRST = [
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
+    "corpus_build_pipeline",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
     "near_dup_groups_fixpoint",
@@ -5920,6 +6025,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "curation_cascade_stats": curation_cascade_stats,
         "source_quality_blocklist": source_quality_blocklist,
         "budget_fill_by_source": budget_fill_by_source,
+        "corpus_build_pipeline": corpus_build_pipeline,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -6104,6 +6210,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_cascade_stats": CASCADE_STATS_SQL,
         "source_quality_blocklist": SOURCE_BLOCKLIST_SQL,
         "budget_fill_by_source": BUDGET_FILL_SQL,
+        "corpus_build_pipeline": CORPUS_BUILD_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

@@ -146,6 +146,7 @@ HEADLINE = [
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
+    "corpus_build_pipeline",
 ]
 
 # Excluded from HEADLINE on purpose:
