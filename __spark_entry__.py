@@ -4486,6 +4486,71 @@ ORDER BY custkey_a, custkey_b
 """
 
 
+def customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity resolution end to end — the megalista domain's own
+    composition: edit-distance-1 customer-name pairs (FastSS blocking,
+    operators/dedup.py::edit_distance_pairs) → exact connected
+    components via O(log n) star contraction (operators/graph.py::
+    star_contraction_components — the name graph is a digit-substitution
+    Hamming graph whose components are large, so min-label's O(diameter)
+    rounds would be the wrong tool) → entity-cluster size histogram
+    (cluster_size, n_clusters), the dedup-rate report an identity system
+    publishes. Oracle: same pair SQL + iteration-free recursive-CTE
+    components."""
+    from megalista_spark.operators.dedup import edit_distance_pairs
+    from megalista_spark.operators.graph import star_contraction_components
+
+    c = _t(spark, sf_dir, "customer")
+    pairs = edit_distance_pairs(c, "c_name", "c_custkey")
+    nodes = c.select(F.col("c_custkey").alias("id"))
+    comp = star_contraction_components(pairs, nodes)
+    sizes = comp.groupBy("group_label").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+ENTITY_RESOLUTION_SQL = """
+WITH RECURSIVE vars AS (
+  SELECT c_custkey AS id, c_name AS name, v.variant
+  FROM customer,
+  LATERAL (
+    SELECT unnest(list_prepend(
+      c_name,
+      list_transform(range(1, len(c_name) + 1),
+                     i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1))
+    )) AS variant
+  ) v
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+  FROM vars a JOIN vars b ON a.variant = b.variant AND a.id < b.id
+),
+prs AS (
+  SELECT id_a, id_b FROM cand WHERE levenshtein(name_a, name_b) <= 1
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM prs
+),
+reach(id, r) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT reach.id, ed.dst FROM reach JOIN edges ed ON ed.src = reach.r
+),
+comp AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+sizes AS (SELECT label, count(*)::BIGINT AS cluster_size FROM comp GROUP BY label)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM sizes GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
 def bloom_prejoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter join pruning (operators/sketches.py::bloom_build/
     bloom_might_contain): event user_ids pruned by a Bloom filter of order
@@ -5873,6 +5938,7 @@ _GATE_ROTATION_FIRST = [
     "source_quality_blocklist",
     "budget_fill_by_source",
     "corpus_build_pipeline",
+    "customer_entity_resolution",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
     "near_dup_groups_fixpoint",
@@ -6026,6 +6092,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "source_quality_blocklist": source_quality_blocklist,
         "budget_fill_by_source": budget_fill_by_source,
         "corpus_build_pipeline": corpus_build_pipeline,
+        "customer_entity_resolution": customer_entity_resolution,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -6211,6 +6278,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_blocklist": SOURCE_BLOCKLIST_SQL,
         "budget_fill_by_source": BUDGET_FILL_SQL,
         "corpus_build_pipeline": CORPUS_BUILD_SQL,
+        "customer_entity_resolution": ENTITY_RESOLUTION_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

@@ -158,6 +158,12 @@ HEADLINE = [
 #       side effect; timing is dominated by the one-off table write, and
 #       repeated bench runs would measure overwrite I/O, not the join plan
 #       (the zero-Exchange plan itself is asserted in tests/test_plans.py).
+#   customer_entity_resolution — the synthetic Customer#... names form ONE
+#       fully connected 15k-node component (every name is a digit-chain
+#       neighbor), the worst case the query exists to stress: ~18s of star
+#       contraction rounds at sf0.1, all churning the same giant component.
+#       Correctness stays driver-gated at sf0.01; the contraction kernel's
+#       steady-state cost is already benched via near_dup_groups_star.
 
 
 def main() -> None:
