@@ -1304,3 +1304,47 @@ def test_budget_fill_greedy_prefix(spark):
     assert rows[2]["cum_weight"] == 80 and rows[2]["rank"] == 2
     # g2's single doc exceeds the budget alone
     assert 5 not in rows
+
+
+def test_observed_funnel_counts_match_recompute(spark):
+    # one action over the final frame collects every stage count — and
+    # they must equal what re-aggregating each stage prefix reports
+    from megalista_spark.operators.curation import cascade_keep
+    from megalista_spark.operators.observability import (
+        observe_rows,
+        observed_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "x" * (i % 7), i % 3) for i in range(60)], ["id", "t", "g"]
+    )
+    rules = [("short_t", F.length("t") < 3), ("g_zero", F.col("g") == 0)]
+    reg = {}
+    s0 = observe_rows(df, "raw", reg)
+    s1 = observe_rows(cascade_keep(s0, rules), "quality_pass", reg)
+    s2 = observe_rows(s1.where(F.col("id") % 2 == 0), "even_only", reg)
+    final_rows = s2.count()  # the ONE action
+
+    counts = observed_counts(reg)
+    assert counts["raw"] == 60
+    assert counts["quality_pass"] == cascade_keep(df, rules).count()
+    assert counts["even_only"] == final_rows
+    assert counts["raw"] >= counts["quality_pass"] >= counts["even_only"]
+
+
+def test_observe_stats_watermark_metrics(spark):
+    from megalista_spark.operators.observability import (
+        observe_stats,
+        observed_metrics,
+    )
+
+    df = spark.createDataFrame([(1, 10.0), (2, 30.0), (3, 20.0)], ["id", "v"])
+    reg = {}
+    tapped = observe_stats(
+        df, "vstats", reg,
+        {"rows": F.count(F.lit(1)), "vmax": F.max("v"), "vsum": F.sum("v")},
+    )
+    tapped.where(F.col("v") > 15).count()
+    m = observed_metrics(reg)["vstats"]
+    # metrics see rows AT the tap point (before the downstream filter)
+    assert m == {"rows": 3, "vmax": 30.0, "vsum": 60.0}
