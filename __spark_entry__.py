@@ -5814,6 +5814,68 @@ ORDER BY source, rank
 """
 
 
+def gap_filled_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (operators/timeseries.py::
+    densify_ffill): hourly per-type event rollup densified to EVERY hour
+    between each type's first and last activity — counts zero-filled
+    (absence = 0 events), the hour's total value forward-filled (state
+    semantics: last observed carries) — the resample/ffill step between
+    an event log and any gapless-series consumer. Integer epoch-hour
+    buckets keep the grid engine-portable; the grid explode is
+    data-independent (hours in range, not events)."""
+    from megalista_spark.operators.timeseries import densify_ffill
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type",
+        (F.floor(F.col("ts").cast("long") / 3600) * 3600)
+        .cast("bigint")
+        .alias("hour_sec"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("hour_value"),
+    )
+    filled = densify_ffill(
+        hourly, "event_type", "hour_sec", 3600,
+        ffill_cols=["hour_value"], zero_cols=["n_events"],
+    )
+    return filled.select(
+        "event_type", "hour_sec", "n_events", "hour_value", "is_observed"
+    ).orderBy("event_type", "hour_sec")
+
+
+GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         (epoch_us(ts::TIMESTAMP) // 1000000 // 3600 * 3600)::BIGINT AS hour_sec,
+         count(*)::BIGINT AS n_events,
+         round(sum(value), 6) AS hour_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(hour_sec) AS lo, max(hour_sec) AS hi
+  FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT event_type, unnest(range(lo, hi + 3600, 3600))::BIGINT AS hour_sec
+  FROM bounds
+),
+j AS (
+  SELECT g.event_type, g.hour_sec, h.n_events, h.hour_value,
+         h.hour_sec IS NOT NULL AS is_observed
+  FROM grid g LEFT JOIN hourly h USING (event_type, hour_sec)
+)
+SELECT event_type, hour_sec,
+       coalesce(n_events, 0)::BIGINT AS n_events,
+       last_value(hour_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hour_sec
+         ROWS UNBOUNDED PRECEDING) AS hour_value,
+       is_observed
+FROM j
+ORDER BY event_type, hour_sec
+"""
+
+
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus build as ONE composed dataflow — the
     flagship composition query: quality cascade → domain blocklist →
@@ -5939,6 +6001,7 @@ _GATE_ROTATION_FIRST = [
     "budget_fill_by_source",
     "corpus_build_pipeline",
     "customer_entity_resolution",
+    "gap_filled_hourly_series",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
     "near_dup_groups_fixpoint",
@@ -6093,6 +6156,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "budget_fill_by_source": budget_fill_by_source,
         "corpus_build_pipeline": corpus_build_pipeline,
         "customer_entity_resolution": customer_entity_resolution,
+        "gap_filled_hourly_series": gap_filled_hourly_series,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -6279,6 +6343,7 @@ def oracle_sql() -> dict[str, str]:
         "budget_fill_by_source": BUDGET_FILL_SQL,
         "corpus_build_pipeline": CORPUS_BUILD_SQL,
         "customer_entity_resolution": ENTITY_RESOLUTION_SQL,
+        "gap_filled_hourly_series": GAP_FILL_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

@@ -147,6 +147,7 @@ HEADLINE = [
     "source_quality_blocklist",
     "budget_fill_by_source",
     "corpus_build_pipeline",
+    "gap_filled_hourly_series",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -1348,3 +1348,25 @@ def test_observe_stats_watermark_metrics(spark):
     m = observed_metrics(reg)["vstats"]
     # metrics see rows AT the tap point (before the downstream filter)
     assert m == {"rows": 3, "vmax": 30.0, "vsum": 60.0}
+
+
+def test_densify_ffill_gaps_and_state(spark):
+    from megalista_spark.operators.timeseries import densify_ffill
+
+    df = spark.createDataFrame(
+        [("a", 0, 2, 1.5), ("a", 30, 1, 9.0), ("b", 10, 4, 2.0)],
+        ["k", "bucket", "n", "v"],
+    )
+    out = densify_ffill(
+        df, "k", "bucket", 10, ffill_cols=["v"], zero_cols=["n"]
+    ).collect()
+    rows = {(r["k"], r["bucket"]): r for r in out}
+    # a: grid 0,10,20,30 — 10 and 20 are synthesized
+    assert sorted(b for k, b in rows if k == "a") == [0, 10, 20, 30]
+    assert not rows[("a", 10)]["is_observed"] and rows[("a", 30)]["is_observed"]
+    # counts zero-fill; state forward-fills from the last observed bucket
+    assert rows[("a", 10)]["n"] == 0 and rows[("a", 10)]["v"] == 1.5
+    assert rows[("a", 20)]["v"] == 1.5 and rows[("a", 30)]["v"] == 9.0
+    # single-bucket key: grid is itself, untouched
+    assert sorted(b for k, b in rows if k == "b") == [10]
+    assert rows[("b", 10)]["n"] == 4 and rows[("b", 10)]["is_observed"]
