@@ -119,6 +119,47 @@ def main() -> None:
     )
     print("non-singleton groups:",
           groups.where(~F.col("is_canonical")).count())
+
+    # 13. production-style funnel: rule cascade → domain blocklist →
+    #     per-source token budget, with EVERY stage count collected by
+    #     CollectMetrics taps during the single final action (no
+    #     re-aggregation — compare the oracle-gated corpus_build_pipeline
+    #     query, which recomputes prefixes to stay a one-DataFrame contract)
+    from megalista_spark.operators.curation import (
+        apply_source_blocklist,
+        cascade_keep,
+        source_quality_stats,
+    )
+    from megalista_spark.operators.observability import (
+        observe_rows,
+        observed_counts,
+    )
+    from megalista_spark.operators.sampling import budget_fill
+
+    rules = [
+        ("too_short", F.length("text") < 100),
+        ("long_words", F.length("text") > F.size(F.split("text", r"\s+")) * 8),
+    ]
+    reg = {}
+    f0 = observe_rows(docs, "raw", reg)
+    f1 = observe_rows(cascade_keep(f0, rules), "quality_pass", reg)
+    src_stats = source_quality_stats(docs, F.length("text") >= 100)
+    f2 = observe_rows(apply_source_blocklist(f1, src_stats), "after_blocklist", reg)
+    f3 = budget_fill(f2, group_col="source", weight_col="n_chars",
+                     budget=3000, order_col="n_chars")
+    final = f3.count()  # the one action — all taps collect here
+    print("funnel:", observed_counts(reg), "-> budget_filled:", final)
+
+    # 14. gapless hourly series from the event log (densify + ffill)
+    from megalista_spark.operators.timeseries import densify_ffill
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = events.groupBy(
+        "event_type",
+        (F.floor(F.col("ts").cast("long") / 3600) * 3600).alias("hour_sec"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    densify_ffill(hourly, "event_type", "hour_sec", 3600,
+                  zero_cols=["n_events"]).where(~F.col("is_observed")).show(5)
     spark.stop()
 
 
