@@ -332,3 +332,51 @@ def test_inverted_index_matches_naive_batch(spark):
         want = ",".join(f"{d}:{by_doc[d]}" for d in first)
         assert got[term] == (len(by_doc), want)
     assert set(got) == set(naive)
+
+
+def test_budget_fill_prefix_properties_batch(spark):
+    """budget_fill must keep EXACTLY the rows whose running total (in the
+    declared order) stays within budget — verified against a driver-side
+    recomputation on random data — and a larger budget must keep a
+    superset of a smaller one (monotonicity)."""
+    import random
+
+    from megalista_spark.operators.sampling import budget_fill
+
+    rng = random.Random(7)
+    rows = [
+        (f"g{rng.randrange(6)}", i, rng.randrange(1, 50), rng.randrange(100))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "doc_id", "w", "q"])
+
+    def naive(budget):
+        by_group: dict[str, list] = {}
+        for g, i, w, q in rows:
+            by_group.setdefault(g, []).append((q, i, w))
+        kept = set()
+        for g, members in by_group.items():
+            members.sort(key=lambda t: (-t[0], t[1]))  # q desc, id asc
+            cum = 0
+            for q, i, w in members:
+                cum += w
+                if cum > budget:
+                    break
+                kept.add(i)
+        return kept
+
+    kept_small = {
+        r["doc_id"]
+        for r in budget_fill(
+            df, group_col="grp", weight_col="w", budget=120, order_col="q"
+        ).collect()
+    }
+    kept_big = {
+        r["doc_id"]
+        for r in budget_fill(
+            df, group_col="grp", weight_col="w", budget=400, order_col="q"
+        ).collect()
+    }
+    assert kept_small == naive(120)
+    assert kept_big == naive(400)
+    assert kept_small <= kept_big  # budget monotonicity
