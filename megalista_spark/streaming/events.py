@@ -365,18 +365,25 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def stream_user_running_stats(events: DataFrame) -> DataFrame:
+def stream_user_running_stats(
+    events: DataFrame, output_mode: str = "update"
+) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running (count, total_value) across micro-batches — the
     arbitrary-state escape hatch for semantics windows can't express
     (reference has nothing like it; this is the Spark-first extension
     point for custom accumulators at scale: state is partitioned by the
-    group key across executors and checkpointed)."""
+    group key across executors and checkpointed). ``output_mode``
+    "update" suits memory/foreachBatch sinks; "append" lets the emitted
+    per-batch snapshots flow to file sinks (each batch appends the
+    touched groups' running values)."""
 
     def update(key, pdfs, state):
         import pandas as pd
 
-        n, total = state.get() if state.exists else (0, 0.0)
+        # NB: GroupState.get is a PROPERTY (calling it would invoke the
+        # state tuple); getOption is its None-safe twin
+        n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
@@ -389,6 +396,84 @@ def stream_user_running_stats(events: DataFrame) -> DataFrame:
         update,
         outputStructType=USER_STATS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
-        outputMode="update",
+        outputMode=output_mode,
         timeoutConf="NoTimeout",
+    )
+
+
+SILENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("last_seen_sec", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_SILENCE_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("last_sec", T.LongType()),
+    ]
+)
+
+
+def stream_silence_monitor(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Heartbeat/silence detection — the EventTimeTimeout face of
+    arbitrary state: a key that stops producing events for
+    ``gap_seconds`` of EVENT TIME (watermark clock, not wall clock) is
+    emitted exactly once as (user_id, last_seen_sec, n_events) and its
+    state dropped. The complement of session windows: those emit when
+    activity ENDS INSIDE the data; this fires on ABSENCE — a sensor
+    going dark, an SLA heartbeat missed — which no windowed aggregation
+    can express (there is no row to aggregate).
+
+    Mechanics: per batch, a group's kernel runs either with new rows
+    (update last-seen, re-arm the timeout at last+gap — clamped one
+    tick above the current watermark, since Spark rejects timeouts at
+    or below it) or with ``state.hasTimedOut`` after the watermark
+    passes the armed timestamp (emit + remove). State is
+    (count, last_sec) per live key, partitioned across executors and
+    checkpointed; dead keys leave the store, so state size tracks
+    ACTIVE keys only — the property that keeps a 100 TB keyspace's
+    monitor bounded.
+    """
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            n, last = state.get  # property, not a method
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "last_seen_sec": [last], "n_events": [n]}
+            )
+            return
+        n, last = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                last = max(
+                    last, int(pdf[ts_col].astype("int64").max() // 1_000_000_000)
+                )
+        state.update((n, last))
+        state.setTimeoutTimestamp(
+            max((last + gap_seconds) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=SILENCE_SCHEMA,
+            stateStructType=_SILENCE_STATE,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
     )

@@ -414,3 +414,88 @@ def test_stream_rollup_drops_late_data_in_append_mode(spark, tmp_path):
     }
     assert got[t0] == (2, 3.0)  # hour-0 window: only the on-time events
     assert 100.0 not in {v for _, v in got.values()}
+
+
+def test_stream_silence_monitor_times_out_quiet_users(spark, tmp_path):
+    # EventTimeTimeout semantics: a user quiet for gap_seconds of EVENT
+    # time is emitted exactly once with their final state, then dropped.
+    # Three availableNow runs over one checkpoint: run 2 advances the
+    # watermark past A's gap; run 3's timeout sweep (which uses the
+    # watermark committed at the END of run 2) fires A. B stays live.
+    from datetime import datetime, timedelta
+
+    from megalista_spark.streaming.events import stream_silence_monitor
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "user_id long, ts timestamp"
+
+    def sec(s):
+        return t0 + timedelta(seconds=s)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        ev = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_silence_monitor(ev, gap_seconds=300, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write([(1, sec(0)), (1, sec(30)), (1, sec(60)), (2, sec(0))])
+    run()  # watermark -> 60; A armed for 360, B for 300
+    write([(2, sec(1000))])
+    run()  # sweep at wm=60: nothing; then watermark -> 1000, B re-armed 1300
+    write([(2, sec(1100))])
+    run()  # sweep at wm=1000: A (360) fires, B (1300) does not
+
+    rows = spark.read.parquet(out).collect()
+    assert [(r.user_id, r.last_seen_sec, r.n_events) for r in rows] == [
+        (1, int(sec(60).replace(tzinfo=__import__("datetime").timezone.utc).timestamp()), 3)
+    ]
+
+
+def test_stateful_running_stats_accumulates_across_batches(spark, tmp_path):
+    # two availableNow runs over one checkpoint: run 2 must RESTORE each
+    # user's (n, total) and add to it — the state.exists branch the
+    # single-batch test never reaches (and where a get-as-method bug hid)
+    from megalista_spark.streaming.events import stream_user_running_stats
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    schema = "user_id long, value double"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_user_running_stats(stream, output_mode="append")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write([(1, 10.0), (1, 5.0), (2, 1.0)])
+    run()
+    write([(1, 2.5), (3, 7.0)])
+    run()
+
+    got = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # run 1 snapshots + run 2 snapshots of the touched groups, the
+    # latter carrying state RESTORED from the checkpoint
+    assert got == {(1, 2, 15.0), (2, 1, 1.0), (1, 3, 17.5), (3, 1, 7.0)}
