@@ -2461,6 +2461,43 @@ ORDER BY k
 """
 
 
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion on the Spark-4 NATIVE path: props parsed
+    ONCE into the VARIANT binary encoding (try_parse_json — malformed
+    rows become NULL, not errors), then typed extraction with
+    try_variant_get and a per-type rollup. The from_json twin
+    (json_extract_props) needs the schema up front; VARIANT defers
+    typing to extraction — the open-schema event-log pattern. Both are
+    scan-speed expressions; VARIANT additionally amortizes the parse
+    when many fields are pulled from one document."""
+    e = _events(spark, sf_dir)
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n_with_k"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VARIANT_PROPS_SQL = """
+WITH x AS (
+  SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type, count(k)::BIGINT AS n_with_k,
+       min(k)::BIGINT AS k_min, max(k)::BIGINT AS k_max,
+       sum(k)::BIGINT AS k_sum
+FROM x GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash near-dup pairs (hamming <= 6 over 32 bits)."""
     from megalista_spark.operators.dedup import simhash_near_pairs
@@ -6002,6 +6039,7 @@ _GATE_ROTATION_FIRST = [
     "corpus_build_pipeline",
     "customer_entity_resolution",
     "gap_filled_hourly_series",
+    "variant_props_stats",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
     "near_dup_groups_fixpoint",
@@ -6157,6 +6195,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "corpus_build_pipeline": corpus_build_pipeline,
         "customer_entity_resolution": customer_entity_resolution,
         "gap_filled_hourly_series": gap_filled_hourly_series,
+        "variant_props_stats": variant_props_stats,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -6344,6 +6383,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_build_pipeline": CORPUS_BUILD_SQL,
         "customer_entity_resolution": ENTITY_RESOLUTION_SQL,
         "gap_filled_hourly_series": GAP_FILL_SQL,
+        "variant_props_stats": VARIANT_PROPS_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

@@ -148,6 +148,7 @@ HEADLINE = [
     "budget_fill_by_source",
     "corpus_build_pipeline",
     "gap_filled_hourly_series",
+    "variant_props_stats",
 ]
 
 # Excluded from HEADLINE on purpose:
