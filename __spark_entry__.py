@@ -5913,6 +5913,41 @@ ORDER BY event_type, hour_sec
 """
 
 
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding (operators/sampling.py::
+    global_shuffle_index): dense position 0..n-1 in hash order and a
+    contiguous shard id per document, computed with per-bucket sorts and
+    driver-side prefix offsets instead of a one-reducer global sort.
+    The oracle computes the equivalent single ORDER BY (bucket, hash,
+    id) row_number — bit-identical by construction."""
+    from megalista_spark.operators.sampling import global_shuffle_index
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        global_shuffle_index(d, "doc_id", salt="shuffle", n_shards=8)
+        .select("doc_id", "shuffle_pos", "shard")
+        .orderBy("shuffle_pos")
+    )
+
+
+SHUFFLE_SHARDS_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shuffle|' || doc_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM documents
+),
+o AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY hh % 1024, hh, doc_id) - 1 AS pos,
+         count(*) OVER () AS n
+  FROM h
+)
+SELECT doc_id, pos::BIGINT AS shuffle_pos, ((pos * 8) // n)::INT AS shard
+FROM o
+ORDER BY shuffle_pos
+"""
+
+
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus build as ONE composed dataflow — the
     flagship composition query: quality cascade → domain blocklist →
@@ -6040,6 +6075,7 @@ _GATE_ROTATION_FIRST = [
     "customer_entity_resolution",
     "gap_filled_hourly_series",
     "variant_props_stats",
+    "training_shuffle_shards",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
     "near_dup_groups_fixpoint",
@@ -6196,6 +6232,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "customer_entity_resolution": customer_entity_resolution,
         "gap_filled_hourly_series": gap_filled_hourly_series,
         "variant_props_stats": variant_props_stats,
+        "training_shuffle_shards": training_shuffle_shards,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -6384,6 +6421,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_entity_resolution": ENTITY_RESOLUTION_SQL,
         "gap_filled_hourly_series": GAP_FILL_SQL,
         "variant_props_stats": VARIANT_PROPS_SQL,
+        "training_shuffle_shards": SHUFFLE_SHARDS_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

@@ -149,6 +149,7 @@ HEADLINE = [
     "corpus_build_pipeline",
     "gap_filled_hourly_series",
     "variant_props_stats",
+    "training_shuffle_shards",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -238,3 +238,64 @@ def budget_fill(
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("cum_weight") <= budget)
     )
+
+
+def global_shuffle_index(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "shuffle",
+    n_shards: int = 8,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic global training order WITHOUT a global sort: every
+    row gets a dense position 0..n-1 in pseudo-random (hash) order plus
+    a contiguous shard id — the "shuffle the corpus, then shard it"
+    step before training, reproducible under any partitioning/engine.
+
+    The classic trap is ``orderBy(hash)`` + a row-number window with no
+    partition key: one reducer sorts the world. Instead, two phases:
+
+      1. bucket = hash % n_buckets; count rows per bucket (tiny agg),
+         prefix-sum the counts DRIVER-SIDE (n_buckets scalars) into
+         bucket start offsets, broadcast back;
+      2. pos = offset[bucket] + rank within bucket (window partitioned
+         BY bucket, ordered by (hash, key) — sorts are per-bucket,
+         parallel, spillable).
+
+    Because ranks concatenate bucket-by-bucket in bucket order, the
+    result is byte-identical to the global ``row_number() OVER (ORDER BY
+    bucket, hash, key)`` an oracle computes — at 1/n_buckets the sort
+    span. Shard = pos·n_shards//n — contiguous equal-size ranges of the
+    shuffled order, so shard files stream sequentially.
+    """
+    h = portable_hash64(
+        F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string"))
+    )
+    b = df.withColumn("_h", h).withColumn("_b", F.col("_h") % n_buckets)
+    counts = {
+        r["_b"]: r["c"]
+        for r in b.groupBy("_b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n = sum(counts.values())
+    offsets, acc = {}, 0
+    for bucket in range(n_buckets):
+        offsets[bucket] = acc
+        acc += counts.get(bucket, 0)
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        [(k, v) for k, v in offsets.items()], "_b bigint, _off bigint"
+    )
+    w = Window.partitionBy("_b").orderBy(F.col("_h").asc(), F.col(key_col).asc())
+    return (
+        b.join(F.broadcast(off), "_b")
+        .withColumn(
+            "shuffle_pos",
+            (F.col("_off") + F.row_number().over(w) - 1).cast("bigint"),
+        )
+        .withColumn(
+            "shard",
+            # exact integer math (pos·shards DIV n) — no float boundary
+            F.expr(f"CAST((shuffle_pos * {n_shards}) DIV {max(n, 1)} AS INT)"),
+        )
+        .drop("_h", "_b", "_off")
+    )

@@ -1370,3 +1370,29 @@ def test_densify_ffill_gaps_and_state(spark):
     # single-bucket key: grid is itself, untouched
     assert sorted(b for k, b in rows if k == "b") == [10]
     assert rows[("b", 10)]["n"] == 4 and rows[("b", 10)]["is_observed"]
+
+
+def test_global_shuffle_index_permutation_and_shards(spark):
+    from megalista_spark.operators.sampling import global_shuffle_index
+
+    df = spark.createDataFrame([(i,) for i in range(97)], ["doc_id"])
+    out = global_shuffle_index(df, "doc_id", n_shards=4, n_buckets=16).collect()
+    poss = sorted(r["shuffle_pos"] for r in out)
+    assert poss == list(range(97))  # dense permutation, no global sort
+    # contiguous shards, sizes within one row of each other
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["shuffle_pos"])
+    assert sorted(by_shard) == [0, 1, 2, 3]
+    sizes = [len(v) for _, v in sorted(by_shard.items())]
+    assert max(sizes) - min(sizes) <= 1
+    for _, v in by_shard.items():
+        v.sort()
+        assert v == list(range(v[0], v[-1] + 1))  # contiguous ranges
+    # determinism: same result under different partitioning
+    out2 = global_shuffle_index(
+        df.repartition(7), "doc_id", n_shards=4, n_buckets=16
+    ).collect()
+    assert {(r["doc_id"], r["shuffle_pos"]) for r in out2} == {
+        (r["doc_id"], r["shuffle_pos"]) for r in out
+    }
