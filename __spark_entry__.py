@@ -5913,6 +5913,47 @@ ORDER BY event_type, hour_sec
 """
 
 
+def quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter flow control (operators/expectations.py::quarantine):
+    rows violating any rule leave the pipeline tagged with the FIRST
+    violated rule (dict-order attribution, the filter_cascade contract)
+    instead of failing the job or vanishing. Gated output: the triage
+    summary — per-reason quarantined counts plus the surviving-row
+    count — which is what the dead-letter monitor alerts on."""
+    from megalista_spark.operators.expectations import quarantine
+
+    o = _t(spark, sf_dir, "orders")
+    valid, quar = quarantine(
+        o,
+        {
+            "not_pending": "o_orderstatus != 'P'",
+            "price_in_range": "o_totalprice <= 300000",
+        },
+    )
+    summary = quar.groupBy(
+        F.col("quarantine_reason").alias("reason")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    ok = valid.agg(
+        F.lit("VALID").alias("reason"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return summary.unionByName(ok).orderBy("reason")
+
+
+QUARANTINE_SQL = """
+WITH v AS (
+  SELECT CASE
+    WHEN NOT coalesce(o_orderstatus != 'P', FALSE) THEN 'not_pending'
+    WHEN NOT coalesce(o_totalprice <= 300000, FALSE) THEN 'price_in_range'
+    ELSE 'VALID' END AS reason
+  FROM orders
+)
+SELECT reason, count(*)::BIGINT AS n_rows
+FROM v GROUP BY reason
+ORDER BY reason
+"""
+
+
 def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle + sharding (operators/sampling.py::
     global_shuffle_index): dense position 0..n-1 in hash order and a
@@ -6076,6 +6117,7 @@ _GATE_ROTATION_FIRST = [
     "gap_filled_hourly_series",
     "variant_props_stats",
     "training_shuffle_shards",
+    "quarantine_orders",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
     "near_dup_groups_fixpoint",
@@ -6233,6 +6275,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "gap_filled_hourly_series": gap_filled_hourly_series,
         "variant_props_stats": variant_props_stats,
         "training_shuffle_shards": training_shuffle_shards,
+        "quarantine_orders": quarantine_orders,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -6422,6 +6465,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_filled_hourly_series": GAP_FILL_SQL,
         "variant_props_stats": VARIANT_PROPS_SQL,
         "training_shuffle_shards": SHUFFLE_SHARDS_SQL,
+        "quarantine_orders": QUARANTINE_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

@@ -150,6 +150,7 @@ HEADLINE = [
     "gap_filled_hourly_series",
     "variant_props_stats",
     "training_shuffle_shards",
+    "quarantine_orders",
 ]
 
 # Excluded from HEADLINE on purpose:

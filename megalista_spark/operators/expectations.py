@@ -84,3 +84,35 @@ def check_constraints(
     return out.select(
         "rule", "n_violations", (F.col("n_violations") == 0).alias("passed")
     ).orderBy("rule")
+
+
+def quarantine(
+    df: DataFrame,
+    row_rules: dict[str, str],
+    reason_col: str = "quarantine_reason",
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: (valid_rows, quarantined_rows) — the flow
+    control counterpart of ``check_constraints``'s report. A row is
+    quarantined when ANY rule evaluates FALSE or NULL; the quarantine
+    side carries the FIRST violated rule's name (dict order — the same
+    first-fail attribution contract as curation.filter_cascade) so the
+    dead-letter table is triage-able by rule.
+
+    The reference isolates failing batches and keeps the run alive
+    (megalista uploaders' safe_process / error accumulators); this is
+    that policy for ROWS at table scale: bad rows leave the flow with a
+    reason instead of failing the job or silently vanishing.
+
+    Scale: the verdict is one CASE chain evaluated in the scan
+    projection — both outputs are filters over the same lineage (two
+    passes over the scan, or one if the caller persists/observes);
+    no shuffle, no Python.
+    """
+    verdict = F.lit(None).cast("string")
+    for name, cond in reversed(list(row_rules.items())):
+        bad = ~F.coalesce(F.expr(cond), F.lit(False))
+        verdict = F.when(bad, F.lit(name)).otherwise(verdict)
+    tagged = df.withColumn(reason_col, verdict)
+    valid = tagged.where(F.col(reason_col).isNull()).drop(reason_col)
+    quarantined = tagged.where(F.col(reason_col).isNotNull())
+    return valid, quarantined

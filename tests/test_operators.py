@@ -1396,3 +1396,23 @@ def test_global_shuffle_index_permutation_and_shards(spark):
     assert {(r["doc_id"], r["shuffle_pos"]) for r in out2} == {
         (r["doc_id"], r["shuffle_pos"]) for r in out
     }
+
+
+def test_quarantine_splits_with_first_reason(spark):
+    from megalista_spark.operators.expectations import quarantine
+
+    df = spark.createDataFrame(
+        [(1, 5, "x"), (2, -1, "y"), (3, 7, None), (4, -2, None)],
+        "id long, amount long, label string",
+    )
+    valid, quar = quarantine(
+        df,
+        {"amount_pos": "amount > 0", "label_set": "label IS NOT NULL"},
+    )
+    assert [r["id"] for r in valid.orderBy("id").collect()] == [1]
+    got = {r["id"]: r["quarantine_reason"] for r in quar.collect()}
+    # NULL rule result quarantines; first violated rule wins (row 4)
+    assert got == {2: "amount_pos", 3: "label_set", 4: "amount_pos"}
+    assert "quarantine_reason" not in valid.columns
+    # partition property: every input row lands on exactly one side
+    assert valid.count() + quar.count() == df.count()
