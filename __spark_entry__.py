@@ -2209,6 +2209,66 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the parts co-purchase graph via
+    deterministic SYNCHRONOUS label propagation (operators/graph.py::
+    label_propagation_communities, 2 rounds): majority-vote labels stop
+    at density boundaries, splitting the connected graph into dense
+    neighborhoods — where min-label components would flood one id over
+    everything reachable. Edges are DISTINCT co-purchase pairs
+    (unweighted votes); every part is a node, never-purchased parts stay
+    their own community. Oracle unrolls the same two rounds."""
+    from megalista_spark.operators.graph import label_propagation_communities
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = l.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2")
+    )
+    edges = (
+        l.join(l2, (l["l_orderkey"] == l2["ok2"]) & (l["l_partkey"] < l2["pk2"]))
+        .select(F.col("l_partkey").alias("id_a"), F.col("pk2").alias("id_b"))
+        .distinct()
+    )
+    nodes = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+    return label_propagation_communities(edges, nodes, iters=2).orderBy("id")
+
+
+def _lpa_sql(iters: int = 2) -> str:
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f"""v{t} AS (
+  SELECT e.src, l.label, count(*) AS c
+  FROM edges e JOIN l{t-1} l ON l.id = e.dst
+  GROUP BY e.src, l.label
+), b{t} AS (
+  SELECT src, label FROM (
+    SELECT src, label,
+           row_number() OVER (PARTITION BY src ORDER BY c DESC, label ASC) AS r
+    FROM v{t}
+  ) WHERE r = 1
+), l{t} AS MATERIALIZED (
+  SELECT n.id, coalesce(b.label, n.label) AS label
+  FROM l{t-1} n LEFT JOIN b{t} b ON b.src = n.id
+)""")
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH prs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM prs
+),
+l0 AS (SELECT p_partkey AS id, p_partkey AS label FROM part),
+{rounds_sql}
+SELECT id, label AS community FROM l{iters}
+ORDER BY id
+"""
+
+
 TRIANGLE_SQL = """
 WITH e AS (
   SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
@@ -6118,6 +6178,7 @@ _GATE_ROTATION_FIRST = [
     "variant_props_stats",
     "training_shuffle_shards",
     "quarantine_orders",
+    "copurchase_communities",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
     "near_dup_groups_fixpoint",
@@ -6276,6 +6337,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "variant_props_stats": variant_props_stats,
         "training_shuffle_shards": training_shuffle_shards,
         "quarantine_orders": quarantine_orders,
+        "copurchase_communities": copurchase_communities,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -6466,6 +6528,7 @@ def oracle_sql() -> dict[str, str]:
         "variant_props_stats": VARIANT_PROPS_SQL,
         "training_shuffle_shards": SHUFFLE_SHARDS_SQL,
         "quarantine_orders": QUARANTINE_SQL,
+        "copurchase_communities": _lpa_sql(),
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

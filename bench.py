@@ -151,6 +151,7 @@ HEADLINE = [
     "variant_props_stats",
     "training_shuffle_shards",
     "quarantine_orders",
+    "copurchase_communities",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -301,3 +301,64 @@ def star_contraction_components(
     return out.select(
         "id", "group_label", (F.col("id") == F.col("group_label")).alias("is_canonical")
     )
+
+
+def label_propagation_communities(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    iters: int = 2,
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    id_col: str = "id",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007, public method), made deterministic and engine-portable:
+    each round every node adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label, all nodes updating
+    from the same previous-round snapshot (the asynchronous original is
+    order-dependent — useless for a reproducibility contract). Fixed
+    ``iters`` keeps the operator a pure function the SQL oracle unrolls
+    round by round, exactly like min_label_groups / kmeans.
+
+    Distinct from connected components: min-label FLOODS the component
+    minimum everywhere; majority-vote LPA stops at density boundaries,
+    splitting a connected graph into dense neighborhoods — the actual
+    community structure.
+
+    Scale: per round, one (edge ⋈ labels) join + one (dst, label) count
+    shuffle + one per-node argmax (a max over (count, label) structs —
+    an aggregate, NOT a row_number window, so map-side partial
+    aggregation applies). Labels localCheckpoint per round (iterative
+    lineage otherwise doubles — the fixpoint lesson). Isolated nodes
+    keep their own label via left join + coalesce.
+
+    Output: (id, community) for every node in ``nodes``.
+    """
+    a, b = pair_cols
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(iters):
+        votes = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy(F.col("src"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax by (count DESC, label ASC): max(struct(c, -label)) picks
+        # the largest count, then the LARGEST -label = smallest label
+        best = (
+            votes.groupBy("src")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("_b"))
+            .select(F.col("src"), (-F.col("_b.nl")).alias("new_label"))
+        )
+        labels = (
+            labels.join(best, labels["id"] == best["src"], "left")
+            .select(
+                "id",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return labels.select("id", F.col("label").alias("community"))

@@ -1416,3 +1416,24 @@ def test_quarantine_splits_with_first_reason(spark):
     assert "quarantine_reason" not in valid.columns
     # partition property: every input row lands on exactly one side
     assert valid.count() + quar.count() == df.count()
+
+
+def test_label_propagation_two_cliques(spark):
+    from megalista_spark.operators.graph import label_propagation_communities
+
+    # triangle {1,2,3} bridged (3-4) to triangle {4,5,6}, plus isolate 9
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        ["id_a", "id_b"],
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, 9]], ["id"])
+    out = {
+        r["id"]: r["community"]
+        for r in label_propagation_communities(pairs, nodes, iters=2).collect()
+    }
+    # the left clique converges to one label; the bridge does NOT flood
+    # it across (min-label components WOULD label everything 1)
+    assert out[1] == out[2] == out[3] == 1
+    assert all(out[i] != 1 for i in (4, 5, 6))
+    # deterministic synchronous update with smallest-label ties: exact values
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3, 9: 9}  # 9 isolated
