@@ -4344,6 +4344,81 @@ ORDER BY l_returnflag, q
 """
 
 
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group clipping (operators/sketches.py::
+    winsorize_by_group): l_extendedprice clamped to each returnflag's
+    portable [p05, p95] histogram-quantile bounds; gated output is the
+    clip report — bounds plus how many rows each side clipped (counts
+    and bounds are exactly reproducible; sums of clipped doubles would
+    not hash across engines at this magnitude)."""
+    from megalista_spark.operators.sketches import winsorize_by_group
+
+    l = _t(spark, sf_dir, "lineitem")
+    w = winsorize_by_group(
+        l, "l_extendedprice", ["l_returnflag"], lower=0.05, upper=0.95
+    )
+    return (
+        w.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("clipped_low").cast("long")).cast("long").alias("n_clipped_low"),
+            F.sum(F.col("clipped_high").cast("long")).cast("long").alias("n_clipped_high"),
+            F.min("clip_lo").alias("clip_lo"),
+            F.min("clip_hi").alias("clip_hi"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WINSORIZE_SQL = """
+WITH b AS (
+  SELECT l_returnflag, min(l_extendedprice::DOUBLE) AS lo,
+         max(l_extendedprice::DOUBLE) AS hi, count(l_extendedprice) AS n
+  FROM lineitem GROUP BY l_returnflag
+),
+binned AS (
+  SELECT l.l_returnflag, l_extendedprice::DOUBLE AS x,
+         CASE WHEN hi = lo THEN 0
+              ELSE least(1023, floor((l_extendedprice::DOUBLE - lo) / ((hi - lo) / 1024)))::BIGINT
+         END AS bin
+  FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+  WHERE l_extendedprice IS NOT NULL
+),
+counts AS (SELECT l_returnflag, bin, count(*)::BIGINT AS c FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, bin,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts
+),
+qs AS (SELECT q FROM (VALUES (0.05), (0.95)) AS t(q)),
+hit AS (
+  SELECT cum.l_returnflag, q, lo, hi, min(bin) AS bin
+  FROM cum JOIN b ON cum.l_returnflag = b.l_returnflag
+  CROSS JOIN qs
+  WHERE cum >= ceil(q * n)
+  GROUP BY cum.l_returnflag, q, lo, hi
+),
+ests AS (
+  SELECT l_returnflag, q, round(lo + ((hi - lo) / 1024) * (bin + 1), 6) AS est
+  FROM hit
+),
+clips AS (
+  SELECT l_returnflag,
+         min(CASE WHEN q = 0.05 THEN est END) AS clip_lo,
+         min(CASE WHEN q = 0.95 THEN est END) AS clip_hi
+  FROM ests GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN l_extendedprice::DOUBLE < clip_lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_low,
+       sum(CASE WHEN l_extendedprice::DOUBLE > clip_hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_high,
+       min(clip_lo) AS clip_lo, min(clip_hi) AS clip_hi
+FROM lineitem l JOIN clips c ON l.l_returnflag = c.l_returnflag
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
 def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass per-column profile of the orders table
     (operators/profiling.py::profile_columns): rows, nulls, distincts,
@@ -6179,6 +6254,7 @@ _GATE_ROTATION_FIRST = [
     "training_shuffle_shards",
     "quarantine_orders",
     "copurchase_communities",
+    "winsorized_price_stats",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
     "near_dup_groups_fixpoint",
@@ -6338,6 +6414,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "training_shuffle_shards": training_shuffle_shards,
         "quarantine_orders": quarantine_orders,
         "copurchase_communities": copurchase_communities,
+        "winsorized_price_stats": winsorized_price_stats,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -6529,6 +6606,7 @@ def oracle_sql() -> dict[str, str]:
         "training_shuffle_shards": SHUFFLE_SHARDS_SQL,
         "quarantine_orders": QUARANTINE_SQL,
         "copurchase_communities": _lpa_sql(),
+        "winsorized_price_stats": WINSORIZE_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

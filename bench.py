@@ -152,6 +152,7 @@ HEADLINE = [
     "training_shuffle_shards",
     "quarantine_orders",
     "copurchase_communities",
+    "winsorized_price_stats",
 ]
 
 # Excluded from HEADLINE on purpose:

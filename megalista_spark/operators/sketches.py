@@ -565,3 +565,45 @@ def hll_sliding_distinct(
                  / (s_present + ({m} - nb) * {1 << rmax})) AS BIGINT)
         END AS est_distinct""",
     )
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+    bins: int = 1024,
+) -> DataFrame:
+    """Robust feature clipping (winsorization): clamp ``col`` to its
+    per-group [q_lower, q_upper] quantile bounds — the standard defense
+    against outliers poisoning normalization/training statistics, per
+    stratum so a heavy-tailed group doesn't dictate another's clip
+    range.
+
+    Bounds come from the portable histogram quantiles
+    (``binned_quantiles_grouped``) so the clip thresholds — and
+    therefore every clipped value and flag — reproduce bit-for-bit on
+    any engine, unlike approx_percentile-derived clips.
+
+    Scale: the quantile pass is two scans collapsing to |groups|-sized
+    relations; the clip itself is a broadcast join of the |groups|-row
+    bounds table plus pure expressions — scan speed, no extra shuffle
+    on the data side.
+
+    Output: input columns + ``<col>_w`` (clamped double),
+    ``clipped_low`` / ``clipped_high`` flags, ``clip_lo`` / ``clip_hi``
+    bounds.
+    """
+    qd = binned_quantiles_grouped(df, col, group_cols, qs=(lower, upper), bins=bins)
+    bounds = qd.groupBy(*group_cols).agg(
+        F.min(F.when(F.col("q") == lower, F.col("est"))).alias("clip_lo"),
+        F.min(F.when(F.col("q") == upper, F.col("est"))).alias("clip_hi"),
+    )
+    x = F.col(col).cast("double")
+    return (
+        df.join(F.broadcast(bounds), group_cols)
+        .withColumn(f"{col}_w", F.least(F.greatest(x, F.col("clip_lo")), F.col("clip_hi")))
+        .withColumn("clipped_low", x < F.col("clip_lo"))
+        .withColumn("clipped_high", x > F.col("clip_hi"))
+    )

@@ -1437,3 +1437,21 @@ def test_label_propagation_two_cliques(spark):
     assert all(out[i] != 1 for i in (4, 5, 6))
     # deterministic synchronous update with smallest-label ties: exact values
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3, 9: 9}  # 9 isolated
+
+
+def test_winsorize_by_group_clamps_and_flags(spark):
+    from megalista_spark.operators.sketches import winsorize_by_group
+
+    rows = [("g", i, float(i)) for i in range(1, 101)]  # 1..100 in one group
+    df = spark.createDataFrame(rows, ["grp", "id", "v"])
+    out = winsorize_by_group(df, "v", ["grp"], lower=0.05, upper=0.95, bins=1000)
+    got = {r["id"]: r for r in out.collect()}
+    lo, hi = got[1]["clip_lo"], got[1]["clip_hi"]
+    assert 4 <= lo <= 6 and 94 <= hi <= 96  # histogram p05/p95 of 1..100
+    # values clamp exactly to the bounds; in-range rows untouched
+    assert got[1]["v_w"] == lo and got[1]["clipped_low"]
+    assert got[100]["v_w"] == hi and got[100]["clipped_high"]
+    assert got[50]["v_w"] == 50.0
+    assert not (got[50]["clipped_low"] or got[50]["clipped_high"])
+    # clamp is idempotent: winsorized values all within [lo, hi]
+    assert all(lo <= r["v_w"] <= hi for r in got.values())
