@@ -1455,3 +1455,60 @@ def test_winsorize_by_group_clamps_and_flags(spark):
     assert not (got[50]["clipped_low"] or got[50]["clipped_high"])
     # clamp is idempotent: winsorized values all within [lo, hi]
     assert all(lo <= r["v_w"] <= hi for r in got.values())
+
+
+def test_backfill_replaces_only_target_partitions(spark, tmp_path):
+    from megalista_spark.operators.backfill import (
+        backfill_partitions,
+        write_date_partitioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10), ("2024-01-02", 2, 20), ("2024-01-03", 3, 30)],
+        ["dt", "id", "v"],
+    )
+    write_date_partitioned(base, path)
+
+    # backfill day 2 with corrected values; days 1 and 3 must be untouched
+    fix = spark.createDataFrame([("2024-01-02", 2, 999)], ["dt", "id", "v"])
+    backfill_partitions(fix, path)
+    got = {(str(r["dt"]), r["id"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {
+        ("2024-01-01", 1): 10,
+        ("2024-01-02", 2): 999,
+        ("2024-01-03", 3): 30,
+    }
+    # idempotent: running the same backfill again converges
+    backfill_partitions(fix, path)
+    assert spark.read.parquet(path).count() == 3
+    # contrast guard: a STATIC overwrite of the same frame would truncate
+    # the other partitions — the dynamic option is load-bearing
+    fix.write.mode("overwrite").partitionBy("dt").parquet(path)
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_backfill_dates_independent_slices(spark, tmp_path):
+    from megalista_spark.operators.backfill import (
+        backfill_dates,
+        write_date_partitioned,
+    )
+
+    path = str(tmp_path / "tbl2")
+    rows = [(f"2024-02-0{d}", d, d * 10) for d in range(1, 5)]
+    write_date_partitioned(
+        spark.createDataFrame(rows, ["dt", "id", "v"]), path
+    )
+
+    def compute(date):
+        return spark.createDataFrame(
+            [(f"2024-02-0{d}", d, d * 100) for d in range(1, 5)],
+            ["dt", "id", "v"],
+        )
+
+    backfill_dates(compute, ["2024-02-02", "2024-02-04"], path)
+    got = {str(r["dt"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {
+        "2024-02-01": 10, "2024-02-02": 200,
+        "2024-02-03": 30, "2024-02-04": 400,
+    }
