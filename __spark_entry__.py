@@ -3809,7 +3809,12 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (
         weighted_sample(d.select("doc_id", "n_chars"), "n_chars", "doc_id", k=100)
-        .select("doc_id", "n_chars", F.round("es_key", 9).alias("es_key"))
+        .select(
+            "doc_id",
+            "n_chars",
+            # + 0.0: negative-zero normalization (see weighted_sample_by_lang)
+            (F.round("es_key", 9) + F.lit(0.0)).alias("es_key"),
+        )
         .orderBy("doc_id")
     )
 
@@ -3822,7 +3827,7 @@ WITH keyed AS (
   FROM documents
   WHERE n_chars::DOUBLE > 0
 )
-SELECT doc_id, n_chars, round(es_key, 9) AS es_key
+SELECT doc_id, n_chars, round(es_key, 9) + 0.0 AS es_key
 FROM (SELECT * FROM keyed ORDER BY es_key DESC, doc_id LIMIT 100)
 ORDER BY doc_id
 """
@@ -3850,7 +3855,7 @@ WEIGHTED_BY_LANG_SQL = """
 WITH keyed AS (
   SELECT doc_id, lang, n_chars,
          round(ln((('0x' || substr(md5('wrs|' || doc_id::VARCHAR), 1, 15))::BIGINT + 1.0)
-                  / 1152921504606846976.0) / n_chars::DOUBLE, 6) AS es_key
+                  / 1152921504606846976.0) / n_chars::DOUBLE, 6) + 0.0 AS es_key
   FROM documents
   WHERE n_chars::DOUBLE > 0
 ), ranked AS (

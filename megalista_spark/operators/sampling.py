@@ -152,7 +152,9 @@ def weighted_sample_by_group(
     w = Window.partitionBy(group_col).orderBy(F.desc("es_key"), F.asc(key_col))
     return (
         df.where(F.col(weight_col).cast("double") > 0)
-        .withColumn("es_key", F.round(es_key, 6))
+        # + 0.0 normalizes IEEE negative zero: a key like ln(u)/w ≈ -1e-9
+        # rounds to -0.0, whose sign bit renders engine-dependently
+        .withColumn("es_key", F.round(es_key, 6) + F.lit(0.0))
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
     )
