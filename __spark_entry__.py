@@ -6129,6 +6129,92 @@ ORDER BY shuffle_pos
 """
 
 
+def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection capstone: the densified hourly
+    event series (gaps zero-filled — absence is itself signal) scored
+    against a TRAILING 24-hour window: z = (x − mean₂₄)/sd₂₄ over the
+    24 rows before each hour (dense grid ⇒ ROWS frame == time window,
+    the reason densify comes first). Moments come from exact integer
+    sum/sumsq, and sqrt is IEEE-correctly-rounded, so z reproduces
+    bit-for-bit cross-engine — no libm-ulp hazard. One window shuffle
+    keyed by event_type over the (tiny) bucket grid."""
+    from pyspark.sql import Window
+
+    from megalista_spark.operators.timeseries import densify_ffill
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type",
+        (F.floor(F.col("ts").cast("long") / 3600) * 3600)
+        .cast("bigint")
+        .alias("hour_sec"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    dense = densify_ffill(
+        hourly, "event_type", "hour_sec", 3600, zero_cols=["n_events"]
+    ).select("event_type", "hour_sec", "n_events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_sec")
+        .rowsBetween(-24, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("n_events").over(w)
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    mean = s1.cast("double") / n
+    var = s2.cast("double") / n - mean * mean
+    z = F.when(
+        (n >= 12) & (var > 0),
+        F.round((F.col("n_events") - mean) / F.sqrt(var), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        dense.withColumn("z", z)
+        .withColumn("is_anomaly", F.abs(F.col("z")) > 3.0)
+        .orderBy("event_type", "hour_sec")
+    )
+
+
+ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         (epoch_us(ts::TIMESTAMP) // 1000000 // 3600 * 3600)::BIGINT AS hour_sec,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(hour_sec) AS lo, max(hour_sec) AS hi
+  FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT event_type, unnest(range(lo, hi + 3600, 3600))::BIGINT AS hour_sec
+  FROM bounds
+),
+dense AS (
+  SELECT g.event_type, g.hour_sec, coalesce(h.n_events, 0)::BIGINT AS n_events
+  FROM grid g LEFT JOIN hourly h USING (event_type, hour_sec)
+),
+scored AS (
+  SELECT event_type, hour_sec, n_events,
+         count(*) OVER w AS n,
+         sum(n_events) OVER w AS s1,
+         sum(n_events * n_events) OVER w AS s2
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_sec
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_sec, n_events,
+       CASE WHEN n >= 12 AND (s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)) > 0
+            THEN round((n_events - s1::DOUBLE / n)
+                       / sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)), 6)
+            ELSE 0.0 END AS z,
+       CASE WHEN n >= 12 AND (s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)) > 0
+            THEN abs(round((n_events - s1::DOUBLE / n)
+                       / sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)), 6)) > 3.0
+            ELSE FALSE END AS is_anomaly
+FROM scored
+ORDER BY event_type, hour_sec
+"""
+
+
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus build as ONE composed dataflow — the
     flagship composition query: quality cascade → domain blocklist →
@@ -6260,6 +6346,7 @@ _GATE_ROTATION_FIRST = [
     "quarantine_orders",
     "copurchase_communities",
     "winsorized_price_stats",
+    "hourly_anomaly_flags",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
     "near_dup_groups_fixpoint",
@@ -6420,6 +6507,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "quarantine_orders": quarantine_orders,
         "copurchase_communities": copurchase_communities,
         "winsorized_price_stats": winsorized_price_stats,
+        "hourly_anomaly_flags": hourly_anomaly_flags,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -6612,6 +6700,7 @@ def oracle_sql() -> dict[str, str]:
         "quarantine_orders": QUARANTINE_SQL,
         "copurchase_communities": _lpa_sql(),
         "winsorized_price_stats": WINSORIZE_SQL,
+        "hourly_anomaly_flags": ANOMALY_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

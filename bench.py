@@ -153,6 +153,7 @@ HEADLINE = [
     "quarantine_orders",
     "copurchase_communities",
     "winsorized_price_stats",
+    "hourly_anomaly_flags",
 ]
 
 # Excluded from HEADLINE on purpose:

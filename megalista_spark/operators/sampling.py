@@ -218,6 +218,10 @@ def budget_fill(
     Output: the surviving rows + their in-group fill ``rank`` and
     running ``cum_weight`` for auditability.
 
+    Weights must be positive (token/char counts are) — the kept set is
+    a PREFIX only because the running sum is monotone; a nonpositive
+    weight would let later rows dip back under budget.
+
     Scale: ONE shuffle, partitioned by the group — the window orders
     only within a group. The cumulative sum is a running window
     aggregate (no self-join); weights sum as bigint, exact. A group
