@@ -197,3 +197,23 @@ def test_budget_fill_single_window_exchange(spark, entry):
     txt = plan_of(df)
     assert "Join" not in txt and "BatchEvalPython" not in txt
     assert txt.count("hashpartitioning") >= 1
+
+
+def test_variant_decode_stays_jvm_side(spark, entry):
+    # VARIANT parse/extract are built-in expressions — no Python anywhere
+    txt = plan_of(entry.variant_props_stats(spark, SF))
+    assert "BatchEvalPython" not in txt and "Join" not in txt
+    assert txt.count("Scan ") == 1
+
+
+def test_shuffle_index_no_global_sort_exchange(spark, entry):
+    # the whole point: dense global positions WITHOUT rangepartitioning
+    # anywhere except the final presentation orderBy
+    df = entry.training_shuffle_shards(spark, SF)
+    txt = plan_of(df)
+    # exactly one rangepartitioning: the final presentation orderBy on
+    # the computed positions — the POSITION COMPUTATION itself uses only
+    # the per-bucket hashpartitioning window exchange
+    assert txt.count("rangepartitioning") == 1
+    assert "rangepartitioning(shuffle_pos" in txt
+    assert "hashpartitioning(_b" in txt
