@@ -61,3 +61,37 @@ def backfill_dates(
         backfill_partitions(
             compute(d).where(F.col(partition_col) == d), path, partition_col
         )
+
+
+def expire_partitions(
+    spark, path: str, cutoff: str, partition_col: str = "dt"
+) -> list[str]:
+    """Retention sweep: DELETE date partitions older than ``cutoff``
+    (exclusive) from a ``partition_col``-partitioned parquet table — the
+    Spark-side twin of the reference control table's 15-day expiry
+    (BigQuery partition expiration, big_query_data_source.py:125-139;
+    read-time cutoff in file_data_source.py:144). Read-time filtering
+    keeps queries correct; this reclaims the storage.
+
+    Uses the Hadoop FileSystem API (works on HDFS/GCS/S3A like every
+    other path here), deletes whole partition directories — O(#expired
+    partitions) metadata calls, no data read. Returns the deleted
+    partition values, lexicographically compared (ISO dates compare
+    correctly as strings).
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    deleted: list[str] = []
+    if not fs.exists(p):
+        return deleted
+    prefix = f"{partition_col}="
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(prefix):
+            value = name[len(prefix):]
+            if value < cutoff:
+                fs.delete(status.getPath(), True)
+                deleted.append(value)
+    return sorted(deleted)

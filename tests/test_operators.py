@@ -1512,3 +1512,22 @@ def test_backfill_dates_independent_slices(spark, tmp_path):
         "2024-02-01": 10, "2024-02-02": 200,
         "2024-02-03": 30, "2024-02-04": 400,
     }
+
+
+def test_expire_partitions_deletes_only_old(spark, tmp_path):
+    from megalista_spark.operators.backfill import (
+        expire_partitions,
+        write_date_partitioned,
+    )
+
+    path = str(tmp_path / "tbl3")
+    rows = [(f"2024-03-0{d}", d) for d in range(1, 6)]
+    write_date_partitioned(spark.createDataFrame(rows, ["dt", "v"]), path)
+
+    deleted = expire_partitions(spark, path, cutoff="2024-03-03")
+    assert deleted == ["2024-03-01", "2024-03-02"]
+    left = sorted(str(r["dt"]) for r in spark.read.parquet(path).collect())
+    assert left == ["2024-03-03", "2024-03-04", "2024-03-05"]
+    # idempotent; missing table is a no-op
+    assert expire_partitions(spark, path, cutoff="2024-03-03") == []
+    assert expire_partitions(spark, str(tmp_path / "nope"), "2024-01-01") == []
