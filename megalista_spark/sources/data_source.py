@@ -94,6 +94,21 @@ class ControlTable:
             .parquet(self.path)
         )
 
+    def vacuum(self) -> list[str]:
+        """Reclaim storage for partitions the retention window can never
+        read again (reference: BigQuery partition_expiration_days=15 does
+        this server-side, big_query_data_source.py:125-139; for the FILE
+        control table the reference only filters at read time and the
+        files accrete forever). Deletes ``dt`` partitions strictly older
+        than the retention window; read() semantics are unchanged because
+        those partitions were already filtered out."""
+        from datetime import date, timedelta
+
+        from megalista_spark.operators.backfill import expire_partitions
+
+        cutoff = (date.today() - timedelta(days=RETENTION_DAYS)).isoformat()
+        return expire_partitions(self.spark, self.path, cutoff)
+
     def _exists(self) -> bool:
         # local-FS fast path; on HDFS/S3 the read itself raises and the
         # caller falls back. Fine for this engine's deployment shapes.

@@ -69,3 +69,26 @@ def test_retention_window(spark, tmp_path):
     ct = ControlTable(spark, path, keys=("uuid",))
     kept = [r["uuid"] for r in ct.read().collect()]
     assert kept == ["fresh"]
+
+
+def test_vacuum_reclaims_expired_partitions(spark, tmp_path):
+    """vacuum() deletes dt partitions past retention; read() results are
+    unchanged (those partitions were already filtered at plan time)."""
+    path = str(tmp_path / "vac_uploaded")
+    old = dt.datetime.now() - dt.timedelta(days=20)
+    recent = dt.datetime.now() - dt.timedelta(days=1)
+    (
+        spark.createDataFrame(
+            [(old, "stale"), (recent, "fresh")], ["timestamp", "uuid"]
+        )
+        .withColumn("dt", F.to_date("timestamp"))
+        .write.partitionBy("dt")
+        .parquet(path)
+    )
+    ct = ControlTable(spark, path, keys=("uuid",))
+    before = [r["uuid"] for r in ct.read().collect()]
+    deleted = ct.vacuum()
+    assert deleted == [(dt.date.today() - dt.timedelta(days=20)).isoformat()]
+    after = [r["uuid"] for r in ct.read().collect()]
+    assert before == after == ["fresh"]
+    assert ct.vacuum() == []  # idempotent
