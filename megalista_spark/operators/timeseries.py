@@ -39,15 +39,24 @@ def densify_ffill(
 
     Input must be one row per (key, bucket). Output: one row per
     (key, grid bucket), plus ``is_observed`` marking real rows.
+
+    The grid is the step sequence from each key's min bucket UNION the
+    observed buckets themselves — so a bucket that is not step-aligned
+    with the key's minimum still appears (on a pure sequence grid it
+    would silently miss the left join and the row would vanish).
     """
     bounds = df.groupBy(key_col).agg(
         F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
     )
-    grid = bounds.select(
-        key_col,
-        F.explode(
-            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))
-        ).alias(bucket_col),
+    grid = (
+        bounds.select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))
+            ).alias(bucket_col),
+        )
+        .unionByName(df.select(key_col, bucket_col))
+        .distinct()
     )
     out = grid.join(
         df.withColumn("_obs", F.lit(True)), [key_col, bucket_col], "left"

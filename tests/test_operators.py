@@ -1531,3 +1531,17 @@ def test_expire_partitions_deletes_only_old(spark, tmp_path):
     # idempotent; missing table is a no-op
     assert expire_partitions(spark, path, cutoff="2024-03-03") == []
     assert expire_partitions(spark, str(tmp_path / "nope"), "2024-01-01") == []
+
+
+def test_densify_ffill_keeps_misaligned_buckets(spark):
+    from megalista_spark.operators.timeseries import densify_ffill
+
+    # bucket 15 is not on the 0,10,20 grid from lo=0 — it must survive
+    df = spark.createDataFrame(
+        [("a", 0, 1), ("a", 15, 2), ("a", 20, 3)], ["k", "bucket", "n"]
+    )
+    out = densify_ffill(df, "k", "bucket", 10, zero_cols=["n"]).collect()
+    rows = {r["bucket"]: r for r in out}
+    assert sorted(rows) == [0, 10, 15, 20]
+    assert rows[15]["n"] == 2 and rows[15]["is_observed"]
+    assert rows[10]["n"] == 0 and not rows[10]["is_observed"]
