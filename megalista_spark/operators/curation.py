@@ -381,6 +381,13 @@ def filter_cascade(
     ``rules`` is [(name, fail_condition)] — conditions are plain Column
     expressions, so the whole cascade compiles to one CASE chain inside
     whole-stage codegen: scan-speed, zero shuffle, no UDFs.
+
+    NULL semantics are SQL-CASE semantics: a rule whose condition
+    evaluates NULL does not fire and the row falls through (identical in
+    any engine's CASE chain — the portability contract). For the
+    conservative "unevaluable = violation" gate, use
+    expectations.quarantine, which coalesces NULL to a violation; or
+    make a rule NULL-proof explicitly (e.g. `col.isNull() | cond`).
     """
     verdict = F.lit("PASS")
     for name, fail in reversed(rules):
