@@ -1250,6 +1250,33 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def ann_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index lifecycle (operators/similarity.py::
+    ivfpq_build_index / ivfpq_search_index): build the index artifact —
+    broadcast-sized coarse/codebook relations plus cell-PARTITIONED
+    integer codes (nprobe pruning becomes file-level partition pruning)
+    — then search it without ever reading an embedding again. Results
+    are bit-identical to the in-memory ivfpq_topk with the same
+    geometry, so this query shares its oracle SQL."""
+    import tempfile
+
+    from megalista_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_search_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{tempfile.gettempdir()}/megalista_pq_index_{sf_tag}"
+    ivfpq_build_index(emb, path, num_coarse=8, m_subs=8, k_codes=16)
+    return ivfpq_search_index(spark, path, queries, k=10, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
 def _ivfpq_sql(
     k: int = 10,
     num_coarse: int = 8,
@@ -6347,6 +6374,7 @@ _GATE_ROTATION_FIRST = [
     "copurchase_communities",
     "winsorized_price_stats",
     "hourly_anomaly_flags",
+    "ann_ivfpq_index_search",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
     "near_dup_groups_fixpoint",
@@ -6470,6 +6498,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "ann_ivfpq_topk": ann_ivfpq_topk,
+        "ann_ivfpq_index_search": ann_ivfpq_index_search,
         "ann_ivfpq_trained_topk": ann_ivfpq_trained_topk,
         "grouped_zscore_by_lang": grouped_zscore_by_lang,
         "kmv_set_overlap_estimate": kmv_set_overlap_estimate,
@@ -6663,6 +6692,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": IVF_SQL,
         "ann_ivf_trained_topk": _ivf_trained_sql(),
         "ann_ivfpq_topk": _ivfpq_sql(),
+        # the persisted-index search is bit-identical to the in-memory
+        # ivfpq_topk with the same geometry — same oracle
+        "ann_ivfpq_index_search": _ivfpq_sql(),
         "ann_ivfpq_trained_topk": _ivfpq_trained_sql(),
         "grouped_zscore_by_lang": GROUPED_ZSCORE_SQL,
         "kmv_set_overlap_estimate": KMV_SET_SQL,

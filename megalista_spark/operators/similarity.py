@@ -732,17 +732,43 @@ def ivfpq_topk(
         .select("id", "cell", "m", F.col("_best.c").alias("code"))
     )
 
+    return _pq_adc_search(
+        codes, coarse, codebook, queries, k, nprobe, m_subs, dim, scale,
+        query_id_col, vec_col,
+    )
+
+
+def _pq_adc_search(
+    codes: DataFrame,
+    coarse: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    m_subs: int,
+    dim: int,
+    scale: int,
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Query side of IVF-PQ: probe assignment → LUT → ADC → per-query
+    top-k. Shared by ``ivfpq_topk`` (in-memory relations) and
+    ``ivfpq_search_index`` (relations loaded from a persisted index) —
+    the corpus vectors themselves are never touched here."""
+    sub_d = dim // m_subs
     q_q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _pq_quant(F.col(vec_col), scale).alias("qv"),
     )
-    q_sub = subspaces(assign(q_q, "query_id", nprobe), "query_id")
+    q_sub = _pq_subspaces(
+        _pq_assign(q_q, coarse, "query_id", nprobe), "query_id", m_subs, sub_d
+    )
     lut = q_sub.join(F.broadcast(codebook), "m").select(
         "query_id",
         "cell",
         "m",
         F.col("code_id").alias("code"),
-        l2(F.col("sub"), F.col("csub")).alias("ld"),
+        _pq_l2(F.col("sub"), F.col("csub")).alias("ld"),
     )
 
     adc = (
@@ -761,6 +787,98 @@ def ivfpq_topk(
             "adc_dist",
             F.col("rank").cast("bigint").alias("rank"),
         )
+    )
+
+
+def ivfpq_build_index(
+    df: DataFrame,
+    path: str,
+    num_coarse: int = 8,
+    m_subs: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+) -> None:
+    """Persist the searchable IVF-PQ index artifact — what a production
+    deployment actually ships: ``coarse/`` (C cells), ``codebooks/``
+    (M·K codewords), ``codes/`` (one row of M+1 small ints per corpus
+    vector — the 32×-compressed representation), plus a one-row ``meta/``
+    parquet with the geometry. After this, search never reads the original
+    vectors; a 100 TB corpus's float embeddings stay cold storage.
+
+    ``codes/`` is written partitioned by ``cell`` so a search's nprobe
+    pruning becomes PARTITION pruning at the file level — only the
+    probed cells' files are ever opened.
+    """
+    spark = df.sparkSession
+    corpus_q = df.select(
+        F.col(id_col).alias("id"), _pq_quant(F.col(vec_col), scale).alias("qv")
+    )
+    coarse = _pq_coarse(corpus_q, num_coarse)
+    sub_d = dim // m_subs
+    corpus_res = _pq_assign(corpus_q, coarse, "id", 1)
+    corpus_sub = _pq_subspaces(corpus_res, "id", m_subs, sub_d)
+    if codebooks is not None:
+        cbm, cbc, cbv = codebooks.columns[:3]
+        codebook = codebooks.select(
+            F.col(cbm).alias("m"), F.col(cbc).alias("code_id"), F.col(cbv).alias("csub")
+        )
+    else:
+        wq = Window.orderBy("id")
+        codebook = _pq_subspaces(
+            corpus_res.orderBy("id")
+            .limit(k_codes)
+            .select((F.row_number().over(wq) - 1).alias("code_id"), "cell", "res"),
+            "code_id",
+            m_subs,
+            sub_d,
+        ).select("m", "code_id", F.col("sub").alias("csub"))
+    enc = corpus_sub.join(F.broadcast(codebook), "m").select(
+        "id",
+        "cell",
+        "m",
+        F.struct(
+            _pq_l2(F.col("sub"), F.col("csub")).alias("d"), F.col("code_id").alias("c")
+        ).alias("_dc"),
+    )
+    codes = (
+        enc.groupBy("id", "cell", "m")
+        .agg(F.min("_dc").alias("_best"))
+        .select("id", "cell", "m", F.col("_best.c").alias("code"))
+    )
+    coarse.write.mode("overwrite").parquet(f"{path}/coarse")
+    codebook.write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(num_coarse, m_subs, dim, scale)],
+        "num_coarse int, m_subs int, dim int, scale long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ivfpq_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF-PQ index (``ivfpq_build_index``): loads the
+    tiny coarse/codebook relations (broadcast), scans ONLY the probed
+    cells of ``codes/`` (cell partition pruning), and scores by ADC —
+    bit-identical results to ``ivfpq_topk`` on the original vectors with
+    the same geometry, without ever reading an embedding."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    coarse = spark.read.parquet(f"{path}/coarse")
+    codebook = spark.read.parquet(f"{path}/codebooks")
+    codes = spark.read.parquet(f"{path}/codes")
+    return _pq_adc_search(
+        codes, coarse, codebook, queries, k, nprobe,
+        meta["m_subs"], meta["dim"], meta["scale"], query_id_col, vec_col,
     )
 
 

@@ -1545,3 +1545,35 @@ def test_densify_ffill_keeps_misaligned_buckets(spark):
     assert sorted(rows) == [0, 10, 15, 20]
     assert rows[15]["n"] == 2 and rows[15]["is_observed"]
     assert rows[10]["n"] == 0 and not rows[10]["is_observed"]
+
+
+def test_ivfpq_index_roundtrip_equals_direct(spark, tmp_path):
+    # build → persist → search must equal the direct in-memory search
+    # bit-for-bit; search never reads the embeddings
+    from pyspark.sql import functions as F2
+
+    from megalista_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_search_index,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F2.col("vec_id") < 3).select(
+        F2.col("vec_id").alias("query_id"), "embedding"
+    )
+    direct = ivfpq_topk(
+        emb, queries, k=5, num_coarse=8, nprobe=2, m_subs=8
+    ).collect()
+    path = str(tmp_path / "pq_index")
+    ivfpq_build_index(emb, path, num_coarse=8, m_subs=8)
+    loaded = ivfpq_search_index(spark, path, queries, k=5, nprobe=2).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["adc_dist"]) for r in direct
+    ) == sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["adc_dist"]) for r in loaded
+    )
+    # the persisted codes are cell-partitioned (file-level nprobe pruning)
+    import os
+    assert any(d.startswith("cell=") for d in os.listdir(f"{path}/codes"))
