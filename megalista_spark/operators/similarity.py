@@ -1129,3 +1129,48 @@ def embedding_near_dup_pairs_blocked(
         .groupBy("pair_id")
         .applyInPandas(kernel, out_schema)
     )
+
+
+def ivfpq_append_to_index(
+    df_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance — the daily-drop flow: encode ONLY
+    the new vectors against the index's persisted coarse cells and
+    codebooks (geometry frozen at build time, the standard production
+    contract: retraining would silently re-key every existing code) and
+    APPEND their code rows into the cell partitions. Cost ∝ increment,
+    never ∝ index size; a rebuild touches nothing.
+
+    Because the geometry is frozen, build(base) + append(increment) is
+    bit-identical to build(base ∪ increment) whenever the build's
+    deterministic defaults would pick the same coarse/codebook source
+    rows (e.g. the increment's ids are all higher) — property-tested.
+    """
+    spark = df_new.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    coarse = spark.read.parquet(f"{path}/coarse")
+    codebook = spark.read.parquet(f"{path}/codebooks")
+    m_subs, dim, scale = meta["m_subs"], meta["dim"], meta["scale"]
+    sub_d = dim // m_subs
+    new_q = df_new.select(
+        F.col(id_col).alias("id"), _pq_quant(F.col(vec_col), scale).alias("qv")
+    )
+    new_res = _pq_assign(new_q, coarse, "id", 1)
+    new_sub = _pq_subspaces(new_res, "id", m_subs, sub_d)
+    enc = new_sub.join(F.broadcast(codebook), "m").select(
+        "id",
+        "cell",
+        "m",
+        F.struct(
+            _pq_l2(F.col("sub"), F.col("csub")).alias("d"), F.col("code_id").alias("c")
+        ).alias("_dc"),
+    )
+    codes = (
+        enc.groupBy("id", "cell", "m")
+        .agg(F.min("_dc").alias("_best"))
+        .select("id", "cell", "m", F.col("_best.c").alias("code"))
+    )
+    codes.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
