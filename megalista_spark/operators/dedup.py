@@ -107,6 +107,25 @@ def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return toked.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def symmetric_edges(
+    pairs: DataFrame, pair_cols: tuple[str, str] = ("id_a", "id_b")
+) -> DataFrame:
+    """Both directions of an undirected pair list in ONE pass: explode
+    each pair to (src,dst) and (dst,src). The union-of-two-selects form
+    evaluates the pairs LINEAGE twice when materialized — for pair
+    relations that are themselves expensive (a near-dup GEMM, a
+    co-purchase self-join) that silently doubles the dominant stage."""
+    a, b = pair_cols
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+            )
+        ).alias("_e")
+    ).select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
+
+
 def _ordered_pairs(arr: Column) -> Column:
     """All index pairs (j < i) of a SORTED array as array<struct(a, b)> —
     the intra-bucket pair generator for LSH/inverted-index dedup. Sorted
@@ -503,11 +522,7 @@ def min_label_groups(
     ``graph.star_contraction_components``; near-dup components are
     shallow by construction.
     """
-    a, b = pair_cols
-    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    sym = symmetric_edges(pairs, pair_cols).persist()
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     for _ in range(iters):
         nb_min = (
@@ -564,11 +579,7 @@ def min_label_groups_fixpoint(
     Output contract identical to ``min_label_groups``:
     (id, group_label, is_canonical) for every node in ``nodes``.
     """
-    a, b = pair_cols
-    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    sym = symmetric_edges(pairs, pair_cols).persist()
     # localCheckpoint, not persist: each round's plan references the prior
     # labels TWICE (the neighbor aggregate and the join back), so lineage
     # DOUBLES per round — at 20+ rounds the 2^k-node logical plan OOMs the

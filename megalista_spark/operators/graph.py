@@ -333,11 +333,9 @@ def label_propagation_communities(
 
     Output: (id, community) for every node in ``nodes``.
     """
-    a, b = pair_cols
-    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    from megalista_spark.operators.dedup import symmetric_edges
+
+    sym = symmetric_edges(pairs, pair_cols).persist()
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     for _ in range(iters):
         votes = (
