@@ -6242,6 +6242,79 @@ ORDER BY event_type, hour_sec
 """
 
 
+def linear_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution — the analytics twin of the
+    reference's whole domain (feeding conversion values back to ad
+    platforms): every purchase's value splits EQUALLY across all clicks
+    in its trailing 5-minute window (last-touch is the as-of join
+    elsewhere; linear is the fairness baseline), then credited revenue
+    rolls up by click hour. The interval join is the binned equi-join
+    (operators/rangejoin.py — never a cartesian BETWEEN); the per-
+    purchase touch count is one window over the join output. Purchases
+    with no clicks in window credit nobody."""
+    from megalista_spark.operators.rangejoin import range_join_binned
+
+    e = _events(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    joined = range_join_binned(
+        clicks, purchases, point_ts="c_ts", start_col="w_start", end_col="w_end",
+        bin_seconds=300,
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("purchase_id")
+    credited = joined.withColumn(
+        "credit", F.col("p_value") / F.count(F.lit(1)).over(wp)
+    )
+    return (
+        credited.groupBy(
+            (F.floor(F.col("c_ts").cast("long") / 3600) * 3600)
+            .cast("bigint")
+            .alias("click_hour_sec")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.round(F.sum("credit"), 6).alias("credited_revenue"),
+        )
+        .orderBy("click_hour_sec")
+    )
+
+
+LINEAR_ATTRIBUTION_SQL = """
+WITH e AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+p AS (
+  SELECT event_id AS purchase_id, ts - INTERVAL 5 MINUTE AS w_start,
+         ts AS w_end, value AS p_value
+  FROM e WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS click_id, ts AS c_ts FROM e WHERE event_type = 'click'
+),
+j AS (
+  SELECT p.purchase_id, p.p_value, c.c_ts
+  FROM c JOIN p ON c.c_ts >= p.w_start AND c.c_ts <= p.w_end
+),
+credited AS (
+  SELECT c_ts, p_value / count(*) OVER (PARTITION BY purchase_id) AS credit
+  FROM j
+)
+SELECT (epoch_us(c_ts) // 1000000 // 3600 * 3600)::BIGINT AS click_hour_sec,
+       count(*)::BIGINT AS n_touches,
+       round(sum(credit), 6) AS credited_revenue
+FROM credited
+GROUP BY 1
+ORDER BY click_hour_sec
+"""
+
+
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus build as ONE composed dataflow — the
     flagship composition query: quality cascade → domain blocklist →
@@ -6374,6 +6447,7 @@ _GATE_ROTATION_FIRST = [
     "copurchase_communities",
     "winsorized_price_stats",
     "hourly_anomaly_flags",
+    "linear_attribution_credits",
     "ann_ivfpq_index_search",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
@@ -6537,6 +6611,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "copurchase_communities": copurchase_communities,
         "winsorized_price_stats": winsorized_price_stats,
         "hourly_anomaly_flags": hourly_anomaly_flags,
+        "linear_attribution_credits": linear_attribution_credits,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -6733,6 +6808,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_communities": _lpa_sql(),
         "winsorized_price_stats": WINSORIZE_SQL,
         "hourly_anomaly_flags": ANOMALY_SQL,
+        "linear_attribution_credits": LINEAR_ATTRIBUTION_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

@@ -154,6 +154,7 @@ HEADLINE = [
     "copurchase_communities",
     "winsorized_price_stats",
     "hourly_anomaly_flags",
+    "linear_attribution_credits",
 ]
 
 # Excluded from HEADLINE on purpose:
