@@ -6315,6 +6315,103 @@ ORDER BY click_hour_sec
 """
 
 
+def position_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) attribution — the 40/40/20 industry
+    convention: within each purchase's click window the FIRST and LAST
+    touch take 40% of the value each and the middles share the remaining
+    20%; one-touch windows take 100%, two-touch windows split 50/50.
+    Same binned interval join as the linear form; position comes from
+    one row_number window per purchase (ties by click id —
+    deterministic), weights are exact rational doubles so both engines
+    compute identical credits. Gated output: per-position-class touch
+    counts and credited revenue."""
+    from pyspark.sql import Window
+
+    from megalista_spark.operators.rangejoin import range_join_binned
+
+    e = _events(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    joined = range_join_binned(
+        clicks, purchases, point_ts="c_ts", start_col="w_start", end_col="w_end",
+        bin_seconds=300,
+    )
+    wp = Window.partitionBy("purchase_id")
+    wo = wp.orderBy(F.asc("c_ts"), F.asc("click_id"))
+    n = F.count(F.lit(1)).over(wp)
+    r = F.row_number().over(wo)
+    pos = (
+        F.when(n == 1, F.lit("only"))
+        .when(r == 1, F.lit("first"))
+        .when(r == n, F.lit("last"))
+        .otherwise(F.lit("middle"))
+    )
+    weight = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((r == 1) | (r == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    return (
+        joined.select(
+            pos.alias("position"), (F.col("p_value") * weight).alias("credit")
+        )
+        .groupBy("position")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.round(F.sum("credit"), 6).alias("credited_revenue"),
+        )
+        .orderBy("position")
+    )
+
+
+POSITION_ATTRIBUTION_SQL = """
+WITH e AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+p AS (
+  SELECT event_id AS purchase_id, ts - INTERVAL 5 MINUTE AS w_start,
+         ts AS w_end, value AS p_value
+  FROM e WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS click_id, ts AS c_ts FROM e WHERE event_type = 'click'
+),
+j AS (
+  SELECT p.purchase_id, p.p_value, c.c_ts, c.click_id
+  FROM c JOIN p ON c.c_ts >= p.w_start AND c.c_ts <= p.w_end
+),
+ranked AS (
+  SELECT purchase_id, p_value,
+         count(*) OVER (PARTITION BY purchase_id) AS n,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY c_ts ASC, click_id ASC) AS r
+  FROM j
+),
+credited AS (
+  SELECT CASE WHEN n = 1 THEN 'only'
+              WHEN r = 1 THEN 'first'
+              WHEN r = n THEN 'last'
+              ELSE 'middle' END AS position,
+         p_value * (CASE WHEN n = 1 THEN 1.0
+                         WHEN n = 2 THEN 0.5
+                         WHEN r = 1 OR r = n THEN 0.4
+                         ELSE 0.2 / (n - 2) END) AS credit
+  FROM ranked
+)
+SELECT position, count(*)::BIGINT AS n_touches,
+       round(sum(credit), 6) AS credited_revenue
+FROM credited
+GROUP BY position
+ORDER BY position
+"""
+
+
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus build as ONE composed dataflow — the
     flagship composition query: quality cascade → domain blocklist →
@@ -6448,6 +6545,7 @@ _GATE_ROTATION_FIRST = [
     "winsorized_price_stats",
     "hourly_anomaly_flags",
     "linear_attribution_credits",
+    "position_attribution_credits",
     "ann_ivfpq_index_search",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
@@ -6612,6 +6710,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "winsorized_price_stats": winsorized_price_stats,
         "hourly_anomaly_flags": hourly_anomaly_flags,
         "linear_attribution_credits": linear_attribution_credits,
+        "position_attribution_credits": position_attribution_credits,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -6809,6 +6908,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorized_price_stats": WINSORIZE_SQL,
         "hourly_anomaly_flags": ANOMALY_SQL,
         "linear_attribution_credits": LINEAR_ATTRIBUTION_SQL,
+        "position_attribution_credits": POSITION_ATTRIBUTION_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

@@ -155,6 +155,7 @@ HEADLINE = [
     "winsorized_price_stats",
     "hourly_anomaly_flags",
     "linear_attribution_credits",
+    "position_attribution_credits",
 ]
 
 # Excluded from HEADLINE on purpose:
