@@ -6412,6 +6412,99 @@ ORDER BY position
 """
 
 
+def markov_attribution_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-DRIVEN attribution (operators/attribution.py::
+    markov_removal_attribution): first-order Markov chain over per-user
+    journeys (truncated at first purchase), removal effect per channel =
+    conversion probability lost when that channel's state absorbs to
+    zero. Transition probabilities and the 16-round absorption iteration
+    are integer micro-units (the pagerank fixed-point discipline), so
+    the MODEL ITSELF — not just its inputs — reproduces bit-for-bit in
+    the oracle's unrolled SQL (5 iteration chains: full + one per
+    removed channel)."""
+    from megalista_spark.operators.attribution import markov_removal_attribution
+
+    e = _events(spark, sf_dir)
+    return markov_removal_attribution(e, iters=16).orderBy("channel")
+
+
+def _markov_sql(iters: int = 16, scale: int = 1_000_000) -> str:
+    channels = ["click", "error", "signup", "view"]
+    all_states = ["CONV", "NULL", "START"] + channels
+
+    def chain(tag: str, dead: str | None) -> str:
+        dead_case = f"WHEN s.state = '{dead}' THEN 0 " if dead else ""
+        ctes = [
+            f"v_{tag}_0(state, val) AS (VALUES "
+            + ", ".join(
+                f"('{s}', {'1000000' if s == 'CONV' else '0'}::BIGINT)"
+                for s in all_states
+            )
+            + ")"
+        ]
+        for k in range(1, iters + 1):
+            ctes.append(f"""v_{tag}_{k} AS MATERIALIZED (
+  SELECT s.state,
+         (CASE WHEN s.state = 'CONV' THEN {scale}
+               WHEN s.state = 'NULL' THEN 0
+               {dead_case}ELSE coalesce(a.acc, 0) END)::BIGINT AS val
+  FROM v_{tag}_{k-1} s
+  LEFT JOIN (
+    SELECT pm.src AS state, (sum(pm.p * vv.val) // {scale})::BIGINT AS acc
+    FROM pm JOIN v_{tag}_{k-1} vv ON vv.state = pm.dst
+    GROUP BY pm.src
+  ) a USING (state)
+)""")
+        return ",\n".join(ctes)
+
+    chains = ",\n".join(
+        [chain("full", None)] + [chain(f"rem_{c}", c) for c in channels]
+    )
+    removed_case = " ".join(
+        f"WHEN '{c}' THEN (SELECT val FROM v_rem_{c}_{iters} WHERE state = 'START')"
+        for c in channels
+    )
+    values = ", ".join(f"('{c}')" for c in channels)
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT user_id AS u, ts::TIMESTAMP AS ts, event_id AS eid,
+         CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS ch
+  FROM events
+),
+seq AS MATERIALIZED (
+  SELECT u, ch, row_number() OVER (PARTITION BY u ORDER BY ts, eid) AS rn FROM e
+),
+kept AS MATERIALIZED (
+  SELECT s.u, s.ch, s.rn FROM seq s
+  LEFT JOIN (SELECT u, min(rn) AS crn FROM seq WHERE ch = 'CONV' GROUP BY u) m
+    USING (u)
+  WHERE m.crn IS NULL OR s.rn <= m.crn
+),
+stepped AS MATERIALIZED (
+  SELECT u, ch, rn, lead(ch) OVER (PARTITION BY u ORDER BY rn) AS nxt FROM kept
+),
+trans AS (
+  SELECT ch AS src, coalesce(nxt, 'NULL') AS dst FROM stepped WHERE ch != 'CONV'
+  UNION ALL
+  SELECT 'START', ch FROM kept WHERE rn = 1
+),
+cnt AS MATERIALIZED (SELECT src, dst, count(*)::BIGINT AS n FROM trans GROUP BY 1, 2),
+tot AS (SELECT src, sum(n) AS t FROM cnt GROUP BY 1),
+pm AS MATERIALIZED (
+  SELECT c.src, c.dst, (c.n * {scale}) // t.t AS p
+  FROM cnt c JOIN tot t USING (src)
+),
+{chains}
+SELECT ch AS channel,
+       (SELECT val FROM v_full_{iters} WHERE state = 'START') AS p_conv_micro,
+       (CASE ch {removed_case} END)::BIGINT AS p_removed_micro,
+       ((SELECT val FROM v_full_{iters} WHERE state = 'START')
+        - CASE ch {removed_case} END)::BIGINT AS removal_effect_micro
+FROM (VALUES {values}) t(ch)
+ORDER BY channel
+"""
+
+
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus build as ONE composed dataflow — the
     flagship composition query: quality cascade → domain blocklist →
@@ -6546,6 +6639,7 @@ _GATE_ROTATION_FIRST = [
     "hourly_anomaly_flags",
     "linear_attribution_credits",
     "position_attribution_credits",
+    "markov_attribution_effects",
     "ann_ivfpq_index_search",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
@@ -6711,6 +6805,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "hourly_anomaly_flags": hourly_anomaly_flags,
         "linear_attribution_credits": linear_attribution_credits,
         "position_attribution_credits": position_attribution_credits,
+        "markov_attribution_effects": markov_attribution_effects,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -6909,6 +7004,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_anomaly_flags": ANOMALY_SQL,
         "linear_attribution_credits": LINEAR_ATTRIBUTION_SQL,
         "position_attribution_credits": POSITION_ATTRIBUTION_SQL,
+        "markov_attribution_effects": _markov_sql(),
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

@@ -156,6 +156,7 @@ HEADLINE = [
     "hourly_anomaly_flags",
     "linear_attribution_credits",
     "position_attribution_credits",
+    "markov_attribution_effects",
 ]
 
 # Excluded from HEADLINE on purpose:

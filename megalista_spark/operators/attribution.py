@@ -1,0 +1,134 @@
+"""Marketing attribution operators — the analytics layer over the same
+click/conversion data the reference's uploaders feed BACK to ad
+platforms. Rule-based forms (last-touch as-of, linear, U-shaped
+position) live as gated queries; this module holds the DATA-DRIVEN
+model: first-order Markov removal-effect attribution (Anderl et al.
+2014's removal-effect formulation — public method).
+
+Engine-portable by the same fixed-point discipline as pagerank /
+IVF-PQ: transition probabilities are integer micro-units
+(count·1e6 // out-total), the absorption iteration is integer
+multiply-sum-floor (order-independent — integer adds commute exactly),
+and the model state (a K×K matrix, K = #channels + 3) is BOUNDED, so it
+collects to the driver under the k-row-centroid license while the
+journey/transition extraction stays fully distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+START, CONV, NULL = "START", "CONV", "NULL"
+
+
+def journey_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    channel_col: str = "event_type",
+    conversion: str = "purchase",
+) -> DataFrame:
+    """(src, dst, n) transition counts over per-user journeys:
+    events strictly ordered by (ts, id), truncated at the FIRST
+    conversion (which becomes the absorbing CONV state); journeys
+    without a conversion end in NULL; START precedes every journey.
+
+    Scale: one window shuffle keyed by user (rank + truncation + lead
+    share the sort), then a (src, dst) count whose map-side combine
+    collapses to ≤ K² rows.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    seq = events.select(
+        F.col(user_col).alias("u"),
+        F.when(F.col(channel_col) == conversion, F.lit(CONV))
+        .otherwise(F.col(channel_col))
+        .alias("ch"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wconv = Window.partitionBy("u")
+    conv_rn = F.min(F.when(F.col("ch") == CONV, F.col("rn"))).over(wconv)
+    kept = seq.withColumn("_crn", conv_rn).where(
+        F.col("_crn").isNull() | (F.col("rn") <= F.col("_crn"))
+    )
+    wk = Window.partitionBy("u").orderBy("rn")
+    stepped = kept.withColumn("nxt", F.lead("ch").over(wk))
+    # row transitions: every non-terminal row → next; last non-CONV → NULL
+    row_trans = stepped.where(F.col("ch") != CONV).select(
+        F.col("ch").alias("src"),
+        F.coalesce(F.col("nxt"), F.lit(NULL)).alias("dst"),
+    )
+    start_trans = kept.where(F.col("rn") == 1).select(
+        F.lit(START).alias("src"), F.col("ch").alias("dst")
+    )
+    return (
+        row_trans.unionByName(start_trans)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _iterate(pm: dict, states: list[str], iters: int, scale: int, dead: set) -> dict:
+    """Integer absorption iteration: v(CONV)=scale, v(NULL)=0, removed
+    channels pinned to 0; v_t(s) = Σ_d pm[s][d]·v_{t-1}(d) // scale."""
+    v = {s: 0 for s in states}
+    v[CONV] = scale
+    for _ in range(iters):
+        nxt = dict(v)
+        for s in states:
+            if s in (CONV, NULL) or s in dead:
+                continue
+            acc = 0
+            for d, p in pm.get(s, {}).items():
+                acc += p * v.get(d, 0)
+            nxt[s] = acc // scale
+        v = nxt
+    return v
+
+
+def markov_removal_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    channel_col: str = "event_type",
+    conversion: str = "purchase",
+    iters: int = 16,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Removal-effect attribution: per channel, how much conversion
+    probability disappears when the channel is removed (its state
+    absorbs to zero — visits through it die, nothing renormalizes).
+
+    p_conv is P(reach CONV from START) under ``iters`` integer
+    fixed-point rounds — fixed iteration count is the determinism
+    contract (probability mass farther than ``iters`` steps counts 0;
+    with truncated-at-first-conversion journeys the chain is shallow).
+    Output: (channel, p_conv_micro, p_removed_micro,
+    removal_effect_micro), one row per non-absorbing channel,
+    everything in integer micro-units, bit-identical on any engine.
+    """
+    trans = journey_transitions(
+        events, user_col, ts_col, id_col, channel_col, conversion
+    ).collect()
+    totals: dict[str, int] = {}
+    for r in trans:
+        totals[r["src"]] = totals.get(r["src"], 0) + r["n"]
+    pm: dict[str, dict[str, int]] = {}
+    for r in trans:
+        pm.setdefault(r["src"], {})[r["dst"]] = r["n"] * scale // totals[r["src"]]
+    states = sorted({r["src"] for r in trans} | {r["dst"] for r in trans})
+    channels = [s for s in states if s not in (START, CONV, NULL)]
+
+    base = _iterate(pm, states, iters, scale, dead=set())[START]
+    rows = []
+    for c in channels:
+        removed = _iterate(pm, states, iters, scale, dead={c})[START]
+        rows.append((c, base, removed, base - removed))
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_conv_micro long, p_removed_micro long, "
+        "removal_effect_micro long",
+    )

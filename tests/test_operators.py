@@ -1614,3 +1614,55 @@ def test_ivfpq_append_equals_full_build(spark, tmp_path):
     found = {t[2] for t in res(p_inc)}
     assert any(n >= 400 for n in found) or True  # membership depends on data;
     # the hard guarantee is the equality above
+
+
+def test_markov_attribution_hand_checkable(spark):
+    from megalista_spark.operators.attribution import (
+        journey_transitions,
+        markov_removal_attribution,
+    )
+
+    # two users: A converts via click; B views then leaves
+    rows = [
+        (1, "2024-01-01T10:00:00", 101, "click"),
+        (1, "2024-01-01T10:01:00", 102, "purchase"),
+        (2, "2024-01-01T11:00:00", 201, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts_s", "event_id", "event_type"]
+    ).withColumn("ts", __import__("pyspark").sql.functions.col("ts_s").cast("timestamp"))
+    t = {
+        (r["src"], r["dst"]): r["n"]
+        for r in journey_transitions(df).collect()
+    }
+    assert t == {
+        ("START", "click"): 1, ("click", "CONV"): 1,
+        ("START", "view"): 1, ("view", "NULL"): 1,
+    }
+    out = {
+        r["channel"]: r
+        for r in markov_removal_attribution(df, iters=8).collect()
+    }
+    # P(conv) = 0.5 (half of START mass goes via click to CONV)
+    assert out["click"]["p_conv_micro"] == 500_000
+    # removing click kills the only converting path; removing view changes nothing
+    assert out["click"]["p_removed_micro"] == 0
+    assert out["click"]["removal_effect_micro"] == 500_000
+    assert out["view"]["p_removed_micro"] == 500_000
+    assert out["view"]["removal_effect_micro"] == 0
+
+
+def test_markov_journeys_truncate_at_first_purchase(spark):
+    from megalista_spark.operators.attribution import journey_transitions
+    from pyspark.sql import functions as F2
+
+    rows = [
+        (1, "2024-01-01T10:00:00", 1, "view"),
+        (1, "2024-01-01T10:01:00", 2, "purchase"),
+        (1, "2024-01-01T10:02:00", 3, "click"),  # after conversion: ignored
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts_s", "event_id", "event_type"]
+    ).withColumn("ts", F2.col("ts_s").cast("timestamp"))
+    t = {(r["src"], r["dst"]) for r in journey_transitions(df).collect()}
+    assert t == {("START", "view"), ("view", "CONV")}
