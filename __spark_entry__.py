@@ -6505,6 +6505,88 @@ ORDER BY channel
 """
 
 
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (operators/attribution.py::rfm_scores): per-user
+    recency/frequency/monetary quintile scores from PORTABLE histogram-
+    quantile edges — no global ntile sort; edges broadcast as four
+    scalars per metric. The audience-building primitive upstream of the
+    reference's customer-match uploads."""
+    from megalista_spark.operators.attribution import rfm_scores
+
+    e = _events(spark, sf_dir)
+    p = e.where(F.col("event_type") == "purchase")
+    return rfm_scores(p).orderBy("user")
+
+
+def _rfm_quantile_cte(metric: str, tag: str) -> str:
+    return f"""b_{tag} AS (
+  SELECT min({metric}::DOUBLE) AS lo, max({metric}::DOUBLE) AS hi,
+         count({metric}) AS n
+  FROM stats
+),
+bin_{tag} AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE least(1023, floor(({metric}::DOUBLE - lo) / ((hi - lo) / 1024)))::BIGINT
+         END AS bin
+  FROM stats, b_{tag} WHERE {metric} IS NOT NULL
+),
+cnt_{tag} AS (SELECT bin, count(*)::BIGINT AS c FROM bin_{tag} GROUP BY bin),
+cum_{tag} AS (
+  SELECT bin, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cnt_{tag}
+),
+hit_{tag} AS (
+  SELECT q, lo, hi, min(bin) AS bin
+  FROM cum_{tag} CROSS JOIN b_{tag}
+  CROSS JOIN (SELECT q FROM (VALUES (0.2), (0.4), (0.6), (0.8)) t(q)) qs
+  WHERE cum >= ceil(q * n)
+  GROUP BY q, lo, hi
+),
+e_{tag} AS (
+  SELECT q, round(lo + ((hi - lo) / 1024) * (bin + 1), 6) AS est FROM hit_{tag}
+),
+edges_{tag} AS (
+  SELECT min(CASE WHEN q = 0.2 THEN est END) AS e20,
+         min(CASE WHEN q = 0.4 THEN est END) AS e40,
+         min(CASE WHEN q = 0.6 THEN est END) AS e60,
+         min(CASE WHEN q = 0.8 THEN est END) AS e80
+  FROM e_{tag}
+)"""
+
+
+def _rfm_sql() -> str:
+    def score(metric: str, tag: str) -> str:
+        return (
+            f"(1 + ({metric}::DOUBLE > {tag}.e20)::INT + ({metric}::DOUBLE > {tag}.e40)::INT"
+            f" + ({metric}::DOUBLE > {tag}.e60)::INT + ({metric}::DOUBLE > {tag}.e80)::INT)"
+        )
+
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT user_id AS u, ts::TIMESTAMP AS ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+ref AS (SELECT max(ts) AS r FROM p),
+stats AS MATERIALIZED (
+  SELECT u AS "user",
+         ((SELECT r FROM ref)::DATE - max(ts)::DATE) AS recency_days,
+         count(*)::BIGINT AS frequency,
+         round(sum(value), 6) AS monetary
+  FROM p GROUP BY u
+),
+{_rfm_quantile_cte("recency_days", "r")},
+{_rfm_quantile_cte("frequency", "f")},
+{_rfm_quantile_cte("monetary", "m")}
+SELECT s."user", s.recency_days, s.frequency, s.monetary,
+       (6 - {score("s.recency_days", "er")})::INT AS r_score,
+       {score("s.frequency", "ef")}::INT AS f_score,
+       {score("s.monetary", "em")}::INT AS m_score
+FROM stats s
+CROSS JOIN edges_r er CROSS JOIN edges_f ef CROSS JOIN edges_m em
+ORDER BY s."user"
+"""
+
+
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus build as ONE composed dataflow — the
     flagship composition query: quality cascade → domain blocklist →
@@ -6640,6 +6722,7 @@ _GATE_ROTATION_FIRST = [
     "linear_attribution_credits",
     "position_attribution_credits",
     "markov_attribution_effects",
+    "rfm_user_segments",
     "ann_ivfpq_index_search",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
@@ -6806,6 +6889,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "linear_attribution_credits": linear_attribution_credits,
         "position_attribution_credits": position_attribution_credits,
         "markov_attribution_effects": markov_attribution_effects,
+        "rfm_user_segments": rfm_user_segments,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -7005,6 +7089,7 @@ def oracle_sql() -> dict[str, str]:
         "linear_attribution_credits": LINEAR_ATTRIBUTION_SQL,
         "position_attribution_credits": POSITION_ATTRIBUTION_SQL,
         "markov_attribution_effects": _markov_sql(),
+        "rfm_user_segments": _rfm_sql(),
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

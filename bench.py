@@ -157,6 +157,7 @@ HEADLINE = [
     "linear_attribution_credits",
     "position_attribution_credits",
     "markov_attribution_effects",
+    "rfm_user_segments",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -132,3 +132,74 @@ def markov_removal_attribution(
         "channel string, p_conv_micro long, p_removed_micro long, "
         "removal_effect_micro long",
     )
+
+
+def rfm_scores(
+    purchases: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bins: int = 1024,
+) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintile scores (1..5, 5 best) per user, the classic audience-
+    building primitive the reference's customer-match uploads consume
+    downstream.
+
+    Quintile edges come from the PORTABLE binned quantiles
+    (sketches.binned_quantiles, p20/40/60/80 per metric) — a global
+    ntile(5) would be a one-reducer sort over every user; the histogram
+    edges cost two scans of the (already user-collapsed) stats relation
+    and broadcast as four scalars per metric. score = 1 + #edges
+    strictly below the metric; recency inverts (more recent = higher).
+    Everything is exact arithmetic over a shared reference instant (the
+    data's max ts), so scores are engine-portable.
+
+    Output: (user, recency_days, frequency, monetary, r_score, f_score,
+    m_score) — one row per purchasing user.
+    """
+    from megalista_spark.operators.sketches import binned_quantiles
+
+    ref = purchases.agg(F.max(F.col(ts_col)).alias("_ref"))
+    stats = (
+        purchases.crossJoin(F.broadcast(ref))
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.datediff(F.max("_ref"), F.max(F.col(ts_col))).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(F.sum(F.col(value_col)), 6).alias("monetary"),
+        )
+    )
+
+    def edges(col: str) -> DataFrame:
+        q = binned_quantiles(stats, col, qs=(0.2, 0.4, 0.6, 0.8), bins=bins)
+        return q.agg(
+            F.min(F.when(F.col("q") == 0.2, F.col("est"))).alias(f"{col}_e20"),
+            F.min(F.when(F.col("q") == 0.4, F.col("est"))).alias(f"{col}_e40"),
+            F.min(F.when(F.col("q") == 0.6, F.col("est"))).alias(f"{col}_e60"),
+            F.min(F.when(F.col("q") == 0.8, F.col("est"))).alias(f"{col}_e80"),
+        )
+
+    out = stats
+    for col in ("recency_days", "frequency", "monetary"):
+        out = out.crossJoin(F.broadcast(edges(col)))
+
+    def score(col: str) -> "F.Column":
+        x = F.col(col).cast("double")
+        s = F.lit(1)
+        for e in ("e20", "e40", "e60", "e80"):
+            s = s + (x > F.col(f"{col}_{e}")).cast("int")
+        return s
+
+    return out.select(
+        "user",
+        "recency_days",
+        "frequency",
+        "monetary",
+        # recency: smaller = better → invert the ascending quintile
+        (F.lit(6) - score("recency_days")).cast("int").alias("r_score"),
+        score("frequency").cast("int").alias("f_score"),
+        score("monetary").cast("int").alias("m_score"),
+    )
