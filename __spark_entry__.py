@@ -6587,6 +6587,114 @@ ORDER BY s."user"
 """
 
 
+def experiment_lift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout lift measurement — the downstream proof for uploaded
+    audiences: users hash-split 50/50 into control/treatment
+    (operators/sampling.py::hash_split — deterministic, append-stable),
+    compared on purchase conversion and revenue per user, with a
+    two-proportion z statistic. Counts are exact integers; the z math is
+    shared-operand double arithmetic + one IEEE sqrt, so the whole
+    report is engine-portable. One user-level aggregate + one two-row
+    group-by — scan-bound at any scale."""
+    from megalista_spark.operators.sampling import hash_split
+
+    e = _events(spark, sf_dir)
+    users = e.groupBy("user_id").agg(
+        # conversion = heavy buyer (≥14 purchases): every user purchases
+        # at least once in this synthetic log, so raw "did purchase"
+        # would be degenerate (p=1 → zero z-variance)
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+        ).cast("int").alias("converted"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            6,
+        ).alias("revenue"),
+    )
+    arms = hash_split(users, "user_id", {"control": 0.5, "treatment": 0.5},
+                      salt="exp1")
+    per_arm = arms.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(F.sum("revenue"), 6).alias("revenue"),
+    )
+    c = per_arm.where(F.col("split") == "control").select(
+        F.col("n_users").alias("nc"), F.col("n_converted").alias("xc")
+    )
+    t = per_arm.where(F.col("split") == "treatment").select(
+        F.col("n_users").alias("nt"), F.col("n_converted").alias("xt")
+    )
+    z = c.crossJoin(t).select(
+        (F.col("xt") / F.col("nt") - F.col("xc") / F.col("nc")).alias("_d"),
+        ((F.col("xc") + F.col("xt")) / (F.col("nc") + F.col("nt"))).alias("_p"),
+        (1.0 / F.col("nc") + 1.0 / F.col("nt")).alias("_h"),
+    ).select(
+        F.when(
+            (F.col("_p") > 0) & (F.col("_p") < 1),
+            F.round(
+                F.col("_d")
+                / F.sqrt(F.col("_p") * (1.0 - F.col("_p")) * F.col("_h")),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("z_stat")
+    )
+    return (
+        per_arm.crossJoin(F.broadcast(z))
+        .select(
+            "split",
+            "n_users",
+            "n_converted",
+            F.round(F.col("n_converted") / F.col("n_users"), 6).alias("conv_rate"),
+            "revenue",
+            "z_stat",
+        )
+        .orderBy("split")
+    )
+
+
+EXPERIMENT_LIFT_SQL = """
+WITH users AS MATERIALIZED (
+  SELECT user_id,
+         (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14)::INT AS converted,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 6)
+           AS revenue
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT *, CASE WHEN ('0x' || substr(md5('exp1|' || user_id::VARCHAR), 1, 15))::BIGINT
+                      % 10000 < 5000 THEN 'control' ELSE 'treatment' END AS split
+  FROM users
+),
+per_arm AS (
+  SELECT split, count(*)::BIGINT AS n_users,
+         sum(converted)::BIGINT AS n_converted,
+         round(sum(revenue), 6) AS revenue
+  FROM arms GROUP BY split
+),
+z AS (
+  SELECT CASE WHEN p > 0 AND p < 1
+              THEN round(d / sqrt(p * (1.0 - p) * h), 6)
+              ELSE 0.0 END AS z_stat
+  FROM (
+    SELECT t.n_converted::DOUBLE / t.n_users - c.n_converted::DOUBLE / c.n_users AS d,
+           (c.n_converted + t.n_converted)::DOUBLE / (c.n_users + t.n_users) AS p,
+           1.0 / c.n_users + 1.0 / t.n_users AS h
+    FROM (SELECT * FROM per_arm WHERE split = 'control') c,
+         (SELECT * FROM per_arm WHERE split = 'treatment') t
+  )
+)
+SELECT split, n_users, n_converted,
+       round(n_converted::DOUBLE / n_users, 6) AS conv_rate,
+       revenue, z_stat
+FROM per_arm CROSS JOIN z
+ORDER BY split
+"""
+
+
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus build as ONE composed dataflow — the
     flagship composition query: quality cascade → domain blocklist →
@@ -6723,6 +6831,7 @@ _GATE_ROTATION_FIRST = [
     "position_attribution_credits",
     "markov_attribution_effects",
     "rfm_user_segments",
+    "experiment_lift_summary",
     "ann_ivfpq_index_search",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
@@ -6890,6 +6999,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "position_attribution_credits": position_attribution_credits,
         "markov_attribution_effects": markov_attribution_effects,
         "rfm_user_segments": rfm_user_segments,
+        "experiment_lift_summary": experiment_lift_summary,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -7090,6 +7200,7 @@ def oracle_sql() -> dict[str, str]:
         "position_attribution_credits": POSITION_ATTRIBUTION_SQL,
         "markov_attribution_effects": _markov_sql(),
         "rfm_user_segments": _rfm_sql(),
+        "experiment_lift_summary": EXPERIMENT_LIFT_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

@@ -158,6 +158,7 @@ HEADLINE = [
     "position_attribution_credits",
     "markov_attribution_effects",
     "rfm_user_segments",
+    "experiment_lift_summary",
 ]
 
 # Excluded from HEADLINE on purpose:
