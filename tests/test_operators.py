@@ -1666,3 +1666,31 @@ def test_markov_journeys_truncate_at_first_purchase(spark):
     ).withColumn("ts", F2.col("ts_s").cast("timestamp"))
     t = {(r["src"], r["dst"]) for r in journey_transitions(df).collect()}
     assert t == {("START", "view"), ("view", "CONV")}
+
+
+def test_rfm_scores_ordering_properties(spark):
+    from pyspark.sql import functions as F2
+
+    from megalista_spark.operators.attribution import rfm_scores
+
+    # 10 users, user i makes i purchases of value 10*i on day i
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        for k in range(u):
+            eid += 1
+            rows.append((u, f"2024-01-{u:02d}T12:00:00", eid, 10.0 * u))
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts_s", "event_id", "value"]
+    ).withColumn("ts", F2.col("ts_s").cast("timestamp"))
+    out = {r["user"]: r for r in rfm_scores(df).collect()}
+    assert len(out) == 10
+    # monotone metrics → monotone scores: the most active/recent/valuable
+    # user holds the top score on every axis, the least the bottom
+    assert out[10]["f_score"] == 5 and out[1]["f_score"] == 1
+    assert out[10]["m_score"] == 5 and out[1]["m_score"] == 1
+    assert out[10]["r_score"] == 5 and out[1]["r_score"] == 1  # day 10 newest
+    # frequency/monetary scores never decrease as the metric grows
+    fs = [out[u]["f_score"] for u in range(1, 11)]
+    assert fs == sorted(fs)
+    assert out[5]["recency_days"] == 5  # day 10 ref minus day 5
