@@ -57,6 +57,15 @@ def main() -> None:
         F.desc("removal_effect_micro")
     ).show()
 
+    # 3. RFM segmentation: quintile scores per purchasing user — the
+    #    audience-building input to a customer-match upload
+    from megalista_spark.operators.attribution import rfm_scores
+
+    rfm = rfm_scores(purchases.select("user_id", F.col("p_ts").alias("ts"), "value"))
+    rfm.groupBy("r_score", "f_score").count().orderBy(
+        "r_score", "f_score"
+    ).show(10)
+
     spark.stop()
 
 
