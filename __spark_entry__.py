@@ -6695,6 +6695,35 @@ ORDER BY split
 """
 
 
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-threshold audit (operators/expectations.py::
+    k_anonymity_report): group-size histogram of the customer table
+    under the (nation, market segment) quasi-identifier, flagging
+    groups below k=50 — the pre-export check mirroring the ad
+    platforms' minimum-audience-size floors. One groupBy + one
+    histogram agg."""
+    from megalista_spark.operators.expectations import k_anonymity_report
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(
+        c, ["c_nationkey", "c_mktsegment"], k=50
+    ).orderBy("group_size")
+
+
+K_ANONYMITY_SQL = """
+WITH sizes AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS gs
+  FROM customer GROUP BY 1, 2
+)
+SELECT gs AS group_size, count(*)::BIGINT AS n_groups,
+       (gs * count(*))::BIGINT AS n_rows,
+       gs < 50 AS violates
+FROM sizes
+GROUP BY gs
+ORDER BY group_size
+"""
+
+
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus build as ONE composed dataflow — the
     flagship composition query: quality cascade → domain blocklist →
@@ -6832,6 +6861,7 @@ _GATE_ROTATION_FIRST = [
     "markov_attribution_effects",
     "rfm_user_segments",
     "experiment_lift_summary",
+    "k_anonymity_customers",
     "ann_ivfpq_index_search",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
@@ -7000,6 +7030,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "markov_attribution_effects": markov_attribution_effects,
         "rfm_user_segments": rfm_user_segments,
         "experiment_lift_summary": experiment_lift_summary,
+        "k_anonymity_customers": k_anonymity_customers,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -7201,6 +7232,7 @@ def oracle_sql() -> dict[str, str]:
         "markov_attribution_effects": _markov_sql(),
         "rfm_user_segments": _rfm_sql(),
         "experiment_lift_summary": EXPERIMENT_LIFT_SQL,
+        "k_anonymity_customers": K_ANONYMITY_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

@@ -159,6 +159,7 @@ HEADLINE = [
     "markov_attribution_effects",
     "rfm_user_segments",
     "experiment_lift_summary",
+    "k_anonymity_customers",
 ]
 
 # Excluded from HEADLINE on purpose:

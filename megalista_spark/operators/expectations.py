@@ -116,3 +116,50 @@ def quarantine(
     valid = tagged.where(F.col(reason_col).isNull()).drop(reason_col)
     quarantined = tagged.where(F.col(reason_col).isNotNull())
     return valid, quarantined
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 50,
+) -> DataFrame:
+    """Privacy-threshold audit: how many rows sit in quasi-identifier
+    groups smaller than ``k`` — the k-anonymity check a PII-bearing
+    export runs BEFORE shipping (the ad platforms the reference uploads
+    to enforce the same idea as minimum audience sizes: a list smaller
+    than the floor is rejected because it identifies its members).
+
+    One groupBy on the quasi-identifier tuple (map-side combine), then a
+    group-size histogram — the report is O(distinct QI combinations),
+    the scan is one pass. Output: (group_size, n_groups, n_rows,
+    violates) ordered by group_size; ``violates`` marks sizes < k.
+    """
+    sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_gs"))
+    return (
+        sizes.groupBy(F.col("_gs").alias("group_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+        .select(
+            F.col("group_size").cast("long").alias("group_size"),
+            "n_groups",
+            (F.col("group_size") * F.col("n_groups")).cast("long").alias("n_rows"),
+            (F.col("group_size") < k).alias("violates"),
+        )
+        .orderBy("group_size")
+    )
+
+
+def enforce_min_group_size(
+    df: DataFrame, quasi_cols: list[str], k: int = 50
+) -> DataFrame:
+    """Suppression: drop every row whose quasi-identifier group has
+    fewer than ``k`` members — the generalize-or-suppress endgame of a
+    failed k-anonymity audit, and exactly the minimum-audience-size
+    floor applied at row level. One groupBy + one (broadcastable when
+    violators are few) anti-join."""
+    small = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("_gs"))
+        .where(F.col("_gs") < k)
+        .select(*quasi_cols)
+    )
+    return df.join(small, quasi_cols, "left_anti")

@@ -1694,3 +1694,21 @@ def test_rfm_scores_ordering_properties(spark):
     fs = [out[u]["f_score"] for u in range(1, 11)]
     assert fs == sorted(fs)
     assert out[5]["recency_days"] == 5  # day 10 ref minus day 5
+
+
+def test_k_anonymity_and_suppression(spark):
+    from megalista_spark.operators.expectations import (
+        enforce_min_group_size,
+        k_anonymity_report,
+    )
+
+    # QI groups: (a,1)x5, (a,2)x2, (b,1)x5
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)] * 5
+    df = spark.createDataFrame(rows, ["q1", "q2"])
+    rep = {r["group_size"]: r for r in k_anonymity_report(df, ["q1", "q2"], k=3).collect()}
+    assert rep[2]["n_groups"] == 1 and rep[2]["violates"]
+    assert rep[5]["n_groups"] == 2 and not rep[5]["violates"]
+    assert rep[2]["n_rows"] == 2 and rep[5]["n_rows"] == 10
+    kept = enforce_min_group_size(df, ["q1", "q2"], k=3)
+    assert kept.count() == 10
+    assert kept.where((F.col("q1") == "a") & (F.col("q2") == 2)).count() == 0
