@@ -4915,6 +4915,94 @@ ORDER BY 1, 2
 """
 
 
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value — the revenue counterpart of the retention
+    matrix: per signup-week cohort, CUMULATIVE purchase revenue per
+    cohort user through each weekly offset (the curve an LTV model fits
+    and a payback analysis reads). Same two user-keyed shuffles as
+    retention plus one cohort-partitioned running-sum window over the
+    (tiny) cohort×offset grid; per-user division uses the cohort-size
+    scalar from one extra aggregate."""
+    e = _events(spark, sf_dir)
+    cohort = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("act_week"),
+        "value",
+    )
+    weekly = (
+        purchases.join(cohort, "user_id")
+        .where(F.col("act_week") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7).cast("bigint").alias(
+                "week_offset"
+            ),
+            "value",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.round(F.sum("value"), 6).alias("week_revenue"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weekly.withColumn("cum_revenue", F.round(F.sum("week_revenue").over(w), 6))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "week_revenue",
+            "cum_revenue",
+            F.round(F.col("cum_revenue") / F.col("cohort_users"), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_LTV_SQL = """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, count(*)::BIGINT AS cohort_users FROM cohort GROUP BY 1
+),
+weekly AS (
+  SELECT c.cohort_week,
+         (date_diff('day', c.cohort_week, date_trunc('week', e.ts)::DATE) // 7)::BIGINT
+           AS week_offset,
+         round(sum(e.value), 6) AS week_revenue
+  FROM events e JOIN cohort c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND date_trunc('week', e.ts)::DATE >= c.cohort_week
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_week, week_offset, week_revenue,
+         round(sum(week_revenue) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                                       ROWS UNBOUNDED PRECEDING), 6) AS cum_revenue
+  FROM weekly
+)
+SELECT m.cohort_week, m.week_offset, m.week_revenue, m.cum_revenue,
+       round(m.cum_revenue / s.cohort_users, 6) AS ltv_per_user
+FROM cum m JOIN sizes s USING (cohort_week)
+ORDER BY m.cohort_week, m.week_offset
+"""
+
+
 def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-24h distinct users per hour from mergeable hourly HLL
     register tables (operators/sketches.py::hll_sliding_distinct) — each
@@ -6862,6 +6950,7 @@ _GATE_ROTATION_FIRST = [
     "rfm_user_segments",
     "experiment_lift_summary",
     "k_anonymity_customers",
+    "cohort_ltv_matrix",
     "ann_ivfpq_index_search",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
@@ -7031,6 +7120,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "rfm_user_segments": rfm_user_segments,
         "experiment_lift_summary": experiment_lift_summary,
         "k_anonymity_customers": k_anonymity_customers,
+        "cohort_ltv_matrix": cohort_ltv_matrix,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -7233,6 +7323,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_user_segments": _rfm_sql(),
         "experiment_lift_summary": EXPERIMENT_LIFT_SQL,
         "k_anonymity_customers": K_ANONYMITY_SQL,
+        "cohort_ltv_matrix": COHORT_LTV_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

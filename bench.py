@@ -160,6 +160,7 @@ HEADLINE = [
     "rfm_user_segments",
     "experiment_lift_summary",
     "k_anonymity_customers",
+    "cohort_ltv_matrix",
 ]
 
 # Excluded from HEADLINE on purpose:
