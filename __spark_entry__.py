@@ -6812,6 +6812,84 @@ ORDER BY group_size
 """
 
 
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest: the seasonal-naive predictor
+    (ŷ(t) = y(t − 24h)) evaluated per event type over the DENSIFIED
+    hourly series — the baseline every real forecasting model must beat,
+    and the evaluation harness is the deliverable: dense grid (zero-
+    filled gaps are real observations of zero), lag-24 via one window,
+    exact-integer absolute errors, MAE/bias as single-rounded ratios.
+    One window shuffle keyed by type; all arithmetic engine-exact."""
+    from pyspark.sql import Window
+
+    from megalista_spark.operators.timeseries import densify_ffill
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type",
+        (F.floor(F.col("ts").cast("long") / 3600) * 3600)
+        .cast("bigint")
+        .alias("hour_sec"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    dense = densify_ffill(
+        hourly, "event_type", "hour_sec", 3600, zero_cols=["n_events"]
+    ).select("event_type", "hour_sec", "n_events")
+    w = Window.partitionBy("event_type").orderBy("hour_sec")
+    scored = dense.withColumn("yhat", F.lag("n_events", 24).over(w)).where(
+        F.col("yhat").isNotNull()
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.round(
+                F.sum(F.abs(F.col("n_events") - F.col("yhat"))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sum(F.col("yhat") - F.col("n_events")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SEASONAL_NAIVE_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         (epoch_us(ts::TIMESTAMP) // 1000000 // 3600 * 3600)::BIGINT AS hour_sec,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(hour_sec) AS lo, max(hour_sec) AS hi
+  FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT event_type, unnest(range(lo, hi + 3600, 3600))::BIGINT AS hour_sec
+  FROM bounds
+),
+dense AS (
+  SELECT g.event_type, g.hour_sec, coalesce(h.n_events, 0)::BIGINT AS n_events
+  FROM grid g LEFT JOIN hourly h USING (event_type, hour_sec)
+),
+scored AS (
+  SELECT event_type, n_events,
+         lag(n_events, 24) OVER (PARTITION BY event_type ORDER BY hour_sec) AS yhat
+  FROM dense
+)
+SELECT event_type, count(*)::BIGINT AS n_hours,
+       round(sum(abs(n_events - yhat))::DOUBLE / count(*), 6) AS mae,
+       round(sum(yhat - n_events)::DOUBLE / count(*), 6) AS bias
+FROM scored WHERE yhat IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus build as ONE composed dataflow — the
     flagship composition query: quality cascade → domain blocklist →
@@ -6951,6 +7029,7 @@ _GATE_ROTATION_FIRST = [
     "experiment_lift_summary",
     "k_anonymity_customers",
     "cohort_ltv_matrix",
+    "seasonal_naive_backtest",
     "ann_ivfpq_index_search",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
@@ -7121,6 +7200,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "experiment_lift_summary": experiment_lift_summary,
         "k_anonymity_customers": k_anonymity_customers,
         "cohort_ltv_matrix": cohort_ltv_matrix,
+        "seasonal_naive_backtest": seasonal_naive_backtest,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -7324,6 +7404,7 @@ def oracle_sql() -> dict[str, str]:
         "experiment_lift_summary": EXPERIMENT_LIFT_SQL,
         "k_anonymity_customers": K_ANONYMITY_SQL,
         "cohort_ltv_matrix": COHORT_LTV_SQL,
+        "seasonal_naive_backtest": SEASONAL_NAIVE_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

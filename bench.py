@@ -161,6 +161,7 @@ HEADLINE = [
     "experiment_lift_summary",
     "k_anonymity_customers",
     "cohort_ltv_matrix",
+    "seasonal_naive_backtest",
 ]
 
 # Excluded from HEADLINE on purpose:
