@@ -6460,6 +6460,85 @@ def position_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decay_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution — the fourth classic rule-based model
+    (last-touch / linear / U-shaped / decay): a click's weight halves
+    per minute of age at purchase time, w = 2^(−floor(age/60s)),
+    normalized within the window. Powers of two make every weight AND
+    every per-purchase weight sum EXACTLY representable in binary
+    floating point (ages span 0–5 min → exponents 0..−5), so the
+    normalization is bit-identical cross-engine regardless of summation
+    order — the one float-determinism hazard a decay model usually
+    carries. Output: credited revenue per click hour."""
+    from pyspark.sql import Window
+
+    from megalista_spark.operators.rangejoin import range_join_binned
+
+    e = _events(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    joined = range_join_binned(
+        clicks, purchases, point_ts="c_ts", start_col="w_start", end_col="w_end",
+        bin_seconds=300,
+    )
+    age_min = F.floor(
+        (F.col("w_end").cast("long") - F.col("c_ts").cast("long")) / 60
+    )
+    wgt = F.pow(F.lit(2.0), -age_min.cast("double"))
+    wp = Window.partitionBy("purchase_id")
+    credited = joined.withColumn("_w", wgt).withColumn(
+        "credit", F.col("p_value") * F.col("_w") / F.sum("_w").over(wp)
+    )
+    return (
+        credited.groupBy(
+            (F.floor(F.col("c_ts").cast("long") / 3600) * 3600)
+            .cast("bigint")
+            .alias("click_hour_sec")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.round(F.sum("credit"), 6).alias("credited_revenue"),
+        )
+        .orderBy("click_hour_sec")
+    )
+
+
+DECAY_ATTRIBUTION_SQL = """
+WITH e AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+p AS (
+  SELECT event_id AS purchase_id, ts - INTERVAL 5 MINUTE AS w_start,
+         ts AS w_end, value AS p_value
+  FROM e WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS click_id, ts AS c_ts FROM e WHERE event_type = 'click'
+),
+j AS (
+  SELECT p.purchase_id, p.p_value, c.c_ts,
+         pow(2.0, -((epoch_us(p.w_end) // 1000000
+                     - epoch_us(c.c_ts) // 1000000) // 60)::DOUBLE) AS w
+  FROM c JOIN p ON c.c_ts >= p.w_start AND c.c_ts <= p.w_end
+),
+credited AS (
+  SELECT c_ts, p_value * w / sum(w) OVER (PARTITION BY purchase_id) AS credit
+  FROM j
+)
+SELECT (epoch_us(c_ts) // 1000000 // 3600 * 3600)::BIGINT AS click_hour_sec,
+       count(*)::BIGINT AS n_touches,
+       round(sum(credit), 6) AS credited_revenue
+FROM credited
+GROUP BY 1
+ORDER BY click_hour_sec
+"""
+
+
 POSITION_ATTRIBUTION_SQL = """
 WITH e AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
 p AS (
@@ -7030,6 +7109,7 @@ _GATE_ROTATION_FIRST = [
     "k_anonymity_customers",
     "cohort_ltv_matrix",
     "seasonal_naive_backtest",
+    "decay_attribution_credits",
     "ann_ivfpq_index_search",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
@@ -7201,6 +7281,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "k_anonymity_customers": k_anonymity_customers,
         "cohort_ltv_matrix": cohort_ltv_matrix,
         "seasonal_naive_backtest": seasonal_naive_backtest,
+        "decay_attribution_credits": decay_attribution_credits,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -7405,6 +7486,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_customers": K_ANONYMITY_SQL,
         "cohort_ltv_matrix": COHORT_LTV_SQL,
         "seasonal_naive_backtest": SEASONAL_NAIVE_SQL,
+        "decay_attribution_credits": DECAY_ATTRIBUTION_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

@@ -162,6 +162,7 @@ HEADLINE = [
     "k_anonymity_customers",
     "cohort_ltv_matrix",
     "seasonal_naive_backtest",
+    "decay_attribution_credits",
 ]
 
 # Excluded from HEADLINE on purpose:
