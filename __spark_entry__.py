@@ -6510,6 +6510,80 @@ def decay_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def last_touch_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution as a gated credit query (the as-of
+    ENRICHMENT form is gated separately as asof_enrich_clicks): the
+    latest in-window click takes 100% of each purchase's value —
+    rank-1-of-descending over the binned interval join, ties to the
+    higher click id being impossible here (ids are unique) but the
+    (c_ts DESC, click_id DESC) order pins determinism anyway. Hourly
+    rollup matches the other attribution outputs."""
+    from pyspark.sql import Window
+
+    from megalista_spark.operators.rangejoin import range_join_binned
+
+    e = _events(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    joined = range_join_binned(
+        clicks, purchases, point_ts="c_ts", start_col="w_start", end_col="w_end",
+        bin_seconds=300,
+    )
+    wp = Window.partitionBy("purchase_id").orderBy(
+        F.desc("c_ts"), F.desc("click_id")
+    )
+    last = joined.withColumn("_r", F.row_number().over(wp)).where(F.col("_r") == 1)
+    return (
+        last.groupBy(
+            (F.floor(F.col("c_ts").cast("long") / 3600) * 3600)
+            .cast("bigint")
+            .alias("click_hour_sec")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.round(F.sum("p_value"), 6).alias("credited_revenue"),
+        )
+        .orderBy("click_hour_sec")
+    )
+
+
+LAST_TOUCH_SQL = """
+WITH e AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+p AS (
+  SELECT event_id AS purchase_id, ts - INTERVAL 5 MINUTE AS w_start,
+         ts AS w_end, value AS p_value
+  FROM e WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS click_id, ts AS c_ts FROM e WHERE event_type = 'click'
+),
+j AS (
+  SELECT p.purchase_id, p.p_value, c.c_ts, c.click_id
+  FROM c JOIN p ON c.c_ts >= p.w_start AND c.c_ts <= p.w_end
+),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY purchase_id
+                                 ORDER BY c_ts DESC, click_id DESC) AS r
+    FROM j
+  ) WHERE r = 1
+)
+SELECT (epoch_us(c_ts) // 1000000 // 3600 * 3600)::BIGINT AS click_hour_sec,
+       count(*)::BIGINT AS n_touches,
+       round(sum(p_value), 6) AS credited_revenue
+FROM last
+GROUP BY 1
+ORDER BY click_hour_sec
+"""
+
+
 DECAY_ATTRIBUTION_SQL = """
 WITH e AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
 p AS (
@@ -7110,6 +7184,7 @@ _GATE_ROTATION_FIRST = [
     "cohort_ltv_matrix",
     "seasonal_naive_backtest",
     "decay_attribution_credits",
+    "last_touch_attribution_credits",
     "ann_ivfpq_index_search",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
@@ -7282,6 +7357,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "cohort_ltv_matrix": cohort_ltv_matrix,
         "seasonal_naive_backtest": seasonal_naive_backtest,
         "decay_attribution_credits": decay_attribution_credits,
+        "last_touch_attribution_credits": last_touch_attribution_credits,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -7487,6 +7563,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_ltv_matrix": COHORT_LTV_SQL,
         "seasonal_naive_backtest": SEASONAL_NAIVE_SQL,
         "decay_attribution_credits": DECAY_ATTRIBUTION_SQL,
+        "last_touch_attribution_credits": LAST_TOUCH_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

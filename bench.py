@@ -163,6 +163,7 @@ HEADLINE = [
     "cohort_ltv_matrix",
     "seasonal_naive_backtest",
     "decay_attribution_credits",
+    "last_touch_attribution_credits",
 ]
 
 # Excluded from HEADLINE on purpose:
