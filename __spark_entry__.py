@@ -6669,6 +6669,77 @@ def markov_attribution_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_removal_attribution(e, iters=16).orderBy("channel")
 
 
+def conversion_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top converting journey paths — the Sankey/table view next to the
+    Markov model: per user, the ordered channel sequence up to the first
+    purchase rendered as a path string, counted, top 15 by frequency.
+    The per-user path builds with sort_array(collect_list(struct(rn,
+    ch))) — aggregation then an in-row sort, no second window pass; the
+    path table is ≤ |users| rows, TakeOrdered takes the top."""
+    from pyspark.sql import Window
+
+    from megalista_spark.operators.attribution import CONV, journey_transitions  # noqa: F401 (CONV naming parity)
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = e.select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("ch"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wc = Window.partitionBy("user_id")
+    conv_rn = F.min(F.when(F.col("ch") == "CONV", F.col("rn"))).over(wc)
+    kept = seq.withColumn("_crn", conv_rn).where(
+        F.col("_crn").isNotNull() & (F.col("rn") <= F.col("_crn"))
+    )
+    paths = kept.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "ch"))),
+                lambda s: s.getField("ch"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(15)
+    )
+
+
+CONVERSION_PATHS_SQL = """
+WITH e AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS ch
+  FROM events
+),
+seq AS (
+  SELECT user_id, ch,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM e
+),
+kept AS (
+  SELECT s.user_id, s.ch, s.rn FROM seq s
+  JOIN (SELECT user_id, min(rn) AS crn FROM seq WHERE ch = 'CONV' GROUP BY user_id) m
+    USING (user_id)
+  WHERE s.rn <= m.crn
+),
+paths AS (
+  SELECT user_id, string_agg(ch, '>' ORDER BY rn) AS path
+  FROM kept GROUP BY user_id
+)
+SELECT path, count(*)::BIGINT AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT 15
+"""
+
+
 def _markov_sql(iters: int = 16, scale: int = 1_000_000) -> str:
     channels = ["click", "error", "signup", "view"]
     all_states = ["CONV", "NULL", "START"] + channels
@@ -7185,6 +7256,7 @@ _GATE_ROTATION_FIRST = [
     "seasonal_naive_backtest",
     "decay_attribution_credits",
     "last_touch_attribution_credits",
+    "conversion_paths_topk",
     "ann_ivfpq_index_search",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
@@ -7358,6 +7430,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "seasonal_naive_backtest": seasonal_naive_backtest,
         "decay_attribution_credits": decay_attribution_credits,
         "last_touch_attribution_credits": last_touch_attribution_credits,
+        "conversion_paths_topk": conversion_paths_topk,
         "repetition_filter_docs": repetition_filter_docs,
         "pack_training_sequences": pack_training_sequences,
         "chunk_docs_overlap": chunk_docs_overlap,
@@ -7564,6 +7637,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_naive_backtest": SEASONAL_NAIVE_SQL,
         "decay_attribution_credits": DECAY_ATTRIBUTION_SQL,
         "last_touch_attribution_credits": LAST_TOUCH_SQL,
+        "conversion_paths_topk": CONVERSION_PATHS_SQL,
         "repetition_filter_docs": REPETITION_SQL,
         "pack_training_sequences": PACK_SQL,
         "chunk_docs_overlap": CHUNK_SQL,

@@ -164,6 +164,7 @@ HEADLINE = [
     "seasonal_naive_backtest",
     "decay_attribution_credits",
     "last_touch_attribution_credits",
+    "conversion_paths_topk",
 ]
 
 # Excluded from HEADLINE on purpose:
