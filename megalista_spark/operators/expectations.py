@@ -163,3 +163,24 @@ def enforce_min_group_size(
         .select(*quasi_cols)
     )
     return df.join(small, quasi_cols, "left_anti")
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema drift report between two table versions: one row per
+    added / removed / retyped column — what an ingest gate logs before
+    `read_evolving_parquet`'s contract projection silently absorbs the
+    drift. Pure metadata (driver-side schemas), zero jobs."""
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in sorted(set(o) | set(n)):
+        if c not in n:
+            rows.append((c, "removed", o[c], None))
+        elif c not in o:
+            rows.append((c, "added", None, n[c]))
+        elif o[c] != n[c]:
+            rows.append((c, "retyped", o[c], n[c]))
+    spark = old.sparkSession
+    return spark.createDataFrame(
+        rows, "column string, change string, old_type string, new_type string"
+    )

@@ -1712,3 +1712,18 @@ def test_k_anonymity_and_suppression(spark):
     kept = enforce_min_group_size(df, ["q1", "q2"], k=3)
     assert kept.count() == 10
     assert kept.where((F.col("q1") == "a") & (F.col("q2") == 2)).count() == 0
+
+
+def test_schema_diff_reports_drift(spark):
+    from megalista_spark.operators.expectations import schema_diff
+
+    old = spark.createDataFrame([], "a long, b string, c double")
+    new = spark.createDataFrame([], "a string, b string, d int")
+    got = {(r["column"], r["change"]): (r["old_type"], r["new_type"])
+           for r in schema_diff(old, new).collect()}
+    assert got == {
+        ("a", "retyped"): ("bigint", "string"),
+        ("c", "removed"): ("double", None),
+        ("d", "added"): (None, "int"),
+    }
+    assert schema_diff(old, old).count() == 0
