@@ -51,6 +51,18 @@ def main() -> None:
     with open(cfg_path, "w") as f:
         json.dump(config, f)
 
+    # pre-upload privacy gate: would this audience clear a minimum-size
+    # floor under its (email-domain) quasi-identifier?
+    from pyspark.sql import functions as F
+
+    from megalista_spark.operators.expectations import k_anonymity_report
+
+    src_df = spark.read.parquet(src).withColumn(
+        "email_domain", F.substring_index("email", "@", -1)
+    )
+    print("=== k-anonymity (email_domain QI, k=10)")
+    k_anonymity_report(src_df, ["email_domain"], k=10).show()
+
     print("=== run 1 (everything fresh)")
     r1 = run_from_config(spark, cfg_path, lambda e: MockTransport())
     print(json.dumps(r1.summary(), indent=2))
