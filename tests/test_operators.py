@@ -1727,3 +1727,12 @@ def test_schema_diff_reports_drift(spark):
         ("d", "added"): (None, "int"),
     }
     assert schema_diff(old, old).count() == 0
+
+
+def test_symmetric_edges_both_directions_once(spark):
+    from megalista_spark.operators.dedup import symmetric_edges
+
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], ["id_a", "id_b"])
+    got = {(r["src"], r["dst"]) for r in symmetric_edges(pairs).collect()}
+    assert got == {(1, 2), (2, 1), (3, 4), (4, 3)}
+    assert symmetric_edges(pairs).count() == 4  # exactly 2 rows per pair
