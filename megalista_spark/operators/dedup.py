@@ -255,6 +255,89 @@ def ngram_jaccard_pairs(
     )
 
 
+def setsim_prefix_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-Jaccard similar pairs over word TOKEN sets via PREFIX
+    FILTERING (the PPJoin/AllPairs family — Bayardo et al. 2007, Xiao et
+    al. 2008; public methods): candidates come only from each document's
+    rarest-token prefix instead of from every shared token.
+
+    Under any fixed global token order, two sets X, Y with
+    jaccard(X,Y) ≥ t MUST share a token within the first
+    p(S) = |S| - ceil(t·|S|) + 1 tokens of each (else the overlap is
+    too small by counting). Ordering tokens by ascending document
+    frequency puts the RAREST tokens in the prefix, so:
+
+      1. token df over the corpus (one agg),
+      2. per-doc rank tokens by (df, token), keep rank ≤ p (a window
+         partitioned BY DOC — bounded state, spillable sort),
+      3. candidates = equi-join of prefix tokens (rare ⇒ tiny buckets),
+      4. verify candidates ONLY: exact shared-token count → jaccard ≥ t.
+
+    vs ``ngram_jaccard_pairs``'s full inverted index: hot tokens
+    (stopwords) never generate candidates here unless the threshold
+    mathematically needs them — a LOSSLESS skew guard, where
+    ``max_shingle_df`` trades recall. The candidate explosion is bounded
+    by the df of *rare* tokens, the verify join touches only candidate
+    pairs. Returns (doc_a, doc_b, jaccard rounded to 6dp).
+
+    Engine-portable: integer ranks, ceil over an exact decimal threshold,
+    count/count arithmetic — the SQL oracle replays it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        _tokenized(df, text_col, id_col)
+        .select("id", F.explode(F.array_distinct(F.col("_toks"))).alias("tok"))
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    tdf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    ranked = (
+        toks.join(tdf, "tok")
+        .join(sizes, "id")
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    prefix_len = F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+    prefix = ranked.where(F.col("rnk") <= prefix_len).select("tok", "id", "set_size")
+
+    pb = prefix.select(
+        F.col("tok"),
+        F.col("id").alias("id_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    cands = (
+        prefix.join(pb, "tok")
+        .where(F.col("id") < F.col("id_b"))
+        .select(
+            F.col("id").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.col("set_size").alias("size_a"),
+            F.col("size_b"),
+        )
+        .distinct()
+    )
+
+    ta = toks.select(F.col("id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("id").alias("_idb"), F.col("tok").alias("tok_b"))
+    shared = (
+        cands.join(ta, "doc_a")
+        .join(tb, (F.col("doc_b") == F.col("_idb")) & (F.col("tok") == F.col("tok_b")))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+    return (
+        shared.where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 # --------------------------------------------------------------- MinHash
 
 

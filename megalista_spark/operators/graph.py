@@ -360,3 +360,115 @@ def label_propagation_communities(
         )
     sym.unpersist()
     return labels.select("id", F.col("label").alias("community"))
+
+
+def k_hop_reach(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Multi-source BFS: (seed, node, hop) — every node reachable from
+    each seed within ``hops`` directed hops, labeled with its MINIMUM hop
+    distance (hop 0 = the seed itself). The expansion-from-seed-set
+    primitive behind blast-radius, recommendation-neighborhood, and
+    contamination-spread questions.
+
+    Per hop: frontier ⋈ edges on the frontier node (ONE shuffle), then a
+    min-hop aggregate against the visited set — rows carry (seed, node)
+    only, so state is O(reached nodes × seeds), never O(edges × hops).
+    The frontier for hop h+1 is exactly the rows first discovered at hop
+    h (min_hop == h), so settled nodes are never re-expanded — the
+    textbook level-synchronous BFS invariant. Each round is
+    localCheckpointed (iterative lineage otherwise doubles per round).
+
+    Fixed ``hops`` keeps the operator a pure function a SQL oracle can
+    unroll hop by hop (same discipline as pagerank / LPA). Engine-
+    portable by construction: min over integers, equi-joins only.
+
+    Scale: the frontier join shuffles |frontier ⋈ edges| rows per hop;
+    for hub-heavy graphs cap blowup upstream by degree-capping the edge
+    list (see ``triangle_count``'s orientation trick). Seeds are a small
+    bounded set by contract — the operator broadcasts them only
+    implicitly via the first join's build side when Spark sees fit.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    visited = (
+        seeds.select(F.col(seed_col).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(0).alias("min_hop"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, hops + 1):
+        grown = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select("seed", F.col("v").alias("node"), F.lit(h).alias("min_hop"))
+        )
+        merged = (
+            visited.unionByName(grown)
+            .groupBy("seed", "node")
+            .agg(F.min("min_hop").alias("min_hop"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.where(F.col("min_hop") == h)
+        visited = merged
+    return visited
+
+
+def bounded_sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Bounded-round single/multi-source shortest paths (Bellman-Ford
+    relaxation) over INTEGER edge weights: (seed, node, dist) — the
+    cheapest ≤``rounds``-edge path from each seed, exact for any path of
+    that many edges or fewer. Integer weights make every relaxation an
+    integer add + min — order-independent and bit-identical across
+    engines, the same portability discipline as fixed-point pagerank.
+
+    Per round, the classic relax step as one join + one aggregate:
+
+      candidate(v) = dist(u) + w(u,v)    (dists ⋈ edges on u — ONE shuffle)
+      dist'(v)     = min(dist(v), min candidate(v))
+
+    State is (seed, node, dist) — O(reached × seeds); the full dist table
+    relaxes each round (simple and predictable; a delta-only frontier
+    variant saves work when distances settle early, at the cost of a
+    changed-set computation per round). Rounds are localCheckpointed.
+    Fixed ``rounds`` → SQL-oracle unrollable.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight).cast("bigint").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+    )
+    dists = (
+        seeds.select(F.col(seed_col).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dists.join(e, dists["node"] == e["u"])
+            .select("seed", F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dists = (
+            dists.unionByName(relaxed)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dists

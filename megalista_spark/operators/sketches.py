@@ -199,6 +199,59 @@ def cms_estimate(
     )
 
 
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    phi_permille: int = 5,
+    sample_mod: int = 8,
+    d: int = CM_D,
+    w: int = CM_W,
+) -> DataFrame:
+    """Frequent-item detection WITHOUT enumerating the distinct domain:
+    (key, est_count) for every value whose estimated frequency is at least
+    ``phi_permille``/1000 of the row count. The three-stage shape is the
+    standard sketch-based heavy-hitters pipeline (Cormode & Muthukrishnan
+    2005 §4; public method), made deterministic for the cross-engine
+    oracle:
+
+      1. CANDIDATES from a deterministic 1/``sample_mod`` row sample
+         (hash of the full row text, so identical values in different
+         rows sample independently). A true heavy hitter occurs ≥ φN
+         times; the chance it misses an s-rate sample is (1-s)^(φN) —
+         at φ=0.5%, s=1/8, N=10^6 that is e^-625. The sample is the
+         only stage that touches per-distinct state, and it is 1/s
+         smaller than the input.
+      2. ESTIMATE each candidate against the d×w count-min sketch
+         (broadcast, map-side — see ``cms_estimate``).
+      3. THRESHOLD est ≥ ceil(φ·N) with N carried as a 1-row frame
+         (no driver collect). CMS never under-counts, so no true heavy
+         hitter is dropped at this stage; false survivors are bounded by
+         the classic 2N/w overestimate.
+
+    vs SpaceSaving/Misra-Gries: those are merge-order-dependent (useless
+    for a reproducibility contract); this pipeline is a pure function of
+    the data. Scale: one scan for the sketch (constant-size state), one
+    1/s scan for candidates, broadcast probe — no shuffle carries more
+    than d·w + |sample distinct| rows.
+    """
+    counters = cms_build(df, col, d, w)
+    sampled = df.where(
+        F.pmod(portable_hash64(F.concat_ws("\x1f", *df.columns)), F.lit(sample_mod))
+        == 0
+    )
+    cands = sampled.select(col).distinct()
+    est = cms_estimate(counters, cands, col, d, w)
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        est.crossJoin(total)
+        .where(
+            F.col("est_count")
+            >= F.ceil(F.col("_n") * F.lit(phi_permille) / F.lit(1000))
+        )
+        .select("key", "est_count")
+    )
+
+
 def kmv_set_estimates(
     df_a: DataFrame,
     col_a: str,

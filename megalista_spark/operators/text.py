@@ -288,6 +288,141 @@ def build_vocab(
     )
 
 
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: int = 3,
+    max_words: int | None = None,
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016; public
+    method) as a driver loop of PURELY RELATIONAL steps — the tokenizer-
+    training operator an LLM data pipeline runs over its corpus. Returns
+    the learned merge table (step, lhs, rhs, merged, pair_count), step
+    1-based in training order.
+
+    The corpus collapses to the word-frequency dict first (the classic
+    BPE preprocessing — training cost scales with |vocab|, not corpus
+    size), then each word becomes positional symbol rows
+    (word, wc, pos, sym) with a ``</w>`` end marker. Per merge round:
+
+      count:  adjacent pairs via ONE ``lead`` window + weighted groupBy
+      argmax: (count DESC, pair ASC) LIMIT 1 — total order, so training
+              is a pure function of the corpus (real BPE trainers
+              tiebreak on dict order and are irreproducible across runs)
+      apply:  greedy left-to-right non-overlapping replacement, done
+              RELATIONALLY: pair-start rows form gaps-and-islands runs
+              (overlaps only occur for self-pairs like ``a a``); within
+              a run, odd offsets are the greedy picks — three chained
+              windows, no per-row recursion, no UDF. Consumed rows drop,
+              merged rows keep the first element's position.
+
+    Scale: state is the positional symbol relation, O(Σ|word|) over the
+    DISTINCT vocabulary — millions of rows for a 100 TB corpus, not
+    billions; every window partitions BY WORD (bounded, spillable). The
+    1-row argmax joins back via crossJoin(broadcast) — no driver
+    collect. Rounds localCheckpoint (the iterative-lineage lesson).
+    ``max_words`` optionally trains on the top-frequency vocabulary
+    slice ((wc, word) DESC total order), the standard truncation.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    words = (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+    if max_words is not None:
+        words = words.orderBy(F.desc("wc"), F.asc("word")).limit(max_words)
+
+    chars = F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+    seq = (
+        words.select(
+            "word",
+            "wc",
+            F.posexplode(F.concat(chars, F.array(F.lit("</w>")))).alias("pos", "sym"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    w_word = Window.partitionBy("word").orderBy("pos")
+    merge_rows: list[DataFrame] = []
+    for step in range(1, merges + 1):
+        pairs = (
+            seq.select("wc", "sym", F.lead("sym").over(w_word).alias("nxt"))
+            .where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.desc("cnt"), F.asc("sym"), F.asc("nxt"))
+            .limit(1)
+            .select(
+                F.col("sym").alias("_l"), F.col("nxt").alias("_r"), F.col("cnt")
+            )
+            .localCheckpoint(eager=True)
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("_l").alias("lhs"),
+                F.col("_r").alias("rhs"),
+                F.concat("_l", "_r").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        s1 = seq.crossJoin(F.broadcast(best)).select(
+            "word",
+            "wc",
+            "pos",
+            "sym",
+            F.row_number().over(w_word).alias("rn"),
+            (
+                (F.col("sym") == F.col("_l"))
+                & (F.lead("sym").over(w_word) == F.col("_r"))
+            ).alias("start"),
+            F.concat("_l", "_r").alias("msym"),
+        )
+        s2 = s1.withColumn(
+            "island",
+            F.col("rn")
+            - F.row_number().over(Window.partitionBy("word", "start").orderBy("pos")),
+        )
+        s3 = s2.withColumn(
+            "active",
+            F.col("start")
+            & (
+                F.row_number().over(
+                    Window.partitionBy("word", "start", "island").orderBy("pos")
+                )
+                % 2
+                == 1
+            ),
+        )
+        s4 = s3.withColumn(
+            "prev_active", F.lag("active", 1, False).over(w_word)
+        )
+        seq = (
+            s4.where(~F.col("prev_active"))
+            .select(
+                "word",
+                "wc",
+                "pos",
+                F.when(F.col("active"), F.col("msym")).otherwise(F.col("sym")).alias(
+                    "sym"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("step")
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.5,

@@ -75,3 +75,77 @@ def densify_ffill(
     return out.withColumn("is_observed", F.coalesce(F.col("_obs"), F.lit(False))).drop(
         "_obs"
     )
+
+
+def ewma_trailing(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    horizon: int = 12,
+) -> DataFrame:
+    """Trailing-horizon EWMA over an integer-bucketed series with EXACT
+    integer weight arithmetic: (key..., bucket, value, ewma) where
+
+        ewma(t) = Σ_{lag=0..h} w(lag)·x(t-lag) / Σ w(lag present)
+
+    with α = alpha_num/alpha_den and weights scaled by den^(h+1) to pure
+    integers: w(lag) = num·(den-num)^lag·den^(h-lag). Numerator and
+    denominator are BIGINT sums (order-independent, bit-identical on any
+    engine — float pow() is not); one double division at the output,
+    rounded. Missing buckets inside the horizon simply contribute
+    nothing — the present-weight denominator renormalizes, so series
+    heads and gaps get an unbiased local mean instead of a zero-pulled
+    one (run ``densify_ffill`` first for strict gap-as-zero semantics).
+
+    The smoother is the standard EWMA control-chart statistic (Roberts
+    1959; public method); pair with a deviation test downstream for
+    anomaly flags.
+
+    Scale shape — NO window over the raw log and NO range join:
+      1. the input is already bucket-aggregated (caller groupBy — one
+         shuffle proportional to |buckets|, not |events|);
+      2. each bucket row EXPLODES to its h+1 target buckets with a
+         precomputed literal weight per lag (data-independent ×(h+1));
+      3. one (key, bucket) groupBy sums num/denom map-side;
+      4. inner join back to real buckets drops phantom targets past the
+         series end.
+    Everything shuffles O(|buckets|·(h+1)) 16-byte rows.
+    """
+    keys = list(key_cols)
+    beta = alpha_den - alpha_num
+    # w(lag) = num * beta^lag * den^(h-lag), exact bigint literals
+    weights = [
+        alpha_num * beta**lag * alpha_den ** (horizon - lag)
+        for lag in range(horizon + 1)
+    ]
+    lagw = F.array(
+        *[
+            F.struct(F.lit(i).alias("lag"), F.lit(w).cast("bigint").alias("w"))
+            for i, w in enumerate(weights)
+        ]
+    )
+    x = F.col(value_col).cast("bigint")
+    contrib = df.select(
+        *keys,
+        F.col(bucket_col).alias("_src"),
+        x.alias("_x"),
+        F.inline(lagw),
+    ).select(
+        *keys,
+        (F.col("_src") + F.col("lag")).alias(bucket_col),
+        (F.col("_x") * F.col("w")).alias("_xw"),
+        F.col("w"),
+    )
+    sums = contrib.groupBy(*keys, bucket_col).agg(
+        F.sum("_xw").alias("_num"), F.sum("w").alias("_den")
+    )
+    real = df.select(*keys, bucket_col, x.alias(value_col))
+    return real.join(sums, keys + [bucket_col]).select(
+        *keys,
+        bucket_col,
+        value_col,
+        F.round(F.col("_num") / F.col("_den"), 6).alias("ewma"),
+    )
