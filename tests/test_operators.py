@@ -1736,3 +1736,152 @@ def test_symmetric_edges_both_directions_once(spark):
     got = {(r["src"], r["dst"]) for r in symmetric_edges(pairs).collect()}
     assert got == {(1, 2), (2, 1), (3, 4), (4, 3)}
     assert symmetric_edges(pairs).count() == 4  # exactly 2 rows per pair
+
+
+# --------------------------------------------------- round-4 operators
+
+
+def test_bpe_learns_sennrich_example(spark):
+    """'low' family: first merges must be l+o then lo+w, deterministic."""
+    from megalista_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [("d1", "low low low lower lowest"), ("d2", "new newer newest")],
+        ["doc_id", "text"],
+    )
+    rows = bpe_train_merges(df, merges=2).collect()
+    assert [(r["lhs"], r["rhs"], r["merged"]) for r in rows] == [
+        ("l", "o", "lo"),
+        ("lo", "w", "low"),
+    ]
+    assert rows[0]["pair_count"] == 5  # every word of d1 contains 'lo'
+
+
+def test_bpe_greedy_overlap_self_pair(spark):
+    """'aaaa' has 3 overlapping (a,a) starts; greedy takes offsets 0 and 2,
+    so after the merge the word is [aa, aa, </w>] — the (aa,aa) count
+    proves the non-overlapping application."""
+    from megalista_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame([("d1", "aaaa aaaa aaa")], ["doc_id", "text"])
+    rows = bpe_train_merges(df, merges=2).collect()
+    # pre-merge adjacency: 3 pairs × wc(aaaa)=2 + 2 pairs × wc(aaa)=1 = 8
+    assert (rows[0]["merged"], rows[0]["pair_count"]) == ("aa", 8)
+    # post-merge: aaaa→[aa,aa,</w>] (NOT [aa,a,a...]); tie (aa,aa)=2 vs
+    # (aa,</w>)=2 broken by rhs ascending: '</w>' < 'aa' in binary order
+    assert (rows[1]["lhs"], rows[1]["rhs"], rows[1]["pair_count"]) == (
+        "aa", "</w>", 2,
+    )
+
+
+def test_setsim_prefix_pairs_exact_jaccard(spark):
+    from megalista_spark.operators.dedup import setsim_prefix_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps high"),
+            (2, "quick brown fox jumps low"),
+            (3, "totally different words here"),
+            (4, "quick brown fox jumps high today"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in setsim_prefix_pairs(docs, threshold=0.6).collect()
+    }
+    # (1,2): 4/6, (1,4): 5/6; (2,4): 4/7 < 0.6 must be filtered
+    assert set(got) == {(1, 2), (1, 4)}
+    assert got[(1, 2)] == round(4 / 6, 6)
+    assert got[(1, 4)] == round(5 / 6, 6)
+
+
+def test_setsim_prefix_matches_bruteforce(spark):
+    """Prefix filtering is lossless: every ≥t pair of a random corpus is
+    found (compare against the all-pairs python computation)."""
+    import itertools
+    import random
+
+    from megalista_spark.operators.dedup import setsim_prefix_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.sample(vocab, rng.randint(4, 10)))) for i in range(40)
+    ]
+    t = 0.5
+    expect = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        sa, sb = set(ta.split()), set(tb.split())
+        j = len(sa & sb) / len(sa | sb)
+        if j >= t:
+            expect[(min(ia, ib), max(ia, ib))] = round(j, 6)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in setsim_prefix_pairs(df, threshold=t).collect()
+    }
+    assert got == expect
+
+
+def test_k_hop_reach_min_hops(spark):
+    from megalista_spark.operators.graph import k_hop_reach
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (4, 5)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    got = {r["node"]: r["min_hop"] for r in k_hop_reach(edges, seeds, hops=3).collect()}
+    # node 3 is 1 hop via the direct 1→3 edge, not 2 via 1→2→3
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+    # hop budget respected: with hops=1 node 4 is unreachable
+    got1 = {r["node"] for r in k_hop_reach(edges, seeds, hops=1).collect()}
+    assert got1 == {1, 2, 3}
+
+
+def test_bounded_sssp_relaxes_through_cheaper_path(spark):
+    from megalista_spark.operators.graph import bounded_sssp
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (3, 4, 1), (1, 3, 10), (4, 5, 2)],
+        ["src", "dst", "w"],
+    )
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    got = {r["node"]: r["dist"] for r in bounded_sssp(edges, seeds, rounds=4).collect()}
+    # 1→2→3 (cost 6) beats the direct 1→3 (cost 10)
+    assert got == {1: 0, 2: 5, 3: 6, 4: 7, 5: 9}
+    # round budget is a path-length bound: 2 rounds can't see node 5
+    got2 = {r["node"]: r["dist"] for r in bounded_sssp(edges, seeds, rounds=2).collect()}
+    assert 5 not in got2 and got2[3] == 6
+
+
+def test_cms_heavy_hitters_finds_only_heavy(spark):
+    from megalista_spark.operators.sketches import cms_heavy_hitters
+
+    rows = [("u%d" % (i % 7), i) for i in range(2000)] + [
+        ("hot", i) for i in range(3000)
+    ]
+    ev = spark.createDataFrame(rows, ["user", "n"])
+    got = {r["key"]: r["est_count"] for r in
+           cms_heavy_hitters(ev, "user", phi_permille=100).collect()}
+    # only 'hot' (60%) clears the 10% bar; u0..u6 sit at ~5.7% each
+    assert set(got) == {"hot"}
+    assert got["hot"] >= 3000  # CMS never under-counts
+
+
+def test_ewma_trailing_exact_and_renormalized(spark):
+    from megalista_spark.operators.timeseries import ewma_trailing
+
+    ts = spark.createDataFrame(
+        [(h, 10 if h != 5 else 100) for h in range(10)], ["hour", "n"]
+    )
+    got = {r["hour"]: r["ewma"] for r in
+           ewma_trailing(ts, "hour", "n", horizon=4).collect()}
+    # head renormalization: constant series stays exactly constant
+    assert got[0] == 10.0 and got[4] == 10.0
+    # spike decays monotonically back toward the base level
+    assert got[5] > got[6] > got[7] > got[8] > got[9] > 10.0
+    # exact integer weights: hour 5 value is α·100 + rest 10, α-weighted:
+    # num = 100·1·3^0·4^4 + 10·(3·4^3+9·4^2+27·4+81) = 25600+10·(192+144+108+81)
+    # den = 256+192+144+108+81 = 781 → 30850/781
+    assert got[5] == round((100 * 256 + 10 * (192 + 144 + 108 + 81)) / 781, 6)
