@@ -7219,6 +7219,362 @@ ORDER BY stage
 
 
 # --------------------------------------------------------------------------
+# Round-4 operators: BPE training, prefix-filtered set similarity, heavy
+# hitters, k-hop BFS, bounded SSSP, trailing EWMA
+# --------------------------------------------------------------------------
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/text.py::bpe_train_merges): the
+    first 3 learned merges over the documents corpus, with deterministic
+    (count DESC, pair ASC) tiebreaks and relational greedy merge
+    application — the oracle unrolls the identical three rounds of
+    window cascades."""
+    from megalista_spark.operators.text import bpe_train_merges
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_train_merges(d, merges=3)
+
+
+def _bpe_sql(merges: int = 3) -> str:
+    rounds = []
+    for t in range(1, merges + 1):
+        rounds.append(f"""p{t} AS (
+  SELECT sym AS l, nxt AS r, sum(wc)::BIGINT AS cnt FROM (
+    SELECT wc, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM seq{t-1}
+  ) WHERE nxt IS NOT NULL GROUP BY sym, nxt
+), b{t} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l, r LIMIT 1
+), s{t}a AS (
+  SELECT word, wc, pos, sym,
+         row_number() OVER w AS rn,
+         coalesce(sym = b.l AND lead(sym) OVER w = b.r, false) AS start,
+         b.l || b.r AS msym
+  FROM seq{t-1} CROSS JOIN b{t} b
+  WINDOW w AS (PARTITION BY word ORDER BY pos)
+), s{t}b AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY word, start ORDER BY pos) AS island
+  FROM s{t}a
+), s{t}c AS (
+  SELECT *, start AND (row_number() OVER (
+           PARTITION BY word, start, island ORDER BY pos) % 2 = 1) AS active
+  FROM s{t}b
+), s{t}d AS (
+  SELECT word, wc, pos,
+         CASE WHEN active THEN msym ELSE sym END AS sym,
+         lag(active, 1, false) OVER (PARTITION BY word ORDER BY pos) AS prev_active
+  FROM s{t}c
+), seq{t} AS MATERIALIZED (
+  SELECT word, wc, pos, sym FROM s{t}d WHERE NOT prev_active
+)""")
+    rounds_sql = ",\n".join(rounds)
+    final = "\nUNION ALL ".join(
+        f"SELECT {t} AS step, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM b{t}"
+        for t in range(1, merges + 1)
+    )
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS wc FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+),
+seq0 AS MATERIALIZED (
+  SELECT word, wc, unnest(range(0, len(syms))) AS pos, unnest(syms) AS sym FROM (
+    SELECT word, wc,
+           list_append(list_transform(range(1, length(word)+1),
+                       i -> substr(word, i, 1)), '</w>') AS syms
+    FROM words
+  )
+),
+{rounds_sql}
+{final}
+ORDER BY step
+"""
+
+
+def setsim_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact-Jaccard pairs
+    (operators/dedup.py::setsim_prefix_pairs) over the token sets of a
+    deterministic 1/7 slice of documents at t=0.9 — candidates come only
+    from rarest-token prefixes (lossless, unlike df-capped blocking);
+    the oracle replays the identical rank/prefix/verify pipeline."""
+    from megalista_spark.operators.dedup import setsim_prefix_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    return setsim_prefix_pairs(d, threshold=0.9).orderBy("doc_a", "doc_b")
+
+
+def _setsim_sql(threshold: float = 0.9) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+toks AS MATERIALIZED (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t <> ''))) AS tok
+  FROM d
+),
+sizes AS (SELECT id, count(*)::BIGINT AS set_size FROM toks GROUP BY id),
+tdf AS (SELECT tok, count(*)::BIGINT AS df FROM toks GROUP BY tok),
+ranked AS (
+  SELECT t.tok, t.id, s.set_size,
+         row_number() OVER (PARTITION BY t.id ORDER BY f.df, t.tok) AS rnk
+  FROM toks t JOIN tdf f USING (tok) JOIN sizes s USING (id)
+),
+prefix AS (
+  SELECT tok, id, set_size FROM ranked
+  WHERE rnk <= set_size - ceil({threshold} * set_size) + 1
+),
+cands AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+                  a.set_size AS size_a, b.set_size AS size_b
+  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.id < b.id
+),
+shared AS (
+  SELECT c.doc_a, c.doc_b, c.size_a, c.size_b, count(*)::BIGINT AS shared
+  FROM cands c
+  JOIN toks ta ON ta.id = c.doc_a
+  JOIN toks tb ON tb.id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(shared::DOUBLE / (size_a + size_b - shared), 6) AS jaccard
+FROM shared
+WHERE shared::DOUBLE / (size_a + size_b - shared) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def heavy_hitter_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters (operators/sketches.py::
+    cms_heavy_hitters): document languages holding ≥20% of the corpus,
+    found by deterministic row-sampled candidates + count-min estimates —
+    no distinct-domain enumeration. The oracle replays the identical
+    hash sample, CMS integer arithmetic, and ceil threshold."""
+    from megalista_spark.operators.sketches import cms_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return cms_heavy_hitters(d, "lang", phi_permille=200, sample_mod=8).orderBy("key")
+
+
+def _hh_sql() -> str:
+    from megalista_spark.operators.dedup import MINHASH_P, minhash_params
+    from megalista_spark.operators.sketches import CM_D, CM_W
+
+    params = minhash_params(CM_D)
+    base = "('0x' || substr(md5(lang), 1, 8))::BIGINT"
+    hash_rows = " UNION ALL ".join(
+        f"SELECT lang, {i} AS r, ({a} * h + {b}) % {MINHASH_P} % {CM_W} AS bkt FROM base"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH src AS (SELECT doc_id, lang FROM documents),
+base AS (SELECT lang, {base} AS h FROM src),
+hashed AS ({hash_rows}),
+counters AS (SELECT r, bkt, count(*)::BIGINT AS c FROM hashed GROUP BY r, bkt),
+cand AS (
+  SELECT DISTINCT lang AS key FROM src
+  WHERE ('0x' || substr(md5(concat_ws(chr(31), doc_id, lang)), 1, 15))::BIGINT % 8 = 0
+),
+probes AS (
+  SELECT cand.key, h.r, h.bkt
+  FROM cand JOIN (SELECT DISTINCT * FROM hashed) h ON h.lang = cand.key
+),
+est AS (
+  SELECT key, min(coalesce(c, 0))::BIGINT AS est_count
+  FROM probes LEFT JOIN counters USING (r, bkt)
+  GROUP BY key
+),
+total AS (SELECT count(*)::BIGINT AS n FROM src)
+SELECT key, est_count FROM est, total
+WHERE est_count >= ceil(n * 200 / 1000)
+ORDER BY key
+"""
+
+
+def _supply_pairs_sql() -> str:
+    return """(
+  SELECT o_custkey AS cust, (l_suppkey + 1000000)::BIGINT AS supp,
+         count(*)::BIGINT AS cnt
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+)"""
+
+
+def khop_supply_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (operators/graph.py::k_hop_reach): every node of
+    the customer↔supplier purchase graph within 3 hops of customers
+    1-3, labeled with its minimum hop. One frontier join + one min-agg
+    per hop; the oracle unrolls the identical level-synchronous rounds."""
+    from megalista_spark.operators.graph import k_hop_reach
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(1000000)).cast("long").alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("cust AS src", "supp AS dst").union(
+        pairs.selectExpr("supp AS src", "cust AS dst")
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 3)
+        .select(F.col("c_custkey").alias("id"))
+    )
+    return k_hop_reach(edges, seeds, hops=3).orderBy("seed", "node")
+
+
+def _khop_sql(hops: int = 3) -> str:
+    rounds = []
+    for h in range(1, hops + 1):
+        rounds.append(f"""g{h} AS (
+  SELECT f.seed, e.v AS node, {h} AS min_hop
+  FROM v{h-1} f JOIN e ON f.node = e.u
+  WHERE f.min_hop = {h-1}
+), v{h} AS MATERIALIZED (
+  SELECT seed, node, min(min_hop)::INTEGER AS min_hop
+  FROM (SELECT * FROM v{h-1} UNION ALL SELECT * FROM g{h})
+  GROUP BY seed, node
+)""")
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH prs AS MATERIALIZED (
+  SELECT DISTINCT cust, supp FROM {_supply_pairs_sql()}
+),
+e AS MATERIALIZED (
+  SELECT cust AS u, supp AS v FROM prs UNION ALL SELECT supp, cust FROM prs
+),
+v0 AS (
+  SELECT c_custkey AS seed, c_custkey AS node, 0 AS min_hop
+  FROM customer WHERE c_custkey <= 3
+),
+{rounds_sql}
+SELECT seed, node, min_hop FROM v{hops}
+ORDER BY seed, node
+"""
+
+
+def sssp_supply_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round shortest paths (operators/graph.py::bounded_sssp)
+    over the purchase graph with integer affinity costs
+    w = 1000 - least(co-order count, 999): strong trade links are cheap
+    hops, so dist ranks supply-chain proximity. Bellman-Ford relaxation,
+    3 rounds; the oracle unrolls identical integer relax steps."""
+    from megalista_spark.operators.graph import bounded_sssp
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(1000000)).cast("long").alias("supp"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cust", "supp",
+            (F.lit(1000) - F.least(F.col("cnt"), F.lit(999))).alias("w"),
+        )
+    )
+    edges = pairs.selectExpr("cust AS src", "supp AS dst", "w").union(
+        pairs.selectExpr("supp AS src", "cust AS dst", "w")
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 3)
+        .select(F.col("c_custkey").alias("id"))
+    )
+    return bounded_sssp(edges, seeds, rounds=3).orderBy("seed", "node")
+
+
+def _sssp_sql(rounds: int = 3) -> str:
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(f"""r{t} AS MATERIALIZED (
+  SELECT seed, node, min(dist)::BIGINT AS dist FROM (
+    SELECT * FROM r{t-1}
+    UNION ALL
+    SELECT d.seed, e2.v AS node, d.dist + e2.w AS dist
+    FROM r{t-1} d JOIN e2 ON d.node = e2.u
+  ) GROUP BY seed, node
+)""")
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH pw AS MATERIALIZED (
+  SELECT cust, supp, (1000 - least(cnt, 999))::BIGINT AS w
+  FROM {_supply_pairs_sql()}
+),
+e AS (
+  SELECT cust AS u, supp AS v, w FROM pw UNION ALL SELECT supp, cust, w FROM pw
+),
+e2 AS MATERIALIZED (SELECT u, v, min(w) AS w FROM e GROUP BY u, v),
+r0 AS (
+  SELECT c_custkey AS seed, c_custkey AS node, 0::BIGINT AS dist
+  FROM customer WHERE c_custkey <= 3
+),
+{steps_sql}
+SELECT seed, node, dist FROM r{rounds}
+ORDER BY seed, node
+"""
+
+
+def ewma_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA control-chart statistic (operators/timeseries.py::
+    ewma_trailing) over per-type hourly event counts, α=1/4 over a
+    12-hour horizon — exact bigint weight sums, renormalizing
+    denominator at series heads/gaps; the oracle replays the integer
+    arithmetic bit-for-bit."""
+    from megalista_spark.operators.timeseries import ewma_trailing
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("hour_bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return ewma_trailing(
+        hourly, "hour_bucket", "n_events", key_cols=["event_type"],
+        alpha_num=1, alpha_den=4, horizon=12,
+    ).orderBy("event_type", "hour_bucket")
+
+
+def _ewma_sql(alpha_num: int = 1, alpha_den: int = 4, horizon: int = 12) -> str:
+    beta = alpha_den - alpha_num
+    weights = ", ".join(
+        f"({lag}, {alpha_num * beta**lag * alpha_den**(horizon-lag)})"
+        for lag in range(horizon + 1)
+    )
+    return f"""
+WITH hourly AS MATERIALIZED (
+  SELECT event_type,
+         (epoch_us(ts::TIMESTAMP) // 1000000 // 3600)::BIGINT AS hour_bucket,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+lw(lag, w) AS (VALUES {weights}),
+contrib AS (
+  SELECT h.event_type, h.hour_bucket + lw.lag AS hour_bucket,
+         h.n_events * lw.w AS xw, lw.w
+  FROM hourly h CROSS JOIN lw
+),
+sums AS (
+  SELECT event_type, hour_bucket, sum(xw)::BIGINT AS num, sum(w)::BIGINT AS den
+  FROM contrib GROUP BY 1, 2
+)
+SELECT h.event_type, h.hour_bucket, h.n_events,
+       round(s.num / s.den, 6) AS ewma
+FROM hourly h JOIN sums s USING (event_type, hour_bucket)
+ORDER BY event_type, hour_bucket
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
 
@@ -7234,6 +7590,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the whole roster — every name here is green in the local mirror
 # (scripts/compare_oracle.py) at sf0.01.
 _GATE_ROTATION_FIRST = [
+    "bpe_merge_table",
+    "setsim_doc_pairs",
+    "heavy_hitter_langs",
+    "khop_supply_reach",
+    "sssp_supply_routes",
+    "ewma_hourly_by_type",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -7493,6 +7855,12 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "text_language_id": text_language_id,
         "text_tfidf_top_terms": text_tfidf_top_terms,
         "text_inverted_index": text_inverted_index,
+        "bpe_merge_table": bpe_merge_table,
+        "setsim_doc_pairs": setsim_doc_pairs,
+        "heavy_hitter_langs": heavy_hitter_langs,
+        "khop_supply_reach": khop_supply_reach,
+        "sssp_supply_routes": sssp_supply_routes,
+        "ewma_hourly_by_type": ewma_hourly_by_type,
     }
 
 
@@ -7658,4 +8026,10 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": _lang_id_sql(),
         "text_tfidf_top_terms": TFIDF_SQL,
         "text_inverted_index": INVERTED_INDEX_SQL,
+        "bpe_merge_table": _bpe_sql(),
+        "setsim_doc_pairs": _setsim_sql(),
+        "heavy_hitter_langs": _hh_sql(),
+        "khop_supply_reach": _khop_sql(),
+        "sssp_supply_routes": _sssp_sql(),
+        "ewma_hourly_by_type": _ewma_sql(),
     }

@@ -165,6 +165,12 @@ HEADLINE = [
     "decay_attribution_credits",
     "last_touch_attribution_credits",
     "conversion_paths_topk",
+    "bpe_merge_table",
+    "setsim_doc_pairs",
+    "heavy_hitter_langs",
+    "khop_supply_reach",
+    "sssp_supply_routes",
+    "ewma_hourly_by_type",
 ]
 
 # Excluded from HEADLINE on purpose:

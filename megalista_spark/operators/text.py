@@ -379,9 +379,10 @@ def bpe_train_merges(
             "pos",
             "sym",
             F.row_number().over(w_word).alias("rn"),
-            (
+            F.coalesce(
                 (F.col("sym") == F.col("_l"))
-                & (F.lead("sym").over(w_word) == F.col("_r"))
+                & (F.lead("sym").over(w_word) == F.col("_r")),
+                F.lit(False),
             ).alias("start"),
             F.concat("_l", "_r").alias("msym"),
         )
