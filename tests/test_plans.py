@@ -217,3 +217,43 @@ def test_shuffle_index_no_global_sort_exchange(spark, entry):
     assert txt.count("rangepartitioning") == 1
     assert "rangepartitioning(shuffle_pos" in txt
     assert "hashpartitioning(_b" in txt
+
+
+def test_setsim_prefix_join_all_equi_no_python(spark, entry):
+    # candidate generation and verification are equi hash joins on
+    # tok/id; no Python anywhere, no data-sized nested loop
+    txt = plan_of(entry.setsim_doc_pairs(spark, SF))
+    assert "BatchEvalPython" not in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_bpe_round_windows_stay_jvm_side(spark, entry):
+    # one training round = lead/row_number windows + a 1-row broadcast
+    # argmax join-back; the only nested loop is that 1-row cross join
+    txt = plan_of(entry.bpe_merge_table(spark, SF))
+    assert "BatchEvalPython" not in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_heavy_hitters_counter_probe_broadcast(spark, entry):
+    # the d×w counter table must broadcast (candidate probing is
+    # map-side; the corpus never shuffles for the estimate join)
+    txt = plan_of(entry.heavy_hitter_langs(spark, SF))
+    assert "BatchEvalPython" not in txt
+    assert "BroadcastHashJoin [r" in txt
+
+
+def test_khop_frontier_join_is_hash_join(spark, entry):
+    # each BFS round's frontier⋈edges must be an equi hash join on the
+    # node id, never a nested loop over the edge list
+    txt = plan_of(entry.khop_supply_reach(spark, SF))
+    assert "NestedLoopJoin" not in txt and "CartesianProduct" not in txt
+    assert "BatchEvalPython" not in txt
+
+
+def test_ewma_no_raw_log_window(spark, entry):
+    # the EWMA plan must be agg → explode → agg → join: no Window node
+    # over the event log (the explode-by-horizon design), no Python
+    txt = plan_of(entry.ewma_hourly_by_type(spark, SF))
+    assert "BatchEvalPython" not in txt
+    assert "Window" not in txt
