@@ -7574,6 +7574,47 @@ ORDER BY event_type, hour_bucket
 """
 
 
+def windowed_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ordered funnel (operators/sessions.py::
+    windowed_funnel, ClickHouse-windowFunnel semantics): users completing
+    view→click→purchase within ONE HOUR of the chain's first view —
+    cumulative per level, exact via the greedy-earliest chain argument.
+    The containment funnel (funnel_view_click_purchase) has no deadline;
+    this one restarts the clock at every candidate first view."""
+    from megalista_spark.operators.sessions import windowed_funnel
+
+    e = _events(spark, sf_dir)
+    return windowed_funnel(e, ["view", "click", "purchase"], 3600)
+
+
+WINDOWED_FUNNEL_SQL = """
+WITH typed AS MATERIALIZED (
+  SELECT user_id AS u, (epoch_us(ts::TIMESTAMP) // 1000000)::BIGINT AS t,
+         event_type AS et
+  FROM events
+),
+c1 AS (SELECT DISTINCT u, t AS t1 FROM typed WHERE et = 'view'),
+s2 AS MATERIALIZED (
+  SELECT c.u, c.t1, min(n.t) AS tk
+  FROM c1 c JOIN typed n
+    ON n.u = c.u AND n.et = 'click' AND n.t > c.t1 AND n.t <= c.t1 + 3600
+  GROUP BY c.u, c.t1
+),
+s3 AS MATERIALIZED (
+  SELECT c.u, c.t1, min(n.t) AS tk
+  FROM s2 c JOIN typed n
+    ON n.u = c.u AND n.et = 'purchase' AND n.t > c.tk AND n.t <= c.t1 + 3600
+  GROUP BY c.u, c.t1
+)
+SELECT 1 AS level, (SELECT count(DISTINCT u) FROM c1)::BIGINT AS n_users
+UNION ALL
+SELECT 2, (SELECT count(DISTINCT u) FROM s2)::BIGINT
+UNION ALL
+SELECT 3, (SELECT count(DISTINCT u) FROM s3)::BIGINT
+ORDER BY level
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -7596,6 +7637,7 @@ _GATE_ROTATION_FIRST = [
     "khop_supply_reach",
     "sssp_supply_routes",
     "ewma_hourly_by_type",
+    "windowed_funnel_conversions",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -7861,6 +7903,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "khop_supply_reach": khop_supply_reach,
         "sssp_supply_routes": sssp_supply_routes,
         "ewma_hourly_by_type": ewma_hourly_by_type,
+        "windowed_funnel_conversions": windowed_funnel_conversions,
     }
 
 
@@ -8032,4 +8075,5 @@ def oracle_sql() -> dict[str, str]:
         "khop_supply_reach": _khop_sql(),
         "sssp_supply_routes": _sssp_sql(),
         "ewma_hourly_by_type": _ewma_sql(),
+        "windowed_funnel_conversions": WINDOWED_FUNNEL_SQL,
     }

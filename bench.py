@@ -171,6 +171,7 @@ HEADLINE = [
     "khop_supply_reach",
     "sssp_supply_routes",
     "ewma_hourly_by_type",
+    "windowed_funnel_conversions",
 ]
 
 # Excluded from HEADLINE on purpose:

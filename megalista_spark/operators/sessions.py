@@ -201,3 +201,66 @@ def gap_islands(
         )
         .select("run_start", "run_end", "run_len")
     )
+
+
+def windowed_funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-bounded ordered funnel (the ClickHouse ``windowFunnel``
+    semantics; public): (level, n_users) where n_users counts users with
+    SOME chain e1 < e2 < ... < e_level of the given step types whose
+    whole span fits in ``window_seconds`` of the chain's FIRST event.
+    Levels are cumulative (a level-3 user counts at 1, 2 and 3).
+
+    Exactness via the greedy-earliest argument: for a fixed first-step
+    event, taking the EARLIEST qualifying next event at every stage
+    dominates any other choice (it can only leave more room for later
+    stages), so per (user, first-event) chains the greedy chain is
+    optimal, and maximizing over first events is exact — no per-user
+    event-subset search.
+
+    Plan shape: stage k is one equi-join on the user key (candidate
+    chains ⋈ step-k events) + a min-aggregate per (user, chain start) —
+    the same stage-shrinking cost model as the containment funnel, just
+    keyed by (user, t1) instead of user. Timestamps compare as epoch
+    seconds (bigint) so the window bound is integer arithmetic any
+    engine reproduces. No window function ever sees the whole stream.
+    """
+    sec = F.col(ts_col).cast("long")
+    typed = events.select(
+        F.col(user_col).alias("u"), sec.alias("t"), F.col(type_col).alias("et")
+    )
+    chains = (
+        typed.where(F.col("et") == steps[0])
+        .select("u", F.col("t").alias("t1"))
+        .distinct()
+    )
+    # users reaching >= level 1
+    reach = [chains.select("u").distinct()]
+    cur = chains.select("u", "t1", F.col("t1").alias("tk"))
+    for step in steps[1:]:
+        nxt = typed.where(F.col("et") == step).select(
+            F.col("u").alias("_u"), F.col("t").alias("_t")
+        )
+        cur = (
+            cur.join(nxt, (F.col("u") == F.col("_u")))
+            .where(
+                (F.col("_t") > F.col("tk"))
+                & (F.col("_t") <= F.col("t1") + F.lit(window_seconds))
+            )
+            .groupBy("u", "t1")
+            .agg(F.min("_t").alias("tk"))
+        )
+        reach.append(cur.select("u").distinct())
+    out = None
+    for lvl, r in enumerate(reach, start=1):
+        row = r.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(lvl).alias("level"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("level")

@@ -1885,3 +1885,31 @@ def test_ewma_trailing_exact_and_renormalized(spark):
     # num = 100·1·3^0·4^4 + 10·(3·4^3+9·4^2+27·4+81) = 25600+10·(192+144+108+81)
     # den = 256+192+144+108+81 = 781 → 30850/781
     assert got[5] == round((100 * 256 + 10 * (192 + 144 + 108 + 81)) / 781, 6)
+
+
+def test_windowed_funnel_deadline_and_restart(spark):
+    """Window restarts at every candidate first view; chains must be
+    ordered AND fit entirely inside the window of their first event."""
+    import datetime as dt
+
+    from megalista_spark.operators.sessions import windowed_funnel
+
+    def T(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        (1, T(0), "view"), (1, T(3), "click"), (1, T(8), "purchase"),
+        # u2: first view's window expires, second view restarts it
+        (2, T(0), "view"), (2, T(20), "view"),
+        (2, T(25), "click"), (2, T(29), "purchase"),
+        # u3: purchase precedes click — order violated
+        (3, T(0), "view"), (3, T(2), "purchase"), (3, T(12), "click"),
+        # u4: click in window, purchase past the first-view deadline
+        (4, T(0), "view"), (4, T(5), "click"), (4, T(30), "purchase"),
+        # u5: no first step at all
+        (5, T(0), "click"), (5, T(1), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r["level"]: r["n_users"] for r in
+           windowed_funnel(ev, ["view", "click", "purchase"], 10).collect()}
+    assert got == {1: 4, 2: 3, 3: 2}
