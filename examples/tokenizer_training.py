@@ -1,0 +1,64 @@
+"""Tokenizer-training demo over the synthetic corpus — the vocabulary/
+merge pipeline that runs AFTER corpus curation (examples/data_pipeline.py)
+and BEFORE sequence packing:
+
+  heavy hitters — which languages dominate the corpus (CMS sketch,
+                  no distinct-domain enumeration)
+  vocabulary    — top terms with dense deterministic ids
+  BPE training  — learned merge table (deterministic argmax, relational
+                  greedy application), then a sample tokenization that
+                  applies the merges back to a word
+
+    PYTHONPATH=. python examples/tokenizer_training.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from megalista_spark.operators.sketches import cms_heavy_hitters
+from megalista_spark.operators.text import bpe_train_merges, build_vocab
+from megalista_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="tokenizer_training_demo")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    print("== corpus language mix (heavy hitters >= 20% via CMS) ==")
+    cms_heavy_hitters(
+        docs.select("doc_id", "lang"), "lang", phi_permille=200
+    ).orderBy("key").show()
+
+    print("== top-15 vocabulary (tf desc, deterministic ids) ==")
+    vocab = build_vocab(docs, max_terms=15)
+    vocab.show()
+
+    print("== first 5 BPE merges (count desc, pair-asc tiebreak) ==")
+    merges = bpe_train_merges(docs, merges=5)
+    merges.show(truncate=False)
+
+    # apply the learned merges to one word, driver-side, to show the
+    # training output is a working tokenizer artifact
+    word = vocab.orderBy(F.desc("tf"), F.asc("term")).first()["term"]
+    syms = list(word) + ["</w>"]
+    for m in merges.collect():
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == m["lhs"] and syms[i + 1] == m["rhs"]:
+                out.append(m["merged"])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    print(f"tokenize({word!r}) after 5 merges -> {syms}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -394,7 +394,16 @@ def k_hop_reach(
     bounded set by contract — the operator broadcasts them only
     implicitly via the first join's build side when Spark sees fit.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    # materialize the deduped edge list ONCE, hash-partitioned on the join
+    # key — otherwise every hop re-executes the upstream edge-building
+    # lineage (the same lesson as pagerank's persisted co-partitioned
+    # edges), and each hop's join reuses the partitioning
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
     visited = (
         seeds.select(F.col(seed_col).alias("seed"))
         .distinct()
@@ -445,6 +454,7 @@ def bounded_sssp(
     changed-set computation per round). Rounds are localCheckpointed.
     Fixed ``rounds`` → SQL-oracle unrollable.
     """
+    # materialized once, partitioned on the relax-join key (see k_hop_reach)
     e = (
         edges.select(
             F.col(src).alias("u"),
@@ -453,6 +463,8 @@ def bounded_sssp(
         )
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
+        .repartition("u")
+        .localCheckpoint(eager=True)
     )
     dists = (
         seeds.select(F.col(seed_col).alias("seed"))
