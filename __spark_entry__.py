@@ -7615,6 +7615,83 @@ ORDER BY level
 """
 
 
+def collocation_lift_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/text.py::collocation_lift): top-20
+    adjacent bigrams by lift = c12·N/(c1·c2) — the log-free PMI twin
+    (identical ranking, engine-portable exact-integer ratio). Bigrams
+    are a zero-shuffle array fold; unigram tables broadcast."""
+    from megalista_spark.operators.text import collocation_lift
+
+    d = _t(spark, sf_dir, "documents")
+    return collocation_lift(d, min_count=30, top_k=20)
+
+
+COLLOCATION_SQL = """
+WITH toked AS MATERIALIZED (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT u.w1 AS w1, u.w2 AS w2, count(*)::BIGINT AS pair_count FROM (
+    SELECT unnest(list_transform(range(2, len(toks) + 1),
+                  i -> {'w1': toks[i-1], 'w2': toks[i]})) AS u
+    FROM toked WHERE len(toks) >= 2
+  ) GROUP BY u.w1, u.w2 HAVING count(*) >= 30
+),
+uc AS (SELECT w, count(*)::BIGINT AS c FROM (SELECT unnest(toks) AS w FROM toked) GROUP BY w),
+n AS (SELECT sum(c)::BIGINT AS n_tokens FROM uc)
+SELECT w1, w2, pair_count,
+       round(pair_count * n_tokens / (c1.c * c2.c), 6) AS lift
+FROM bg JOIN uc c1 ON c1.w = bg.w1 JOIN uc c2 ON c2.w = bg.w2, n
+ORDER BY lift DESC, w1, w2
+LIMIT 20
+"""
+
+
+def trend_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series closed-form least-squares trend (operators/
+    timeseries.py::linear_trend) over per-type hourly event counts —
+    exact bigint moment sums (x shifted to each series' start), two
+    double divisions at the boundary; D=0 degenerate series yield NULLs.
+    The drift-detection companion to ewma_hourly_by_type."""
+    from megalista_spark.operators.timeseries import linear_trend
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("hour_bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return linear_trend(
+        hourly, "hour_bucket", "n_events", ["event_type"]
+    ).orderBy("event_type")
+
+
+TREND_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         (epoch_us(ts::TIMESTAMP) // 1000000 // 3600)::BIGINT AS hb,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+mins AS (SELECT event_type, min(hb) AS x0 FROM hourly GROUP BY 1),
+m AS (
+  SELECT h.event_type, count(*)::BIGINT AS n,
+         sum(hb - x0)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum((hb - x0) * y)::BIGINT AS sxy,
+         sum((hb - x0) * (hb - x0))::BIGINT AS sxx
+  FROM hourly h JOIN mins USING (event_type) GROUP BY 1
+)
+SELECT event_type, n,
+  CASE WHEN n * sxx - sx * sx <> 0
+       THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+  CASE WHEN n * sxx - sx * sx <> 0
+       THEN round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) END AS intercept
+FROM m
+ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -7638,6 +7715,8 @@ _GATE_ROTATION_FIRST = [
     "sssp_supply_routes",
     "ewma_hourly_by_type",
     "windowed_funnel_conversions",
+    "collocation_lift_bigrams",
+    "trend_hourly_by_type",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -7904,6 +7983,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "sssp_supply_routes": sssp_supply_routes,
         "ewma_hourly_by_type": ewma_hourly_by_type,
         "windowed_funnel_conversions": windowed_funnel_conversions,
+        "collocation_lift_bigrams": collocation_lift_bigrams,
+        "trend_hourly_by_type": trend_hourly_by_type,
     }
 
 
@@ -8076,4 +8157,6 @@ def oracle_sql() -> dict[str, str]:
         "sssp_supply_routes": _sssp_sql(),
         "ewma_hourly_by_type": _ewma_sql(),
         "windowed_funnel_conversions": WINDOWED_FUNNEL_SQL,
+        "collocation_lift_bigrams": COLLOCATION_SQL,
+        "trend_hourly_by_type": TREND_SQL,
     }

@@ -172,6 +172,8 @@ HEADLINE = [
     "sssp_supply_routes",
     "ewma_hourly_by_type",
     "windowed_funnel_conversions",
+    "collocation_lift_bigrams",
+    "trend_hourly_by_type",
 ]
 
 # Excluded from HEADLINE on purpose:

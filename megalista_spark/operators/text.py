@@ -604,3 +604,59 @@ def corpus_frequency_score(
         F.coalesce("mean_token_df", F.lit(0.0)).alias("mean_token_df"),
         F.coalesce("rare_frac", F.lit(0.0)).alias("rare_frac"),
     )
+
+
+def collocation_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Collocation mining by LIFT — the log-free twin of pointwise mutual
+    information (PMI = log lift; the log is monotone, so the RANKING is
+    identical, and the exact integer ratio is engine-portable where libm
+    log is not): (w1, w2, pair_count, lift) for the ``top_k`` adjacent
+    bigrams with lift = c12·N / (c1·c2), N = total token occurrences.
+
+    Scale: bigrams come from a zero-shuffle per-row array fold (adjacent
+    slots of the materialized token array — no window over the corpus),
+    then ONE (w1,w2) groupBy and ONE unigram groupBy; unigram counts are
+    corpus-vocabulary-sized, so both joins onto the bigram relation
+    broadcast. Top-k is orderBy+limit → TakeOrderedAndProject (per-
+    partition heaps, no global sort). ``min_count`` suppresses the
+    rare-pair lift explosion (a hapax pair of two hapax words has lift N).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    toked = df.select(toks.alias("_toks")).where(F.size("_toks") >= 2)
+    bigrams = (
+        toked.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1),"
+                    " i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n = uni.agg(F.sum("c").cast("bigint").alias("n_tokens"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    lift = F.col("pair_count") * F.col("n_tokens") / (F.col("c1") * F.col("c2"))
+    return (
+        bigrams.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "pair_count", F.round(lift, 6).alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(top_k)
+    )

@@ -149,3 +149,57 @@ def ewma_trailing(
         value_col,
         F.round(F.col("_num") / F.col("_den"), 6).alias("ewma"),
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key closed-form least-squares line fit over integer (x, y):
+    (key..., n, slope, intercept) with x shifted to each key's minimum
+    (x' = x - min_x) before the moment sums — the shift leaves the slope
+    unchanged, keeps the bigint moments small (Σx'² grows with the SPAN,
+    not the epoch magnitude), and anchors the intercept at the series
+    start, which is the number anyone plotting a trend wants anyway.
+
+    All five moments (n, Σx', Σy, Σx'y, Σx'²) are exact bigint sums —
+    order-independent, so map-side partial aggregation applies and any
+    engine reproduces them bit-for-bit. The two closing divisions
+
+        slope     = (n·Σx'y − Σx'·Σy) / D,   D = n·Σx'² − (Σx')²
+        intercept = (Σy·Σx'² − Σx'·Σx'y) / D
+
+    are single bigint→double divisions rounded at the boundary (never a
+    rounded value re-entering arithmetic). D = 0 (one point, constant x)
+    yields NULLs rather than a division error.
+
+    Scale: one key-partitioned min-agg + join back + one moments agg —
+    two shuffles total, state O(1) per key. The fit is the trend/
+    drift-detection primitive next to ewma_trailing's smoother.
+    """
+    keys = list(key_cols)
+    x = F.col(x_col).cast("bigint")
+    y = F.col(y_col).cast("bigint")
+    mins = df.groupBy(*keys).agg(F.min(x).alias("_x0"))
+    base = df.join(mins, keys) if keys else df.crossJoin(F.broadcast(mins))
+    xs = (x - F.col("_x0")).alias("_xs")
+    m = base.select(*keys, xs, y.alias("_y")).groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_xs").cast("bigint").alias("_sx"),
+        F.sum("_y").cast("bigint").alias("_sy"),
+        F.sum(F.col("_xs") * F.col("_y")).cast("bigint").alias("_sxy"),
+        F.sum(F.col("_xs") * F.col("_xs")).cast("bigint").alias("_sxx"),
+    )
+    d = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / d
+    intercept = (
+        F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
+    ) / d
+    return m.select(
+        *keys,
+        "n",
+        F.when(d != 0, F.round(slope, 6)).alias("slope"),
+        F.when(d != 0, F.round(intercept, 6)).alias("intercept"),
+    )

@@ -1913,3 +1913,32 @@ def test_windowed_funnel_deadline_and_restart(spark):
     got = {r["level"]: r["n_users"] for r in
            windowed_funnel(ev, ["view", "click", "purchase"], 10).collect()}
     assert got == {1: 4, 2: 3, 3: 2}
+
+
+def test_collocation_lift_hand_computed(spark):
+    from megalista_spark.operators.text import collocation_lift
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is big"), (2, "new york wins"),
+            (3, "big apple new york"), (4, "the city the city"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r["w1"], r["w2"]): (r["pair_count"], r["lift"]) for r in
+           collocation_lift(docs, min_count=2, top_k=5).collect()}
+    # N=15 tokens; 'the city' 2*15/(2*2)=7.5 ranks above 'new york' 3*15/(3*3)=5
+    assert got == {("the", "city"): (2, 7.5), ("new", "york"): (3, 5.0)}
+
+
+def test_linear_trend_exact_line_and_degenerate(spark):
+    from megalista_spark.operators.timeseries import linear_trend
+
+    rows = [("a", x, 2 * x + 5) for x in range(10, 20)] + [("b", 7, 3)]
+    ts = spark.createDataFrame(rows, ["k", "x", "y"])
+    got = {r["k"]: (r["n"], r["slope"], r["intercept"]) for r in
+           linear_trend(ts, "x", "y", ["k"]).collect()}
+    # slope invariant under the x-shift; intercept anchored at x0=10 -> 25
+    assert got["a"] == (10, 2.0, 25.0)
+    # single point: D=0 -> NULL fit rather than a division error
+    assert got["b"] == (1, None, None)
