@@ -7692,6 +7692,93 @@ ORDER BY event_type
 """
 
 
+def contrastive_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair mining for contrastive embedding training: POSITIVE
+    pairs are MinHash-LSH near-duplicates (label 1); NEGATIVES (label 0)
+    are a deterministic hash-ring pairing — docs hash into 64 buckets,
+    rank inside their bucket by a second hash, consecutive odd-even
+    ranks pair up — minus any pairing that happens to be a positive
+    (anti-join). The bucketed ranking avoids the global-sort trap: each
+    window spans one bucket, so negative mining scales like any bucketed
+    window, and the pairing is a pure function of the ids (append-stable
+    corpus snapshots reproduce it)."""
+    from pyspark.sql import Window
+
+    from megalista_spark.operators.dedup import minhash_lsh_pairs, portable_hash64
+
+    d = _t(spark, sf_dir, "documents")
+    pos = minhash_lsh_pairs(d, num_hashes=16, bands=4).select(
+        "doc_a", "doc_b", F.lit(1).alias("label")
+    )
+    h = portable_hash64(F.concat(F.lit("ctrneg|"), F.col("doc_id").cast("string")))
+    ranked = d.select(
+        F.col("doc_id"),
+        F.pmod(h, F.lit(64)).alias("bkt"),
+        h.alias("hh"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("bkt").orderBy("hh", "doc_id")
+        ),
+    )
+    r2 = ranked.select(
+        F.col("bkt").alias("bkt2"),
+        F.col("rn").alias("rn2"),
+        F.col("doc_id").alias("id2"),
+    )
+    neg_raw = (
+        ranked.where(F.col("rn") % 2 == 1)
+        .join(r2, (F.col("bkt") == F.col("bkt2")) & (F.col("rn2") == F.col("rn") + 1))
+        .select(
+            F.least("doc_id", "id2").alias("doc_a"),
+            F.greatest("doc_id", "id2").alias("doc_b"),
+        )
+    )
+    neg = neg_raw.join(pos, ["doc_a", "doc_b"], "left_anti").select(
+        "doc_a", "doc_b", F.lit(0).alias("label")
+    )
+    return pos.unionByName(neg).orderBy("doc_a", "doc_b", "label")
+
+
+def _contrastive_sql() -> str:
+    pairs_sql = _minhash_sql(16, 4)
+    head, _, _ = pairs_sql.rpartition("SELECT a.id AS doc_a")
+    return f"""{head}, pos AS MATERIALIZED (
+  SELECT a.id AS doc_a, b.id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.id < b.id
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('ctrneg|' || doc_id::VARCHAR), 1, 15))::BIGINT % 64 AS bkt,
+         ('0x' || substr(md5('ctrneg|' || doc_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, bkt, hh,
+         row_number() OVER (PARTITION BY bkt ORDER BY hh, doc_id) AS rn
+  FROM rk
+),
+neg_raw AS (
+  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM ranked a JOIN ranked b ON a.bkt = b.bkt AND b.rn = a.rn + 1
+  WHERE a.rn % 2 = 1
+),
+neg AS (
+  SELECT doc_a, doc_b FROM neg_raw
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.doc_a = neg_raw.doc_a AND p.doc_b = neg_raw.doc_b)
+)
+SELECT doc_a, doc_b, 1 AS label FROM pos
+UNION ALL
+SELECT doc_a, doc_b, 0 AS label FROM neg
+ORDER BY doc_a, doc_b, label
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -7717,6 +7804,7 @@ _GATE_ROTATION_FIRST = [
     "windowed_funnel_conversions",
     "collocation_lift_bigrams",
     "trend_hourly_by_type",
+    "contrastive_training_pairs",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -7985,6 +8073,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "windowed_funnel_conversions": windowed_funnel_conversions,
         "collocation_lift_bigrams": collocation_lift_bigrams,
         "trend_hourly_by_type": trend_hourly_by_type,
+        "contrastive_training_pairs": contrastive_training_pairs,
     }
 
 
@@ -8159,4 +8248,5 @@ def oracle_sql() -> dict[str, str]:
         "windowed_funnel_conversions": WINDOWED_FUNNEL_SQL,
         "collocation_lift_bigrams": COLLOCATION_SQL,
         "trend_hourly_by_type": TREND_SQL,
+        "contrastive_training_pairs": _contrastive_sql(),
     }

@@ -174,6 +174,7 @@ HEADLINE = [
     "windowed_funnel_conversions",
     "collocation_lift_bigrams",
     "trend_hourly_by_type",
+    "contrastive_training_pairs",
 ]
 
 # Excluded from HEADLINE on purpose:
