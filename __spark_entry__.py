@@ -7779,6 +7779,72 @@ ORDER BY doc_a, doc_b, label
 """
 
 
+def cms_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance (operators/sketches.py::cms_merge):
+    the month's event log sketched as two halves, merged counter-wise,
+    probed beside the from-scratch full sketch — (user_id, est_merged,
+    est_full) agree EXACTLY because CM counters are linear. This is the
+    daily-partition accumulator pattern: persist per-day sketches, merge
+    on read, never rescan history."""
+    from megalista_spark.operators.sketches import cms_build, cms_estimate, cms_merge
+
+    e = _events(spark, sf_dir)
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    c1 = cms_build(e.where(F.col("ts") < cut), "user_id")
+    c2 = cms_build(e.where(F.col("ts") >= cut), "user_id")
+    merged = cms_merge(c1, c2)
+    full = cms_build(e, "user_id")
+    keys = (
+        e.select("user_id")
+        .where((F.col("user_id") >= 1) & (F.col("user_id") <= 10))
+        .distinct()
+    )
+    em = cms_estimate(merged, keys, "user_id").select(
+        F.col("key").alias("user_id"), F.col("est_count").alias("est_merged")
+    )
+    ef = cms_estimate(full, keys, "user_id").select(
+        F.col("key").alias("user_id"), F.col("est_count").alias("est_full")
+    )
+    return em.join(ef, "user_id").orderBy("user_id")
+
+
+def _cms_merge_sql() -> str:
+    from megalista_spark.operators.dedup import MINHASH_P, minhash_params
+    from megalista_spark.operators.sketches import CM_D, CM_W
+
+    params = minhash_params(CM_D)
+    base = "('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT"
+    hash_rows = " UNION ALL ".join(
+        f"SELECT user_id, early, {i} AS r,"
+        f" ({a} * h + {b}) % {MINHASH_P} % {CM_W} AS bkt FROM base"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id, {base} AS h,
+         (ts::TIMESTAMP < TIMESTAMP '2024-01-16 00:00:00') AS early
+  FROM events
+),
+hashed AS ({hash_rows}),
+ch AS (
+  SELECT r, bkt,
+         count(*) FILTER (early)::BIGINT AS c1,
+         count(*) FILTER (NOT early)::BIGINT AS c2,
+         count(*)::BIGINT AS c
+  FROM hashed GROUP BY r, bkt
+),
+keys AS (SELECT DISTINCT user_id, r, bkt FROM hashed WHERE user_id BETWEEN 1 AND 10),
+est AS (
+  SELECT keys.user_id,
+         min(coalesce(c1 + c2, 0))::BIGINT AS est_merged,
+         min(coalesce(c, 0))::BIGINT AS est_full
+  FROM keys LEFT JOIN ch USING (r, bkt)
+  GROUP BY keys.user_id
+)
+SELECT user_id, est_merged, est_full FROM est ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -7805,6 +7871,7 @@ _GATE_ROTATION_FIRST = [
     "collocation_lift_bigrams",
     "trend_hourly_by_type",
     "contrastive_training_pairs",
+    "cms_incremental_merge",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -8074,6 +8141,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "collocation_lift_bigrams": collocation_lift_bigrams,
         "trend_hourly_by_type": trend_hourly_by_type,
         "contrastive_training_pairs": contrastive_training_pairs,
+        "cms_incremental_merge": cms_incremental_merge,
     }
 
 
@@ -8249,4 +8317,5 @@ def oracle_sql() -> dict[str, str]:
         "collocation_lift_bigrams": COLLOCATION_SQL,
         "trend_hourly_by_type": TREND_SQL,
         "contrastive_training_pairs": _contrastive_sql(),
+        "cms_incremental_merge": _cms_merge_sql(),
     }

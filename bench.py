@@ -175,6 +175,7 @@ HEADLINE = [
     "collocation_lift_bigrams",
     "trend_hourly_by_type",
     "contrastive_training_pairs",
+    "cms_incremental_merge",
 ]
 
 # Excluded from HEADLINE on purpose:

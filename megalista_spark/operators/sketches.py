@@ -660,3 +660,17 @@ def winsorize_by_group(
         .withColumn("clipped_low", x < F.col("clip_lo"))
         .withColumn("clipped_high", x > F.col("clip_hi"))
     )
+
+
+def cms_merge(*counter_dfs: DataFrame) -> DataFrame:
+    """Counter-wise sum of count-min sketches — the property that makes
+    CM a distributed/incremental accumulator: sketch(A ∪ B) EQUALS
+    sketch(A) + sketch(B) exactly (cell-wise bigint addition), so daily
+    partition sketches persist and merge instead of rescanning history.
+    Input/output shape is the (r, bkt, c) relation of ``cms_build``;
+    the merge is one union + one ≤ d·w-row aggregate.
+    """
+    merged = counter_dfs[0]
+    for c in counter_dfs[1:]:
+        merged = merged.unionByName(c)
+    return merged.groupBy("r", "bkt").agg(F.sum("c").cast("bigint").alias("c"))
