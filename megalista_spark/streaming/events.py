@@ -477,3 +477,61 @@ def stream_silence_monitor(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+def stream_cms_maintenance(
+    events: DataFrame,
+    col: str,
+    state_path: str,
+    checkpoint_dir: str,
+    d: int | None = None,
+    w: int | None = None,
+):
+    """Streaming count-min accumulator: each micro-batch's sketch merges
+    counter-wise into a persisted (r, bkt, c) parquet table — the
+    incremental twin of ``operators/sketches.py::cms_merge``, so the
+    maintained table ALWAYS equals the from-scratch sketch of everything
+    ingested (CM linearity), and any point-frequency/heavy-hitter/join-
+    size estimate reads 4k rows instead of rescanning history.
+
+    Exactly-once under replay: foreachBatch can re-deliver a batch after
+    a crash, and a double-merged sketch would silently over-count — so
+    the state table carries the last applied batch id in a sidecar
+    column and the handler SKIPS any epoch ≤ it (idempotent-foreachBatch
+    pattern; legal because availableNow/microbatch epochs are
+    monotone). The merged result is materialized (localCheckpoint)
+    BEFORE the overwrite so the read-then-overwrite of the same path
+    can't truncate its own input.
+
+    Returns the started StreamingQuery.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from megalista_spark.operators.sketches import CM_D, CM_W, cms_build, cms_merge
+
+    d_ = d if d is not None else CM_D
+    w_ = w if w is not None else CM_W
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(state_path)
+            applied = existing.agg(F.max("batch_id")).collect()[0][0]
+            if applied is not None and epoch_id <= applied:
+                return
+            prior = existing.select("r", "bkt", "c")
+        except AnalysisException:
+            prior = None
+        delta = cms_build(batch_df, col, d_, w_)
+        merged = cms_merge(prior, delta) if prior is not None else delta
+        out = merged.select(
+            "r", "bkt", "c", F.lit(epoch_id).cast("bigint").alias("batch_id")
+        ).localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(state_path)
+
+    return (
+        events.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -499,3 +499,55 @@ def test_stateful_running_stats_accumulates_across_batches(spark, tmp_path):
     # run 1 snapshots + run 2 snapshots of the touched groups, the
     # latter carrying state RESTORED from the checkpoint
     assert got == {(1, 2, 15.0), (2, 1, 1.0), (1, 3, 17.5), (3, 1, 7.0)}
+
+
+def test_stream_cms_maintenance_equals_batch_and_skips_replay(spark, tmp_path):
+    """Maintained counters == from-scratch sketch of everything ingested
+    (CM linearity), and a replayed epoch never double-merges."""
+    import shutil
+
+    from megalista_spark.operators.sketches import cms_build
+    from megalista_spark.streaming.events import stream_cms_maintenance
+
+    src = str(tmp_path / "src")
+    rows = [(i, "u%d" % (i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["event_id", "user"])
+    # two files -> with maxFilesPerTrigger=1, two distinct micro-batches
+    df.where(F.col("event_id") < 100).coalesce(1).write.parquet(src + "/a.parquet")
+    df.where(F.col("event_id") >= 100).coalesce(1).write.parquet(src + "/b.parquet")
+
+    stream = (
+        spark.readStream.schema("event_id long, user string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    state = str(tmp_path / "cms_state")
+    ckpt = str(tmp_path / "ckpt_cms")
+    q = stream_cms_maintenance(stream, "user", state, ckpt)
+    q.awaitTermination(120)
+
+    expected = {
+        (r["r"], r["bkt"]): r["c"]
+        for r in cms_build(spark.read.parquet(src + "/*"), "user").collect()
+    }
+    got = {
+        (r["r"], r["bkt"]): r["c"] for r in spark.read.parquet(state).collect()
+    }
+    assert got == expected
+    n_batches = spark.read.parquet(state).select("batch_id").first()
+
+    # simulate a replay-after-crash: drop the checkpoint so epochs restart
+    # at 0 over the SAME files — every epoch is <= the applied watermark
+    # and must be skipped, leaving the counters bit-identical
+    shutil.rmtree(ckpt)
+    stream2 = (
+        spark.readStream.schema("event_id long, user string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q2 = stream_cms_maintenance(stream2, "user", state, ckpt)
+    q2.awaitTermination(120)
+    got2 = {
+        (r["r"], r["bkt"]): r["c"] for r in spark.read.parquet(state).collect()
+    }
+    assert got2 == expected
