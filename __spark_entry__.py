@@ -7845,6 +7845,33 @@ SELECT user_id, est_merged, est_full FROM est ORDER BY user_id
 """
 
 
+def exact_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles with no global sort (operators/sketches.py::
+    exact_quantile_select): histogram pruning finds the one bin holding
+    rank k, and only that bin is ranked — the distributed-selection
+    answer where Spark's exact percentile would single-buffer the whole
+    column. The oracle states the rank contract explicitly (k-th
+    smallest, k = max(1, ceil(q·n/1000)))."""
+    from megalista_spark.operators.sketches import exact_quantile_select
+
+    l = _t(spark, sf_dir, "lineitem")
+    return exact_quantile_select(l, "l_extendedprice")
+
+
+EXACT_QUANTILE_SQL = """
+WITH n AS (SELECT count(l_extendedprice)::BIGINT AS n FROM lineitem),
+ranked AS (
+  SELECT l_extendedprice AS x,
+         row_number() OVER (ORDER BY l_extendedprice) AS rn
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT q.q AS q_permille, ranked.x AS value
+FROM (VALUES (500), (990), (999)) q(q), ranked, n
+WHERE rn = greatest(1, ceil(n.n * q.q / 1000))::BIGINT
+ORDER BY q_permille
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -7872,6 +7899,7 @@ _GATE_ROTATION_FIRST = [
     "trend_hourly_by_type",
     "contrastive_training_pairs",
     "cms_incremental_merge",
+    "exact_global_quantiles",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -8142,6 +8170,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "trend_hourly_by_type": trend_hourly_by_type,
         "contrastive_training_pairs": contrastive_training_pairs,
         "cms_incremental_merge": cms_incremental_merge,
+        "exact_global_quantiles": exact_global_quantiles,
     }
 
 
@@ -8318,4 +8347,5 @@ def oracle_sql() -> dict[str, str]:
         "trend_hourly_by_type": TREND_SQL,
         "contrastive_training_pairs": _contrastive_sql(),
         "cms_incremental_merge": _cms_merge_sql(),
+        "exact_global_quantiles": EXACT_QUANTILE_SQL,
     }

@@ -176,6 +176,7 @@ HEADLINE = [
     "trend_hourly_by_type",
     "contrastive_training_pairs",
     "cms_incremental_merge",
+    "exact_global_quantiles",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -674,3 +674,90 @@ def cms_merge(*counter_dfs: DataFrame) -> DataFrame:
     for c in counter_dfs[1:]:
         merged = merged.unionByName(c)
     return merged.groupBy("r", "bkt").agg(F.sum("c").cast("bigint").alias("c"))
+
+
+def exact_quantile_select(
+    df: DataFrame,
+    col: str,
+    q_permilles: tuple[int, ...] = (500, 990, 999),
+    bins: int = 4096,
+) -> DataFrame:
+    """EXACT global quantiles WITHOUT a global sort — distributed
+    selection by histogram pruning: (q_permille, value) where value is
+    the k-th smallest with k = max(1, ceil(q·n/1000)) (1-based discrete
+    quantile — the contract an ORDER BY ... OFFSET k-1 oracle states
+    explicitly).
+
+    Spark's exact ``percentile`` collects each group's values into one
+    aggregation buffer — fine per group, a single-node sort for a GLOBAL
+    quantile of a 100 TB column. Here instead:
+
+      pass 1: (min, max, n) scalars;
+      pass 2: ≤``bins`` bin counts + cumulative sum (a window over the
+              bin table, NOT the data);
+      pass 3: only the ONE bin containing rank k is re-scanned and
+              ranked — expected n/bins rows, a per-bin window sort.
+
+    Every rank lookup is a 1-row frame joined back (no driver collect).
+    All three passes are column-pruned scans; nothing ever sorts more
+    than one bin. Degenerate distributions (a single value holding >
+    n/bins duplicates) make the final window larger — exactly the rows
+    equal to the answer — and min==max short-circuits via bin 0.
+
+    The ties contract is exact: row_number among equal values is
+    partition-order-dependent, but the VALUE at any rank inside a run
+    of ties is the tie value itself, so the output is deterministic.
+    """
+    from pyspark.sql import Window
+
+    x = F.col(col)
+    bounds = df.agg(
+        F.min(x).alias("_lo"), F.max(x).alias("_hi"),
+        F.count(x).alias("_n"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(bins)
+    binned = df.select(x.alias("_x")).where(x.isNotNull()).crossJoin(
+        F.broadcast(bounds)
+    ).select(
+        "_x",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.floor((F.col("_x") - F.col("_lo")) / width).cast("int"),
+            )
+        )
+        .alias("_b"),
+    )
+    cum = (
+        binned.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_cum",
+            F.sum("_c").over(
+                Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    out = None
+    for q in q_permilles:
+        k = F.greatest(F.lit(1), F.ceil(F.col("_n") * q / 1000)).alias("_k")
+        kf = bounds.select(k)
+        tgt = (
+            cum.crossJoin(F.broadcast(kf))
+            .where(F.col("_cum") >= F.col("_k"))
+            .orderBy("_b")
+            .limit(1)
+            .select("_b", (F.col("_cum") - F.col("_c")).alias("_before"), "_k")
+        )
+        hit = (
+            binned.join(F.broadcast(tgt), "_b")
+            .withColumn(
+                "_rn",
+                F.row_number().over(Window.partitionBy("_b").orderBy("_x")),
+            )
+            .where(F.col("_rn") == F.col("_k") - F.col("_before"))
+            .select(F.lit(q).alias("q_permille"), F.col("_x").alias("value"))
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out.orderBy("q_permille")

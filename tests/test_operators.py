@@ -1942,3 +1942,39 @@ def test_linear_trend_exact_line_and_degenerate(spark):
     assert got["a"] == (10, 2.0, 25.0)
     # single point: D=0 -> NULL fit rather than a division error
     assert got["b"] == (1, None, None)
+
+
+def test_exact_quantile_select_matches_bruteforce(spark):
+    import math
+    import random
+
+    from megalista_spark.operators.sketches import exact_quantile_select
+
+    rng = random.Random(3)
+    vals = [rng.uniform(0, 1000) for _ in range(10007)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = {r["q_permille"]: r["value"] for r in
+           exact_quantile_select(df, "x").collect()}
+    s = sorted(vals)
+    for q in (500, 990, 999):
+        k = max(1, math.ceil(len(s) * q / 1000))
+        assert got[q] == s[k - 1]
+    # degenerate single-value distribution short-circuits via bin 0
+    df2 = spark.createDataFrame([(5.0,)] * 100, ["x"])
+    got2 = {r["q_permille"]: r["value"] for r in
+            exact_quantile_select(df2, "x").collect()}
+    assert got2 == {500: 5.0, 990: 5.0, 999: 5.0}
+
+
+def test_cms_merge_equals_full_build(spark):
+    from megalista_spark.operators.sketches import cms_build, cms_merge
+
+    rows = [("k%d" % (i % 37),) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k"])
+    h = F.crc32(F.col("k").cast("binary"))
+    left = df.where(h % 2 == 0)
+    right = df.where(h % 2 == 1)
+    merged = {(r["r"], r["bkt"]): r["c"] for r in
+              cms_merge(cms_build(left, "k"), cms_build(right, "k")).collect()}
+    full = {(r["r"], r["bkt"]): r["c"] for r in cms_build(df, "k").collect()}
+    assert merged == full
