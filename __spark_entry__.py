@@ -7872,6 +7872,45 @@ ORDER BY q_permille
 """
 
 
+def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy partition signatures (operators/cdc.py::
+    table_checksum): per-month order-independent (count, bit_xor,
+    bounded-sum) digests over the key columns of orders — the
+    replication/migration verification primitive: engines compare 12
+    rows a month instead of the table, and a mismatch localizes to one
+    partition before ``table_diff`` does row-level work. Float columns
+    are excluded by contract (their string rendering is
+    engine-specific)."""
+    from megalista_spark.operators.cdc import table_checksum
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "month", F.substring(F.col("o_orderdate").cast("string"), 1, 7)
+    )
+    return table_checksum(
+        o,
+        key_cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        group_cols=["month"],
+    ).orderBy("month")
+
+
+CHECKSUM_SQL = """
+WITH h AS (
+  SELECT substr(o_orderdate::VARCHAR, 1, 7) AS month,
+         ('0x' || substr(md5(concat_ws(chr(31),
+            coalesce('v' || length(o_orderkey::VARCHAR) || ':' || o_orderkey::VARCHAR, 'n'),
+            coalesce('v' || length(o_custkey::VARCHAR) || ':' || o_custkey::VARCHAR, 'n'),
+            coalesce('v' || length(o_orderstatus) || ':' || o_orderstatus, 'n'),
+            coalesce('v' || length(o_orderpriority) || ':' || o_orderpriority, 'n')
+         )), 1, 15))::BIGINT AS h
+  FROM orders
+)
+SELECT month, count(*)::BIGINT AS n_rows,
+       bit_xor(h)::BIGINT AS xor_sig,
+       sum(h % 1000000000)::BIGINT AS sum_sig
+FROM h GROUP BY month ORDER BY month
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -7900,6 +7939,7 @@ _GATE_ROTATION_FIRST = [
     "contrastive_training_pairs",
     "cms_incremental_merge",
     "exact_global_quantiles",
+    "orders_partition_checksums",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -8171,6 +8211,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "contrastive_training_pairs": contrastive_training_pairs,
         "cms_incremental_merge": cms_incremental_merge,
         "exact_global_quantiles": exact_global_quantiles,
+        "orders_partition_checksums": orders_partition_checksums,
     }
 
 
@@ -8348,4 +8389,5 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_training_pairs": _contrastive_sql(),
         "cms_incremental_merge": _cms_merge_sql(),
         "exact_global_quantiles": EXACT_QUANTILE_SQL,
+        "orders_partition_checksums": CHECKSUM_SQL,
     }

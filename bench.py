@@ -177,6 +177,7 @@ HEADLINE = [
     "contrastive_training_pairs",
     "cms_incremental_merge",
     "exact_global_quantiles",
+    "orders_partition_checksums",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -193,3 +193,60 @@ def table_diff(
         .where(F.col("verdict").isNotNull())
         .select(*key_cols, "verdict")
     )
+
+
+def table_checksum(
+    df: DataFrame,
+    key_cols: Sequence[str] | None = None,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Order-independent table signature for cross-engine/cross-replica
+    verification: (group..., n_rows, xor_sig, sum_sig) — the cheap
+    anti-entropy precheck that decides WHETHER to run the row-level
+    ``table_diff``. All three aggregates commute, so the signature is a
+    pure function of the multiset of rows regardless of partitioning,
+    ordering, or engine:
+
+      n_rows   — count
+      xor_sig  — bit_xor of the 60-bit row digest (overflow-free; its
+                 known weakness — an EVEN number of identical rows
+                 cancels to 0 — is exactly what sum_sig covers)
+      sum_sig  — sum of digest mod 10^9 (n·10^9 stays in int64 up to
+                 ~9·10^9 rows per group; group finer for more)
+
+    The row digest reuses ``table_diff``'s prefix-free null-tagged
+    length-prefixed encoding, so no value — including one containing
+    the separator — can alias two different rows. ``group_cols`` yields
+    per-partition signatures (e.g. per day) so a mismatch localizes
+    without rescanning the whole table.
+    """
+    from megalista_spark.operators.dedup import portable_hash64
+
+    cols = (
+        list(key_cols)
+        if key_cols is not None
+        else [c for c in df.columns if c not in group_cols]
+    )
+    parts = [
+        F.coalesce(
+            F.concat(
+                F.lit("v"),
+                F.length(F.col(c).cast("string")).cast("string"),
+                F.lit(":"),
+                F.col(c).cast("string"),
+            ),
+            F.lit("n"),
+        )
+        for c in cols
+    ]
+    h = portable_hash64(F.concat_ws("\x1f", *parts))
+    gcols = list(group_cols)
+    return (
+        df.select(*gcols, h.alias("_h"))
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.bit_xor("_h").cast("bigint").alias("xor_sig"),
+            F.sum(F.col("_h") % F.lit(10**9)).cast("bigint").alias("sum_sig"),
+        )
+    )

@@ -1978,3 +1978,21 @@ def test_cms_merge_equals_full_build(spark):
               cms_merge(cms_build(left, "k"), cms_build(right, "k")).collect()}
     full = {(r["r"], r["bkt"]): r["c"] for r in cms_build(df, "k").collect()}
     assert merged == full
+
+
+def test_table_checksum_order_independent_and_sensitive(spark):
+    from megalista_spark.operators.cdc import table_checksum
+
+    rows = [(1, "a"), (2, "b"), (3, "c")]
+    df1 = spark.createDataFrame(rows, ["k", "v"])
+    df2 = spark.createDataFrame(list(reversed(rows)), ["k", "v"]).repartition(3)
+    sig = lambda d: tuple(table_checksum(d).collect()[0])
+    # pure function of the row multiset: ordering/partitioning don't matter
+    assert sig(df1) == sig(df2)
+    # any single-value change moves the signature
+    df3 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "C")], ["k", "v"])
+    assert sig(df3) != sig(df1)
+    # the xor-cancellation weakness (duplicate row pairs) is covered by
+    # sum_sig and n_rows
+    df4 = spark.createDataFrame(rows + [(3, "c"), (3, "c")], ["k", "v"])
+    assert sig(df4) != sig(df1)
