@@ -380,3 +380,60 @@ def test_budget_fill_prefix_properties_batch(spark):
     assert kept_small == naive(120)
     assert kept_big == naive(400)
     assert kept_small <= kept_big  # budget monotonicity
+
+
+def _bpe_reference(word_counts: dict[str, int], merges: int):
+    """Reference BPE trainer (driver-side, Sennrich algorithm) with the
+    operator's deterministic (count desc, pair asc) tiebreak."""
+    seqs = {w: [*w, "</w>"] for w in word_counts}
+    out = []
+    for step in range(1, merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + word_counts[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        out.append((step, l, r, l + r, c))
+        for w, syms in seqs.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            seqs[w] = merged
+    return out
+
+
+def test_bpe_matches_reference_on_random_corpora(spark):
+    """The relational gaps-and-islands merge application must equal the
+    sequential greedy reference for arbitrary corpora — including
+    overlap-heavy repeated-letter words."""
+    import random
+
+    from megalista_spark.operators.text import bpe_train_merges
+
+    rng = random.Random(11)
+    alphabet = "abc"
+    for trial in range(4):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(30)
+        ]
+        text = " ".join(words)
+        wc: dict[str, int] = {}
+        for w in words:
+            wc[w] = wc.get(w, 0) + 1
+        expect = _bpe_reference(wc, merges=4)
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        got = [
+            (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+            for r in bpe_train_merges(df, merges=4).collect()
+        ]
+        assert got == expect, f"trial {trial}: {got} != {expect}"
