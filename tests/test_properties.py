@@ -437,3 +437,56 @@ def test_bpe_matches_reference_on_random_corpora(spark):
             for r in bpe_train_merges(df, merges=4).collect()
         ]
         assert got == expect, f"trial {trial}: {got} != {expect}"
+
+
+def test_windowed_funnel_matches_bruteforce(spark):
+    """The greedy-earliest chain must find exactly the users a full
+    chain-enumeration finds, at every level, for random event streams."""
+    import datetime as dt
+    import itertools
+    import random
+
+    from megalista_spark.operators.sessions import windowed_funnel
+
+    rng = random.Random(23)
+    steps = ["s1", "s2", "s3"]
+    window = 15
+
+    def brute_levels(events):
+        # events: list of (user, sec, type); returns {level: set(users)}
+        by_user: dict[int, list[tuple[int, str]]] = {}
+        for u, t, et in events:
+            by_user.setdefault(u, []).append((t, et))
+        reach = {1: set(), 2: set(), 3: set()}
+        for u, evs in by_user.items():
+            for lvl in (1, 2, 3):
+                found = False
+                for chain in itertools.combinations(sorted(evs), lvl):
+                    if [c[1] for c in chain] != steps[:lvl]:
+                        continue
+                    ts = [c[0] for c in chain]
+                    if all(ts[i] < ts[i + 1] for i in range(lvl - 1)) and (
+                        ts[-1] <= ts[0] + window
+                    ):
+                        found = True
+                        break
+                if found:
+                    reach[lvl].add(u)
+        return reach
+
+    for trial in range(3):
+        events = [
+            (rng.randint(1, 6), rng.randint(0, 60), rng.choice(steps))
+            for _ in range(60)
+        ]
+        expect = brute_levels(events)
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (u, base + dt.timedelta(seconds=t), et) for u, t, et in events
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        got = {r["level"]: r["n_users"] for r in
+               windowed_funnel(df, steps, window).collect()}
+        assert got == {1: len(expect[1]), 2: len(expect[2]), 3: len(expect[3])}, (
+            f"trial {trial}: {got} vs {expect}"
+        )
