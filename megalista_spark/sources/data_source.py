@@ -194,6 +194,20 @@ class FileDataSource(DataSource):
             return self.spark.read.json(path)
         if fmt == "orc":
             return self.spark.read.orc(path)
+        if fmt == "text":
+            # raw-text corpus ingestion: one row per line, column `value`
+            # — the entry point of the documents pipeline (quality gate →
+            # dedup → tokenizer training) for plain-text dumps
+            return self.spark.read.text(path)
+        if fmt == "binary":
+            # opaque media ingestion (images/audio/video) for the
+            # multimodal kernels: (path, modificationTime, length,
+            # content binary); recursive so a media tree loads whole
+            return (
+                self.spark.read.format("binaryFile")
+                .option("recursiveFileLookup", "true")
+                .load(path)
+            )
         return self.spark.read.parquet(path)
 
     def control_path(self) -> str:

@@ -47,3 +47,35 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert out.selectExpr("sum(k)", "sum(v)").collect() == df.selectExpr(
         "sum(k)", "sum(v)"
     ).collect()
+
+
+def test_text_source_reads_lines(spark, tmp_path):
+    from megalista_spark.models.execution import Source, SourceType
+    from megalista_spark.sources.data_source import get_data_source
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("first line\nsecond line\nthird line\n")
+    src = Source(name="t", source_type=SourceType.FILE, metadata=("text", str(p)))
+    df = get_data_source(spark, src).read_raw()
+    assert df.columns == ["value"]
+    assert sorted(r["value"] for r in df.collect()) == [
+        "first line", "second line", "third line",
+    ]
+
+
+def test_binary_source_reads_media_tree(spark, tmp_path):
+    from megalista_spark.models.execution import Source, SourceType
+    from megalista_spark.sources.data_source import get_data_source
+
+    media = tmp_path / "media" / "sub"
+    media.mkdir(parents=True)
+    (tmp_path / "media" / "a.bin").write_bytes(b"\x00\x01payload-a")
+    (media / "b.bin").write_bytes(b"\x02payload-b")
+    src = Source(
+        name="m", source_type=SourceType.FILE,
+        metadata=("binary", str(tmp_path / "media")),
+    )
+    df = get_data_source(spark, src).read_raw()
+    rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in df.collect()}
+    assert rows == {"a.bin": b"\x00\x01payload-a", "b.bin": b"\x02payload-b"}
+    assert "length" in df.columns  # metadata columns for size-based routing
