@@ -7911,6 +7911,45 @@ FROM h GROUP BY month ORDER BY month
 """
 
 
+def audience_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience set algebra via bitmap indexes (operators/
+    bitmaps.py): clickers vs purchasers packed into 63-bit membership
+    words, full overlap report (AND/OR/exclusive counts) from ONE
+    word-keyed join of two tiny bitmap relations — the pre-upload
+    audience-overlap question answered without touching raw membership
+    twice. Counts are exact (unlike the KMV estimates) because event
+    user ids live in a bounded integer domain."""
+    from megalista_spark.operators.bitmaps import bitmap_build, bitmap_overlap
+
+    e = _events(spark, sf_dir)
+    clk = bitmap_build(e.where(F.col("event_type") == "click"), "user_id")
+    pur = bitmap_build(e.where(F.col("event_type") == "purchase"), "user_id")
+    return bitmap_overlap(clk, pur)
+
+
+BITMAP_OVERLAP_SQL = """
+WITH a AS (
+  SELECT user_id // 63 AS word,
+         bit_or(1::BIGINT << (user_id % 63)::INT)::BIGINT AS bits
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+b AS (
+  SELECT user_id // 63 AS word,
+         bit_or(1::BIGINT << (user_id % 63)::INT)::BIGINT AS bits
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+j AS (
+  SELECT coalesce(a.bits, 0) AS _a, coalesce(b.bits, 0) AS _b
+  FROM a FULL OUTER JOIN b USING (word)
+)
+SELECT sum(bit_count(_a & _b))::BIGINT AS n_and,
+       sum(bit_count(_a | _b))::BIGINT AS n_or,
+       sum(bit_count(_a & ~_b))::BIGINT AS n_only_a,
+       sum(bit_count(_b & ~_a))::BIGINT AS n_only_b
+FROM j
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -7940,6 +7979,7 @@ _GATE_ROTATION_FIRST = [
     "cms_incremental_merge",
     "exact_global_quantiles",
     "orders_partition_checksums",
+    "audience_bitmap_overlap",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -8212,6 +8252,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "cms_incremental_merge": cms_incremental_merge,
         "exact_global_quantiles": exact_global_quantiles,
         "orders_partition_checksums": orders_partition_checksums,
+        "audience_bitmap_overlap": audience_bitmap_overlap,
     }
 
 
@@ -8390,4 +8431,5 @@ def oracle_sql() -> dict[str, str]:
         "cms_incremental_merge": _cms_merge_sql(),
         "exact_global_quantiles": EXACT_QUANTILE_SQL,
         "orders_partition_checksums": CHECKSUM_SQL,
+        "audience_bitmap_overlap": BITMAP_OVERLAP_SQL,
     }

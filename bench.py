@@ -178,6 +178,7 @@ HEADLINE = [
     "cms_incremental_merge",
     "exact_global_quantiles",
     "orders_partition_checksums",
+    "audience_bitmap_overlap",
 ]
 
 # Excluded from HEADLINE on purpose:

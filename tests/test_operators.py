@@ -1996,3 +1996,25 @@ def test_table_checksum_order_independent_and_sensitive(spark):
     # sum_sig and n_rows
     df4 = spark.createDataFrame(rows + [(3, "c"), (3, "c")], ["k", "v"])
     assert sig(df4) != sig(df1)
+
+
+def test_bitmap_algebra_exact_counts(spark):
+    from megalista_spark.operators.bitmaps import (
+        bitmap_build,
+        bitmap_cardinality,
+        bitmap_overlap,
+    )
+
+    A = spark.createDataFrame([(i,) for i in [1, 2, 3, 100, 200, 200]], ["uid"])
+    B = spark.createDataFrame([(i,) for i in [2, 3, 4, 300]], ["uid"])
+    ba, bb = bitmap_build(A, "uid"), bitmap_build(B, "uid")
+    # duplicates collapse (bit_or idempotent): 5 distinct, not 6
+    assert bitmap_cardinality(ba).collect()[0]["n_members"] == 5
+    r = bitmap_overlap(ba, bb).collect()[0]
+    assert (r["n_and"], r["n_or"], r["n_only_a"], r["n_only_b"]) == (2, 7, 3, 2)
+    # merge property: OR of two loads == bitmap of the union
+    from pyspark.sql import functions as F
+    merged = (
+        ba.unionByName(bb).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    )
+    assert bitmap_cardinality(merged).collect()[0]["n_members"] == 7
