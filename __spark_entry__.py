@@ -7950,6 +7950,39 @@ FROM j
 """
 
 
+def behavior_pattern_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern cohort mining (operators/sessions.py::
+    sequence_pattern_match): per-user event histories compacted to
+    symbol strings, regex ``v[^p]*e`` selecting users who hit an error
+    after a view with no purchase in between — the behavioral-cohort
+    primitive funnels can't express (negative conditions, loops). One
+    user-keyed aggregate + a scan-speed regex over |users| rows."""
+    from megalista_spark.operators.sessions import sequence_pattern_match
+
+    e = _events(spark, sf_dir)
+    return sequence_pattern_match(
+        e,
+        pattern="v[^p]*e",
+        symbols={"view": "v", "click": "c", "purchase": "p",
+                 "error": "e", "signup": "s"},
+    ).orderBy("user_id")
+
+
+BEHAVIOR_PATTERN_SQL = """
+SELECT user_id, seq, regexp_matches(seq, 'v[^p]*e') AS is_match FROM (
+  SELECT user_id, string_agg(s, '' ORDER BY t, s) AS seq FROM (
+    SELECT user_id,
+           (epoch_us(ts::TIMESTAMP) // 1000000)::BIGINT AS t,
+           CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                WHEN 'signup' THEN 's' END AS s
+    FROM events
+  ) WHERE s IS NOT NULL GROUP BY user_id
+)
+ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -7980,6 +8013,7 @@ _GATE_ROTATION_FIRST = [
     "exact_global_quantiles",
     "orders_partition_checksums",
     "audience_bitmap_overlap",
+    "behavior_pattern_cohort",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -8253,6 +8287,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "exact_global_quantiles": exact_global_quantiles,
         "orders_partition_checksums": orders_partition_checksums,
         "audience_bitmap_overlap": audience_bitmap_overlap,
+        "behavior_pattern_cohort": behavior_pattern_cohort,
     }
 
 
@@ -8432,4 +8467,5 @@ def oracle_sql() -> dict[str, str]:
         "exact_global_quantiles": EXACT_QUANTILE_SQL,
         "orders_partition_checksums": CHECKSUM_SQL,
         "audience_bitmap_overlap": BITMAP_OVERLAP_SQL,
+        "behavior_pattern_cohort": BEHAVIOR_PATTERN_SQL,
     }

@@ -179,6 +179,7 @@ HEADLINE = [
     "exact_global_quantiles",
     "orders_partition_checksums",
     "audience_bitmap_overlap",
+    "behavior_pattern_cohort",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -264,3 +264,57 @@ def windowed_funnel(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("level")
+
+
+def sequence_pattern_match(
+    events: DataFrame,
+    pattern: str,
+    symbols: dict[str, str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Behavioral sequence matching (the ClickHouse ``sequenceMatch``
+    idea; public): each user's event history becomes one compact symbol
+    string — event types mapped through ``symbols`` (e.g. view→'v'),
+    unmapped types dropped — ordered by (ts, type); ``pattern`` is a
+    plain regex over that string. Returns (user_id, seq, is_match).
+
+    Examples: ``v[^p]*e`` = "a view followed by an error with no
+    purchase in between"; ``(vc){2,}`` = "at least two view→click
+    loops".
+
+    Determinism: the (ts, type) sort key breaks same-second ties
+    identically on every engine, and the per-user string is built with
+    an in-row ``array_sort`` over collected (ts, sym) structs — ONE
+    user-keyed aggregate, state bounded by events-per-user, no window
+    over the stream. The regex then runs at scan speed over |users|
+    rows. Seconds-truncated timestamps keep tie behavior identical to
+    the funnel operators.
+    """
+    mapped = F.create_map(
+        *[F.lit(x) for kv in symbols.items() for x in kv]
+    )[F.col(type_col)]
+    rows = events.select(
+        F.col(user_col),
+        F.col(ts_col).cast("long").alias("_t"),
+        mapped.alias("_s"),
+    ).where(F.col("_s").isNotNull())
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_t"), F.col("_s")))
+            ),
+            lambda s: s["_s"],
+        ),
+    )
+    return (
+        rows.groupBy(user_col)
+        .agg(seq.alias("seq"))
+        .select(
+            user_col,
+            "seq",
+            F.col("seq").rlike(pattern).alias("is_match"),
+        )
+    )

@@ -2018,3 +2018,31 @@ def test_bitmap_algebra_exact_counts(spark):
         ba.unionByName(bb).groupBy("word").agg(F.bit_or("bits").alias("bits"))
     )
     assert bitmap_cardinality(merged).collect()[0]["n_members"] == 7
+
+
+def test_sequence_pattern_match_negative_condition(spark):
+    """The pattern primitive expresses what funnels can't: 'error after
+    view with NO purchase between'."""
+    import datetime as dt
+
+    from megalista_spark.operators.sessions import sequence_pattern_match
+
+    def T(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        (1, T(0), "view"), (1, T(1), "click"), (1, T(2), "error"),
+        (2, T(0), "view"), (2, T(1), "purchase"), (2, T(2), "error"),
+        (3, T(0), "error"), (3, T(1), "view"),
+        (4, T(0), "view"), (4, T(1), "ignored_type"), (4, T(2), "error"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r["user_id"]: (r["seq"], r["is_match"]) for r in
+           sequence_pattern_match(
+               ev, "v[^p]*e",
+               {"view": "v", "click": "c", "purchase": "p", "error": "e"},
+           ).collect()}
+    assert got[1] == ("vce", True)
+    assert got[2] == ("vpe", False)   # purchase broke the chain
+    assert got[3] == ("ev", False)    # wrong order
+    assert got[4] == ("ve", True)     # unmapped types drop out
