@@ -7983,6 +7983,93 @@ ORDER BY user_id
 """
 
 
+def personalized_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py::personalized_pagerank):
+    teleport restricted to customers 1-3 on the purchase graph — rank
+    becomes proximity to those customers (the recommendation primitive),
+    where the global variant measures importance. Same integer
+    fixed-point discipline; the oracle unrolls the seeded rounds."""
+    from megalista_spark.operators.graph import personalized_pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(1000000)).cast("long").alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("cust AS src", "supp AS dst").union(
+        pairs.selectExpr("supp AS src", "cust AS dst")
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 3)
+        .select(F.col("c_custkey").alias("id"))
+    )
+    return personalized_pagerank(edges, seeds, iterations=3).orderBy("node")
+
+
+def _ppr_sql(iters: int = 3, scale: int = 10**12, damping_pct: int = 85) -> str:
+    d = damping_pct
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""dg{k-1} AS (
+  SELECT COALESCE(SUM(r.ru), 0)::BIGINT AS du
+  FROM r{k-1} r WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.node = r.node)
+),
+c{k} AS (
+  SELECT e.dst AS node, SUM(r.ru // dd.deg)::BIGINT AS inu
+  FROM edges e
+  JOIN deg dd ON dd.node = e.src
+  JOIN r{k-1} r ON r.node = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT nd.node,
+         ((CASE WHEN nd.is_seed
+                THEN ({100 - d} * ({scale} // ns.ns)) // 100 ELSE 0 END)
+          + (({d} * (COALESCE(c.inu, 0)
+               + CASE WHEN nd.is_seed THEN (dg.du // ns.ns) ELSE 0 END)) // 100)
+         )::BIGINT AS ru
+  FROM nodes2 nd
+  LEFT JOIN c{k} c ON c.node = nd.node
+  CROSS JOIN dg{k-1} dg CROSS JOIN ns
+)"""
+        )
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS cust, (1000000 + l.l_suppkey)::BIGINT AS supp
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT cust AS src, supp AS dst FROM pairs
+  UNION ALL
+  SELECT supp AS src, cust AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src AS node, COUNT(*)::BIGINT AS deg FROM edges GROUP BY src),
+seeds AS (SELECT DISTINCT c_custkey::BIGINT AS node FROM customer WHERE c_custkey <= 3),
+ns AS (SELECT COUNT(*)::BIGINT AS ns FROM seeds),
+nodes2 AS (
+  SELECT node, EXISTS (SELECT 1 FROM seeds s WHERE s.node = nodes.node) AS is_seed
+  FROM nodes
+),
+r0 AS (
+  SELECT node, (CASE WHEN is_seed THEN ({scale} // ns.ns) ELSE 0 END)::BIGINT AS ru
+  FROM nodes2 CROSS JOIN ns
+),
+{rounds_sql}
+SELECT node, ru AS rank_u, round(ru / {float(scale)}, 6) AS rank
+FROM r{iters}
+ORDER BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -8014,6 +8101,7 @@ _GATE_ROTATION_FIRST = [
     "orders_partition_checksums",
     "audience_bitmap_overlap",
     "behavior_pattern_cohort",
+    "personalized_pagerank_supply",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -8288,6 +8376,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "orders_partition_checksums": orders_partition_checksums,
         "audience_bitmap_overlap": audience_bitmap_overlap,
         "behavior_pattern_cohort": behavior_pattern_cohort,
+        "personalized_pagerank_supply": personalized_pagerank_supply,
     }
 
 
@@ -8468,4 +8557,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_partition_checksums": CHECKSUM_SQL,
         "audience_bitmap_overlap": BITMAP_OVERLAP_SQL,
         "behavior_pattern_cohort": BEHAVIOR_PATTERN_SQL,
+        "personalized_pagerank_supply": _ppr_sql(),
     }

@@ -180,6 +180,7 @@ HEADLINE = [
     "orders_partition_checksums",
     "audience_bitmap_overlap",
     "behavior_pattern_cohort",
+    "personalized_pagerank_supply",
 ]
 
 # Excluded from HEADLINE on purpose:

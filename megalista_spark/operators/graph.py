@@ -146,6 +146,100 @@ def pagerank(
     return out
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = PAGERANK_SCALE,
+    seed_col: str = "id",
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: identical fixed-point
+    kernel to ``pagerank``, but teleport AND dangling mass return only
+    to the SEED set — rank becomes proximity-to-seeds, the
+    recommendation / similar-entities primitive (Haveliwala 2002;
+    public method), where global PageRank measures importance.
+
+        rank'(v) = [v∈S]·(100-d)·(scale div |S|) div 100
+                   + d·(inflow(v) + [v∈S]·(dangling div |S|)) div 100
+
+    Same integer-only discipline (floor div everywhere) so the
+    recurrence is bit-exact cross-engine; same one-shuffle-per-round
+    cost model with persisted co-partitioned edges; the seed flag rides
+    the node table (one broadcast-sized join at setup, not per round).
+    Off-graph seeds contribute nothing (their teleport share sheds —
+    deterministic on every engine since |S| counts the raw seed set).
+
+    Returns (node, rank_u, rank) over the graph's nodes.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).repartition("_src").persist()
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).cast("long").alias("_deg")).persist()
+    s = seeds.select(F.col(seed_col).alias("node")).distinct().persist()
+    ns = s.count()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .join(s.withColumn("_is_seed", F.lit(True)), "node", "left")
+        .select("node", F.coalesce("_is_seed", F.lit(False)).alias("_is_seed"))
+        .persist()
+    )
+    nodes.count()
+    base_u = scale // ns
+    teleport_u = (100 - damping_pct) * base_u // 100
+
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("_is_seed"), F.lit(base_u)).otherwise(F.lit(0))
+        .cast("long").alias("rank_u"),
+    )
+    prev = None
+    for _ in range(iterations):
+        ranks = ranks.persist()
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["_src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank_u"), F.lit(0)).cast("long"))
+            .first()[0]
+        )
+        contrib = (
+            e.join(deg, "_src")
+            .join(ranks.withColumnRenamed("node", "_src"), "_src")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("rank_u div _deg").alias("_share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_share").cast("long").alias("_inflow"))
+        )
+        dangling_share = dangling // ns
+        new = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.when(F.col("_is_seed"), F.lit(teleport_u)).otherwise(F.lit(0))
+                + F.expr(
+                    f"{damping_pct} * (coalesce(_inflow, 0L)"
+                    f" + (CASE WHEN _is_seed THEN {dangling_share}L ELSE 0L END))"
+                    " div 100"
+                )
+            ).cast("long").alias("rank_u"),
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+        ranks = new
+    return ranks.select(
+        "node",
+        "rank_u",
+        F.round(F.col("rank_u") / F.lit(float(scale)), 6).alias("rank"),
+    )
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """One-row DataFrame: (triangle_count bigint) — exact triangle count
     of the undirected simple graph induced by ``edges``.

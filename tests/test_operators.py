@@ -2046,3 +2046,22 @@ def test_sequence_pattern_match_negative_condition(spark):
     assert got[2] == ("vpe", False)   # purchase broke the chain
     assert got[3] == ("ev", False)    # wrong order
     assert got[4] == ("ve", True)     # unmapped types drop out
+
+
+def test_personalized_pagerank_localizes_to_seeds(spark):
+    from megalista_spark.operators.graph import pagerank, personalized_pagerank
+
+    # two disconnected 3-cycles; seeding in one must leave the other at 0
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    got = {r["node"]: r["rank_u"] for r in
+           personalized_pagerank(edges, seeds, iterations=3).collect()}
+    assert got[10] == 0 and got[11] == 0 and got[12] == 0
+    assert got[1] > got[2] > 0  # seed holds teleport mass; cycle spreads it
+    # global pagerank on the same graph ranks both components equally
+    g = {r["node"]: r["rank_u"] for r in
+         pagerank(edges, iterations=3).collect()}
+    assert g[1] == g[10]
