@@ -8070,6 +8070,82 @@ ORDER BY node
 """
 
 
+def bpe_merges_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tenant BPE training (operators/text.py::bpe_train_merges
+    with group_col): one tokenizer merge table per language in the SAME
+    dataflow — the group key joins every window partition and the
+    argmax becomes a per-language row. Oracle unrolls the grouped
+    rounds."""
+    from megalista_spark.operators.text import bpe_train_merges
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_train_merges(d, merges=2, group_col="lang")
+
+
+def _bpe_grouped_sql(merges: int = 2) -> str:
+    rounds = []
+    for t in range(1, merges + 1):
+        rounds.append(f"""p{t} AS (
+  SELECT g, sym AS l, nxt AS r, sum(wc)::BIGINT AS cnt FROM (
+    SELECT g, wc, sym, lead(sym) OVER (PARTITION BY g, word ORDER BY pos) AS nxt
+    FROM seq{t-1}
+  ) WHERE nxt IS NOT NULL GROUP BY g, sym, nxt
+), b{t} AS MATERIALIZED (
+  SELECT g, l, r, cnt FROM (
+    SELECT *, row_number() OVER (PARTITION BY g ORDER BY cnt DESC, l, r) AS br
+    FROM p{t}
+  ) WHERE br = 1
+), s{t}a AS (
+  SELECT s.g, word, wc, pos, sym,
+         row_number() OVER w AS rn,
+         coalesce(sym = b.l AND lead(sym) OVER w = b.r, false) AS start,
+         b.l || b.r AS msym
+  FROM seq{t-1} s JOIN b{t} b ON b.g = s.g
+  WINDOW w AS (PARTITION BY s.g, word ORDER BY pos)
+), s{t}b AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY g, word, start ORDER BY pos) AS island
+  FROM s{t}a
+), s{t}c AS (
+  SELECT *, start AND (row_number() OVER (
+           PARTITION BY g, word, start, island ORDER BY pos) % 2 = 1) AS active
+  FROM s{t}b
+), s{t}d AS (
+  SELECT g, word, wc, pos,
+         CASE WHEN active THEN msym ELSE sym END AS sym,
+         lag(active, 1, false) OVER (PARTITION BY g, word ORDER BY pos) AS prev_active
+  FROM s{t}c
+), seq{t} AS MATERIALIZED (
+  SELECT g, word, wc, pos, sym FROM s{t}d WHERE NOT prev_active
+)""")
+    rounds_sql = ",\n".join(rounds)
+    final = "\nUNION ALL ".join(
+        f"SELECT g, {t} AS step, l AS lhs, r AS rhs, l || r AS merged,"
+        f" cnt AS pair_count FROM b{t}"
+        for t in range(1, merges + 1)
+    )
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT g, word, count(*)::BIGINT AS wc FROM (
+    SELECT lang AS g,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS word
+    FROM documents
+  ) GROUP BY g, word
+),
+seq0 AS MATERIALIZED (
+  SELECT g, word, wc, unnest(range(0, len(syms))) AS pos, unnest(syms) AS sym FROM (
+    SELECT g, word, wc,
+           list_append(list_transform(range(1, length(word)+1),
+                       i -> substr(word, i, 1)), '</w>') AS syms
+    FROM words
+  )
+),
+{rounds_sql}
+SELECT g AS lang, step, lhs, rhs, merged, pair_count FROM ({final})
+ORDER BY lang, step
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -8102,6 +8178,7 @@ _GATE_ROTATION_FIRST = [
     "audience_bitmap_overlap",
     "behavior_pattern_cohort",
     "personalized_pagerank_supply",
+    "bpe_merges_by_lang",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -8377,6 +8454,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "audience_bitmap_overlap": audience_bitmap_overlap,
         "behavior_pattern_cohort": behavior_pattern_cohort,
         "personalized_pagerank_supply": personalized_pagerank_supply,
+        "bpe_merges_by_lang": bpe_merges_by_lang,
     }
 
 
@@ -8558,4 +8636,5 @@ def oracle_sql() -> dict[str, str]:
         "audience_bitmap_overlap": BITMAP_OVERLAP_SQL,
         "behavior_pattern_cohort": BEHAVIOR_PATTERN_SQL,
         "personalized_pagerank_supply": _ppr_sql(),
+        "bpe_merges_by_lang": _bpe_grouped_sql(),
     }

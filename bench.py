@@ -181,6 +181,7 @@ HEADLINE = [
     "audience_bitmap_overlap",
     "behavior_pattern_cohort",
     "personalized_pagerank_supply",
+    "bpe_merges_by_lang",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -293,6 +293,7 @@ def bpe_train_merges(
     text_col: str = "text",
     merges: int = 3,
     max_words: int | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Byte-pair-encoding merge training (Sennrich et al. 2016; public
     method) as a driver loop of PURELY RELATIONAL steps — the tokenizer-
@@ -319,27 +320,45 @@ def bpe_train_merges(
     Scale: state is the positional symbol relation, O(Σ|word|) over the
     DISTINCT vocabulary — millions of rows for a 100 TB corpus, not
     billions; every window partitions BY WORD (bounded, spillable). The
-    1-row argmax joins back via crossJoin(broadcast) — no driver
-    collect. Rounds localCheckpoint (the iterative-lineage lesson).
-    ``max_words`` optionally trains on the top-frequency vocabulary
-    slice ((wc, word) DESC total order), the standard truncation.
+    per-group argmax joins back via a broadcast equi-join on the group
+    key — no driver collect. Rounds localCheckpoint (the iterative-
+    lineage lesson). ``max_words`` optionally trains on each group's
+    top-frequency vocabulary slice ((wc, word) DESC total order), the
+    standard truncation.
+
+    ``group_col`` trains ONE TOKENIZER PER GROUP in the same dataflow
+    (e.g. per language — the multi-tenant form): every window simply
+    gains the group key in its partition, the argmax becomes a |groups|-
+    row table, and the output carries the group column first. Ungrouped
+    training is the single-group special case of the same kernel.
     """
     from pyspark.sql import Window
 
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
     )
+    grp = F.col(group_col) if group_col is not None else F.lit("")
     words = (
-        df.select(F.explode(toks).alias("word"))
-        .groupBy("word")
+        df.select(grp.alias("_g"), F.explode(toks).alias("word"))
+        .groupBy("_g", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
     )
     if max_words is not None:
-        words = words.orderBy(F.desc("wc"), F.asc("word")).limit(max_words)
+        words = (
+            words.withColumn(
+                "_wr",
+                F.row_number().over(
+                    Window.partitionBy("_g").orderBy(F.desc("wc"), F.asc("word"))
+                ),
+            )
+            .where(F.col("_wr") <= max_words)
+            .drop("_wr")
+        )
 
     chars = F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
     seq = (
         words.select(
+            "_g",
             "word",
             "wc",
             F.posexplode(F.concat(chars, F.array(F.lit("</w>")))).alias("pos", "sym"),
@@ -347,25 +366,32 @@ def bpe_train_merges(
         .localCheckpoint(eager=True)
     )
 
-    w_word = Window.partitionBy("word").orderBy("pos")
+    w_word = Window.partitionBy("_g", "word").orderBy("pos")
+    w_grp = Window.partitionBy("_g").orderBy(
+        F.desc("cnt"), F.asc("sym"), F.asc("nxt")
+    )
     merge_rows: list[DataFrame] = []
     for step in range(1, merges + 1):
         pairs = (
-            seq.select("wc", "sym", F.lead("sym").over(w_word).alias("nxt"))
+            seq.select("_g", "wc", "sym", F.lead("sym").over(w_word).alias("nxt"))
             .where(F.col("nxt").isNotNull())
-            .groupBy("sym", "nxt")
+            .groupBy("_g", "sym", "nxt")
             .agg(F.sum("wc").cast("bigint").alias("cnt"))
         )
         best = (
-            pairs.orderBy(F.desc("cnt"), F.asc("sym"), F.asc("nxt"))
-            .limit(1)
+            pairs.withColumn("_br", F.row_number().over(w_grp))
+            .where(F.col("_br") == 1)
             .select(
-                F.col("sym").alias("_l"), F.col("nxt").alias("_r"), F.col("cnt")
+                "_g",
+                F.col("sym").alias("_l"),
+                F.col("nxt").alias("_r"),
+                F.col("cnt"),
             )
             .localCheckpoint(eager=True)
         )
         merge_rows.append(
             best.select(
+                "_g",
                 F.lit(step).alias("step"),
                 F.col("_l").alias("lhs"),
                 F.col("_r").alias("rhs"),
@@ -373,7 +399,8 @@ def bpe_train_merges(
                 F.col("cnt").alias("pair_count"),
             )
         )
-        s1 = seq.crossJoin(F.broadcast(best)).select(
+        s1 = seq.join(F.broadcast(best), "_g").select(
+            "_g",
             "word",
             "wc",
             "pos",
@@ -389,14 +416,16 @@ def bpe_train_merges(
         s2 = s1.withColumn(
             "island",
             F.col("rn")
-            - F.row_number().over(Window.partitionBy("word", "start").orderBy("pos")),
+            - F.row_number().over(
+                Window.partitionBy("_g", "word", "start").orderBy("pos")
+            ),
         )
         s3 = s2.withColumn(
             "active",
             F.col("start")
             & (
                 F.row_number().over(
-                    Window.partitionBy("word", "start", "island").orderBy("pos")
+                    Window.partitionBy("_g", "word", "start", "island").orderBy("pos")
                 )
                 % 2
                 == 1
@@ -408,6 +437,7 @@ def bpe_train_merges(
         seq = (
             s4.where(~F.col("prev_active"))
             .select(
+                "_g",
                 "word",
                 "wc",
                 "pos",
@@ -421,7 +451,9 @@ def bpe_train_merges(
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
-    return out.orderBy("step")
+    if group_col is not None:
+        return out.withColumnRenamed("_g", group_col).orderBy(group_col, "step")
+    return out.drop("_g").orderBy("step")
 
 
 def tfidf_cosine_pairs(

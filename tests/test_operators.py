@@ -2065,3 +2065,18 @@ def test_personalized_pagerank_localizes_to_seeds(spark):
     g = {r["node"]: r["rank_u"] for r in
          pagerank(edges, iterations=3).collect()}
     assert g[1] == g[10]
+
+
+def test_bpe_grouped_trains_independent_tokenizers(spark):
+    from megalista_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [("en", "low low lower"), ("de", "oben oben ober")],
+        ["lang", "text"],
+    )
+    rows = bpe_train_merges(df, merges=1, group_col="lang").collect()
+    got = {r["lang"]: (r["lhs"], r["rhs"], r["pair_count"]) for r in rows}
+    # independent argmaxes: 'lo' for en; for de, (b,e) ties (o,b) at 3
+    # and wins on the pair-ascending tiebreak
+    assert got["en"] == ("l", "o", 3)
+    assert got["de"] == ("b", "e", 3)
