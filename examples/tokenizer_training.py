@@ -41,6 +41,9 @@ def main() -> None:
     merges = bpe_train_merges(docs, merges=5)
     merges.show(truncate=False)
 
+    print("== per-language tokenizers (grouped training, one dataflow) ==")
+    bpe_train_merges(docs, merges=2, group_col="lang").show(truncate=False)
+
     # apply the learned merges to one word, driver-side, to show the
     # training output is a working tokenizer artifact
     word = vocab.orderBy(F.desc("tf"), F.asc("term")).first()["term"]
