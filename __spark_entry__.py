@@ -8146,6 +8146,31 @@ ORDER BY lang, step
 """
 
 
+def sliding_distinct_exact_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-24h distinct users per hour via mergeable hourly
+    bitmaps (operators/bitmaps.py::bitmap_sliding_distinct) — the exact
+    twin of sliding_distinct_users' HLL estimate. The oracle here is the
+    NAIVE ground truth (per-window count(DISTINCT) range join), so a
+    hash-match proves the bitmap pipeline exact, not merely portable."""
+    from megalista_spark.operators.bitmaps import bitmap_sliding_distinct
+
+    e = _events(spark, sf_dir)
+    return bitmap_sliding_distinct(e, "ts", "user_id", 24).orderBy("win_hour")
+
+
+SLIDING_BITMAP_SQL = """
+WITH ev AS (
+  SELECT (epoch_us(ts::TIMESTAMP) // 1000000 // 3600)::BIGINT AS h, user_id
+  FROM events
+),
+hrs AS (SELECT DISTINCT h AS win_hour FROM ev)
+SELECT win_hour, count(DISTINCT user_id)::BIGINT AS n_distinct
+FROM hrs JOIN ev ON ev.h BETWEEN win_hour - 23 AND win_hour
+GROUP BY win_hour
+ORDER BY win_hour
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -8179,6 +8204,7 @@ _GATE_ROTATION_FIRST = [
     "behavior_pattern_cohort",
     "personalized_pagerank_supply",
     "bpe_merges_by_lang",
+    "sliding_distinct_exact_bitmap",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -8455,6 +8481,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "behavior_pattern_cohort": behavior_pattern_cohort,
         "personalized_pagerank_supply": personalized_pagerank_supply,
         "bpe_merges_by_lang": bpe_merges_by_lang,
+        "sliding_distinct_exact_bitmap": sliding_distinct_exact_bitmap,
     }
 
 
@@ -8637,4 +8664,5 @@ def oracle_sql() -> dict[str, str]:
         "behavior_pattern_cohort": BEHAVIOR_PATTERN_SQL,
         "personalized_pagerank_supply": _ppr_sql(),
         "bpe_merges_by_lang": _bpe_grouped_sql(),
+        "sliding_distinct_exact_bitmap": SLIDING_BITMAP_SQL,
     }

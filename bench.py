@@ -182,6 +182,7 @@ HEADLINE = [
     "behavior_pattern_cohort",
     "personalized_pagerank_supply",
     "bpe_merges_by_lang",
+    "sliding_distinct_exact_bitmap",
 ]
 
 # Excluded from HEADLINE on purpose:
