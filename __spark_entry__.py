@@ -8171,6 +8171,77 @@ ORDER BY win_hour
 """
 
 
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap matrix over ALL event-type segments in
+    one pass: per-segment bitmaps built once (operators/bitmaps.py),
+    every pair's exact intersection from ONE word-keyed self-join, and
+    jaccard from the per-segment cardinalities — the full
+    which-audiences-overlap report a campaign planner reads before
+    choosing exclusion lists. A segment-pair scaffold keeps
+    zero-overlap pairs in the output."""
+    from megalista_spark.operators.bitmaps import bitmap_build, bitmap_cardinality
+
+    e = _events(spark, sf_dir).select("event_type", "user_id")
+    bm = bitmap_build(e, "user_id", ["event_type"])
+    card = bitmap_cardinality(bm, ["event_type"])
+    a = bm.select(
+        F.col("event_type").alias("seg_a"), "word", F.col("bits").alias("_ba")
+    )
+    b = bm.select(
+        F.col("event_type").alias("seg_b"), "word", F.col("bits").alias("_bb")
+    )
+    inter = (
+        a.join(b, "word")
+        .where(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.sum(F.bit_count(F.expr("_ba & _bb"))).cast("bigint").alias("n_and"))
+    )
+    segs = card.select(F.col("event_type").alias("seg"))
+    scaffold = (
+        segs.select(F.col("seg").alias("seg_a"))
+        .crossJoin(segs.select(F.col("seg").alias("seg_b")))
+        .where(F.col("seg_a") < F.col("seg_b"))
+    )
+    ca = card.select(F.col("event_type").alias("seg_a"), F.col("n_members").alias("_ca"))
+    cb = card.select(F.col("event_type").alias("seg_b"), F.col("n_members").alias("_cb"))
+    jac = F.col("n_and") / (F.col("_ca") + F.col("_cb") - F.col("n_and"))
+    return (
+        scaffold.join(inter, ["seg_a", "seg_b"], "left")
+        .withColumn("n_and", F.coalesce("n_and", F.lit(0)))
+        .join(ca, "seg_a")
+        .join(cb, "seg_b")
+        .select("seg_a", "seg_b", "n_and", F.round(jac, 6).alias("jaccard"))
+        .orderBy("seg_a", "seg_b")
+    )
+
+
+OVERLAP_MATRIX_SQL = """
+WITH bm AS (
+  SELECT event_type AS seg, user_id // 63 AS word,
+         bit_or(1::BIGINT << (user_id % 63)::INT)::BIGINT AS bits
+  FROM events GROUP BY 1, 2
+),
+card AS (SELECT seg, sum(bit_count(bits))::BIGINT AS c FROM bm GROUP BY seg),
+inter AS (
+  SELECT a.seg AS seg_a, b.seg AS seg_b,
+         sum(bit_count(a.bits & b.bits))::BIGINT AS n_and
+  FROM bm a JOIN bm b ON a.word = b.word AND a.seg < b.seg
+  GROUP BY 1, 2
+),
+scaffold AS (
+  SELECT a.seg AS seg_a, b.seg AS seg_b
+  FROM card a JOIN card b ON a.seg < b.seg
+)
+SELECT s.seg_a, s.seg_b, coalesce(i.n_and, 0)::BIGINT AS n_and,
+       round(coalesce(i.n_and, 0) / (ca.c + cb.c - coalesce(i.n_and, 0)), 6) AS jaccard
+FROM scaffold s
+LEFT JOIN inter i ON i.seg_a = s.seg_a AND i.seg_b = s.seg_b
+JOIN card ca ON ca.seg = s.seg_a
+JOIN card cb ON cb.seg = s.seg_b
+ORDER BY s.seg_a, s.seg_b
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -8205,6 +8276,7 @@ _GATE_ROTATION_FIRST = [
     "personalized_pagerank_supply",
     "bpe_merges_by_lang",
     "sliding_distinct_exact_bitmap",
+    "audience_overlap_matrix",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -8482,6 +8554,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "personalized_pagerank_supply": personalized_pagerank_supply,
         "bpe_merges_by_lang": bpe_merges_by_lang,
         "sliding_distinct_exact_bitmap": sliding_distinct_exact_bitmap,
+        "audience_overlap_matrix": audience_overlap_matrix,
     }
 
 
@@ -8665,4 +8738,5 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank_supply": _ppr_sql(),
         "bpe_merges_by_lang": _bpe_grouped_sql(),
         "sliding_distinct_exact_bitmap": SLIDING_BITMAP_SQL,
+        "audience_overlap_matrix": OVERLAP_MATRIX_SQL,
     }

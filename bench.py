@@ -183,6 +183,7 @@ HEADLINE = [
     "personalized_pagerank_supply",
     "bpe_merges_by_lang",
     "sliding_distinct_exact_bitmap",
+    "audience_overlap_matrix",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -2080,3 +2080,22 @@ def test_bpe_grouped_trains_independent_tokenizers(spark):
     # and wins on the pair-ascending tiebreak
     assert got["en"] == ("l", "o", 3)
     assert got["de"] == ("b", "e", 3)
+
+
+def test_bitmap_sliding_distinct_matches_naive(spark):
+    import datetime as dt
+
+    from megalista_spark.operators.bitmaps import bitmap_sliding_distinct
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # hour 0: users 1,2; hour 1: 2,3; hour 30: 9 (outside the first window)
+    for h, us in [(0, [1, 2]), (1, [2, 3]), (30, [9])]:
+        for u in us:
+            rows.append((base + dt.timedelta(hours=h), u))
+    ev = spark.createDataFrame(rows, ["ts", "user_id"])
+    got = {r["win_hour"]: r["n_distinct"] for r in
+           bitmap_sliding_distinct(ev, "ts", "user_id", 24).collect()}
+    h0 = int(base.timestamp()) // 3600
+    # window ending h0: {1,2}; ending h0+1: {1,2,3}; ending h0+30: {9} only
+    assert got == {h0: 2, h0 + 1: 3, h0 + 30: 1}
