@@ -7642,7 +7642,7 @@ bg AS (
 uc AS (SELECT w, count(*)::BIGINT AS c FROM (SELECT unnest(toks) AS w FROM toked) GROUP BY w),
 n AS (SELECT sum(c)::BIGINT AS n_tokens FROM uc)
 SELECT w1, w2, pair_count,
-       round(pair_count * n_tokens / (c1.c * c2.c), 6) AS lift
+       round((pair_count::DOUBLE * n_tokens) / (c1.c::DOUBLE * c2.c), 6) AS lift
 FROM bg JOIN uc c1 ON c1.w = bg.w1 JOIN uc c2 ON c2.w = bg.w2, n
 ORDER BY lift DESC, w1, w2
 LIMIT 20

@@ -51,15 +51,22 @@ def bitmap_build(
     accumulator property as the CMS counters.
     """
     segs = list(segment_cols or [])
+    # floor semantics for BOTH word and bit, NOT truncating div + signed %:
+    # a negative id under truncation lands on word 0 with a negative bit
+    # index that shiftleft masks mod 64, silently colliding with a
+    # positive id (-2 vs 62). pmod is non-negative everywhere, and
+    # word = (uid - pmod) div 63 is the exact floor quotient. Integer
+    # arithmetic throughout — double division would lose ids past 2^53.
     return (
         df.select(
             *segs,
-            # integer div, NOT `/` + cast: double division silently loses
-            # precision past 2^53 — a billion-scale uid domain is fine
-            # but the contract must hold for any int64 id
-            F.expr(f"CAST({id_col} AS BIGINT) div {BITMAP_WORD}").alias("word"),
             F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST({id_col} % {BITMAP_WORD} AS INT))"
+                f"(CAST({id_col} AS BIGINT) - pmod(CAST({id_col} AS BIGINT),"
+                f" {BITMAP_WORD})) div {BITMAP_WORD}"
+            ).alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(pmod(CAST({id_col} AS BIGINT), {BITMAP_WORD}) AS INT))"
             ).alias("_bit"),
         )
         .groupBy(*segs, "word")

@@ -182,6 +182,11 @@ def personalized_pagerank(
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).cast("long").alias("_deg")).persist()
     s = seeds.select(F.col(seed_col).alias("node")).distinct().persist()
     ns = s.count()
+    if ns == 0:
+        raise ValueError(
+            "personalized_pagerank: the seed set is empty — every teleport "
+            "share would divide by zero. Check the seed filter."
+        )
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))

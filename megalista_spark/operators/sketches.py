@@ -233,7 +233,21 @@ def cms_heavy_hitters(
     the data. Scale: one scan for the sketch (constant-size state), one
     1/s scan for candidates, broadcast probe — no shuffle carries more
     than d·w + |sample distinct| rows.
+
+    CONTRACT: the miss bound assumes rows sample INDEPENDENTLY, which
+    requires the row content to distinguish them — ``df`` must carry at
+    least one high-cardinality column beside ``col`` (an event id, a
+    timestamp). Identical rows hash identically and sample jointly; a
+    key-only frame would drop ~(s-1)/s of heavy keys all-or-nothing, so
+    that degenerate shape is rejected loudly instead of returning a
+    silently-incomplete answer.
     """
+    if len(df.columns) <= 1:
+        raise ValueError(
+            "cms_heavy_hitters needs a row-identity column besides the key "
+            "(e.g. event id): identical rows sample jointly and the "
+            "(1-s)^(phi*N) miss bound no longer holds"
+        )
     counters = cms_build(df, col, d, w)
     sampled = df.where(
         F.pmod(portable_hash64(F.concat_ws("\x1f", *df.columns)), F.lit(sample_mod))
@@ -711,10 +725,15 @@ def exact_quantile_select(
     from pyspark.sql import Window
 
     x = F.col(col)
+    # persist the shared frames: bounds is 1 row; binned is (value, bin)
+    # for the whole column and feeds BOTH the cumulative bin counts and
+    # every per-quantile hit branch — without the persist each requested
+    # quantile would rescan the base table twice (the documented 3-pass
+    # cost model would silently become ~2 passes per quantile)
     bounds = df.agg(
         F.min(x).alias("_lo"), F.max(x).alias("_hi"),
         F.count(x).alias("_n"),
-    )
+    ).persist()
     width = (F.col("_hi") - F.col("_lo")) / F.lit(bins)
     binned = df.select(x.alias("_x")).where(x.isNotNull()).crossJoin(
         F.broadcast(bounds)
@@ -728,7 +747,7 @@ def exact_quantile_select(
             )
         )
         .alias("_b"),
-    )
+    ).persist()
     cum = (
         binned.groupBy("_b")
         .agg(F.count(F.lit(1)).alias("_c"))

@@ -38,6 +38,17 @@ def _ws_tokens(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
+def _word_tokens(text_col: str) -> Column:
+    """Lowercased [a-z0-9]-run word tokens, empties dropped — THE corpus
+    tokenizer every frequency-based operator here shares (vocab, tf-idf,
+    inverted index, BPE, collocations, corpus scores). One definition so
+    the operators and their string_split_regex oracle twins can never
+    drift apart site-by-site."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count per document."""
     text = F.col(text_col)
@@ -139,9 +150,7 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    toks = _word_tokens(text_col)
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
@@ -215,9 +224,7 @@ def inverted_index(
     """
     from pyspark.sql import Window
 
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    toks = _word_tokens(text_col)
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy("term", id_col)
@@ -266,9 +273,7 @@ def build_vocab(
     """
     from pyspark.sql import Window
 
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    toks = _word_tokens(text_col)
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy("term", id_col)
@@ -334,9 +339,7 @@ def bpe_train_merges(
     """
     from pyspark.sql import Window
 
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    toks = _word_tokens(text_col)
     grp = F.col(group_col) if group_col is not None else F.lit("")
     words = (
         df.select(grp.alias("_g"), F.explode(toks).alias("word"))
@@ -498,9 +501,7 @@ def tfidf_cosine_pairs(
     """
     from megalista_spark.operators.dedup import _ordered_pairs
 
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    toks = _word_tokens(text_col)
     tf = (
         df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
         .groupBy("id", "term")
@@ -599,9 +600,7 @@ def corpus_frequency_score(
     Scale: ONE (doc, term) shuffle for tf, df from the collapsed tf
     relation, a doc-keyed weighted sum — the tf-idf plan shape, reused.
     """
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    toks = _word_tokens(text_col)
     tf = (
         df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
         .groupBy("id", "term")
@@ -646,9 +645,14 @@ def collocation_lift(
 ) -> DataFrame:
     """Collocation mining by LIFT — the log-free twin of pointwise mutual
     information (PMI = log lift; the log is monotone, so the RANKING is
-    identical, and the exact integer ratio is engine-portable where libm
-    log is not): (w1, w2, pair_count, lift) for the ``top_k`` adjacent
-    bigrams with lift = c12·N / (c1·c2), N = total token occurrences.
+    identical, and the ratio needs no libm): (w1, w2, pair_count, lift)
+    for the ``top_k`` adjacent bigrams with lift = c12·N / (c1·c2),
+    N = total token occurrences. The products are computed in DOUBLE
+    (counts promote before multiplying): int64 products would silently
+    wrap once c12·N crosses 2^63 — guaranteed at web-corpus scale —
+    while IEEE double multiply/divide is correctly rounded and therefore
+    still bit-identical across engines (the same portability class as
+    the tf-idf ratio scores).
 
     Scale: bigrams come from a zero-shuffle per-row array fold (adjacent
     slots of the materialized token array — no window over the corpus),
@@ -658,9 +662,7 @@ def collocation_lift(
     partition heaps, no global sort). ``min_count`` suppresses the
     rare-pair lift explosion (a hapax pair of two hapax words has lift N).
     """
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    toks = _word_tokens(text_col)
     toked = df.select(toks.alias("_toks")).where(F.size("_toks") >= 2)
     bigrams = (
         toked.select(
@@ -683,7 +685,9 @@ def collocation_lift(
     n = uni.agg(F.sum("c").cast("bigint").alias("n_tokens"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
-    lift = F.col("pair_count") * F.col("n_tokens") / (F.col("c1") * F.col("c2"))
+    lift = (F.col("pair_count").cast("double") * F.col("n_tokens")) / (
+        F.col("c1").cast("double") * F.col("c2")
+    )
     return (
         bigrams.join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")

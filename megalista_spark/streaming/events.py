@@ -498,10 +498,20 @@ def stream_cms_maintenance(
     a crash, and a double-merged sketch would silently over-count — so
     the state table carries the last applied batch id in a sidecar
     column and the handler SKIPS any epoch ≤ it (idempotent-foreachBatch
-    pattern; legal because availableNow/microbatch epochs are
-    monotone). The merged result is materialized (localCheckpoint)
-    BEFORE the overwrite so the read-then-overwrite of the same path
-    can't truncate its own input.
+    pattern; legal because microbatch epochs are monotone WITHIN a
+    checkpoint generation). The merged result is materialized
+    (localCheckpoint) BEFORE the overwrite so the read-then-overwrite of
+    the same path can't truncate its own input.
+
+    OPERATIONAL CONTRACT: the checkpoint dir and the state table live
+    and die TOGETHER. The epoch watermark is only meaningful under the
+    checkpoint that produced it — losing the checkpoint but keeping the
+    state restarts epochs at 0, so genuinely NEW data arriving after
+    that loss lands in epochs ≤ the stored watermark and is skipped
+    (replaying only the original inputs is safe, which is what the
+    recovery test exercises). On checkpoint loss with new data pending:
+    delete the state table too and rebuild from the source — the same
+    rule Spark's own foreachBatch idempotence guidance implies.
 
     Returns the started StreamingQuery.
     """

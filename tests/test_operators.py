@@ -2099,3 +2099,30 @@ def test_bitmap_sliding_distinct_matches_naive(spark):
     h0 = int(base.timestamp()) // 3600
     # window ending h0: {1,2}; ending h0+1: {1,2,3}; ending h0+30: {9} only
     assert got == {h0: 2, h0 + 1: 3, h0 + 30: 1}
+
+
+def test_bitmap_negative_ids_no_collision(spark):
+    """Floor word/bit math: a negative id must not collide with the
+    positive id its truncated remainder would alias (-2 vs 62)."""
+    from megalista_spark.operators.bitmaps import (
+        bitmap_build,
+        bitmap_cardinality,
+        bitmap_overlap,
+    )
+
+    A = spark.createDataFrame([(-2,)], ["uid"])
+    B = spark.createDataFrame([(62,)], ["uid"])
+    r = bitmap_overlap(bitmap_build(A, "uid"), bitmap_build(B, "uid")).collect()[0]
+    assert (r["n_and"], r["n_or"]) == (0, 2)
+    AB = spark.createDataFrame([(-2,), (62,)], ["uid"])
+    assert bitmap_cardinality(bitmap_build(AB, "uid")).collect()[0]["n_members"] == 2
+
+
+def test_cms_heavy_hitters_rejects_keyonly_frame(spark):
+    import pytest as _pytest
+
+    from megalista_spark.operators.sketches import cms_heavy_hitters
+
+    df = spark.createDataFrame([("k",)], ["user"])
+    with _pytest.raises(ValueError, match="row-identity"):
+        cms_heavy_hitters(df, "user")
