@@ -2126,3 +2126,14 @@ def test_cms_heavy_hitters_rejects_keyonly_frame(spark):
     df = spark.createDataFrame([("k",)], ["user"])
     with _pytest.raises(ValueError, match="row-identity"):
         cms_heavy_hitters(df, "user")
+
+
+def test_personalized_pagerank_empty_seeds_raises(spark):
+    import pytest as _pytest
+
+    from megalista_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(99,)], ["id"]).where("id < 0")
+    with _pytest.raises(ValueError, match="seed set is empty"):
+        personalized_pagerank(edges, seeds, iterations=1)
