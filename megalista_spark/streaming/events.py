@@ -545,3 +545,53 @@ def stream_cms_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_bitmap_maintenance(
+    events: DataFrame,
+    id_col: str,
+    state_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming audience-bitmap accumulator: each micro-batch's
+    membership words OR-merge into a persisted (word, bits) parquet
+    table (operators/bitmaps.py) — the bitmap twin of
+    ``stream_cms_maintenance``, maintaining an EXACT distinct-member
+    set that any overlap/cardinality query reads in sketch-sized rows.
+    bit_or is idempotent, so unlike the CMS counters a replayed batch
+    cannot corrupt the state — the batch-id watermark here only saves
+    the wasted work; the same checkpoint-and-state live-together
+    contract applies for completeness of NEW data (see
+    stream_cms_maintenance).
+
+    Returns the started StreamingQuery.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from megalista_spark.operators.bitmaps import bitmap_build
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(state_path)
+            applied = existing.agg(F.max("batch_id")).collect()[0][0]
+            if applied is not None and epoch_id <= applied:
+                return
+            prior = existing.select("word", "bits")
+        except AnalysisException:
+            prior = None
+        delta = bitmap_build(batch_df, id_col)
+        merged = (
+            prior.unionByName(delta) if prior is not None else delta
+        ).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+        out = merged.select(
+            "word", "bits", F.lit(epoch_id).cast("bigint").alias("batch_id")
+        ).localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(state_path)
+
+    return (
+        events.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -551,3 +551,35 @@ def test_stream_cms_maintenance_equals_batch_and_skips_replay(spark, tmp_path):
         (r["r"], r["bkt"]): r["c"] for r in spark.read.parquet(state).collect()
     }
     assert got2 == expected
+
+
+def test_stream_bitmap_maintenance_equals_batch(spark, tmp_path):
+    """Maintained bitmap == from-scratch bitmap of everything ingested;
+    idempotent OR means even a forced re-merge cannot change it."""
+    from megalista_spark.operators.bitmaps import bitmap_build
+    from megalista_spark.streaming.events import stream_bitmap_maintenance
+
+    src = str(tmp_path / "bsrc")
+    rows = [(i, i % 97) for i in range(300)]
+    df = spark.createDataFrame(rows, ["event_id", "user"])
+    df.where(F.col("event_id") < 150).coalesce(1).write.parquet(src + "/a.parquet")
+    df.where(F.col("event_id") >= 150).coalesce(1).write.parquet(src + "/b.parquet")
+
+    stream = (
+        spark.readStream.schema("event_id long, user long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    state = str(tmp_path / "bm_state")
+    q = stream_bitmap_maintenance(stream, "user", state, str(tmp_path / "bm_ckpt"))
+    q.awaitTermination(120)
+
+    expected = {
+        (r["word"], r["bits"])
+        for r in bitmap_build(spark.read.parquet(src + "/*"), "user").collect()
+    }
+    got = {
+        (r["word"], r["bits"]) for r in
+        spark.read.parquet(state).select("word", "bits").collect()
+    }
+    assert got == expected
