@@ -8242,6 +8242,127 @@ ORDER BY s.seg_a, s.seg_b
 """
 
 
+def hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment portable-HLL distinct estimates (operators/
+    sketches.py::hll_distinct_count_grouped): distinct users per event
+    type, the ESTIMATE itself engine-reproduced (Spark's grouped
+    approx_count_distinct is engine-private), reported beside the exact
+    count. Register state is ≤ m rows per group — the Expand-free
+    grouped-cardinality plan."""
+    from megalista_spark.operators.sketches import hll_distinct_count_grouped
+
+    e = _events(spark, sf_dir)
+    est = hll_distinct_count_grouped(e, "user_id", ["event_type"])
+    true = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("true_distinct")
+    )
+    return est.join(true, "event_type").orderBy("event_type")
+
+
+def _hll_grouped_sql() -> str:
+    from megalista_spark.operators.sketches import (
+        HLL_RMAX,
+        HLL_W,
+        bitlen_case_sql,
+        hll_estimate_case_sql,
+    )
+
+    shift = 1 << HLL_W
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+),
+parts AS (
+  SELECT event_type, h // {shift} AS bucket, h % {shift} AS rem FROM h
+),
+regs AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN rem = 0 THEN {HLL_RMAX}
+                  ELSE {HLL_RMAX} - ({bitlen_case_sql('rem', HLL_W)}) END) AS m_reg
+  FROM parts GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type, count(*) AS nb,
+         sum((1::BIGINT << ({HLL_RMAX} - m_reg)))::BIGINT AS s_present
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type, {hll_estimate_case_sql()} AS est_distinct FROM agg
+),
+t AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS true_distinct
+  FROM events GROUP BY event_type
+)
+SELECT est.event_type, est_distinct, true_distinct
+FROM est JOIN t ON t.event_type = est.event_type
+ORDER BY est.event_type
+"""
+
+
+def bigram_lm_next_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram LM (operators/text.py::bigram_lm_topk):
+    the top-3 next tokens with conditional probabilities for the 10 most
+    frequent words — the n-gram model artifact beside the tokenizer
+    (BPE) and collocation outputs. Top-k cuts rank on exact integer
+    counts; probabilities are boundary-rounded doubles."""
+    from pyspark.sql import Window
+
+    from megalista_spark.operators.text import _word_tokens, bigram_lm_topk
+
+    d = _t(spark, sf_dir, "documents")
+    lm = bigram_lm_topk(d, k=3)
+    top_words = (
+        d.select(F.explode(_word_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(10)
+        .select(F.col("w").alias("w1"))
+    )
+    return lm.join(F.broadcast(top_words), "w1").orderBy(
+        "w1", F.desc("pair_count"), "w2"
+    )
+
+
+BIGRAM_LM_SQL = """
+WITH toked AS MATERIALIZED (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT u.w1 AS w1, u.w2 AS w2, count(*)::BIGINT AS pair_count FROM (
+    SELECT unnest(list_transform(range(2, len(toks) + 1),
+                  i -> {'w1': toks[i-1], 'w2': toks[i]})) AS u
+    FROM toked WHERE len(toks) >= 2
+  ) GROUP BY u.w1, u.w2
+),
+uni AS (
+  SELECT w, count(*)::BIGINT AS c1
+  FROM (SELECT unnest(toks) AS w FROM toked) GROUP BY w
+),
+v AS (SELECT count(*)::BIGINT AS vv FROM uni),
+ranked AS (
+  SELECT w1, w2, pair_count,
+         row_number() OVER (PARTITION BY w1 ORDER BY pair_count DESC, w2) AS rk
+  FROM bg
+),
+topw AS (
+  SELECT w AS w1 FROM uni ORDER BY c1 DESC, w LIMIT 10
+)
+SELECT r.w1, r.w2, r.pair_count,
+       round((r.pair_count + 1)::DOUBLE / (u.c1 + v.vv), 6) AS prob
+FROM ranked r
+JOIN topw USING (w1)
+JOIN uni u ON u.w = r.w1
+CROSS JOIN v
+WHERE r.rk <= 3
+ORDER BY r.w1, r.pair_count DESC, r.w2
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -8277,6 +8398,8 @@ _GATE_ROTATION_FIRST = [
     "bpe_merges_by_lang",
     "sliding_distinct_exact_bitmap",
     "audience_overlap_matrix",
+    "hll_distinct_by_type",
+    "bigram_lm_next_tokens",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -8555,6 +8678,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "bpe_merges_by_lang": bpe_merges_by_lang,
         "sliding_distinct_exact_bitmap": sliding_distinct_exact_bitmap,
         "audience_overlap_matrix": audience_overlap_matrix,
+        "hll_distinct_by_type": hll_distinct_by_type,
+        "bigram_lm_next_tokens": bigram_lm_next_tokens,
     }
 
 
@@ -8739,4 +8864,6 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges_by_lang": _bpe_grouped_sql(),
         "sliding_distinct_exact_bitmap": SLIDING_BITMAP_SQL,
         "audience_overlap_matrix": OVERLAP_MATRIX_SQL,
+        "hll_distinct_by_type": _hll_grouped_sql(),
+        "bigram_lm_next_tokens": BIGRAM_LM_SQL,
     }

@@ -184,6 +184,8 @@ HEADLINE = [
     "bpe_merges_by_lang",
     "sliding_distinct_exact_bitmap",
     "audience_overlap_matrix",
+    "hll_distinct_by_type",
+    "bigram_lm_next_tokens",
 ]
 
 # Excluded from HEADLINE on purpose:

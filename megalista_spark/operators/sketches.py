@@ -137,6 +137,43 @@ def hll_distinct_count(df: DataFrame, col: str) -> DataFrame:
     return agg.selectExpr(f"{hll_estimate_case_sql()} AS est_distinct")
 
 
+def hll_distinct_count_grouped(
+    df: DataFrame, col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group portable HLL distinct estimates: (group..., est_distinct)
+    — the grouped form of ``hll_distinct_count``, same integer register
+    math with the group key riding both aggregates. Aggregation state is
+    ≤ m registers PER GROUP (map-side partial max applies), so the
+    shuffle carries |groups|·m small rows where an exact
+    ``countDistinct`` per group would shuffle every distinct value — the
+    same Expand-free story as the profiler's approx mode, but with an
+    estimate an external engine reproduces bit-for-bit.
+    """
+    shift = 1 << HLL_W
+    gs = list(group_cols)
+    gl = ", ".join(gs)
+    h = portable_hash64(F.col(col).cast("string"))
+    regs = (
+        df.select(*gs, h.alias("h"))
+        .selectExpr(*gs, f"h DIV {shift} AS bucket", f"h % {shift} AS rem")
+        .selectExpr(
+            *gs,
+            "bucket",
+            f"CASE WHEN rem = 0 THEN {HLL_RMAX} "
+            f"ELSE {HLL_RMAX} - ({bitlen_case_sql('rem', HLL_W)}) END AS rho",
+        )
+        .groupBy(*gs, "bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    agg = regs.groupBy(*gs).agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - m_reg)")).alias(
+            "s_present"
+        ),
+    )
+    return agg.selectExpr(gl, f"{hll_estimate_case_sql()} AS est_distinct")
+
+
 # Count-min geometry: d affine hash rows over the 32-bit portable hash
 # (same LCG-derived family as MinHash — int64-safe, engine-portable),
 # each mapping into w buckets.

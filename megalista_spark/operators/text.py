@@ -696,3 +696,62 @@ def collocation_lift(
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(top_k)
     )
+
+
+def bigram_lm_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Add-one-smoothed bigram language model, served as the top-``k``
+    next-token table: (w1, w2, pair_count, prob) with
+
+        P(w2 | w1) = (c12 + 1) / (c1 + V)
+
+    (Laplace smoothing over the corpus vocabulary V — the textbook
+    n-gram LM; public method). The LM twin of ``collocation_lift``:
+    lift asks "surprisingly together?", the LM asks "what follows?" —
+    the conditional table is what a generation/perplexity consumer
+    loads. For fixed w1 the smoothed probability is monotone in c12, so
+    the top-k cut ranks on exact integer counts ((c12 DESC, w2 ASC)
+    row_number — deterministic); the probability itself is one double
+    division at the output boundary, correctly rounded on any engine.
+
+    Scale: bigrams fold per row (zero shuffle), ONE (w1,w2) groupBy,
+    unigram/vocab aggregates broadcast back, and the per-w1 window ranks
+    at most |vocab| rows per partition key. Output is ≤ k·V rows — the
+    model artifact, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = _word_tokens(text_col)
+    toked = df.select(toks.alias("_toks")).where(F.size("_toks") >= 2)
+    bigrams = (
+        toked.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1),"
+                    " i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+    )
+    uni = (
+        df.select(F.explode(_word_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("bigint").alias("_v"))
+    w = Window.partitionBy("w1").orderBy(F.desc("pair_count"), F.asc("w2"))
+    prob = (F.col("pair_count") + 1).cast("double") / (
+        F.col("c1") + F.col("_v")
+    )
+    return (
+        bigrams.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("w1", "w2", "pair_count", F.round(prob, 6).alias("prob"))
+    )

@@ -2137,3 +2137,18 @@ def test_personalized_pagerank_empty_seeds_raises(spark):
     seeds = spark.createDataFrame([(99,)], ["id"]).where("id < 0")
     with _pytest.raises(ValueError, match="seed set is empty"):
         personalized_pagerank(edges, seeds, iterations=1)
+
+
+def test_bigram_lm_smoothed_probabilities(spark):
+    from megalista_spark.operators.text import bigram_lm_topk
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a c")], ["doc_id", "text"]
+    )
+    got = {(r["w1"], r["w2"]): (r["pair_count"], r["prob"]) for r in
+           bigram_lm_topk(df, k=2).collect()}
+    # counts: (a,b)=2 (a,c)=1 (b,a)=2; c1: a=3 b=2 c=1; V=3
+    assert got[("a", "b")] == (2, round(3 / 6, 6))
+    assert got[("a", "c")] == (1, round(2 / 6, 6))
+    assert got[("b", "a")] == (2, round(3 / 5, 6))
+    assert not any(k[0] == "c" for k in got)  # 'c' ends the text, no successor
