@@ -8363,6 +8363,59 @@ ORDER BY r.w1, r.pair_count DESC, r.w2
 """
 
 
+def vocab_drift_even_odd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift monitor (operators/text.py::vocab_drift_report)
+    between two deterministic snapshot halves of the corpus (even vs odd
+    doc ids): the top-20 terms by smoothed occurrence-rate ratio in
+    either direction — the ingest-gate report that catches topic/source
+    shift before it reaches training."""
+    from megalista_spark.operators.text import vocab_drift_report
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 2 == 0)
+    new = d.where(F.col("doc_id") % 2 == 1)
+    return vocab_drift_report(old, new, min_count=5, top_k=20)
+
+
+VOCAB_DRIFT_SQL = """
+WITH oc AS (
+  SELECT word AS term, count(*)::BIGINT AS c FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS word
+    FROM documents WHERE doc_id % 2 = 0
+  ) GROUP BY word
+),
+nc AS (
+  SELECT word AS term, count(*)::BIGINT AS c FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS word
+    FROM documents WHERE doc_id % 2 = 1
+  ) GROUP BY word
+),
+j AS (
+  SELECT coalesce(oc.term, nc.term) AS term,
+         coalesce(oc.c, 0) AS c_old, coalesce(nc.c, 0) AS c_new
+  FROM oc FULL OUTER JOIN nc ON oc.term = nc.term
+  WHERE coalesce(oc.c, 0) >= 5 OR coalesce(nc.c, 0) >= 5
+),
+tot AS (
+  SELECT sum(c_old)::BIGINT AS no, sum(c_new)::BIGINT AS nn,
+         count(*)::BIGINT AS v
+  FROM j
+),
+r AS (
+  SELECT term, c_old, c_new,
+         round(((c_new + 1)::DOUBLE / (nn + v))
+               / ((c_old + 1)::DOUBLE / (no + v)), 6) AS rate_ratio
+  FROM j CROSS JOIN tot
+)
+SELECT term, c_old, c_new, rate_ratio
+FROM r
+ORDER BY greatest(rate_ratio, 1.0 / rate_ratio) DESC, term
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -8400,6 +8453,7 @@ _GATE_ROTATION_FIRST = [
     "audience_overlap_matrix",
     "hll_distinct_by_type",
     "bigram_lm_next_tokens",
+    "vocab_drift_even_odd",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -8680,6 +8734,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "audience_overlap_matrix": audience_overlap_matrix,
         "hll_distinct_by_type": hll_distinct_by_type,
         "bigram_lm_next_tokens": bigram_lm_next_tokens,
+        "vocab_drift_even_odd": vocab_drift_even_odd,
     }
 
 
@@ -8866,4 +8921,5 @@ def oracle_sql() -> dict[str, str]:
         "audience_overlap_matrix": OVERLAP_MATRIX_SQL,
         "hll_distinct_by_type": _hll_grouped_sql(),
         "bigram_lm_next_tokens": BIGRAM_LM_SQL,
+        "vocab_drift_even_odd": VOCAB_DRIFT_SQL,
     }

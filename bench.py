@@ -186,6 +186,7 @@ HEADLINE = [
     "audience_overlap_matrix",
     "hll_distinct_by_type",
     "bigram_lm_next_tokens",
+    "vocab_drift_even_odd",
 ]
 
 # Excluded from HEADLINE on purpose:

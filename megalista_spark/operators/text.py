@@ -755,3 +755,67 @@ def bigram_lm_topk(
         .crossJoin(F.broadcast(vocab))
         .select("w1", "w2", "pair_count", F.round(prob, 6).alias("prob"))
     )
+
+
+def vocab_drift_report(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Vocabulary drift between two corpus snapshots — the data-drift
+    monitor a continuously-ingested training corpus needs: (term,
+    c_old, c_new, rate_ratio) for the ``top_k`` terms whose smoothed
+    occurrence RATE moved the most, where
+
+        rate_ratio = ((c_new+1)/(N_new+V)) / ((c_old+1)/(N_old+V))
+
+    (add-one smoothing over the UNION vocabulary V, so terms appearing
+    in only one snapshot still get a finite, comparable ratio). Ranking
+    takes max(ratio, 1/ratio) — drift in either direction — with
+    (term ASC) ties; ratios are boundary-rounded doubles over exact
+    integer counts, so the report is engine-reproducible.
+
+    Scale: one term-count aggregate per snapshot, a full-outer join on
+    the term (vocabulary-sized, not corpus-sized), two scalar frames
+    broadcast back, TakeOrdered top-k. ``min_count`` (on either side)
+    keeps hapax noise out of the report.
+    """
+    def counts(d: DataFrame) -> DataFrame:
+        return (
+            d.select(F.explode(_word_tokens(text_col)).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+
+    old_c = counts(df_old)
+    new_c = counts(df_new)
+    j = (
+        old_c.withColumnRenamed("c", "c_old")
+        .join(new_c.withColumnRenamed("c", "c_new"), "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("c_old", F.lit(0)).alias("c_old"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        )
+        .where((F.col("c_old") >= min_count) | (F.col("c_new") >= min_count))
+    )
+    tot = j.agg(
+        F.sum("c_old").cast("bigint").alias("_no"),
+        F.sum("c_new").cast("bigint").alias("_nn"),
+        F.count(F.lit(1)).cast("bigint").alias("_v"),
+    )
+    ratio = (
+        (F.col("c_new") + 1).cast("double") / (F.col("_nn") + F.col("_v"))
+    ) / ((F.col("c_old") + 1).cast("double") / (F.col("_no") + F.col("_v")))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .withColumn("rate_ratio", F.round(ratio, 6))
+        .withColumn(
+            "_drift", F.greatest(F.col("rate_ratio"), 1.0 / F.col("rate_ratio"))
+        )
+        .orderBy(F.desc("_drift"), F.asc("term"))
+        .limit(top_k)
+        .select("term", "c_old", "c_new", "rate_ratio")
+    )

@@ -2152,3 +2152,21 @@ def test_bigram_lm_smoothed_probabilities(spark):
     assert got[("a", "c")] == (1, round(2 / 6, 6))
     assert got[("b", "a")] == (2, round(3 / 5, 6))
     assert not any(k[0] == "c" for k in got)  # 'c' ends the text, no successor
+
+
+def test_vocab_drift_detects_new_and_vanished_terms(spark):
+    from megalista_spark.operators.text import vocab_drift_report
+
+    old = spark.createDataFrame(
+        [(1, "alpha " * 10 + "stable " * 10)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "brandnew " * 10 + "stable " * 10)], ["doc_id", "text"]
+    )
+    rows = vocab_drift_report(old, new, min_count=5, top_k=3).collect()
+    by_term = {r["term"]: r for r in rows}
+    # vanished and emergent terms rank ahead of the stable one
+    assert set(by_term) == {"alpha", "brandnew", "stable"}
+    assert by_term["alpha"]["c_new"] == 0 and by_term["alpha"]["rate_ratio"] < 1
+    assert by_term["brandnew"]["c_old"] == 0 and by_term["brandnew"]["rate_ratio"] > 1
+    assert {rows[0]["term"], rows[1]["term"]} == {"alpha", "brandnew"}
