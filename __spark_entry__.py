@@ -8416,6 +8416,91 @@ LIMIT 20
 """
 
 
+def trend_outlier_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend-residual outliers: the 3 hours per event type that deviate
+    most from that type's fitted line (composing operators/timeseries.py
+    ::linear_trend) — the drift detector's drill-down: the trend says
+    WHERE the series is going, the residual ranking says WHICH hours
+    broke the pattern. Residuals use the trend's boundary-rounded slope/
+    intercept (both engines consume identical rounded numbers), ranked
+    per type by (|residual| DESC, hour ASC)."""
+    from pyspark.sql import Window
+
+    from megalista_spark.operators.timeseries import linear_trend
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("hour_bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    fit = linear_trend(hourly, "hour_bucket", "n_events", ["event_type"])
+    x0 = hourly.groupBy("event_type").agg(F.min("hour_bucket").alias("_x0"))
+    resid = (
+        hourly.join(fit.select("event_type", "slope", "intercept"), "event_type")
+        .join(x0, "event_type")
+        .withColumn(
+            "residual",
+            F.round(
+                F.col("n_events")
+                - (
+                    F.col("intercept")
+                    + F.col("slope") * (F.col("hour_bucket") - F.col("_x0"))
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("residual"))), F.asc("hour_bucket")
+    )
+    return (
+        resid.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 3)
+        .select("event_type", "hour_bucket", "n_events", "residual")
+        .orderBy("event_type", "hour_bucket")
+    )
+
+
+TREND_OUTLIER_SQL = """
+WITH hourly AS MATERIALIZED (
+  SELECT event_type,
+         (epoch_us(ts::TIMESTAMP) // 1000000 // 3600)::BIGINT AS hb,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+mins AS (SELECT event_type, min(hb) AS x0 FROM hourly GROUP BY 1),
+m AS (
+  SELECT h.event_type, count(*)::BIGINT AS n,
+         sum(hb - x0)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum((hb - x0) * y)::BIGINT AS sxy,
+         sum((hb - x0) * (hb - x0))::BIGINT AS sxx
+  FROM hourly h JOIN mins USING (event_type) GROUP BY 1
+),
+fit AS (
+  SELECT event_type,
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept
+  FROM m WHERE n * sxx - sx * sx <> 0
+),
+resid AS (
+  SELECT h.event_type, h.hb AS hour_bucket, h.y AS n_events,
+         round(h.y - (f.intercept + f.slope * (h.hb - mn.x0)), 6) AS residual
+  FROM hourly h
+  JOIN fit f USING (event_type)
+  JOIN mins mn USING (event_type)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY abs(residual) DESC, hour_bucket
+  ) AS rk
+  FROM resid
+)
+SELECT event_type, hour_bucket, n_events, residual
+FROM ranked WHERE rk <= 3
+ORDER BY event_type, hour_bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -8454,6 +8539,7 @@ _GATE_ROTATION_FIRST = [
     "hll_distinct_by_type",
     "bigram_lm_next_tokens",
     "vocab_drift_even_odd",
+    "trend_outlier_hours",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -8735,6 +8821,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "hll_distinct_by_type": hll_distinct_by_type,
         "bigram_lm_next_tokens": bigram_lm_next_tokens,
         "vocab_drift_even_odd": vocab_drift_even_odd,
+        "trend_outlier_hours": trend_outlier_hours,
     }
 
 
@@ -8922,4 +9009,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_by_type": _hll_grouped_sql(),
         "bigram_lm_next_tokens": BIGRAM_LM_SQL,
         "vocab_drift_even_odd": VOCAB_DRIFT_SQL,
+        "trend_outlier_hours": TREND_OUTLIER_SQL,
     }

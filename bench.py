@@ -187,6 +187,7 @@ HEADLINE = [
     "hll_distinct_by_type",
     "bigram_lm_next_tokens",
     "vocab_drift_even_odd",
+    "trend_outlier_hours",
 ]
 
 # Excluded from HEADLINE on purpose:
