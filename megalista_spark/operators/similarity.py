@@ -1174,3 +1174,30 @@ def ivfpq_append_to_index(
         .select("id", "cell", "m", F.col("_best.c").alias("code"))
     )
     codes.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+
+
+def ivfpq_compact_index(spark, path: str) -> int:
+    """Index maintenance — the third lifecycle verb after build/append:
+    every ``ivfpq_append_to_index`` drop adds one small file per touched
+    cell partition, and a year of daily drops makes each search's
+    partition-pruned scan pay O(#appends) file opens. Rewrite ``codes/``
+    to ONE file per cell (a cell's codes are M small ints per vector —
+    comfortably one file at any realistic cell size), content-identical:
+    search results before and after are bit-equal (property-tested).
+    Returns the number of cell partitions rewritten.
+
+    The rewrite materializes the full code relation BEFORE overwriting
+    (localCheckpoint — the same read-then-overwrite discipline as the
+    streaming accumulators), then writes with one shuffle partitioned by
+    cell so each partition lands as a single file. Coarse/codebooks/meta
+    are immutable after build and never touched.
+    """
+    codes = spark.read.parquet(f"{path}/codes").localCheckpoint(eager=True)
+    n_cells = codes.select("cell").distinct().count()
+    (
+        codes.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    return n_cells

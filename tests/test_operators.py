@@ -2170,3 +2170,50 @@ def test_vocab_drift_detects_new_and_vanished_terms(spark):
     assert by_term["alpha"]["c_new"] == 0 and by_term["alpha"]["rate_ratio"] < 1
     assert by_term["brandnew"]["c_old"] == 0 and by_term["brandnew"]["rate_ratio"] > 1
     assert {rows[0]["term"], rows[1]["term"]} == {"alpha", "brandnew"}
+
+
+def test_ivfpq_compact_preserves_search_and_merges_files(spark, tmp_path):
+    """Compaction leaves search results bit-identical and collapses the
+    per-append small files to one per cell partition."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from megalista_spark.operators.similarity import (
+        ivfpq_append_to_index,
+        ivfpq_build_index,
+        ivfpq_compact_index,
+        ivfpq_search_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(F2.col("vec_id") < 300)
+    queries = emb.where(F2.col("vec_id") < 3).select(
+        F2.col("vec_id").alias("query_id"), "embedding"
+    )
+    p = str(tmp_path / "idx")
+    ivfpq_build_index(base, p, num_coarse=8, m_subs=8)
+    ivfpq_append_to_index(emb.where((F2.col("vec_id") >= 300) & (F2.col("vec_id") < 400)), p)
+    ivfpq_append_to_index(emb.where(F2.col("vec_id") >= 400), p)
+
+    def res():
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["adc_dist"])
+            for r in ivfpq_search_index(spark, p, queries, k=10, nprobe=2).collect()
+        )
+
+    def files_per_cell():
+        cells = glob.glob(os.path.join(p, "codes", "cell=*"))
+        return {
+            os.path.basename(c): len(glob.glob(os.path.join(c, "*.parquet")))
+            for c in cells
+        }
+
+    before = res()
+    assert max(files_per_cell().values()) > 1  # appends left small files
+    n = ivfpq_compact_index(spark, p)
+    assert n >= 1
+    after_files = files_per_cell()
+    assert max(after_files.values()) == 1  # one file per cell
+    assert res() == before  # content-identical
