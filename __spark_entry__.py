@@ -8501,6 +8501,113 @@ ORDER BY event_type, hour_bucket
 """
 
 
+def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for completed view→click→purchase
+    chains within one hour (the windowed-funnel chains, kept instead of
+    counted): one row (n_conversions, avg_sec, p50_sec, p90_sec) over
+    per-chain latencies — the metric that tells a campaign how long its
+    window should actually BE. Greedy-earliest chains (exact, see
+    operators/sessions.py::windowed_funnel); latency quantiles use the
+    same exact continuous percentile the oracle's quantile_cont
+    computes."""
+    sec = F.col("ts").cast("long")
+    e = _events(spark, sf_dir)
+    typed = e.select(F.col("user_id").alias("u"), sec.alias("t"), "event_type")
+    c1 = (
+        typed.where(F.col("event_type") == "view")
+        .select("u", F.col("t").alias("t1"))
+        .distinct()
+    )
+    nxt = typed.select(F.col("u").alias("_u"), F.col("t").alias("_t"), "event_type")
+    s2 = (
+        c1.join(nxt, (F.col("u") == F.col("_u")) & (F.col("event_type") == "click"))
+        .where((F.col("_t") > F.col("t1")) & (F.col("_t") <= F.col("t1") + 3600))
+        .groupBy("u", "t1")
+        .agg(F.min("_t").alias("t2"))
+    )
+    s3 = (
+        s2.join(nxt, (F.col("u") == F.col("_u")) & (F.col("event_type") == "purchase"))
+        .where((F.col("_t") > F.col("t2")) & (F.col("_t") <= F.col("t1") + 3600))
+        .groupBy("u", "t1")
+        .agg(F.min("_t").alias("t3"))
+    )
+    lat = s3.select((F.col("t3") - F.col("t1")).alias("latency"))
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.round(F.avg("latency"), 6).alias("avg_sec"),
+        F.round(F.percentile("latency", F.lit(0.5)), 6).alias("p50_sec"),
+        F.round(F.percentile("latency", F.lit(0.9)), 6).alias("p90_sec"),
+    )
+
+
+CONVERSION_LATENCY_SQL = """
+WITH typed AS MATERIALIZED (
+  SELECT user_id AS u, (epoch_us(ts::TIMESTAMP) // 1000000)::BIGINT AS t,
+         event_type AS et
+  FROM events
+),
+c1 AS (SELECT DISTINCT u, t AS t1 FROM typed WHERE et = 'view'),
+s2 AS (
+  SELECT c.u, c.t1, min(n.t) AS t2
+  FROM c1 c JOIN typed n
+    ON n.u = c.u AND n.et = 'click' AND n.t > c.t1 AND n.t <= c.t1 + 3600
+  GROUP BY c.u, c.t1
+),
+s3 AS (
+  SELECT c.u, c.t1, min(n.t) AS t3
+  FROM s2 c JOIN typed n
+    ON n.u = c.u AND n.et = 'purchase' AND n.t > c.t2 AND n.t <= c.t1 + 3600
+  GROUP BY c.u, c.t1
+),
+lat AS (SELECT (t3 - t1) AS latency FROM s3)
+SELECT count(*)::BIGINT AS n_conversions,
+       round(avg(latency), 6) AS avg_sec,
+       round(quantile_cont(latency, 0.5), 6) AS p50_sec,
+       round(quantile_cont(latency, 0.9), 6) AS p90_sec
+FROM lat
+"""
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution in power-of-two buckets: (bucket_lo,
+    n_docs) where bucket_lo = 2^floor(log2(token count)) — the standard
+    packing/truncation planning readout before choosing a sequence
+    budget. The bucket edge uses the integer bit-length CASE chain
+    (operators/sketches.py::bitlen_case_sql), NOT floating log2, so the
+    histogram is bit-portable (log2 rounds differently near powers of
+    two across libms)."""
+    from megalista_spark.operators.sketches import bitlen_case_sql
+    from megalista_spark.operators.text import _word_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.select(F.size(_word_tokens("text")).cast("bigint").alias("n_tok"))
+    bl = bitlen_case_sql("n_tok", 32)
+    return (
+        n.where(F.col("n_tok") > 0)
+        .selectExpr(f"shiftleft(CAST(1 AS BIGINT), ({bl}) - 1) AS bucket_lo")
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("bucket_lo")
+    )
+
+
+def _doc_hist_sql() -> str:
+    from megalista_spark.operators.sketches import bitlen_case_sql
+
+    bl = bitlen_case_sql("n_tok", 32)
+    return f"""
+WITH n AS (
+  SELECT len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             t -> t <> ''))::BIGINT AS n_tok
+  FROM documents
+)
+SELECT (1::BIGINT << (({bl}) - 1)) AS bucket_lo, count(*)::BIGINT AS n_docs
+FROM n WHERE n_tok > 0
+GROUP BY 1
+ORDER BY bucket_lo
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -8540,6 +8647,8 @@ _GATE_ROTATION_FIRST = [
     "bigram_lm_next_tokens",
     "vocab_drift_even_odd",
     "trend_outlier_hours",
+    "conversion_latency_stats",
+    "doc_length_histogram",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -8822,6 +8931,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "bigram_lm_next_tokens": bigram_lm_next_tokens,
         "vocab_drift_even_odd": vocab_drift_even_odd,
         "trend_outlier_hours": trend_outlier_hours,
+        "conversion_latency_stats": conversion_latency_stats,
+        "doc_length_histogram": doc_length_histogram,
     }
 
 
@@ -9010,4 +9121,6 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_next_tokens": BIGRAM_LM_SQL,
         "vocab_drift_even_odd": VOCAB_DRIFT_SQL,
         "trend_outlier_hours": TREND_OUTLIER_SQL,
+        "conversion_latency_stats": CONVERSION_LATENCY_SQL,
+        "doc_length_histogram": _doc_hist_sql(),
     }

@@ -188,6 +188,8 @@ HEADLINE = [
     "bigram_lm_next_tokens",
     "vocab_drift_even_odd",
     "trend_outlier_hours",
+    "conversion_latency_stats",
+    "doc_length_histogram",
 ]
 
 # Excluded from HEADLINE on purpose:
