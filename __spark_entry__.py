@@ -8608,6 +8608,55 @@ ORDER BY bucket_lo
 """
 
 
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (operators/graph.py::kcore_peel): parts
+    surviving 3 synchronous removals of sub-3-degree nodes on the
+    co-purchase graph — the density filter run before spending triangle
+    or community effort on hangers-on. The oracle unrolls the identical
+    peel rounds."""
+    from megalista_spark.operators.graph import kcore_peel
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2"))
+    pairs = (
+        l.join(l2, (l["l_orderkey"] == l2["ok2"]) & (l["l_partkey"] < l2["pk2"]))
+        .select(F.col("l_partkey").alias("id_a"), F.col("pk2").alias("id_b"))
+        .distinct()
+    )
+    return kcore_peel(pairs, k=3, rounds=3).orderBy("node")
+
+
+def _kcore_sql(k: int = 3, rounds: int = 3) -> str:
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(f"""kp{t} AS (
+  SELECT u FROM (
+    SELECT u, count(*) AS deg FROM a{t-1} GROUP BY u
+  ) WHERE deg >= {k}
+), a{t} AS MATERIALIZED (
+  SELECT e.u, e.v FROM a{t-1} e
+  WHERE EXISTS (SELECT 1 FROM kp{t} x WHERE x.u = e.u)
+    AND EXISTS (SELECT 1 FROM kp{t} y WHERE y.u = e.v)
+)""")
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH prs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+a0 AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM prs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM prs
+),
+{steps_sql}
+SELECT u AS node, count(*)::BIGINT AS degree
+FROM a{rounds} GROUP BY u
+ORDER BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -8649,6 +8698,7 @@ _GATE_ROTATION_FIRST = [
     "trend_outlier_hours",
     "conversion_latency_stats",
     "doc_length_histogram",
+    "kcore_copurchase",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -8933,6 +8983,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "trend_outlier_hours": trend_outlier_hours,
         "conversion_latency_stats": conversion_latency_stats,
         "doc_length_histogram": doc_length_histogram,
+        "kcore_copurchase": kcore_copurchase,
     }
 
 
@@ -9123,4 +9174,5 @@ def oracle_sql() -> dict[str, str]:
         "trend_outlier_hours": TREND_OUTLIER_SQL,
         "conversion_latency_stats": CONVERSION_LATENCY_SQL,
         "doc_length_histogram": _doc_hist_sql(),
+        "kcore_copurchase": _kcore_sql(),
     }

@@ -190,6 +190,7 @@ HEADLINE = [
     "trend_outlier_hours",
     "conversion_latency_stats",
     "doc_length_histogram",
+    "kcore_copurchase",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -583,3 +583,50 @@ def bounded_sssp(
             .localCheckpoint(eager=True)
         )
     return dists
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Bounded-round k-core peeling (Seidman 1983; public method) over an
+    undirected pair list: (node, degree) for every node still alive
+    after ``rounds`` synchronous removals of nodes with degree < k —
+    the density filter that strips hangers-on from a graph before
+    community/triangle analytics spend effort on them. Full k-core
+    needs peeling to fixpoint; fixed ``rounds`` is the oracle-unrollable
+    contract (same discipline as BFS/SSSP/LPA), and each round is one
+    degree aggregate + one semi-join per side.
+
+    Synchronous semantics: every round recomputes degrees over the
+    CURRENTLY-alive subgraph and removes ALL sub-k nodes at once —
+    deterministic under any scheduling, unlike sequential peeling.
+    Rounds localCheckpoint (iterative-lineage rule). Degrees count
+    DISTINCT neighbors (the pair list is deduplicated both ways).
+    """
+    a, b = pair_cols
+    sym = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(F.col(b).alias("u"), F.col(a).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = sym
+    for _ in range(rounds):
+        deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("u")
+        alive = (
+            alive.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        alive.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .select(F.col("u").alias("node"), "degree")
+    )

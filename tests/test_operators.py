@@ -2217,3 +2217,18 @@ def test_ivfpq_compact_preserves_search_and_merges_files(spark, tmp_path):
     after_files = files_per_cell()
     assert max(after_files.values()) == 1  # one file per cell
     assert res() == before  # content-identical
+
+
+def test_kcore_peels_tendrils_keeps_core(spark):
+    from megalista_spark.operators.graph import kcore_peel
+
+    # triangle (1,2,3) with a tail 3-4-5: k=2 peels 5 (deg 1), then 4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["degree"] for r in
+           kcore_peel(edges, k=2, rounds=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # one round is not enough to reach node 4 (synchronous rounds)
+    got1 = {r["node"] for r in kcore_peel(edges, k=2, rounds=1).collect()}
+    assert got1 == {1, 2, 3, 4}
