@@ -8657,6 +8657,59 @@ ORDER BY node
 """
 
 
+def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (operators/graph.py::degree_assortativity) of
+    the co-purchase graph — the one-number structure probe (hubs-to-hubs
+    vs hubs-to-leaves) that informs skew strategy before graph joins.
+    Exact bigint moments, double-promoted closing products; the oracle
+    computes the identical Pearson form."""
+    from megalista_spark.operators.graph import degree_assortativity
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2"))
+    pairs = (
+        l.join(l2, (l["l_orderkey"] == l2["ok2"]) & (l["l_partkey"] < l2["pk2"]))
+        .select(F.col("l_partkey").alias("id_a"), F.col("pk2").alias("id_b"))
+        .distinct()
+    )
+    return degree_assortativity(pairs)
+
+
+ASSORTATIVITY_SQL = """
+WITH prs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM prs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM prs
+),
+deg AS (SELECT u, count(*)::BIGINT AS d FROM sym GROUP BY u),
+tagged AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM sym JOIN deg du ON du.u = sym.u JOIN deg dv ON dv.u = sym.v
+),
+m AS (
+  SELECT count(*)::BIGINT AS n_edges,
+         sum(dx)::BIGINT AS sx, sum(dy)::BIGINT AS sy,
+         sum(dx * dy)::BIGINT AS sxy,
+         sum(dx * dx)::BIGINT AS sxx, sum(dy * dy)::BIGINT AS syy
+  FROM tagged
+)
+SELECT n_edges,
+  CASE WHEN (n_edges::DOUBLE * sxx - sx::DOUBLE * sx) > 0
+        AND (n_edges::DOUBLE * syy - sy::DOUBLE * sy) > 0
+  THEN round(
+    (n_edges::DOUBLE * sxy - sx::DOUBLE * sy)
+    / sqrt((n_edges::DOUBLE * sxx - sx::DOUBLE * sx)
+         * (n_edges::DOUBLE * syy - sy::DOUBLE * sy)), 6)
+  END AS assortativity
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -8699,6 +8752,7 @@ _GATE_ROTATION_FIRST = [
     "conversion_latency_stats",
     "doc_length_histogram",
     "kcore_copurchase",
+    "copurchase_assortativity",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -8984,6 +9038,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "conversion_latency_stats": conversion_latency_stats,
         "doc_length_histogram": doc_length_histogram,
         "kcore_copurchase": kcore_copurchase,
+        "copurchase_assortativity": copurchase_assortativity,
     }
 
 
@@ -9175,4 +9230,5 @@ def oracle_sql() -> dict[str, str]:
         "conversion_latency_stats": CONVERSION_LATENCY_SQL,
         "doc_length_histogram": _doc_hist_sql(),
         "kcore_copurchase": _kcore_sql(),
+        "copurchase_assortativity": ASSORTATIVITY_SQL,
     }

@@ -191,6 +191,7 @@ HEADLINE = [
     "conversion_latency_stats",
     "doc_length_histogram",
     "kcore_copurchase",
+    "copurchase_assortativity",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -630,3 +630,56 @@ def kcore_peel(
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
         .select(F.col("u").alias("node"), "degree")
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002; public method) of
+    an undirected graph: one row (n_edges, r) where r is the Pearson
+    correlation of endpoint degrees over every directed edge — positive
+    means hubs attach to hubs (social nets), negative means hubs attach
+    to leaves (infrastructure). THE one-number structure probe run
+    before choosing skew strategies for graph joins.
+
+    All five correlation moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    bigint sums over integer degrees — order-independent, map-side
+    combinable. The CLOSING products (n·Σxy etc.) promote to double
+    first: at web-graph scale n·Σx² crosses 2^63 and a silent int64
+    wrap would corrupt the sign (the collocation-lift lesson); IEEE
+    double multiply/divide/sqrt stays bit-identical across engines.
+    Degenerate graphs (regular: zero degree variance) yield NULL
+    rather than 0/0.
+
+    Cost: one degree aggregate, two broadcast-or-shuffle joins tagging
+    each edge with endpoint degrees, one moments aggregate.
+    """
+    a, b = pair_cols
+    sym = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dy"))
+    tagged = sym.join(du, "u").join(dv, "v")
+    m = tagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum("dx").cast("bigint").alias("_sx"),
+        F.sum("dy").cast("bigint").alias("_sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("_sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("_sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("_syy"),
+    )
+    n = F.col("n_edges").cast("double")
+    cov = n * F.col("_sxy") - F.col("_sx").cast("double") * F.col("_sy")
+    vx = n * F.col("_sxx") - F.col("_sx").cast("double") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy").cast("double") * F.col("_sy")
+    r = cov / F.sqrt(vx * vy)
+    return m.select(
+        "n_edges",
+        F.when((vx > 0) & (vy > 0), F.round(r, 6)).alias("assortativity"),
+    )

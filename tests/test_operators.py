@@ -2232,3 +2232,17 @@ def test_kcore_peels_tendrils_keeps_core(spark):
     # one round is not enough to reach node 4 (synchronous rounds)
     got1 = {r["node"] for r in kcore_peel(edges, k=2, rounds=1).collect()}
     assert got1 == {1, 2, 3, 4}
+
+
+def test_degree_assortativity_signs(spark):
+    from megalista_spark.operators.graph import degree_assortativity
+
+    # star: hub attaches only to leaves -> strongly negative
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["id_a", "id_b"])
+    r_star = degree_assortativity(star).collect()[0]["assortativity"]
+    assert r_star == -1.0
+    # regular ring: every endpoint degree equal -> zero variance -> NULL
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], ["id_a", "id_b"]
+    )
+    assert degree_assortativity(ring).collect()[0]["assortativity"] is None
