@@ -8710,6 +8710,97 @@ FROM m
 """
 
 
+def personalized_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted personalized PageRank: seed-restricted teleport PLUS
+    purchase-multiplicity edge weights — proximity mass follows heavy
+    trade links. Completes the rank family 2×2 (global/personalized ×
+    unweighted/weighted); integer share = rank·w div W keeps the seeded
+    weighted recurrence bit-exact, oracle-unrolled."""
+    from megalista_spark.operators.graph import personalized_pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(1000000)).cast("long").alias("supp"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = pairs.selectExpr("cust AS src", "supp AS dst", "w").union(
+        pairs.selectExpr("supp AS src", "cust AS dst", "w")
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 3)
+        .select(F.col("c_custkey").alias("id"))
+    )
+    return personalized_pagerank(
+        edges, seeds, iterations=3, weight_col="w"
+    ).orderBy("node")
+
+
+def _ppr_weighted_sql(iters: int = 3, scale: int = 10**12, damping_pct: int = 85) -> str:
+    d = damping_pct
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""dg{k-1} AS (
+  SELECT COALESCE(SUM(r.ru), 0)::BIGINT AS du
+  FROM r{k-1} r WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.node = r.node)
+),
+c{k} AS (
+  SELECT e.dst AS node, SUM((r.ru * e.w) // dd.wdeg)::BIGINT AS inu
+  FROM edges e
+  JOIN deg dd ON dd.node = e.src
+  JOIN r{k-1} r ON r.node = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT nd.node,
+         ((CASE WHEN nd.is_seed
+                THEN ({100 - d} * ({scale} // ns.ns)) // 100 ELSE 0 END)
+          + (({d} * (COALESCE(c.inu, 0)
+               + CASE WHEN nd.is_seed THEN (dg.du // ns.ns) ELSE 0 END)) // 100)
+         )::BIGINT AS ru
+  FROM nodes2 nd
+  LEFT JOIN c{k} c ON c.node = nd.node
+  CROSS JOIN dg{k-1} dg CROSS JOIN ns
+)"""
+        )
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH pairs AS (
+  SELECT o.o_custkey AS cust, (1000000 + l.l_suppkey)::BIGINT AS supp,
+         count(*)::BIGINT AS w
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT cust AS src, supp AS dst, w FROM pairs
+  UNION ALL
+  SELECT supp AS src, cust AS dst, w FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src AS node, SUM(w)::BIGINT AS wdeg FROM edges GROUP BY src),
+seeds AS (SELECT DISTINCT c_custkey::BIGINT AS node FROM customer WHERE c_custkey <= 3),
+ns AS (SELECT COUNT(*)::BIGINT AS ns FROM seeds),
+nodes2 AS (
+  SELECT node, EXISTS (SELECT 1 FROM seeds s WHERE s.node = nodes.node) AS is_seed
+  FROM nodes
+),
+r0 AS (
+  SELECT node, (CASE WHEN is_seed THEN ({scale} // ns.ns) ELSE 0 END)::BIGINT AS ru
+  FROM nodes2 CROSS JOIN ns
+),
+{rounds_sql}
+SELECT node, ru AS rank_u, round(ru / {float(scale)}, 6) AS rank
+FROM r{iters}
+ORDER BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -8753,6 +8844,7 @@ _GATE_ROTATION_FIRST = [
     "doc_length_histogram",
     "kcore_copurchase",
     "copurchase_assortativity",
+    "personalized_pagerank_weighted",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -9039,6 +9131,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "doc_length_histogram": doc_length_histogram,
         "kcore_copurchase": kcore_copurchase,
         "copurchase_assortativity": copurchase_assortativity,
+        "personalized_pagerank_weighted": personalized_pagerank_weighted,
     }
 
 
@@ -9231,4 +9324,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_histogram": _doc_hist_sql(),
         "kcore_copurchase": _kcore_sql(),
         "copurchase_assortativity": ASSORTATIVITY_SQL,
+        "personalized_pagerank_weighted": _ppr_weighted_sql(),
     }

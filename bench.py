@@ -192,6 +192,7 @@ HEADLINE = [
     "doc_length_histogram",
     "kcore_copurchase",
     "copurchase_assortativity",
+    "personalized_pagerank_weighted",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -155,6 +155,7 @@ def personalized_pagerank(
     damping_pct: int = 85,
     scale: int = PAGERANK_SCALE,
     seed_col: str = "id",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Personalized (topic-sensitive) PageRank: identical fixed-point
     kernel to ``pagerank``, but teleport AND dangling mass return only
@@ -171,15 +172,23 @@ def personalized_pagerank(
     the node table (one broadcast-sized join at setup, not per round).
     Off-graph seeds contribute nothing (their teleport share sheds —
     deterministic on every engine since |S| counts the raw seed set).
+    ``weight_col`` applies the same positive-integer edge weighting as
+    ``pagerank`` (share = rank·w div W) — heavy trade links carry
+    proportionally more proximity mass.
 
     Returns (node, rank_u, rank) over the graph's nodes.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
+    w_expr = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
     e = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), w_expr.alias("_w")
     ).repartition("_src").persist()
-    deg = e.groupBy("_src").agg(F.count(F.lit(1)).cast("long").alias("_deg")).persist()
+    deg = e.groupBy("_src").agg(F.sum("_w").cast("long").alias("_deg")).persist()
     s = seeds.select(F.col(seed_col).alias("node")).distinct().persist()
     ns = s.count()
     if ns == 0:
@@ -217,7 +226,7 @@ def personalized_pagerank(
             .join(ranks.withColumnRenamed("node", "_src"), "_src")
             .select(
                 F.col("_dst").alias("node"),
-                F.expr("rank_u div _deg").alias("_share"),
+                F.expr("(rank_u * _w) div _deg").alias("_share"),
             )
             .groupBy("node")
             .agg(F.sum("_share").cast("long").alias("_inflow"))
