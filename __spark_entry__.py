@@ -8801,6 +8801,72 @@ ORDER BY node
 """
 
 
+def global_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient 3·triangles / wedges — the triangle
+    story's final number (how much of the co-purchase graph's wedge
+    potential actually closes). Composes the degree-oriented exact
+    triangle kernel (operators/graph.py::triangle_count) with the
+    closed-form wedge count Σ d(d−1)/2 — the wedge side is a degree
+    aggregate, never a join. Double-promoted closing ratio."""
+    from megalista_spark.operators.dedup import symmetric_edges
+    from megalista_spark.operators.graph import triangle_count
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2"))
+    pairs = (
+        l.join(l2, (l["l_orderkey"] == l2["ok2"]) & (l["l_partkey"] < l2["pk2"]))
+        .select(F.col("l_partkey").alias("id_a"), F.col("pk2").alias("id_b"))
+        .distinct()
+    )
+    tri = triangle_count(pairs.selectExpr("id_a AS src", "id_b AS dst"))
+    wedges = (
+        symmetric_edges(pairs)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .agg(
+            F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges")
+        )
+    )
+    return tri.crossJoin(wedges).select(
+        "triangle_count",
+        "n_wedges",
+        F.round(
+            F.lit(3.0) * F.col("triangle_count") / F.col("n_wedges"), 6
+        ).alias("clustering_coefficient"),
+    )
+
+
+def _clustering_sql() -> str:
+    tri = _queries_module_triangle_sql()
+    head, _, tail = tri.rpartition("SELECT count(*)::BIGINT AS triangle_count")
+    return f"""{head}, tri AS (
+  SELECT count(*)::BIGINT AS triangle_count
+  {tail}
+),
+wc AS (
+  SELECT sum(d * (d - 1) // 2)::BIGINT AS n_wedges FROM (
+    SELECT count(*)::BIGINT AS d FROM (
+      SELECT id_a AS u, id_b AS v FROM prs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM prs
+    ) GROUP BY u
+  )
+)
+SELECT triangle_count, n_wedges,
+       round(3.0 * triangle_count / n_wedges, 6) AS clustering_coefficient
+FROM tri CROSS JOIN wc
+"""
+
+
+def _queries_module_triangle_sql() -> str:
+    # the triangle oracle re-used verbatim for splicing; its CTE chain
+    # starts at `e` over the same prs relation name used here
+    return TRIANGLE_SQL.replace(
+        "WITH e AS (\n  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v\n  FROM lineitem l1\n  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey\n)",
+        "WITH prs AS MATERIALIZED (\n  SELECT DISTINCT l1.l_partkey AS id_a, l2.l_partkey AS id_b\n  FROM lineitem l1\n  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey\n),\ne AS (SELECT id_a AS u, id_b AS v FROM prs)",
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -8845,6 +8911,7 @@ _GATE_ROTATION_FIRST = [
     "kcore_copurchase",
     "copurchase_assortativity",
     "personalized_pagerank_weighted",
+    "global_clustering_coefficient",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -9132,6 +9199,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "kcore_copurchase": kcore_copurchase,
         "copurchase_assortativity": copurchase_assortativity,
         "personalized_pagerank_weighted": personalized_pagerank_weighted,
+        "global_clustering_coefficient": global_clustering_coefficient,
     }
 
 
@@ -9325,4 +9393,5 @@ def oracle_sql() -> dict[str, str]:
         "kcore_copurchase": _kcore_sql(),
         "copurchase_assortativity": ASSORTATIVITY_SQL,
         "personalized_pagerank_weighted": _ppr_weighted_sql(),
+        "global_clustering_coefficient": _clustering_sql(),
     }

@@ -193,6 +193,7 @@ HEADLINE = [
     "kcore_copurchase",
     "copurchase_assortativity",
     "personalized_pagerank_weighted",
+    "global_clustering_coefficient",
 ]
 
 # Excluded from HEADLINE on purpose:
