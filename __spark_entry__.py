@@ -8343,6 +8343,7 @@ uni AS (
   SELECT w, count(*)::BIGINT AS c1
   FROM (SELECT unnest(toks) AS w FROM toked) GROUP BY w
 ),
+pre AS (SELECT w1, sum(pair_count)::BIGINT AS c1 FROM bg GROUP BY w1),
 v AS (SELECT count(*)::BIGINT AS vv FROM uni),
 ranked AS (
   SELECT w1, w2, pair_count,
@@ -8353,10 +8354,10 @@ topw AS (
   SELECT w AS w1 FROM uni ORDER BY c1 DESC, w LIMIT 10
 )
 SELECT r.w1, r.w2, r.pair_count,
-       round((r.pair_count + 1)::DOUBLE / (u.c1 + v.vv), 6) AS prob
+       round((r.pair_count + 1)::DOUBLE / (p.c1 + v.vv), 6) AS prob
 FROM ranked r
 JOIN topw USING (w1)
-JOIN uni u ON u.w = r.w1
+JOIN pre p ON p.w1 = r.w1
 CROSS JOIN v
 WHERE r.rk <= 3
 ORDER BY r.w1, r.pair_count DESC, r.w2
@@ -8392,17 +8393,17 @@ nc AS (
     FROM documents WHERE doc_id % 2 = 1
   ) GROUP BY word
 ),
-j AS (
+j_all AS (
   SELECT coalesce(oc.term, nc.term) AS term,
          coalesce(oc.c, 0) AS c_old, coalesce(nc.c, 0) AS c_new
   FROM oc FULL OUTER JOIN nc ON oc.term = nc.term
-  WHERE coalesce(oc.c, 0) >= 5 OR coalesce(nc.c, 0) >= 5
 ),
 tot AS (
   SELECT sum(c_old)::BIGINT AS no, sum(c_new)::BIGINT AS nn,
          count(*)::BIGINT AS v
-  FROM j
+  FROM j_all
 ),
+j AS (SELECT * FROM j_all WHERE c_old >= 5 OR c_new >= 5),
 r AS (
   SELECT term, c_old, c_new,
          round(((c_new + 1)::DOUBLE / (nn + v))
@@ -8433,7 +8434,12 @@ def trend_outlier_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("hour_bucket"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
-    fit = linear_trend(hourly, "hour_bucket", "n_events", ["event_type"])
+    # degenerate fits (single-bucket series: D=0, NULL coefficients) drop
+    # here exactly as the oracle's `WHERE n*sxx - sx*sx <> 0` drops them —
+    # keeping them would emit NULL-residual rows the oracle never sees
+    fit = linear_trend(hourly, "hour_bucket", "n_events", ["event_type"]).where(
+        F.col("slope").isNotNull()
+    )
     x0 = hourly.groupBy("event_type").agg(F.min("hour_bucket").alias("_x0"))
     resid = (
         hourly.join(fit.select("event_type", "slope", "intercept"), "event_type")
@@ -8838,7 +8844,14 @@ def global_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def _clustering_sql() -> str:
     tri = _queries_module_triangle_sql()
-    head, _, tail = tri.rpartition("SELECT count(*)::BIGINT AS triangle_count")
+    head, sep, tail = tri.rpartition("SELECT count(*)::BIGINT AS triangle_count")
+    # the splice is byte-exact against TRIANGLE_SQL's text — fail at
+    # import time, next to the cause, if that text ever drifts
+    if not sep or not head:
+        raise AssertionError(
+            "_clustering_sql: TRIANGLE_SQL's final SELECT text changed — "
+            "update the splice anchors in _clustering_sql/_queries_module_triangle_sql"
+        )
     return f"""{head}, tri AS (
   SELECT count(*)::BIGINT AS triangle_count
   {tail}
@@ -8861,8 +8874,18 @@ FROM tri CROSS JOIN wc
 def _queries_module_triangle_sql() -> str:
     # the triangle oracle re-used verbatim for splicing; its CTE chain
     # starts at `e` over the same prs relation name used here
+    anchor = (
+        "WITH e AS (\n  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v\n"
+        "  FROM lineitem l1\n"
+        "  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey\n)"
+    )
+    if anchor not in TRIANGLE_SQL:
+        raise AssertionError(
+            "_queries_module_triangle_sql: TRIANGLE_SQL's opening CTE text "
+            "changed — update the splice anchor"
+        )
     return TRIANGLE_SQL.replace(
-        "WITH e AS (\n  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v\n  FROM lineitem l1\n  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey\n)",
+        anchor,
         "WITH prs AS MATERIALIZED (\n  SELECT DISTINCT l1.l_partkey AS id_a, l2.l_partkey AS id_b\n  FROM lineitem l1\n  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey\n),\ne AS (SELECT id_a AS u, id_b AS v FROM prs)",
     )
 

@@ -615,13 +615,18 @@ def kcore_peel(
     Rounds localCheckpoint (iterative-lineage rule). Degrees count
     DISTINCT neighbors (the pair list is deduplicated both ways).
     """
+    from megalista_spark.operators.dedup import symmetric_edges
+
     a, b = pair_cols
+    # self-loop filter BEFORE symmetrizing (a one-sided filter would let
+    # loops re-enter via the reversed direction and inflate degrees);
+    # symmetric_edges explodes both directions in ONE pass so the pair
+    # lineage — often an expensive self-join — is not evaluated twice
     sym = (
-        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .unionByName(
-            edges.select(F.col(b).alias("u"), F.col(a).alias("v"))
+        symmetric_edges(
+            edges.where(F.col(a) != F.col(b)), pair_cols
         )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -664,12 +669,17 @@ def degree_assortativity(
     Cost: one degree aggregate, two broadcast-or-shuffle joins tagging
     each edge with endpoint degrees, one moments aggregate.
     """
+    from megalista_spark.operators.dedup import symmetric_edges
+
     a, b = pair_cols
+    # self-loops filtered BEFORE the one-pass symmetrize (see kcore_peel);
+    # sym is materialized because deg + the edge tagging traverse it three
+    # times and its lineage is typically the query's dominant self-join
     sym = (
-        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        symmetric_edges(edges.where(F.col(a) != F.col(b)), pair_cols)
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     du = deg.select(F.col("u"), F.col("d").alias("dx"))

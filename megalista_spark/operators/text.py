@@ -709,13 +709,17 @@ def bigram_lm_topk(
         P(w2 | w1) = (c12 + 1) / (c1 + V)
 
     (Laplace smoothing over the corpus vocabulary V — the textbook
-    n-gram LM; public method). The LM twin of ``collocation_lift``:
-    lift asks "surprisingly together?", the LM asks "what follows?" —
-    the conditional table is what a generation/perplexity consumer
-    loads. For fixed w1 the smoothed probability is monotone in c12, so
-    the top-k cut ranks on exact integer counts ((c12 DESC, w2 ASC)
-    row_number — deterministic); the probability itself is one double
-    division at the output boundary, correctly rounded on any engine.
+    n-gram LM; public method). c1 is the BIGRAM-PREFIX count
+    (Σ_w2 c12, occurrences of w1 that HAVE a successor), not the raw
+    unigram count: with the prefix denominator Σ_{w2∈V} P(w2|w1) = 1
+    exactly — a word that frequently ends documents would otherwise get
+    a deficient (non-normalized) distribution and bias every perplexity
+    downstream. The LM twin of ``collocation_lift``: lift asks
+    "surprisingly together?", the LM asks "what follows?". For fixed w1
+    the smoothed probability is monotone in c12, so the top-k cut ranks
+    on exact integer counts ((c12 DESC, w2 ASC) row_number —
+    deterministic); the probability itself is one double division at
+    the output boundary, correctly rounded on any engine.
 
     Scale: bigrams fold per row (zero shuffle), ONE (w1,w2) groupBy,
     unigram/vocab aggregates broadcast back, and the per-w1 window ranks
@@ -738,12 +742,13 @@ def bigram_lm_topk(
         .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
     )
-    uni = (
-        df.select(F.explode(_word_tokens(text_col)).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    pre = bigrams.groupBy("w1").agg(
+        F.sum("pair_count").cast("bigint").alias("c1")
     )
-    vocab = uni.agg(F.count(F.lit(1)).cast("bigint").alias("_v"))
+    vocab = (
+        df.select(F.explode(_word_tokens(text_col)).alias("w"))
+        .agg(F.count_distinct("w").cast("bigint").alias("_v"))
+    )
     w = Window.partitionBy("w1").orderBy(F.desc("pair_count"), F.asc("w2"))
     prob = (F.col("pair_count") + 1).cast("double") / (
         F.col("c1") + F.col("_v")
@@ -751,7 +756,7 @@ def bigram_lm_topk(
     return (
         bigrams.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
-        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .join(F.broadcast(pre), "w1")
         .crossJoin(F.broadcast(vocab))
         .select("w1", "w2", "pair_count", F.round(prob, 6).alias("prob"))
     )
@@ -791,7 +796,11 @@ def vocab_drift_report(
 
     old_c = counts(df_old)
     new_c = counts(df_new)
-    j = (
+    # totals and V come from the UNFILTERED union (the documented
+    # denominators): min_count only gates which terms are REPORTED —
+    # otherwise raising the noise threshold would silently rescale every
+    # surviving term's ratio
+    j_all = (
         old_c.withColumnRenamed("c", "c_old")
         .join(new_c.withColumnRenamed("c", "c_new"), "term", "full_outer")
         .select(
@@ -799,12 +808,14 @@ def vocab_drift_report(
             F.coalesce("c_old", F.lit(0)).alias("c_old"),
             F.coalesce("c_new", F.lit(0)).alias("c_new"),
         )
-        .where((F.col("c_old") >= min_count) | (F.col("c_new") >= min_count))
     )
-    tot = j.agg(
+    tot = j_all.agg(
         F.sum("c_old").cast("bigint").alias("_no"),
         F.sum("c_new").cast("bigint").alias("_nn"),
         F.count(F.lit(1)).cast("bigint").alias("_v"),
+    )
+    j = j_all.where(
+        (F.col("c_old") >= min_count) | (F.col("c_new") >= min_count)
     )
     ratio = (
         (F.col("c_new") + 1).cast("double") / (F.col("_nn") + F.col("_v"))

@@ -2246,3 +2246,14 @@ def test_degree_assortativity_signs(spark):
         [(i, (i + 1) % 6) for i in range(6)], ["id_a", "id_b"]
     )
     assert degree_assortativity(ring).collect()[0]["assortativity"] is None
+
+
+def test_kcore_and_assortativity_ignore_self_loops(spark):
+    from megalista_spark.operators.graph import degree_assortativity, kcore_peel
+
+    # a self-loop must not save node 1 from peeling or skew the moments
+    edges = spark.createDataFrame([(1, 1), (1, 2)], ["id_a", "id_b"])
+    assert kcore_peel(edges, k=2, rounds=1).count() == 0
+    r = degree_assortativity(edges).collect()[0]
+    # loop-free graph is 1-regular: 2 directed edges, zero degree variance
+    assert (r["n_edges"], r["assortativity"]) == (2, None)
