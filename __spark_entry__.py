@@ -8890,6 +8890,82 @@ def _queries_module_triangle_sql() -> str:
     )
 
 
+def audience_week_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week audience stability: for every consecutive week
+    pair, the exact retained/new/lost purchaser counts and jaccard —
+    the churn readout that decides whether an audience needs re-upload.
+    Weekly membership packs into per-week bitmaps (operators/
+    bitmaps.py, one scan); every week pair is one word-keyed join of
+    two sketch-sized relations."""
+    from megalista_spark.operators.bitmaps import bitmap_build
+
+    e = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    wk = F.expr("CAST(ts AS BIGINT) div 604800")
+    bm = bitmap_build(e.select(wk.alias("week"), "user_id"), "user_id", ["week"])
+    nxt = bm.select(
+        (F.col("week") - 1).alias("week"),
+        F.col("word"),
+        F.col("bits").alias("_bn"),
+    )
+    j = bm.join(nxt, ["week", "word"], "full_outer").select(
+        "week",
+        F.coalesce("bits", F.lit(0)).alias("_bc"),
+        F.coalesce("_bn", F.lit(0)).alias("_bn"),
+    )
+    # weeks only present via the shifted side (the last week's phantom
+    # predecessor) drop: a real week has at least one current-side word
+    real_weeks = bm.select("week").distinct()
+    nxt_weeks = bm.select((F.col("week") - 1).alias("week")).distinct()
+    both = real_weeks.join(nxt_weeks, "week")
+    out = (
+        j.join(both, "week")
+        .groupBy("week")
+        .agg(
+            F.sum(F.bit_count(F.expr("_bc & _bn"))).cast("bigint").alias("retained"),
+            F.sum(F.bit_count(F.expr("_bn & ~_bc"))).cast("bigint").alias("gained"),
+            F.sum(F.bit_count(F.expr("_bc & ~_bn"))).cast("bigint").alias("lost"),
+            F.sum(F.bit_count(F.expr("_bc | _bn"))).cast("bigint").alias("_union"),
+        )
+    )
+    return out.select(
+        "week",
+        "retained",
+        "gained",
+        "lost",
+        F.round(F.col("retained") / F.col("_union"), 6).alias("jaccard"),
+    ).orderBy("week")
+
+
+WEEK_CHURN_SQL = """
+WITH e AS (
+  SELECT (epoch_us(ts::TIMESTAMP) // 1000000 // 604800)::BIGINT AS week, user_id
+  FROM events WHERE event_type = 'purchase'
+),
+bm AS (
+  SELECT week, user_id // 63 AS word,
+         bit_or(1::BIGINT << (user_id % 63)::INT)::BIGINT AS bits
+  FROM e GROUP BY 1, 2
+),
+nxt AS (SELECT week - 1 AS week, word, bits AS bn FROM bm),
+j AS (
+  SELECT week, coalesce(bm.bits, 0) AS bc, coalesce(nxt.bn, 0) AS bn
+  FROM bm FULL OUTER JOIN nxt USING (week, word)
+),
+wkpair AS (
+  SELECT w.week FROM (SELECT DISTINCT week FROM bm) w
+  JOIN (SELECT DISTINCT week - 1 AS week FROM bm) n USING (week)
+)
+SELECT j.week,
+       sum(bit_count(bc & bn))::BIGINT AS retained,
+       sum(bit_count(bn & ~bc))::BIGINT AS gained,
+       sum(bit_count(bc & ~bn))::BIGINT AS lost,
+       round(sum(bit_count(bc & bn)) / sum(bit_count(bc | bn)), 6) AS jaccard
+FROM j JOIN wkpair ON wkpair.week = j.week
+GROUP BY j.week
+ORDER BY j.week
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -8935,6 +9011,7 @@ _GATE_ROTATION_FIRST = [
     "copurchase_assortativity",
     "personalized_pagerank_weighted",
     "global_clustering_coefficient",
+    "audience_week_churn",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -9223,6 +9300,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "copurchase_assortativity": copurchase_assortativity,
         "personalized_pagerank_weighted": personalized_pagerank_weighted,
         "global_clustering_coefficient": global_clustering_coefficient,
+        "audience_week_churn": audience_week_churn,
     }
 
 
@@ -9417,4 +9495,5 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_assortativity": ASSORTATIVITY_SQL,
         "personalized_pagerank_weighted": _ppr_weighted_sql(),
         "global_clustering_coefficient": _clustering_sql(),
+        "audience_week_churn": WEEK_CHURN_SQL,
     }

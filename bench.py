@@ -194,6 +194,7 @@ HEADLINE = [
     "copurchase_assortativity",
     "personalized_pagerank_weighted",
     "global_clustering_coefficient",
+    "audience_week_churn",
 ]
 
 # Excluded from HEADLINE on purpose:
