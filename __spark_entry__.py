@@ -8966,6 +8966,104 @@ ORDER BY j.week
 """
 
 
+def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by the RESOURCE-ALLOCATION index (Zhou et al.
+    2009; public method) for a bounded seed set: the top-10 co-purchase
+    partners PREDICTED (not yet connected) for each of the 3 smallest
+    part ids, scored by Σ_z 1/deg(z) over common neighbors z — the
+    log-free cousin of Adamic-Adar with identical motivation (rare
+    shared neighbors weigh more). The per-z terms are INTEGER
+    10^6 div deg(z), so the scores are exact bigint sums —
+    order-independent and cross-engine identical, where float 1/deg
+    summation order would wobble the low bits.
+
+    Plan shape: wedges expand ONLY from the seeds (seed ⋈ edges ⋈
+    edges — bounded by seed degree², never the global wedge volume),
+    existing links drop via anti-join, per-seed top-10 by (score DESC,
+    candidate ASC)."""
+    from pyspark.sql import Window
+
+    from megalista_spark.operators.dedup import symmetric_edges
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2"))
+    pairs = (
+        l.join(l2, (l["l_orderkey"] == l2["ok2"]) & (l["l_partkey"] < l2["pk2"]))
+        .select(F.col("l_partkey").alias("id_a"), F.col("pk2").alias("id_b"))
+        .distinct()
+    )
+    sym = symmetric_edges(pairs).distinct().localCheckpoint(eager=True)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    seeds = sym.select("src").distinct().orderBy("src").limit(3)
+    e1 = sym.join(seeds.withColumnRenamed("src", "seed"), sym["src"] == F.col("seed"))
+    # wedge: seed -> z -> cand
+    e2 = sym.select(F.col("src").alias("z"), F.col("dst").alias("cand"))
+    wedges = (
+        e1.select("seed", F.col("dst").alias("z"))
+        .join(e2, "z")
+        .where(F.col("cand") != F.col("seed"))
+        .join(deg.withColumnRenamed("src", "z"), "z")
+        .groupBy("seed", "cand")
+        .agg(
+            F.sum(F.expr("1000000 div d")).cast("bigint").alias("ra_score"),
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        )
+    )
+    existing = sym.select(
+        F.col("src").alias("seed"), F.col("dst").alias("cand")
+    )
+    cands = wedges.join(existing, ["seed", "cand"], "left_anti")
+    w = Window.partitionBy("seed").orderBy(F.desc("ra_score"), F.asc("cand"))
+    return (
+        cands.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 10)
+        .select("seed", "cand", "common_neighbors", "ra_score")
+        .orderBy("seed", F.desc("ra_score"), "cand")
+    )
+
+
+LINK_PREDICTION_SQL = """
+WITH prs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM prs
+),
+deg AS (SELECT src AS z, count(*)::BIGINT AS d FROM sym GROUP BY src),
+seeds AS (SELECT DISTINCT src AS seed FROM sym ORDER BY seed LIMIT 3),
+wedges AS (
+  SELECT s.seed, e2.dst AS cand,
+         sum(1000000 // dg.d)::BIGINT AS ra_score,
+         count(*)::BIGINT AS common_neighbors
+  FROM seeds s
+  JOIN sym e1 ON e1.src = s.seed
+  JOIN sym e2 ON e2.src = e1.dst
+  JOIN deg dg ON dg.z = e1.dst
+  WHERE e2.dst <> s.seed
+  GROUP BY s.seed, e2.dst
+),
+cands AS (
+  SELECT w.* FROM wedges w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sym x WHERE x.src = w.seed AND x.dst = w.cand
+  )
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY seed ORDER BY ra_score DESC, cand
+  ) AS rk
+  FROM cands
+)
+SELECT seed, cand, common_neighbors, ra_score
+FROM ranked WHERE rk <= 10
+ORDER BY seed, ra_score DESC, cand
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -9012,6 +9110,7 @@ _GATE_ROTATION_FIRST = [
     "personalized_pagerank_weighted",
     "global_clustering_coefficient",
     "audience_week_churn",
+    "link_prediction_ra",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -9301,6 +9400,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "personalized_pagerank_weighted": personalized_pagerank_weighted,
         "global_clustering_coefficient": global_clustering_coefficient,
         "audience_week_churn": audience_week_churn,
+        "link_prediction_ra": link_prediction_ra,
     }
 
 
@@ -9496,4 +9596,5 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank_weighted": _ppr_weighted_sql(),
         "global_clustering_coefficient": _clustering_sql(),
         "audience_week_churn": WEEK_CHURN_SQL,
+        "link_prediction_ra": LINK_PREDICTION_SQL,
     }

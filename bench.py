@@ -195,6 +195,7 @@ HEADLINE = [
     "personalized_pagerank_weighted",
     "global_clustering_coefficient",
     "audience_week_churn",
+    "link_prediction_ra",
 ]
 
 # Excluded from HEADLINE on purpose:
