@@ -9064,6 +9064,44 @@ ORDER BY seed, ra_score DESC, cand
 """
 
 
+def lang_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix diversity per source: the Gini–Simpson index
+    1 − Σ p² over each source's language distribution — the LOG-FREE
+    diversity measure (Shannon entropy needs libm ln; Simpson is exact
+    ratio arithmetic, the same portability discipline as lift/tf-idf).
+    The rebalancing dashboard number: 0 = monolingual source,
+    → (k−1)/k = uniform over k languages. Sum of squared counts is an
+    exact bigint; one double division at the boundary."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    agg = per.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("_ss"),
+    )
+    simpson = 1.0 - F.col("_ss").cast("double") / (
+        F.col("n_docs").cast("double") * F.col("n_docs")
+    )
+    return agg.select(
+        "source", "n_docs", F.round(simpson, 6).alias("simpson_diversity")
+    ).orderBy("source")
+
+
+LANG_DIVERSITY_SQL = """
+WITH per AS (
+  SELECT source, lang, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2
+),
+agg AS (
+  SELECT source, sum(c)::BIGINT AS n_docs, sum(c * c)::BIGINT AS ss
+  FROM per GROUP BY source
+)
+SELECT source, n_docs,
+       round(1.0 - ss::DOUBLE / (n_docs::DOUBLE * n_docs), 6)
+         AS simpson_diversity
+FROM agg
+ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -9111,6 +9149,7 @@ _GATE_ROTATION_FIRST = [
     "global_clustering_coefficient",
     "audience_week_churn",
     "link_prediction_ra",
+    "lang_diversity_by_source",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -9401,6 +9440,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "global_clustering_coefficient": global_clustering_coefficient,
         "audience_week_churn": audience_week_churn,
         "link_prediction_ra": link_prediction_ra,
+        "lang_diversity_by_source": lang_diversity_by_source,
     }
 
 
@@ -9597,4 +9637,5 @@ def oracle_sql() -> dict[str, str]:
         "global_clustering_coefficient": _clustering_sql(),
         "audience_week_churn": WEEK_CHURN_SQL,
         "link_prediction_ra": LINK_PREDICTION_SQL,
+        "lang_diversity_by_source": LANG_DIVERSITY_SQL,
     }

@@ -196,6 +196,7 @@ HEADLINE = [
     "global_clustering_coefficient",
     "audience_week_churn",
     "link_prediction_ra",
+    "lang_diversity_by_source",
 ]
 
 # Excluded from HEADLINE on purpose:
