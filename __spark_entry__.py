@@ -9102,6 +9102,60 @@ ORDER BY source
 """
 
 
+def audience_2of3_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-of-n audience membership in pure bitmap word algebra: the exact
+    count of users in AT LEAST 2 of {view, click, purchase} via
+    popcount((v&c)|(v&p)|(c&p)) — the composite-audience rule engines
+    usually answer with three distinct-count subqueries, here one
+    3-way word-keyed join of sketch-sized relations. Reported beside
+    the strict all-three intersection."""
+    from megalista_spark.operators.bitmaps import bitmap_build
+
+    e = _events(spark, sf_dir)
+
+    def seg(t: str, alias: str) -> DataFrame:
+        return bitmap_build(
+            e.where(F.col("event_type") == t), "user_id"
+        ).select("word", F.col("bits").alias(alias))
+
+    j = (
+        seg("view", "_v")
+        .join(seg("click", "_c"), "word", "full_outer")
+        .join(seg("purchase", "_p"), "word", "full_outer")
+        .select(
+            F.coalesce("_v", F.lit(0)).alias("_v"),
+            F.coalesce("_c", F.lit(0)).alias("_c"),
+            F.coalesce("_p", F.lit(0)).alias("_p"),
+        )
+    )
+    two = F.expr("(_v & _c) | (_v & _p) | (_c & _p)")
+    return j.agg(
+        F.sum(F.bit_count(two)).cast("bigint").alias("n_at_least_2"),
+        F.sum(F.bit_count(F.expr("_v & _c & _p"))).cast("bigint").alias("n_all_3"),
+    )
+
+
+AUDIENCE_2OF3_SQL = """
+WITH bm AS (
+  SELECT event_type AS seg, user_id // 63 AS word,
+         bit_or(1::BIGINT << (user_id % 63)::INT)::BIGINT AS bits
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY 1, 2
+),
+v AS (SELECT word, bits FROM bm WHERE seg = 'view'),
+c AS (SELECT word, bits FROM bm WHERE seg = 'click'),
+p AS (SELECT word, bits FROM bm WHERE seg = 'purchase'),
+j AS (
+  SELECT coalesce(v.bits, 0) AS bv, coalesce(c.bits, 0) AS bc,
+         coalesce(p.bits, 0) AS bp
+  FROM v FULL OUTER JOIN c USING (word) FULL OUTER JOIN p USING (word)
+)
+SELECT sum(bit_count((bv & bc) | (bv & bp) | (bc & bp)))::BIGINT AS n_at_least_2,
+       sum(bit_count(bv & bc & bp))::BIGINT AS n_all_3
+FROM j
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -9150,6 +9204,7 @@ _GATE_ROTATION_FIRST = [
     "audience_week_churn",
     "link_prediction_ra",
     "lang_diversity_by_source",
+    "audience_2of3_members",
     "curation_cascade_stats",
     "source_quality_blocklist",
     "budget_fill_by_source",
@@ -9441,6 +9496,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "audience_week_churn": audience_week_churn,
         "link_prediction_ra": link_prediction_ra,
         "lang_diversity_by_source": lang_diversity_by_source,
+        "audience_2of3_members": audience_2of3_members,
     }
 
 
@@ -9638,4 +9694,5 @@ def oracle_sql() -> dict[str, str]:
         "audience_week_churn": WEEK_CHURN_SQL,
         "link_prediction_ra": LINK_PREDICTION_SQL,
         "lang_diversity_by_source": LANG_DIVERSITY_SQL,
+        "audience_2of3_members": AUDIENCE_2OF3_SQL,
     }

@@ -197,6 +197,7 @@ HEADLINE = [
     "audience_week_churn",
     "link_prediction_ra",
     "lang_diversity_by_source",
+    "audience_2of3_members",
 ]
 
 # Excluded from HEADLINE on purpose:
