@@ -7375,8 +7375,12 @@ base AS (SELECT lang, {base} AS h FROM src),
 hashed AS ({hash_rows}),
 counters AS (SELECT r, bkt, count(*)::BIGINT AS c FROM hashed GROUP BY r, bkt),
 cand AS (
+  -- row digest mirrors cms_heavy_hitters' null-tagged length-prefixed
+  -- encoding ("v<len>:<value>" / "n" per column)
   SELECT DISTINCT lang AS key FROM src
-  WHERE ('0x' || substr(md5(concat_ws(chr(31), doc_id, lang)), 1, 15))::BIGINT % 8 = 0
+  WHERE ('0x' || substr(md5(concat_ws(chr(31),
+           coalesce('v' || length(doc_id::VARCHAR) || ':' || doc_id::VARCHAR, 'n'),
+           coalesce('v' || length(lang) || ':' || lang, 'n'))), 1, 15))::BIGINT % 8 = 0
 ),
 probes AS (
   SELECT cand.key, h.r, h.bkt
@@ -7929,13 +7933,17 @@ def audience_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BITMAP_OVERLAP_SQL = """
 WITH a AS (
-  SELECT user_id // 63 AS word,
-         bit_or(1::BIGINT << (user_id % 63)::INT)::BIGINT AS bits
+  -- floor/pmod form (matches bitmap_build for negative ids; DuckDB's
+  -- C-style % would diverge below zero)
+  SELECT (user_id - ((user_id % 63 + 63) % 63)) // 63 AS word,
+         bit_or(1::BIGINT << ((user_id % 63 + 63) % 63)::INT)::BIGINT AS bits
   FROM events WHERE event_type = 'click' GROUP BY 1
 ),
 b AS (
-  SELECT user_id // 63 AS word,
-         bit_or(1::BIGINT << (user_id % 63)::INT)::BIGINT AS bits
+  -- floor/pmod form (matches bitmap_build for negative ids; DuckDB's
+  -- C-style % would diverge below zero)
+  SELECT (user_id - ((user_id % 63 + 63) % 63)) // 63 AS word,
+         bit_or(1::BIGINT << ((user_id % 63 + 63) % 63)::INT)::BIGINT AS bits
   FROM events WHERE event_type = 'purchase' GROUP BY 1
 ),
 j AS (
@@ -8217,8 +8225,9 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 OVERLAP_MATRIX_SQL = """
 WITH bm AS (
-  SELECT event_type AS seg, user_id // 63 AS word,
-         bit_or(1::BIGINT << (user_id % 63)::INT)::BIGINT AS bits
+  SELECT event_type AS seg,
+         (user_id - ((user_id % 63 + 63) % 63)) // 63 AS word,
+         bit_or(1::BIGINT << ((user_id % 63 + 63) % 63)::INT)::BIGINT AS bits
   FROM events GROUP BY 1, 2
 ),
 card AS (SELECT seg, sum(bit_count(bits))::BIGINT AS c FROM bm GROUP BY seg),
@@ -8405,14 +8414,17 @@ tot AS (
 ),
 j AS (SELECT * FROM j_all WHERE c_old >= 5 OR c_new >= 5),
 r AS (
+  -- rank on the UNROUNDED ratio (mirrors vocab_drift_report): rounding
+  -- before ranking would zero out extreme shrinks and NULL their
+  -- reciprocal; only the reported column is rounded
   SELECT term, c_old, c_new,
-         round(((c_new + 1)::DOUBLE / (nn + v))
-               / ((c_old + 1)::DOUBLE / (no + v)), 6) AS rate_ratio
+         ((c_new + 1)::DOUBLE / (nn + v))
+           / ((c_old + 1)::DOUBLE / (no + v)) AS ratio_exact
   FROM j CROSS JOIN tot
 )
-SELECT term, c_old, c_new, rate_ratio
+SELECT term, c_old, c_new, round(ratio_exact, 6) AS rate_ratio
 FROM r
-ORDER BY greatest(rate_ratio, 1.0 / rate_ratio) DESC, term
+ORDER BY greatest(ratio_exact, 1.0 / ratio_exact) DESC, term
 LIMIT 20
 """
 
@@ -8942,8 +8954,9 @@ WITH e AS (
   FROM events WHERE event_type = 'purchase'
 ),
 bm AS (
-  SELECT week, user_id // 63 AS word,
-         bit_or(1::BIGINT << (user_id % 63)::INT)::BIGINT AS bits
+  SELECT week,
+         (user_id - ((user_id % 63 + 63) % 63)) // 63 AS word,
+         bit_or(1::BIGINT << ((user_id % 63 + 63) % 63)::INT)::BIGINT AS bits
   FROM e GROUP BY 1, 2
 ),
 nxt AS (SELECT week - 1 AS week, word, bits AS bn FROM bm),
@@ -9137,8 +9150,9 @@ def audience_2of3_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AUDIENCE_2OF3_SQL = """
 WITH bm AS (
-  SELECT event_type AS seg, user_id // 63 AS word,
-         bit_or(1::BIGINT << (user_id % 63)::INT)::BIGINT AS bits
+  SELECT event_type AS seg,
+         (user_id - ((user_id % 63 + 63) % 63)) // 63 AS word,
+         bit_or(1::BIGINT << ((user_id % 63 + 63) % 63)::INT)::BIGINT AS bits
   FROM events WHERE event_type IN ('view', 'click', 'purchase')
   GROUP BY 1, 2
 ),

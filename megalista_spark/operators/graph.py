@@ -143,6 +143,13 @@ def pagerank(
         "rank_u",
         F.round(F.col("rank_u") / F.lit(float(scale)), 6).alias("rank"),
     )
+    # eager-materialize the O(nodes) result once (lineage truncated), then
+    # release every persisted intermediate — a long-lived session running
+    # hundreds of queries must not accumulate e/deg/nodes blocks per call
+    out = out.localCheckpoint(eager=True)
+    for cached in (e, deg, nodes, prev):
+        if cached is not None:
+            cached.unpersist()
     return out
 
 
@@ -247,11 +254,15 @@ def personalized_pagerank(
             prev.unpersist()
         prev = ranks
         ranks = new
-    return ranks.select(
+    out = ranks.select(
         "node",
         "rank_u",
         F.round(F.col("rank_u") / F.lit(float(scale)), 6).alias("rank"),
-    )
+    ).localCheckpoint(eager=True)
+    for cached in (e, deg, s, nodes, prev):
+        if cached is not None:
+            cached.unpersist()
+    return out
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -306,10 +317,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         | ((F.col("d1") == F.col("d2")) & (F.col("w1") < F.col("w2")))
     )
     closing = oriented.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
-    return (
+    out = (
         wedges.join(closing, ["w1", "w2"], "left_semi")
         .agg(F.count(F.lit(1)).cast("bigint").alias("triangle_count"))
+        .localCheckpoint(eager=True)  # 1 row; frees the persisted edges
     )
+    oriented.unpersist()
+    return out
 
 
 def star_contraction_components(

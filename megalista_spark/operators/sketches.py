@@ -151,7 +151,6 @@ def hll_distinct_count_grouped(
     """
     shift = 1 << HLL_W
     gs = list(group_cols)
-    gl = ", ".join(gs)
     h = portable_hash64(F.col(col).cast("string"))
     regs = (
         df.select(*gs, h.alias("h"))
@@ -171,7 +170,7 @@ def hll_distinct_count_grouped(
             "s_present"
         ),
     )
-    return agg.selectExpr(gl, f"{hll_estimate_case_sql()} AS est_distinct")
+    return agg.selectExpr(*gs, f"{hll_estimate_case_sql()} AS est_distinct")
 
 
 # Count-min geometry: d affine hash rows over the 32-bit portable hash
@@ -286,8 +285,26 @@ def cms_heavy_hitters(
             "(1-s)^(phi*N) miss bound no longer holds"
         )
     counters = cms_build(df, col, d, w)
+    # row digest uses the null-tagged, length-prefixed encoding (same as
+    # cdc.table_checksum): raw concat_ws silently SKIPS nulls, so rows
+    # differing only in which column is NULL would collapse to one hash
+    # and sample jointly, weakening the (1-s)^(phi*N) miss bound
+    row_parts = [
+        F.coalesce(
+            F.concat(
+                F.lit("v"),
+                F.length(F.col(c).cast("string")).cast("string"),
+                F.lit(":"),
+                F.col(c).cast("string"),
+            ),
+            F.lit("n"),
+        )
+        for c in df.columns
+    ]
     sampled = df.where(
-        F.pmod(portable_hash64(F.concat_ws("\x1f", *df.columns)), F.lit(sample_mod))
+        F.pmod(
+            portable_hash64(F.concat_ws("\x1f", *row_parts)), F.lit(sample_mod)
+        )
         == 0
     )
     cands = sampled.select(col).distinct()
@@ -816,4 +833,10 @@ def exact_quantile_select(
             .select(F.lit(q).alias("q_permille"), F.col("_x").alias("value"))
         )
         out = hit if out is None else out.unionByName(hit)
-    return out.orderBy("q_permille")
+    # ≤ len(q_permilles) rows: eager-materialize, then free the shared
+    # persisted frames so repeated calls in one session don't accumulate
+    # (value, bin) blocks in executor storage
+    out = out.orderBy("q_permille").localCheckpoint(eager=True)
+    binned.unpersist()
+    bounds.unpersist()
+    return out

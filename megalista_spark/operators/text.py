@@ -820,13 +820,22 @@ def vocab_drift_report(
     ratio = (
         (F.col("c_new") + 1).cast("double") / (F.col("_nn") + F.col("_v"))
     ) / ((F.col("c_old") + 1).cast("double") / (F.col("_no") + F.col("_v")))
+    # rank on the UNROUNDED ratio: rounding first would send an extreme
+    # shrink (ratio < 5e-7) to 0.0, whose reciprocal is NULL in Spark —
+    # the single most-drifted term would sort last and fall out of the
+    # top_k (and engines disagree on 1/0). Rounding happens only at the
+    # output boundary. The smoothed ratio itself is always finite > 0.
     return (
         j.crossJoin(F.broadcast(tot))
-        .withColumn("rate_ratio", F.round(ratio, 6))
+        .withColumn("_ratio_exact", ratio)
         .withColumn(
-            "_drift", F.greatest(F.col("rate_ratio"), 1.0 / F.col("rate_ratio"))
+            "_drift",
+            F.greatest(F.col("_ratio_exact"), 1.0 / F.col("_ratio_exact")),
         )
         .orderBy(F.desc("_drift"), F.asc("term"))
         .limit(top_k)
-        .select("term", "c_old", "c_new", "rate_ratio")
+        .select(
+            "term", "c_old", "c_new",
+            F.round(F.col("_ratio_exact"), 6).alias("rate_ratio"),
+        )
     )

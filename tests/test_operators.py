@@ -826,6 +826,22 @@ def test_hll_small_cardinality_linear_counting(spark):
     assert abs(est - 100) <= 12
 
 
+def test_hll_grouped_multi_column_groups(spark):
+    # regression: the grouped form used to join group_cols into ONE
+    # selectExpr expression, so any 2+-column group threw ParseException
+    from megalista_spark.operators.sketches import hll_distinct_count_grouped
+
+    df = spark.createDataFrame(
+        [(g, p, i % 50) for g in ("a", "b") for p in (1, 2) for i in range(200)],
+        ["g", "p", "x"],
+    )
+    rows = hll_distinct_count_grouped(df, "x", ["g", "p"]).collect()
+    assert len(rows) == 4
+    assert set(rows[0].asDict()) == {"g", "p", "est_distinct"}
+    for r in rows:
+        assert abs(r["est_distinct"] - 50) <= 10
+
+
 def test_grouped_zscore_twins_agree(spark):
     # the applyInPandas kernel and the declarative two-phase-agg twin must
     # produce identical rounded z-scores (exact integer moments both ways)
