@@ -2218,21 +2218,80 @@ ORDER BY c_mktsegment
 """
 
 
-def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle count of the parts co-purchase graph (edge = two
-    parts in the same order) via degree-orientation
-    (operators/graph.py::triangle_count) — the wedge join does b² work
-    only over O(sqrt(m))-bounded out-neighborhoods, so a viral product
-    with millions of co-purchases cannot blow up a task."""
-    from megalista_spark.operators.graph import triangle_count
+# Sampling contract for every co-purchase graph query: edges come from
+# DISTINCT parts per order, and an order contributes at most this many
+# parts (its lowest part keys — deterministic). TPC-H orders hold ≤ 7
+# items so the cap never fires on test data (the oracles stay exact),
+# but at scale it bounds the per-order pair fan-out at cap²/2 — one
+# viral 10⁵-item order would otherwise explode a single join key to
+# 10¹⁰ pairs before any degree-orientation bound applies.
+COPURCHASE_BASKET_CAP = 64
 
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = l.select(
+
+def _copurchase_pairs_from(
+    l: DataFrame, cap: int = COPURCHASE_BASKET_CAP
+) -> DataFrame:
+    """Distinct co-purchase part pairs (id_a < id_b) under the basket
+    cap, from a (l_orderkey, l_partkey) frame. Window + self-join both
+    shuffle on l_orderkey, so the cap costs no extra exchange."""
+    from pyspark.sql import Window
+
+    l = l.select("l_orderkey", "l_partkey").distinct()
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    capped = (
+        l.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    c2 = capped.select(
         F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2")
     )
-    edges = l.join(
-        l2, (l["l_orderkey"] == l2["ok2"]) & (l["l_partkey"] < l2["pk2"])
-    ).select(F.col("l_partkey").alias("src"), F.col("pk2").alias("dst"))
+    return (
+        capped.join(
+            c2, (capped["l_orderkey"] == c2["ok2"]) & (capped["l_partkey"] < c2["pk2"])
+        )
+        .select(F.col("l_partkey").alias("id_a"), F.col("pk2").alias("id_b"))
+        .distinct()
+    )
+
+
+def _copurchase_pairs(
+    spark: SparkSession, sf_dir: str, cap: int = COPURCHASE_BASKET_CAP
+) -> DataFrame:
+    return _copurchase_pairs_from(_t(spark, sf_dir, "lineitem"), cap)
+
+
+def _copurchase_pairs_sql_ctes(cap: int = COPURCHASE_BASKET_CAP) -> str:
+    """The oracle twin of ``_copurchase_pairs``: sibling CTEs ending in
+    ``prs`` (id_a, id_b) — splice into a WITH clause."""
+    return f"""cop_dp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+cop_capped AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT l_orderkey, l_partkey,
+           row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM cop_dp
+  ) WHERE rn <= {cap}
+),
+prs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+  FROM cop_capped a JOIN cop_capped b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+
+
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the parts co-purchase graph (edge = two
+    parts in the same order, basket-capped per _copurchase_pairs) via
+    degree-orientation (operators/graph.py::triangle_count) — the wedge
+    join does b² work only over O(sqrt(m))-bounded out-neighborhoods, so
+    a viral product with millions of co-purchases cannot blow up a task."""
+    from megalista_spark.operators.graph import triangle_count
+
+    edges = _copurchase_pairs(spark, sf_dir).selectExpr(
+        "id_a AS src", "id_b AS dst"
+    )
     return triangle_count(edges)
 
 
@@ -2247,15 +2306,7 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     their own community. Oracle unrolls the same two rounds."""
     from megalista_spark.operators.graph import label_propagation_communities
 
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = l.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2")
-    )
-    edges = (
-        l.join(l2, (l["l_orderkey"] == l2["ok2"]) & (l["l_partkey"] < l2["pk2"]))
-        .select(F.col("l_partkey").alias("id_a"), F.col("pk2").alias("id_b"))
-        .distinct()
-    )
+    edges = _copurchase_pairs(spark, sf_dir)
     nodes = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
     return label_propagation_communities(edges, nodes, iters=2).orderBy("id")
 
@@ -2279,11 +2330,7 @@ def _lpa_sql(iters: int = 2) -> str:
 )""")
     rounds_sql = ",\n".join(rounds)
     return f"""
-WITH prs AS MATERIALIZED (
-  SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-),
+WITH {_copurchase_pairs_sql_ctes()},
 edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM prs
   UNION ALL
@@ -2296,12 +2343,8 @@ ORDER BY id
 """
 
 
-TRIANGLE_SQL = """
-WITH e AS (
-  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
-  FROM lineitem l1
-  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
-),
+TRIANGLE_SQL = "WITH " + _copurchase_pairs_sql_ctes() + """,
+e AS (SELECT id_a AS u, id_b AS v FROM prs),
 deg AS (
   SELECT node, count(*)::BIGINT AS deg
   FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
@@ -8634,13 +8677,7 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     peel rounds."""
     from megalista_spark.operators.graph import kcore_peel
 
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2"))
-    pairs = (
-        l.join(l2, (l["l_orderkey"] == l2["ok2"]) & (l["l_partkey"] < l2["pk2"]))
-        .select(F.col("l_partkey").alias("id_a"), F.col("pk2").alias("id_b"))
-        .distinct()
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     return kcore_peel(pairs, k=3, rounds=3).orderBy("node")
 
 
@@ -8658,11 +8695,7 @@ def _kcore_sql(k: int = 3, rounds: int = 3) -> str:
 )""")
     steps_sql = ",\n".join(steps)
     return f"""
-WITH prs AS MATERIALIZED (
-  SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-),
+WITH {_copurchase_pairs_sql_ctes()},
 a0 AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM prs
   UNION
@@ -8683,22 +8716,11 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the identical Pearson form."""
     from megalista_spark.operators.graph import degree_assortativity
 
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2"))
-    pairs = (
-        l.join(l2, (l["l_orderkey"] == l2["ok2"]) & (l["l_partkey"] < l2["pk2"]))
-        .select(F.col("l_partkey").alias("id_a"), F.col("pk2").alias("id_b"))
-        .distinct()
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     return degree_assortativity(pairs)
 
 
-ASSORTATIVITY_SQL = """
-WITH prs AS MATERIALIZED (
-  SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-),
+ASSORTATIVITY_SQL = "WITH " + _copurchase_pairs_sql_ctes() + """,
 sym AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM prs
   UNION
@@ -8829,13 +8851,7 @@ def global_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame
     from megalista_spark.operators.dedup import symmetric_edges
     from megalista_spark.operators.graph import triangle_count
 
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2"))
-    pairs = (
-        l.join(l2, (l["l_orderkey"] == l2["ok2"]) & (l["l_partkey"] < l2["pk2"]))
-        .select(F.col("l_partkey").alias("id_a"), F.col("pk2").alias("id_b"))
-        .distinct()
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     tri = triangle_count(pairs.selectExpr("id_a AS src", "id_b AS dst"))
     wedges = (
         symmetric_edges(pairs)
@@ -8884,22 +8900,9 @@ FROM tri CROSS JOIN wc
 
 
 def _queries_module_triangle_sql() -> str:
-    # the triangle oracle re-used verbatim for splicing; its CTE chain
-    # starts at `e` over the same prs relation name used here
-    anchor = (
-        "WITH e AS (\n  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v\n"
-        "  FROM lineitem l1\n"
-        "  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey\n)"
-    )
-    if anchor not in TRIANGLE_SQL:
-        raise AssertionError(
-            "_queries_module_triangle_sql: TRIANGLE_SQL's opening CTE text "
-            "changed — update the splice anchor"
-        )
-    return TRIANGLE_SQL.replace(
-        anchor,
-        "WITH prs AS MATERIALIZED (\n  SELECT DISTINCT l1.l_partkey AS id_a, l2.l_partkey AS id_b\n  FROM lineitem l1\n  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey\n),\ne AS (SELECT id_a AS u, id_b AS v FROM prs)",
-    )
+    # TRIANGLE_SQL now opens with the shared basket-capped prs CTEs, so
+    # the clustering splice can reference `prs` with no rewrite
+    return TRIANGLE_SQL
 
 
 def audience_week_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8998,13 +9001,7 @@ def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from megalista_spark.operators.dedup import symmetric_edges
 
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2"))
-    pairs = (
-        l.join(l2, (l["l_orderkey"] == l2["ok2"]) & (l["l_partkey"] < l2["pk2"]))
-        .select(F.col("l_partkey").alias("id_a"), F.col("pk2").alias("id_b"))
-        .distinct()
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     sym = symmetric_edges(pairs).distinct().localCheckpoint(eager=True)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     seeds = sym.select("src").distinct().orderBy("src").limit(3)
@@ -9035,12 +9032,7 @@ def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LINK_PREDICTION_SQL = """
-WITH prs AS MATERIALIZED (
-  SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-),
+LINK_PREDICTION_SQL = "WITH " + _copurchase_pairs_sql_ctes() + """,
 sym AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM prs
   UNION

@@ -7,8 +7,9 @@ exact request payload). Here the transport is an injectable strategy so:
 - ``MockTransport`` captures payloads for tests (per-executor, returned via
   the success rows themselves — no driver-side globals)
 - ``DryRunTransport`` logs and accepts everything
-- real Google Ads / GA4 / CM transports are thin adapters (the client
-  libraries are not in this environment; the classes raise cleanly)
+- the real Google Ads / CM / GA / GA4 / DV360 / AppsFlyer adapters live
+  in ``sinks/adapters.py`` — lazy client-library imports, injectable
+  service/HTTP seams, request-golden tests in tests/test_adapters.py
 
 A transport receives one chunk (list of row dicts) and returns the list of
 ACCEPTED row dicts — partial failure is modeled by returning a subset

@@ -257,3 +257,26 @@ def test_ewma_no_raw_log_window(spark, entry):
     txt = plan_of(entry.ewma_hourly_by_type(spark, SF))
     assert "BatchEvalPython" not in txt
     assert "Window" not in txt
+
+
+def test_copurchase_basket_cap_bounds_viral_order(spark, entry):
+    # the sampling contract: one synthetic 10^4-item order must complete
+    # and contribute at most cap*(cap-1)/2 pairs (its cap lowest part
+    # keys), instead of 5*10^7 — the skew guard for the six co-purchase
+    # graph queries
+    from pyspark.sql import functions as F
+
+    cap = entry.COPURCHASE_BASKET_CAP
+    viral = spark.range(10_000).select(
+        F.lit(1).alias("l_orderkey"), (F.col("id") + 10).alias("l_partkey")
+    )
+    normal = spark.createDataFrame(
+        [(2, 1), (2, 2), (2, 3), (3, 1), (3, 2)], ["l_orderkey", "l_partkey"]
+    )
+    pairs = entry._copurchase_pairs_from(viral.unionByName(normal), cap=cap)
+    n = pairs.count()
+    # normal orders: {1,2,3} and {1,2} -> pairs {12,13,23}; viral: C(cap,2)
+    assert n == cap * (cap - 1) // 2 + 3
+    # the kept parts are the lowest part keys of the viral order
+    kept = pairs.agg(F.max("id_b")).first()[0]
+    assert kept <= 10 + cap - 1
