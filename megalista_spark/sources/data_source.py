@@ -234,15 +234,66 @@ class BigQueryDataSource(DataSource):
     partitions reads over the BQ Storage API instead, and pushes
     projection/filters server-side. The jar is not bundled in this
     environment, so the read raises a clear error if absent.
+
+    Two transactional shapes:
+    - default (``dedup_in_bq=False``): connector table read + Spark-side
+      broadcast anti-join against the parquet ControlTable — the engine's
+      scale-tested path
+    - ``dedup_in_bq=True`` with an ``ops_dataset``: the reference's
+      BQ-native semantics (big_query_data_source.py:76-148) — control
+      DDL with 15-day partition expiry runs in BQ, and the dedup LEFT
+      JOIN ships to the connector as a ``query`` option so only
+      not-yet-uploaded rows cross the wire (sources/bigquery_control.py)
     """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: Source,
+        ops_dataset: str = "",
+        dedup_in_bq: bool = False,
+        bq_client: "Any | None" = None,
+    ):
+        super().__init__(spark, source)
+        self.ops_dataset = ops_dataset
+        self.dedup_in_bq = dedup_in_bq
+        self.bq_client = bq_client
+
+    def connector_options(
+        self, transactional_type: "TransactionalType | None" = None,
+        cols: "list[str] | None" = None,
+    ) -> dict[str, str]:
+        """The exact spark-bigquery options a read will use — pure, so the
+        contract is testable without the jar. Query-mode reads need
+        viewsEnabled + a materialization dataset (connector contract)."""
+        from megalista_spark.models.execution import TransactionalType
+
+        if (
+            self.dedup_in_bq
+            and transactional_type is not None
+            and transactional_type != TransactionalType.NOT_TRANSACTIONAL
+        ):
+            from megalista_spark.sources.bigquery_control import (
+                BigQueryControlTable,
+            )
+
+            ctrl = BigQueryControlTable(
+                self.bq_client, self.source.metadata, self.ops_dataset,
+                transactional_type,
+            )
+            return {
+                "query": ctrl.dedup_sql(cols or ["*"]),
+                "viewsEnabled": "true",
+                "materializationDataset": self.ops_dataset,
+            }
+        return {"table": self.source.path}
 
     def read_raw(self) -> DataFrame:
         try:
-            return (
-                self.spark.read.format("bigquery")
-                .option("table", self.source.path)
-                .load()
-            )
+            reader = self.spark.read.format("bigquery")
+            for k, v in self.connector_options().items():
+                reader = reader.option(k, v)
+            return reader.load()
         except Exception as exc:  # connector jar missing in local env
             raise RuntimeError(
                 "BigQuery connector not available in this environment; "

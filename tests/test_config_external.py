@@ -108,3 +108,119 @@ def test_reference_sample_config_parses_unchanged():
     assert execs[0].destination.destination_type.value == "ADS_OFFLINE_CONVERSION"
     assert execs[0].source.path == "my_source_dataset.my_offline_conversions_table"
     assert execs[1].destination.metadata == ("GA_Property_ID", "1")
+
+
+def test_sheet_account_config_with_profile_fallback():
+    """reference spreadsheet_execution_source.py:47-59: named-cell account
+    config; CampaignManagerProfileId absent -> CampaignManagerAccountId."""
+    from megalista_spark.sources.config_external import (
+        load_account_config_from_sheet,
+    )
+
+    cells = {
+        "GoogleAdsAccountId": "123-456-7890",
+        "GoogleAdsMCC": "TRUE",
+        "AppId": "com.app",
+        "GoogleAnalyticsAccountId": "UA-9",
+        "CampaignManagerAccountId": "555",
+    }
+    acc = load_account_config_from_sheet(
+        "sheet1",
+        get_value=lambda sid, rng: cells.get(rng),
+        check_if_range_exists=lambda sid, rng: rng in cells,
+    )
+    assert acc.google_ads_account_id == "1234567890"  # digits-filtered
+    assert acc.mcc is True
+    assert acc.campaign_manager_profile_id == "555"  # fallback range
+    assert acc.app_id == "com.app"
+
+    cells["CampaignManagerProfileId"] = "777"
+    acc2 = load_account_config_from_sheet(
+        "sheet1",
+        get_value=lambda sid, rng: cells.get(rng),
+        check_if_range_exists=lambda sid, rng: rng in cells,
+    )
+    assert acc2.campaign_manager_profile_id == "777"
+
+
+def test_sheet_loader_reads_account_from_sheet():
+    from megalista_spark.sources.config_external import (
+        load_executions_from_sheet,
+    )
+
+    ranges = {
+        "GoogleAdsAccountId": [["111-222"]],
+        "GoogleAdsMCC": [["FALSE"]],
+        "SourcesRange": [["s1", "FILE", "csv", "/tmp/x.csv"]],
+        "DestinationsRange": [["d1", "ADS_OFFLINE_CONVERSION", "conv"]],
+        "SchedulesRange": [["YES", "s1", "d1"], ["NO", "s1", "d1"]],
+    }
+
+    def fetch(sid, rng):
+        if rng not in ranges:
+            raise KeyError(rng)
+        return ranges[rng]
+
+    execs = load_executions_from_sheet("sheet1", fetch_values=fetch)
+    assert len(execs) == 1
+    assert execs[0].account_config.google_ads_account_id == "111222"
+    assert execs[0].account_config.mcc is False
+
+
+def test_firestore_reference_layout():
+    """reference firestore_execution_source.py:41-137: account_config doc,
+    bq_dataset/bq_table sources, per-type metadata with N/A padding."""
+    from megalista_spark.sources.config_external import (
+        load_executions_from_firestore,
+    )
+
+    account_doc = {
+        "google_ads_id": "123-456",
+        "mcc_trix": "FALSE",
+        "google_analytics_account_id": "UA-1",
+        "campaign_manager_profile_id": "999",
+        "app_id": "com.x",
+    }
+    entries = [
+        {
+            "active": "yes",
+            "source_name": "s1",
+            "source": "BIG_QUERY",
+            "bq_dataset": "ds",
+            "bq_table": "t",
+            "destination_name": "d1",
+            "type": "ADS_CUSTOMER_MATCH_CONTACT_INFO_UPLOAD",
+            "gads_audience_name": "aud",
+            "gads_operation": "ADD",
+            "gads_hash": "true",
+            "gads_account": "777",
+        },
+        {"active": "no", "source_name": "s2"},
+    ]
+    execs = load_executions_from_firestore(
+        "coll",
+        fetch_documents=lambda c: entries,
+        fetch_account_doc=lambda c: account_doc,
+        reference_layout=True,
+    )
+    assert len(execs) == 1
+    e = execs[0]
+    assert e.account_config.google_ads_account_id == "123456"
+    assert e.source.metadata == ("ds", "t")
+    # metadata_padding -> 'N/A' keeps sheet-aligned positions
+    assert e.destination.metadata == ("aud", "ADD", "true", "N/A", "777")
+
+
+def test_firestore_reference_layout_missing_field_raises():
+    from megalista_spark.sources.config_external import (
+        firestore_destination_metadata,
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="Upload type not implemented"):
+        firestore_destination_metadata({"type": "NOPE"})
+    with pytest.raises(ValueError, match="Missing field"):
+        firestore_destination_metadata(
+            {"type": "CM_OFFLINE_CONVERSION",
+             "campaign_manager_floodlight_activity_id": "1"}
+        )
