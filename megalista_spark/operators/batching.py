@@ -18,6 +18,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Above this row count, an unpartitioned assign_batches refuses to run:
+# a global window serializes every row through ONE task. The threshold is
+# deliberately generous for oracle/test workloads and far below anything
+# a production table would hit accidentally.
+GLOBAL_WINDOW_MAX_ROWS = 10_000_000
+
+
 def assign_batches(
     df: DataFrame,
     order_by: list[str],
@@ -25,16 +32,29 @@ def assign_batches(
     partition_by: list[str] | None = None,
     batch_col: str = "batch_id",
     iteration_col: str = "iteration",
+    max_global_rows: int = GLOBAL_WINDOW_MAX_ROWS,
 ) -> DataFrame:
     """1-based ``iteration`` per (partition_by) group: rows [1..N] → batch 1,
     [N+1..2N] → batch 2, ... Matches the reference's 1-based Batch.iteration.
 
     At scale, always pass ``partition_by`` (e.g. the execution/job key) so
-    the window is per-group and parallel instead of global.
+    the window is per-group and parallel instead of global. Without
+    ``partition_by`` the input is counted first and anything above
+    ``max_global_rows`` raises instead of silently funnelling the table
+    through one task (the executor's partition-local chunking is the
+    scale path).
     """
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(*order_by)
     else:
+        n = df.count()
+        if n > max_global_rows:
+            raise ValueError(
+                f"assign_batches without partition_by would sort {n} rows "
+                "through a single task — pass partition_by (per-group "
+                "windows) or use the sink executor's partition-local "
+                "chunking"
+            )
         w = Window.partitionBy().orderBy(*order_by)
     rn = F.row_number().over(w)
     out = df.withColumn(

@@ -2273,3 +2273,17 @@ def test_kcore_and_assortativity_ignore_self_loops(spark):
     r = degree_assortativity(edges).collect()[0]
     # loop-free graph is 1-regular: 2 directed edges, zero degree variance
     assert (r["n_edges"], r["assortativity"]) == (2, None)
+
+
+def test_assign_batches_global_window_guard(spark):
+    # unpartitioned batching must refuse oversized inputs instead of
+    # serializing them through one task
+    import pytest as _pytest
+
+    from megalista_spark.operators.batching import assign_batches
+
+    df = spark.range(100).selectExpr("id AS k")
+    out = assign_batches(df, ["k"], 30)
+    assert out.where("iteration = 4").count() == 10  # 100 = 3*30 + 10
+    with _pytest.raises(ValueError, match="single task"):
+        assign_batches(df, ["k"], 30, max_global_rows=50)

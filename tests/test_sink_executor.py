@@ -110,3 +110,33 @@ def test_batch_sizes_parity():
     assert BATCH_SIZES[DestinationType.CM_OFFLINE_CONVERSION] == 1000
     assert BATCH_SIZES[DestinationType.GA_USER_LIST_UPLOAD] == 5_000_000
     assert BATCH_SIZES[DestinationType.APPSFLYER_S2S_EVENTS] == 1000
+
+
+def test_concurrent_sender_overlaps_through_executor(spark):
+    """End-to-end throughput: a per-row transport with 20ms latency and
+    max_concurrency=8 must overlap I/O inside each chunk — 32 rows in one
+    partition complete in ~rows/concurrency*latency, not rows*latency
+    (the engine's answer to the reference's aiohttp overlap,
+    appsflyer_s2s_uploader_async.py:101-139)."""
+    import time as _time
+
+    from megalista_spark.sinks.executor import SinkExecutor
+    from megalista_spark.sinks.transports import ConcurrentSendTransport
+
+    class SlowSender(ConcurrentSendTransport):
+        def send_one(self, row, context):
+            _time.sleep(0.02)
+            return True
+
+    df = spark.createDataFrame([(i,) for i in range(32)], ["k"]).coalesce(1)
+    t = SlowSender(max_concurrency=8)
+    result = SinkExecutor(t, batch_size=16).run(df)
+    assert result.success.count() == 32
+    # the overlap assertion measures the transport directly (Spark job
+    # overhead would swamp a wall-clock check through the executor):
+    # serial floor is 32*0.02 = 0.64s; overlapped ceil(32/8)*0.02 ≈ 0.08s
+    start = _time.monotonic()
+    accepted = t.send([{"k": i} for i in range(32)], {})
+    direct = _time.monotonic() - start
+    assert len(accepted) == 32
+    assert direct < 0.32  # < half the 0.64s serial floor
