@@ -966,3 +966,148 @@ class AppsFlyerS2STransport(ConcurrentSendTransport):
             {"authentication": self.dev_key, "Content-Type": "application/json"},
         )
         return status == 200
+
+
+class GAUserListTransport(GADataImportTransport):
+    """GA user-list upload (reference
+    google_analytics_user_list_uploader.py:30-175): the data-import
+    transport specialized to the user-list CSV shape, plus remarketing
+    audience create-if-missing.
+
+    destination metadata: [web_property_id, view_id, data_import_name,
+    user_id_list_name, user_id_custom_dim, buyer_custom_dim,
+    custom_dim_field?]. ``before_run`` creates the SIMPLE remarketing
+    audience exactly once when user_id_list_name is set (:138-140,
+    :46-93 — segment users::condition::<buyer_dim>==buyer, 365-day
+    membership, MCC_LINKS/ADWORDS_LINKS by account type); the eraser is
+    NOT part of this uploader (no erase_before_run). send() renders the
+    two-column (user_id_custom_dim, buyer_custom_dim) CSV (:153-157)."""
+
+    def __init__(
+        self,
+        execution: Execution,
+        credentials: OAuthCredentials | None = None,
+        service_builder: Callable[[OAuthCredentials], Any] | None = None,
+    ):
+        md = execution.destination.metadata
+        # reference _assert_all_list_names_are_present(:96-106)
+        if len(md) < 6:
+            raise ValueError(
+                f"Missing destination information. Found {len(md)}"
+            )
+        if not (md[0] and md[1] and md[2] and md[4] and md[5]):
+            raise ValueError(
+                f"Missing destination information. Received {md}"
+            )
+        super().__init__(
+            execution,
+            credentials=credentials,
+            service_builder=service_builder,
+            erase_before_run=False,
+        )
+
+    @property
+    def _data_import_name(self) -> str:
+        # data import name is metadata[2] here (vs [1] for GA_DATA_IMPORT)
+        return self.execution.destination.metadata[2]
+
+    def _resolve_data_source_id(self) -> str:
+        if self._data_source_id is None:
+            web_property_id = self.execution.destination.metadata[0]
+            analytics = self._ensure_service()
+            sources = (
+                analytics.management()
+                .customDataSources()
+                .list(accountId=self._ga_account_id, webPropertyId=web_property_id)
+                .execute()["items"]
+            )
+            matches = [s for s in sources if s["name"] == self._data_import_name]
+            if len(matches) != 1:
+                raise TransportError(
+                    f"{self._data_import_name} - data import not found, "
+                    "please configure it in Google Analytics"
+                )
+            self._data_source_id = matches[0]["id"]
+        return self._data_source_id
+
+    def before_run(self, context: dict[str, Any]) -> None:
+        md = self.execution.destination.metadata
+        web_property_id, view_id, list_name, buyer_dim = md[0], md[1], md[3], md[5]
+        if not list_name:
+            return
+        analytics = self._ensure_service()
+        acc = self.execution.account_config
+        existing = (
+            analytics.management()
+            .remarketingAudience()
+            .list(accountId=acc.google_analytics_account_id,
+                  webPropertyId=web_property_id)
+            .execute()["items"]
+        )
+        if any(a["name"] == list_name for a in existing):
+            return
+        analytics.management().remarketingAudience().insert(
+            accountId=acc.google_analytics_account_id,
+            webPropertyId=web_property_id,
+            body={
+                "name": list_name,
+                "linkedViews": [view_id],
+                "linkedAdAccounts": [
+                    {
+                        "type": "MCC_LINKS" if acc.mcc else "ADWORDS_LINKS",
+                        "linkedAccountId": acc.google_ads_account_id,
+                    }
+                ],
+                "audienceType": "SIMPLE",
+                "audienceDefinition": {
+                    "includeConditions": {
+                        "kind": "analytics#includeConditions",
+                        "isSmartList": False,
+                        "segment": f"users::condition::{buyer_dim}==buyer",
+                        "membershipDurationDays": 365,
+                    }
+                },
+            },
+        ).execute()
+
+    def send(self, payload: list[Row], context: dict[str, Any]) -> list[Row]:
+        md = self.execution.destination.metadata
+        user_dim, buyer_dim = md[4], md[5]
+        custom_dim_field = md[6] if len(md) > 6 else None
+        web_property_id = md[0]
+        analytics = self._ensure_service()
+        data_source_id = self._resolve_data_source_id()
+        # reference :153-157 — header is the dim PAIR, not ga:-prefixed
+        body = "\n".join(
+            [
+                f"{user_dim},{buyer_dim}",
+                *[
+                    "%s,%s"
+                    % (
+                        r["user_id"],
+                        r[custom_dim_field] if custom_dim_field else "buyer",
+                    )
+                    for r in payload
+                ],
+            ]
+        )
+        try:
+            from googleapiclient.http import MediaInMemoryUpload
+        except ImportError:
+            MediaInMemoryUpload = None
+        media = (
+            MediaInMemoryUpload(
+                body.encode("utf-8"),
+                mimetype="application/octet-stream",
+                resumable=True,
+            )
+            if MediaInMemoryUpload is not None
+            else body.encode("utf-8")
+        )
+        analytics.management().uploads().uploadData(
+            accountId=self._ga_account_id,
+            webPropertyId=web_property_id,
+            customDataSourceId=data_source_id,
+            media_body=media,
+        ).execute()
+        return payload

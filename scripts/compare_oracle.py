@@ -4,12 +4,23 @@ the same parquet tables; compare row count, column names, and an
 order-insensitive value hash.
 
 Usage: python scripts/compare_oracle.py [sf_dir] [query ...]
+
+Env:
+  ORACLE_TIMEOUT_SEC — per-query DuckDB watchdog. Some oracles are
+  deliberately naive (all-pairs verification, unrolled graph rounds)
+  and go quadratic at large scale factors; past the timeout the oracle
+  is interrupted and the query is recorded as ``oracle-timeout``
+  (Spark result + rows recorded, no verdict) instead of stalling the
+  whole roster. Unset = no timeout.
+  DUCKDB_TEMP_DIR — spill directory for the oracle engine (default
+  /tmp/duckdb_oracle_spill; sf1 oracles can spill tens of GB).
 """
 
 from __future__ import annotations
 
 import hashlib
 import importlib.util
+import os
 import sys
 import time
 
@@ -60,8 +71,35 @@ def main() -> None:
 
     spark = get_spark(app_name="compare_oracle")
     con = duckdb.connect()
+    tmp = os.environ.get("DUCKDB_TEMP_DIR", "/tmp/duckdb_oracle_spill")
+    os.makedirs(tmp, exist_ok=True)
+    con.sql(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    timeout_sec = float(os.environ.get("ORACLE_TIMEOUT_SEC", "0") or 0)
+
+    def run_oracle(sql: str):
+        """Run the oracle with an interrupt watchdog; returns (df, timed_out)."""
+        if not timeout_sec:
+            return con.sql(sql).df(), False
+        import threading
+
+        fired = threading.Event()
+
+        def interrupt():
+            fired.set()
+            con.interrupt()
+
+        timer = threading.Timer(timeout_sec, interrupt)
+        timer.start()
+        try:
+            return con.sql(sql).df(), False
+        except Exception:
+            if fired.is_set():
+                return None, True
+            raise
+        finally:
+            timer.cancel()
 
     qs, oracles = m.queries(), m.oracle_sql()
     failures = []
@@ -79,10 +117,16 @@ def main() -> None:
             print(f"rows-only  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            odf = con.sql(oracles[name]).df()
+            odf, timed_out = run_oracle(oracles[name])
         except Exception as exc:
             print(f"FAIL  {name}: oracle error: {str(exc)[:200]}")
             failures.append(name)
+            continue
+        if timed_out:
+            print(
+                f"oracle-timeout  {name}: spark {len(sdf)} rows "
+                f"({time.time()-t0:.1f}s; oracle > {timeout_sec:.0f}s)"
+            )
             continue
         problems = []
         if len(sdf) != len(odf):

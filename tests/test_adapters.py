@@ -906,3 +906,103 @@ class _PicklableOcService:
             if c["gclid"] != "567"
         ]
         return SimpleNamespace(results=results, partial_failure_error=None)
+
+
+class FakeAnalyticsUserListService(FakeAnalyticsService):
+    """Extends the analytics fake with the remarketingAudience chain."""
+
+    def __init__(self, existing_audiences=()):
+        super().__init__()
+        self.audiences = [{"name": n, "id": str(i)} for i, n in enumerate(existing_audiences)]
+        self.audience_lists = []
+        self.audience_inserts = []
+
+    def remarketingAudience(self):
+        return _AudienceChain(self)
+
+
+class _AudienceChain:
+    def __init__(self, svc):
+        self.svc = svc
+
+    def list(self, **kw):
+        self.svc.audience_lists.append(kw)
+        return _Exec({"items": list(self.svc.audiences)})
+
+    def insert(self, **kw):
+        self.svc.audience_inserts.append(kw)
+        return _Exec({"id": "new-id"})
+
+
+def _ga_userlist_execution():
+    account = AccountConfig("123-456", True, "54321", "", "")
+    return Execution(
+        account,
+        SOURCE,
+        Destination(
+            "d",
+            DestinationType.GA_USER_LIST_UPLOAD,
+            ("UA-prop", "view9", "my import", "buyers list", "dim1", "dim2"),
+        ),
+    )
+
+
+def test_ga_user_list_creates_audience_and_uploads():
+    """reference google_analytics_user_list_uploader.py:46-93 (SIMPLE
+    audience body, MCC_LINKS for MCC accounts) + :153-165 (dim-pair CSV
+    header, 'buyer' default value)."""
+    from megalista_spark.sinks.adapters import GAUserListTransport
+
+    svc = FakeAnalyticsUserListService()
+    t = GAUserListTransport(_ga_userlist_execution(), service_builder=lambda c: svc)
+    t.before_run({})
+    assert svc.audience_inserts == [
+        {
+            "accountId": "54321",
+            "webPropertyId": "UA-prop",
+            "body": {
+                "name": "buyers list",
+                "linkedViews": ["view9"],
+                "linkedAdAccounts": [
+                    {"type": "MCC_LINKS", "linkedAccountId": "123456"}
+                ],
+                "audienceType": "SIMPLE",
+                "audienceDefinition": {
+                    "includeConditions": {
+                        "kind": "analytics#includeConditions",
+                        "isSmartList": False,
+                        "segment": "users::condition::dim2==buyer",
+                        "membershipDurationDays": 365,
+                    }
+                },
+            },
+        }
+    ]
+    rows = [{"user_id": "u1"}, {"user_id": "u2"}]
+    assert t.send(rows, {}) == rows
+    up = svc.upload_calls[0]
+    assert up["customDataSourceId"] == "ds1"
+    assert up["media_body"] == b"dim1,dim2\nu1,buyer\nu2,buyer"
+
+
+def test_ga_user_list_existing_audience_not_recreated():
+    from megalista_spark.sinks.adapters import GAUserListTransport
+
+    svc = FakeAnalyticsUserListService(existing_audiences=["buyers list"])
+    t = GAUserListTransport(_ga_userlist_execution(), service_builder=lambda c: svc)
+    t.before_run({})
+    assert svc.audience_inserts == []
+
+
+def test_ga_user_list_metadata_validation():
+    from megalista_spark.sinks.adapters import GAUserListTransport
+
+    account = AccountConfig("1", False, "2", "", "")
+    with pytest.raises(ValueError, match="Missing destination information"):
+        GAUserListTransport(
+            Execution(
+                account,
+                SOURCE,
+                Destination("d", DestinationType.GA_USER_LIST_UPLOAD, ("a", "b")),
+            )
+        )
