@@ -5632,9 +5632,14 @@ def streaming_transactional_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    # static control table: every 7th id, read from the same table so the
+    # key domain tracks the scale factor (a fixed spark.range cap silently
+    # under-covered ids ≥ 7e5 at sf1 — caught by the sf1 oracle run)
     uploaded = (
-        spark.range(0, 100000)
-        .select((F.col("id") * 7).alias("event_id"))
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id")
+        .where(F.pmod(F.col("event_id"), F.lit(7)) == 0)
+        .distinct()
     )
     kept = stream_transactional_dedup(ev, uploaded, key="event_id")
     agg = kept.groupBy("event_type").agg(

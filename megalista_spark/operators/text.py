@@ -467,6 +467,7 @@ def tfidf_cosine_pairs(
     max_term_df: int | None = None,
     max_term_df_frac: float = 0.2,
     idf_scale: int = 1000,
+    max_candidate_pairs: int = 200_000_000,
 ) -> DataFrame:
     """Sparse TEXT cosine similarity pairs — the term-vector complement
     of the dense embedding near-dup family: all document pairs with
@@ -522,6 +523,29 @@ def tfidf_cosine_pairs(
         .where((F.col("df") > 1) & (F.col("df") <= cap))
         .select("term", "df")
     )
+    # Refuse-to-melt guard (same design as the capped driver-GEMM in
+    # similarity.py): candidate volume is EXACTLY Σ C(df,2) over kept
+    # terms — one cheap scalar agg over the term table predicts it before
+    # any pair is generated. On corpora whose mid-df terms make that
+    # quadratic (df_frac·N grows with N), the exact inverted-index form
+    # is the wrong tool: fail loudly and point at the sub-quadratic
+    # family instead of OOM-ing the executors.
+    est_pairs = (
+        kept_terms.agg(
+            F.coalesce(
+                F.sum(F.expr("df * (df - 1) div 2")), F.lit(0)
+            ).alias("p")
+        ).first()["p"]
+    )
+    if est_pairs > max_candidate_pairs:
+        raise ValueError(
+            f"tfidf_cosine_pairs would generate {est_pairs} candidate "
+            f"pairs (> max_candidate_pairs={max_candidate_pairs}) on this "
+            "corpus shape. Lower max_term_df_frac / max_term_df, raise "
+            "threshold, or use the sub-quadratic near-dup family "
+            "(dedup.minhash_lsh_pairs / setsim_prefix_pairs / "
+            "similarity.srp_lsh_pairs)."
+        )
     weighted = (
         tf.join(kept_terms, "term")
         .crossJoin(F.broadcast(n))
