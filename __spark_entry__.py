@@ -3702,12 +3702,22 @@ def trailing_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sec")
         .rangeBetween(-3599, Window.currentRow)
     )
+    # fixed-point cents: float avg over a sliding frame is
+    # accumulation-order-dependent (Spark retracting running sum vs
+    # DuckDB segment tree) and diverges at ~10^6 rows per the sf1 oracle
+    # run; integer cent sums are exact in both engines
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
-        e.select(
+        e.withColumn("_cents", cents)
+        .select(
             "event_id",
             "user_id",
             F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
-            F.round(F.avg("value").over(w), 6).alias("avg_value_1h"),
+            F.round(
+                F.sum("_cents").over(w)
+                / (F.lit(100.0) * F.count(F.lit(1)).over(w)),
+                6,
+            ).alias("avg_value_1h"),
         )
         .orderBy("event_id")
     )
@@ -3715,13 +3725,13 @@ def trailing_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRAILING_WINDOW_SQL = """
 WITH e AS (
-  SELECT event_id, user_id, value,
+  SELECT event_id, user_id, round(value * 100)::BIGINT AS cents,
          epoch_us(ts::TIMESTAMP) // 1000000 AS sec
   FROM events
 )
 SELECT event_id, user_id,
        count(*) OVER w::BIGINT AS n_trailing_1h,
-       round(avg(value) OVER w, 6) AS avg_value_1h
+       round(sum(cents) OVER w / (100.0 * count(*) OVER w), 6) AS avg_value_1h
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY sec
              RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
