@@ -59,7 +59,7 @@ def session_stats(
         s.groupBy(user_col, "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("total_value"),
+            F.round(F.sum(F.round(F.col(value_col) * 100).cast("long")) / 100.0, 6).alias("total_value"),
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
         )
@@ -122,7 +122,7 @@ def hopping_rollup(
         events.groupBy(win.getField("start").alias("window_start"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("total_value"),
+            F.round(F.sum(F.round(F.col(value_col) * 100).cast("long")) / 100.0, 6).alias("total_value"),
         )
     )
 
@@ -144,7 +144,7 @@ def tumbling_rollup(
         events.groupBy(win.getField("start").alias("window_start"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("total_value"),
+            F.round(F.sum(F.round(F.col(value_col) * 100).cast("long")) / 100.0, 6).alias("total_value"),
         )
     )
 

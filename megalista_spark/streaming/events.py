@@ -24,6 +24,16 @@ from pyspark.sql import types as T
 
 from megalista_spark.sinks.executor import SinkExecutor
 
+
+def _exact_value_sum(value_col: str):
+    """Engine-portable money sum: the value column carries 2-decimal
+    amounts, so summing exact integer cents (bigint, order-independent)
+    and dividing once avoids float accumulation-order drift — Spark's
+    partial-agg tree and an external oracle otherwise disagree in the
+    last ulp once a group holds ~10^5 rows (seen at sf1)."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return F.round(F.sum(cents) / 100.0, 6)
+
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-based event stream (testing/replay); ts normalized to a real
     timestamp column.
@@ -76,7 +86,7 @@ def stream_tumbling_rollup(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("total_value"),
+            _exact_value_sum(value_col).alias("total_value"),
         )
         .select(
             F.col("_w.start").alias("window_start"),
@@ -111,7 +121,7 @@ def stream_hopping_rollup(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("total_value"),
+            _exact_value_sum(value_col).alias("total_value"),
         )
         .select(
             F.col("_w.start").alias("window_start"),
@@ -137,7 +147,7 @@ def stream_session_window_stats(
         .groupBy(F.session_window(F.col(ts_col), f"{gap_minutes} minutes"), F.col(user_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("total_value"),
+            _exact_value_sum(value_col).alias("total_value"),
         )
         .select(
             F.col(user_col),
