@@ -12,8 +12,28 @@ megalista_spark/streaming/).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def money_sum(value_col: str, decimals: int = 2) -> Column:
+    """Fixed-point sum of a money-like double column.
+
+    Each value is quantized to ``decimals`` decimal places (integer
+    "cents"), summed as a long, and rescaled — so the total is exact and
+    bit-identical across engines/partition orders at any row count
+    (float summation is order-dependent; long summation is not).
+
+    CONTRACT: inputs MUST have at most ``decimals`` decimal places —
+    finer-precision values are rounded per-row before summation. Callers
+    with e.g. 4-decimal values must pass ``decimals=4`` or the extra
+    precision is silently dropped. Overflow headroom: at decimals=2 a
+    long holds ~9.2e16 cents ≈ $9.2e14 — ample for any one group.
+    """
+    scale = 10 ** decimals
+    return F.round(
+        F.sum(F.round(F.col(value_col) * scale).cast("long")) / float(scale), 6
+    )
 
 
 def sessionize(
@@ -52,14 +72,21 @@ def session_stats(
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    value_decimals: int = 2,
 ) -> DataFrame:
-    """Per-session aggregates over the sessionized stream."""
+    """Per-session aggregates over the sessionized stream.
+
+    ``total_value`` uses fixed-point summation (see :func:`money_sum`):
+    ``value_col`` is assumed to carry at most ``value_decimals`` decimal
+    places (default 2 — money); pass a larger ``value_decimals`` for
+    finer-precision values or they are rounded per-row.
+    """
     s = sessionize(events, gap_minutes, user_col, ts_col)
     return (
         s.groupBy(user_col, "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.round(F.col(value_col) * 100).cast("long")) / 100.0, 6).alias("total_value"),
+            money_sum(value_col, value_decimals).alias("total_value"),
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
         )
@@ -106,6 +133,7 @@ def hopping_rollup(
     ts_col: str = "ts",
     key_col: str = "event_type",
     value_col: str = "value",
+    value_decimals: int = 2,
 ) -> DataFrame:
     """Hopping (sliding) window rollup: each event contributes to
     window/slide overlapping windows. ``F.window(ts, w, s)`` generates the
@@ -114,6 +142,8 @@ def hopping_rollup(
     explicit and bounded, never a range self-join.
 
     Windows align to the epoch, matching external generate_series oracles.
+    ``total_value`` is a fixed-point sum (see :func:`money_sum`): values
+    finer than ``value_decimals`` decimals are rounded per-row.
     """
     win = F.window(
         F.col(ts_col), f"{window_minutes} minutes", f"{slide_minutes} minutes"
@@ -122,7 +152,7 @@ def hopping_rollup(
         events.groupBy(win.getField("start").alias("window_start"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.round(F.col(value_col) * 100).cast("long")) / 100.0, 6).alias("total_value"),
+            money_sum(value_col, value_decimals).alias("total_value"),
         )
     )
 
@@ -133,18 +163,21 @@ def tumbling_rollup(
     ts_col: str = "ts",
     key_col: str = "event_type",
     value_col: str = "value",
+    value_decimals: int = 2,
 ) -> DataFrame:
     """Fixed tumbling-window rollup: (window_start, key) → count/sum.
 
     ``window(ts, ...)`` buckets align to the epoch, matching external
     time_bucket semantics. One partial-aggregated shuffle.
+    ``total_value`` is a fixed-point sum (see :func:`money_sum`): values
+    finer than ``value_decimals`` decimals are rounded per-row.
     """
     win = F.window(F.col(ts_col), f"{minutes} minutes")
     return (
         events.groupBy(win.getField("start").alias("window_start"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.round(F.col(value_col) * 100).cast("long")) / 100.0, 6).alias("total_value"),
+            money_sum(value_col, value_decimals).alias("total_value"),
         )
     )
 

@@ -76,6 +76,14 @@ class MissingClientLibraryError(RuntimeError):
     """A live adapter was used without its client library installed."""
 
 
+def gaql_quote(name: str) -> str:
+    """Escape a value for interpolation into a single-quoted GAQL string
+    literal (GAQL grammar: backslash-escaped quotes). Without this a
+    list/conversion-action name containing ``'`` breaks the query and is
+    an injection vector."""
+    return name.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def _only_numbers(s: str) -> str:
     """reference utils/utils.py filter_text_only_numbers."""
     return re.sub(r"[^0-9]", "", s or "")
@@ -158,29 +166,74 @@ class LiveAdsServiceFactory:
 AdsServiceFactory = LiveAdsServiceFactory  # structural seam; tests duck-type
 
 
+def _deserialize_ads_failure(value: bytes) -> Any:
+    """Deserialize a packed ``google.protobuf.Any`` payload into a
+    GoogleAdsFailure proto (public error-handling recipe from the
+    google-ads docs: ``GoogleAdsFailure.deserialize(detail.value)``).
+    Raises TransportError when the client library is absent or the bytes
+    don't parse — a live partial failure we cannot decode must NOT be
+    treated as success."""
+    try:
+        import importlib
+
+        mod = importlib.import_module(
+            f"google.ads.googleads.{ADS_API_VERSION}.errors.types.errors"
+        )
+        return mod.GoogleAdsFailure.deserialize(value)
+    except Exception as exc:  # pragma: no cover - exercised via fakes
+        raise TransportError(
+            f"undecodable google-ads partial_failure detail: {exc}"
+        ) from exc
+
+
 def partial_failure_failed_indices(response: Any) -> tuple[list[int], str | None]:
     """Extract (failed operation indices, error message) from a google-ads
     partial-failure response. The failure proto carries one
     GoogleAdsError per failed operation whose location's first
     field_path_element index IS the operation index — public google-ads
-    error-handling contract. Defensive: responses without the attribute
+    error-handling contract. Live responses pack each detail as a
+    ``google.protobuf.Any`` whose ``value`` is serialized
+    GoogleAdsFailure bytes — those are deserialized before reading
+    ``errors`` (pre-unpacked fakes pass through). A detail that exists
+    but cannot be parsed raises TransportError rather than silently
+    reporting zero failures (which would mark failed rows as uploaded in
+    the transactional control table). Responses without the attribute
     (or fakes) yield ([], None)."""
     pf = getattr(response, "partial_failure_error", None)
     if pf is None or not getattr(pf, "message", ""):
         return [], None
     message = f"{pf.message}"
     indices: list[int] = []
-    for detail in getattr(pf, "details", []) or []:
+    details = list(getattr(pf, "details", []) or [])
+    parsed_any = False
+    for detail in details:
         failure = detail
-        if hasattr(detail, "value"):  # packed Any → already-unpacked fakes ok
-            failure = getattr(detail, "value")
-        for err in getattr(failure, "errors", []) or []:
+        if hasattr(detail, "value"):
+            value = getattr(detail, "value")
+            # packed Any → serialized bytes; unpacked fakes carry objects
+            failure = (
+                _deserialize_ads_failure(value)
+                if isinstance(value, (bytes, bytearray))
+                else value
+            )
+        errors = getattr(failure, "errors", None)
+        if errors is None:
+            raise TransportError(
+                "google-ads partial_failure detail lacks an errors list "
+                f"(type_url={getattr(detail, 'type_url', '?')})"
+            )
+        parsed_any = True
+        for err in errors:
             loc = getattr(err, "location", None)
             fpes = getattr(loc, "field_path_elements", None) if loc else None
             if fpes:
                 idx = getattr(fpes[0], "index", None)
                 if idx is not None:
                     indices.append(int(idx))
+    if details and not parsed_any:
+        raise TransportError(
+            "google-ads partial_failure details present but none parseable"
+        )
     return indices, message
 
 
@@ -202,7 +255,7 @@ class LiveAdsClient:
         # reference abstract_uploader.py:111-112 — OWNED lists only
         query = (
             "SELECT user_list.resource_name, user_list.access_reason "
-            f"FROM user_list WHERE user_list.name='{list_name}' "
+            f"FROM user_list WHERE user_list.name='{gaql_quote(list_name)}' "
             "AND user_list.access_reason='OWNED'"
         )
         resource_name = None
@@ -326,7 +379,7 @@ class GoogleAdsConversionsTransport(Transport):
             svc = self.factory.get("GoogleAdsService", self.login_customer_id)
             query = (
                 "SELECT conversion_action.resource_name FROM conversion_action "
-                f"WHERE conversion_action.name = '{name}'"
+                f"WHERE conversion_action.name = '{gaql_quote(name)}'"
             )
             for batch in svc.search_stream(customer_id=self.customer_id, query=query):
                 for row in batch.results:
@@ -540,16 +593,16 @@ class CampaignManagerConversionsTransport(Transport):
         if not response.get("hasFailures"):
             return payload
         # reference :150-162 collects [code]: message strings; here the
-        # per-row statuses also drive the accepted subset
+        # per-row statuses also drive the accepted subset. With
+        # hasFailures set, a row WITHOUT a status entry is unconfirmed —
+        # treating it as accepted would optimistically mark it uploaded
+        # in the control table on a truncated response, so reject it.
         statuses = response.get("status", [])
-        accepted = [
+        return [
             row
             for row, status in zip(payload, statuses)
             if not status.get("errors")
         ]
-        # statuses shorter than the batch → treat missing as accepted
-        accepted.extend(payload[len(statuses):])
-        return accepted
 
 
 class GA4MeasurementProtocolTransport(ConcurrentSendTransport):

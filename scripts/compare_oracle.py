@@ -85,16 +85,30 @@ def main() -> None:
         import threading
 
         fired = threading.Event()
+        done = threading.Event()
+        lock = threading.Lock()
 
         def interrupt():
-            fired.set()
-            con.interrupt()
+            # The timer can fire after con.sql() returned but before
+            # timer.cancel(); interrupting then would kill the NEXT
+            # oracle query. The lock + done flag make cancel-vs-fire
+            # atomic: once done is set, interrupt() is a no-op.
+            with lock:
+                if done.is_set():
+                    return
+                fired.set()
+                con.interrupt()
 
         timer = threading.Timer(timeout_sec, interrupt)
         timer.start()
         try:
-            return con.sql(sql).df(), False
+            result = con.sql(sql).df()
+            with lock:
+                done.set()
+            return result, False
         except Exception:
+            with lock:
+                done.set()
             if fired.is_set():
                 return None, True
             raise

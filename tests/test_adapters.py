@@ -389,6 +389,55 @@ def test_partial_failure_indices_extraction():
     assert partial_failure_failed_indices(ok) == ([], None)
 
 
+def _pf_response(details):
+    return SimpleNamespace(
+        partial_failure_error=SimpleNamespace(message="failed", details=details)
+    )
+
+
+def test_partial_failure_unpacks_any_wrapped_failure():
+    """Live responses wrap each GoogleAdsFailure in a protobuf Any whose
+    ``value`` holds the payload; an unpacked object value must be read
+    through, and raw bytes must NOT silently yield zero failures."""
+    fpe = SimpleNamespace(index=3)
+    err = SimpleNamespace(location=SimpleNamespace(field_path_elements=[fpe]))
+    detail = SimpleNamespace(
+        type_url="type.googleapis.com/google.ads.googleads.v17.errors.GoogleAdsFailure",
+        value=SimpleNamespace(errors=[err]),
+    )
+    failed, msg = partial_failure_failed_indices(_pf_response([detail]))
+    assert failed == [3] and msg == "failed"
+
+
+def test_partial_failure_bytes_without_client_lib_raises():
+    """Packed-Any bytes need GoogleAdsFailure.deserialize; with the
+    client library absent the decode MUST raise — returning [] would
+    mark the failed rows as uploaded in the transactional control."""
+    detail = SimpleNamespace(
+        type_url="type.googleapis.com/google.ads.googleads.v17.errors.GoogleAdsFailure",
+        value=b"\x0a\x02\x08\x01",
+    )
+    with pytest.raises(TransportError, match="undecodable"):
+        partial_failure_failed_indices(_pf_response([detail]))
+
+
+def test_partial_failure_unparseable_detail_raises():
+    detail = SimpleNamespace(type_url="t", value=SimpleNamespace(no_errors=True))
+    with pytest.raises(TransportError, match="lacks an errors list"):
+        partial_failure_failed_indices(_pf_response([detail]))
+
+
+def test_gaql_quote_escapes_single_quotes():
+    from megalista_spark.sinks.adapters import gaql_quote
+
+    assert gaql_quote("o'brien list") == "o\\'brien list"
+    assert gaql_quote("back\\slash'") == "back\\\\slash\\'"
+    search = FakeSearchStreamService(None)
+    client, _ = _ads_client(search=search)
+    client.get_user_list("123", "o'brien list")
+    assert "user_list.name='o\\'brien list'" in search.calls[-1]["query"]
+
+
 def test_customer_match_through_live_client():
     """CustomerMatchTransport (golden-tested seam) drives the live client:
     the composed call sequence matches abstract_uploader.py:214-271."""
@@ -504,6 +553,17 @@ def test_cm_identifier_priority_and_status_filter():
     sent = svc.batchinserts[0]["body"]["conversions"]
     assert sent[0].get("gclid") == "g" and "encryptedUserId" not in sent[0]
     assert sent[1].get("encryptedUserId") == "e2"
+
+
+def test_cm_truncated_statuses_reject_unconfirmed_rows():
+    """With hasFailures set, rows without an index-aligned status entry
+    are unconfirmed — a truncated response must NOT mark them uploaded."""
+    svc = FakeDcmService({"hasFailures": True, "status": [{}]})
+    t = CampaignManagerConversionsTransport(
+        _cm_execution(), service_builder=lambda creds: svc, now_micros=1
+    )
+    rows = [{"gclid": "a"}, {"gclid": "b"}, {"gclid": "c"}]
+    assert t.send(rows, {}) == [rows[0]]
 
 
 def test_cm_missing_metadata_raises():
