@@ -8860,29 +8860,15 @@ def global_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame
     """Global clustering coefficient 3·triangles / wedges — the triangle
     story's final number (how much of the co-purchase graph's wedge
     potential actually closes). Composes the degree-oriented exact
-    triangle kernel (operators/graph.py::triangle_count) with the
-    closed-form wedge count Σ d(d−1)/2 — the wedge side is a degree
-    aggregate, never a join. Double-promoted closing ratio."""
-    from megalista_spark.operators.dedup import symmetric_edges
-    from megalista_spark.operators.graph import triangle_count
+    triangle kernel with the closed-form wedge count Σ d(d−1)/2 — both
+    branches share ONE pass over the co-purchase pairs via
+    operators/graph.py::clustering_stats (composing the eager
+    triangle_count with a separate wedge aggregate would run the pair
+    pipeline twice). Double-promoted closing ratio."""
+    from megalista_spark.operators.graph import clustering_stats
 
     pairs = _copurchase_pairs(spark, sf_dir)
-    tri = triangle_count(pairs.selectExpr("id_a AS src", "id_b AS dst"))
-    wedges = (
-        symmetric_edges(pairs)
-        .groupBy("src")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-        .agg(
-            F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges")
-        )
-    )
-    return tri.crossJoin(wedges).select(
-        "triangle_count",
-        "n_wedges",
-        F.round(
-            F.lit(3.0) * F.col("triangle_count") / F.col("n_wedges"), 6
-        ).alias("clustering_coefficient"),
-    )
+    return clustering_stats(pairs.selectExpr("id_a AS src", "id_b AS dst"))
 
 
 def _clustering_sql() -> str:

@@ -265,9 +265,12 @@ def personalized_pagerank(
     return out
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """One-row DataFrame: (triangle_count bigint) — exact triangle count
-    of the undirected simple graph induced by ``edges``.
+def _triangle_kernel(
+    edges: DataFrame, src: str, dst: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared core of triangle_count/clustering_stats: returns
+    (deg, PERSISTED oriented edges, lazy 1-row triangle count). The
+    caller owns unpersisting ``oriented`` after materializing.
 
     The compact-forward / degree-orientation algorithm: orient every edge
     from its lower-ranked endpoint to its higher-ranked one, where rank is
@@ -317,10 +320,54 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         | ((F.col("d1") == F.col("d2")) & (F.col("w1") < F.col("w2")))
     )
     closing = oriented.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
+    tri = wedges.join(closing, ["w1", "w2"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("triangle_count")
+    )
+    return deg, oriented, tri
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One-row DataFrame: (triangle_count bigint) — exact triangle count
+    of the undirected simple graph induced by ``edges``. See
+    :func:`_triangle_kernel` for the algorithm and shuffle story.
+    """
+    _, oriented, tri = _triangle_kernel(edges, src, dst)
+    out = tri.localCheckpoint(eager=True)  # 1 row; frees the persisted edges
+    oriented.unpersist()
+    return out
+
+
+def clustering_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row (triangle_count, n_wedges, clustering_coefficient) — the
+    global clustering coefficient 3·triangles / wedges in ONE pass over
+    the edge set.
+
+    Composing ``triangle_count`` (eager) with a separate wedge aggregate
+    would run the upstream edge pipeline twice — the eager checkpoint
+    breaks Spark's ReusedExchange sharing between the two branches. Here
+    the wedge count Σ d(d−1)/2 reads the SAME degree aggregate the
+    triangle orientation needs (a closed form over degrees, never a
+    join), so the expensive upstream (e.g. co-purchase pair generation)
+    and the degree shuffle are computed once; both one-row branches then
+    cross-join driver-side-free and the whole thing materializes in a
+    single job before the persisted edges are released.
+    """
+    deg, oriented, tri = _triangle_kernel(edges, src, dst)
+    wedges = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("n_wedges")
+    )
     out = (
-        wedges.join(closing, ["w1", "w2"], "left_semi")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("triangle_count"))
-        .localCheckpoint(eager=True)  # 1 row; frees the persisted edges
+        tri.crossJoin(wedges)
+        .select(
+            "triangle_count",
+            "n_wedges",
+            F.round(
+                F.lit(3.0) * F.col("triangle_count") / F.col("n_wedges"), 6
+            ).alias("clustering_coefficient"),
+        )
+        .localCheckpoint(eager=True)
     )
     oriented.unpersist()
     return out

@@ -785,6 +785,21 @@ def test_triangle_count_k4_with_noise(spark):
     assert triangle_count(edges).first()["triangle_count"] == 4
 
 
+def test_clustering_stats_k4_with_pendant(spark):
+    # K4 + pendant: 4 triangles; wedges = Σ d(d-1)/2 over degrees
+    # (3,3,3,4,1) = 3+3+3+6+0 = 15; coefficient = 3*4/15 = 0.8. Noise
+    # edges (reversed dup, self-loop) must not change any of the three.
+    from megalista_spark.operators.graph import clustering_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noise = [(1, 0), (2, 2), (3, 99)]
+    edges = spark.createDataFrame(k4 + noise, ["src", "dst"])
+    row = clustering_stats(edges).first()
+    assert row["triangle_count"] == 4
+    assert row["n_wedges"] == 15
+    assert row["clustering_coefficient"] == 0.8
+
+
 def test_tfidf_top_terms_ranks_rare_terms_first(spark):
     # 'zebra' appears in one doc only; 'the' in all → zebra must outrank
     # 'the' in doc 1 despite equal tf
