@@ -2232,25 +2232,32 @@ def _copurchase_pairs_from(
     l: DataFrame, cap: int = COPURCHASE_BASKET_CAP
 ) -> DataFrame:
     """Distinct co-purchase part pairs (id_a < id_b) under the basket
-    cap, from a (l_orderkey, l_partkey) frame. Window + self-join both
-    shuffle on l_orderkey, so the cap costs no extra exchange."""
-    from pyspark.sql import Window
+    cap, from a (l_orderkey, l_partkey) frame.
 
-    l = l.select("l_orderkey", "l_partkey").distinct()
-    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    capped = (
-        l.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= cap)
-        .drop("_rn")
+    ONE shuffle on l_orderkey: collect_set per order gives the distinct
+    basket, sort_array + slice applies the same keep-lowest-``cap``
+    policy a row_number window would, and the a<b pair expansion is a
+    JVM-side nested ``transform`` over the ≤cap array — no self-join, no
+    second pass over lineitem. Per-row state is bounded by cap (64 → ≤
+    2016 pairs), so a viral order cannot blow up a task. The final
+    distinct shuffles pairs, as any formulation must.
+    """
+    basket = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("l_partkey")), 1, cap
+            ).alias("_parts")
+        )
+        .where(F.size("_parts") >= 2)
     )
-    c2 = capped.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2")
+    pairs = F.expr(
+        "flatten(transform(_parts, (x, i) -> "
+        "transform(slice(_parts, i + 2, size(_parts)), y -> struct(x AS a, y AS b))))"
     )
     return (
-        capped.join(
-            c2, (capped["l_orderkey"] == c2["ok2"]) & (capped["l_partkey"] < c2["pk2"])
-        )
-        .select(F.col("l_partkey").alias("id_a"), F.col("pk2").alias("id_b"))
+        basket.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
 
