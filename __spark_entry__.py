@@ -4212,6 +4212,96 @@ ORDER BY cnt.cid
 """
 
 
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/dedup.py::semdedup_prune —
+    Abbas et al. 2023, public method): k-means partition the embedding
+    space, then near-dup compare ONLY within clusters (Σ|cluster|² work,
+    bounded by k — the sub-quadratic path to embedding dedup at corpus
+    scale), dropping the higher id of any within-cluster pair at cosine
+    ≥ 0.45. Per-cluster dedup-rate report."""
+    from megalista_spark.operators.dedup import semdedup_prune
+
+    return semdedup_prune(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=0.45
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH {_KMEANS_CTES},
+p AS (
+  SELECT a.cid AS cid, b.vid AS vid
+  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vid < b.vid
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+  GROUP BY a.cid, b.vid
+)
+SELECT a2.cid, count(*)::BIGINT AS n_members,
+       count(p.vid)::BIGINT AS n_dropped,
+       (count(*) - count(p.vid))::BIGINT AS n_survivors
+FROM a2 LEFT JOIN p ON a2.cid = p.cid AND a2.vid = p.vid
+GROUP BY a2.cid
+ORDER BY a2.cid
+"""
+
+
+def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling rank (operators/text.py::
+    hashed_ngram_importance — Xie et al. 2023, public method): hashed
+    uni+bigram bucket weights fit target=English docs vs the raw corpus,
+    every doc scored by mean bucket weight, top 20 most target-like
+    returned. Integer ratio weights end to end, so the oracle reproduces
+    scores bit-for-bit."""
+    from megalista_spark.operators.text import hashed_ngram_importance
+
+    d = _t(spark, sf_dir, "documents")
+    imp = hashed_ngram_importance(
+        d.withColumn("_tgt", F.col("lang") == F.lit("en")), "_tgt"
+    )
+    return (
+        imp.join(d.select("doc_id", "lang"), "doc_id")
+        .orderBy(F.desc("importance_u"), "doc_id")
+        .limit(20)
+        .select("doc_id", "lang", "n_grams", "importance_u")
+    )
+
+
+DSIR_SQL = """
+WITH toked AS MATERIALIZED (
+  SELECT doc_id, lang, (lang = 'en') AS is_target,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, is_target,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS bkt
+  FROM (
+    SELECT doc_id, is_target,
+           unnest(toks || list_transform(range(2, len(toks) + 1),
+                                         i -> toks[i-1] || ' ' || toks[i])) AS g
+    FROM toked
+  )
+),
+w AS (
+  SELECT bkt,
+         ((count(*) FILTER (WHERE is_target) + 1) * 1000000)
+           // (count(*) + 1) AS w
+  FROM grams GROUP BY bkt
+),
+scored AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+         (sum(w.w) // count(*))::BIGINT AS importance_u
+  FROM grams g JOIN w USING (bkt)
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id, t.lang,
+       coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(s.importance_u, 0)::BIGINT AS importance_u
+FROM toked t LEFT JOIN scored s ON t.doc_id = s.doc_id
+ORDER BY importance_u DESC, t.doc_id
+LIMIT 20
+"""
+
+
 def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-with-exact-oracle: KMV bottom-k distinct-count sketch
     (operators/sketches.py). Unlike approx_count_distinct (engine-specific
@@ -9275,6 +9365,8 @@ _GATE_ROTATION_FIRST = [
     "streaming_session_stats",
     "streaming_attribution_left_join",
     "kmeans_embeddings",
+    "semdedup_cluster_prune",
+    "dsir_importance_topk",
     "kmv_distinct_estimate",
     "hll_distinct_estimate",
     "cms_user_frequencies",
@@ -9442,6 +9534,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "multimodal_media_dedup": multimodal_media_dedup,
         "multimodal_frame_samples": multimodal_frame_samples,
         "kmeans_embeddings": kmeans_embeddings,
+        "semdedup_cluster_prune": semdedup_cluster_prune,
+        "dsir_importance_topk": dsir_importance_topk,
         "kmv_distinct_estimate": kmv_distinct_estimate,
         "hll_distinct_estimate": hll_distinct_estimate,
         "cms_user_frequencies": cms_user_frequencies,
@@ -9564,6 +9658,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_media_dedup": MEDIA_DEDUP_SQL,
         "multimodal_frame_samples": FRAME_SAMPLES_SQL,
         "kmeans_embeddings": KMEANS_SQL,
+        "semdedup_cluster_prune": SEMDEDUP_SQL,
+        "dsir_importance_topk": DSIR_SQL,
         "kmv_distinct_estimate": KMV_SQL,
         "hll_distinct_estimate": _hll_sql(),
         "cms_user_frequencies": _cms_sql(),

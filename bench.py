@@ -70,6 +70,8 @@ HEADLINE = [
     "training_mix",
     "multimodal_image_features",
     "kmeans_embeddings",
+    "semdedup_cluster_prune",
+    "dsir_importance_topk",
     "attribution_range_join",
     "unpivot_lineitem_metrics",
     "kmv_distinct_estimate",

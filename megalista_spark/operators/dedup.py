@@ -801,3 +801,69 @@ def incremental_dedup(
             survivors.select(F.col("id").alias(id_col)), id_col, "left_semi"
         )
     )
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication" — public method): k-means
+    cluster the embedding space, compare vectors ONLY within a cluster,
+    and drop every vector whose within-cluster cosine to a LOWER-id
+    vector reaches ``threshold`` (keep-lowest-id — deterministic, the
+    same canonical-survivor rule the fingerprint dedup family uses).
+
+    Returns per-cluster stats (cid, n_members, n_dropped, n_survivors),
+    ordered by cid — the dedup-rate report that decides the threshold.
+
+    Scale: this is THE sub-quadratic trick for embedding dedup at
+    web scale — the all-pairs O(N²) comparison becomes Σ|cluster|²,
+    controlled by ``k`` (SemDeDup runs k ≈ 10⁴-10⁵ on web corpora, so
+    clusters stay ~10³ and the pair join is billions, not quintillions).
+    The clustering itself is the one-shuffle-per-iteration Lloyd's of
+    operators/clustering.py (model state broadcasts, corpus never
+    moves); the pair join shuffles on cid only. Deterministic end to
+    end: lowest-id init, 6dp re-sync per iteration, (distance, cid)
+    tie-breaks — an external SQL oracle reproduces every assignment and
+    every pair exactly.
+    """
+    from megalista_spark.operators.clustering import _lloyd
+    from megalista_spark.operators.similarity import cosine_expr
+
+    assigned, _ = _lloyd(embeddings, k, iters, id_col, vec_col)
+    a = assigned.select(
+        "cid", F.col("vid").alias("id_a"), F.col("v").alias("_va")
+    )
+    b = assigned.select(
+        "cid", F.col("vid").alias("id_b"), F.col("v").alias("_vb")
+    )
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select("cid", F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    return (
+        assigned.select("cid", "vid")
+        .join(dropped.withColumn("_drop", F.lit(1)), ["cid", "vid"], "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum(F.coalesce("_drop", F.lit(0))).cast("bigint").alias("n_dropped"),
+        )
+        .select(
+            "cid",
+            "n_members",
+            "n_dropped",
+            (F.col("n_members") - F.col("n_dropped")).cast("bigint").alias(
+                "n_survivors"
+            ),
+        )
+        .orderBy("cid")
+    )

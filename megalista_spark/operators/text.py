@@ -863,3 +863,90 @@ def vocab_drift_report(
             F.round(F.col("_ratio_exact"), 6).alias("rate_ratio"),
         )
     )
+
+
+def hashed_ngram_importance(
+    df: DataFrame,
+    target_col: str,
+    buckets: int = 1024,
+    weight_scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" —
+    public method): score every raw document by how target-like its
+    hashed word uni+bigram distribution is, so a quality subcorpus can
+    be selected from a raw crawl by importance rank.
+
+    Engine-portable integer form of the DSIR estimator: grams hash into
+    ``buckets`` via the shared 32-bit md5 hash; each bucket's weight is
+    the add-one-smoothed target-share ratio in integer ``weight_scale``
+    units,
+
+        w(b) = ((target_c(b)+1) · weight_scale) div (raw_c(b)+1)
+
+    Because target grams are a subset of raw grams, w(b) ≤ weight_scale
+    — every product stays far inside int64 at ANY corpus size. The true
+    DSIR ratio p_target/p_raw differs from this only by the constant
+    factor raw_total/target_total, which is identical for every document
+    and so cannot change the importance ORDER the operator exists to
+    produce (top-k selection / resampling rank). A document's importance
+    is the mean bucket weight over its gram INSTANCES —
+    Σ w(bucket(g)) div n_grams — instead of DSIR's Σ log ratios: same
+    target-likeness ordering signal, but exact integer arithmetic an
+    external SQL oracle reproduces bit-for-bit (log is libm-dependent).
+
+    Returns (id_col, n_grams bigint, importance_u bigint) — importance
+    in ``weight_scale`` micro-units; docs with no grams get 0.
+
+    Scale: two scans of the corpus, the fit-then-score shape every
+    importance sampler has. Scan 1 aggregates raw AND target bucket
+    counts in one conditional aggregate (one shuffle of ≤ ``buckets``
+    groups — never materializing the gram stream); the ≤ ``buckets``-row
+    weight table then BROADCASTS onto scan 2's gram stream, so per-doc
+    scoring is a map-side join + one doc-keyed sum. No step touches the
+    driver; the weight table is the only model state.
+    """
+    from megalista_spark.operators.dedup import portable_hash32
+
+    toks = _word_tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(target_col).cast("boolean").alias("_is_target"),
+        toks.alias("_t"),
+    )
+    bigrams = F.expr(
+        "transform(slice(_t, 1, greatest(size(_t) - 1, 0)), "
+        "(x, i) -> concat(x, ' ', _t[i + 1]))"
+    )
+    grams = base.select(
+        "id",
+        "_is_target",
+        F.explode(F.concat(F.col("_t"), bigrams)).alias("gram"),
+    ).withColumn("bkt", portable_hash32(F.col("gram")) % buckets)
+    counts = grams.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("tgt_c"),
+    )
+    weights = counts.select(
+        "bkt",
+        F.expr(
+            f"((tgt_c + 1) * cast({weight_scale} as bigint)) div (raw_c + 1)"
+        ).alias("w"),
+    )
+    scored = (
+        grams.join(F.broadcast(weights), "bkt")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.expr("sum(w) div count(1)").cast("bigint").alias("importance_u"),
+        )
+    )
+    return df.select(F.col(id_col)).join(
+        scored.withColumnRenamed("id", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("importance_u", F.lit(0)).cast("bigint").alias("importance_u"),
+    )

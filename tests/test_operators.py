@@ -800,7 +800,52 @@ def test_clustering_stats_k4_with_pendant(spark):
     assert row["clustering_coefficient"] == 0.8
 
 
-def test_tfidf_top_terms_ranks_rare_terms_first(spark):
+def test_semdedup_prune_drops_within_cluster_near_dups(spark):
+    # Two tight clusters of near-identical vectors + one singleton.
+    # Within each tight cluster every pair has cosine ~1, so only the
+    # lowest id survives; the singleton survives untouched.
+    from megalista_spark.operators.dedup import semdedup_prune
+
+    # init = lowest-k ids, so ids 0/1/2 seed the three distinct clusters
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 1.0]),
+        (3, [0.999, 0.001, 0.0]),
+        (4, [0.998, 0.002, 0.0]),
+        (5, [0.0, 0.999, 0.001]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup_prune(emb, k=3, iters=2, threshold=0.9).collect()
+    stats = {r["cid"]: (r["n_members"], r["n_dropped"], r["n_survivors"]) for r in out}
+    assert sum(m for m, _, _ in stats.values()) == 6
+    assert sum(d for _, d, _ in stats.values()) == 3  # ids 3, 4, 5 dropped
+    assert sum(s for _, _, s in stats.values()) == 3
+    assert all(m - d == s for m, d, s in stats.values())
+
+
+def test_hashed_ngram_importance_ranks_target_like_docs(spark):
+    # target = docs flagged True. A doc sharing the target's vocabulary
+    # must outscore a doc of unseen vocabulary; empty doc scores 0.
+    from megalista_spark.operators.text import hashed_ngram_importance
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", True),
+            (2, "the quick brown fox", False),
+            (3, "zzz qqq www vvv", False),
+            (4, "", False),
+        ],
+        "doc_id long, text string, tgt boolean",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in hashed_ngram_importance(df, "tgt", buckets=64).collect()
+    }
+    assert out[2]["importance_u"] > out[3]["importance_u"]
+    assert out[1]["importance_u"] == out[2]["importance_u"]  # same grams
+    assert out[4]["n_grams"] == 0 and out[4]["importance_u"] == 0
+    assert out[1]["n_grams"] == 7  # 4 unigrams + 3 bigrams
     # 'zebra' appears in one doc only; 'the' in all → zebra must outrank
     # 'the' in doc 1 despite equal tf
     from megalista_spark.operators.text import tfidf_top_terms
