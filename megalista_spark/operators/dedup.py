@@ -832,10 +832,15 @@ def semdedup_prune(
     tie-breaks — an external SQL oracle reproduces every assignment and
     every pair exactly.
     """
+    from pyspark import StorageLevel
+
     from megalista_spark.operators.clustering import _lloyd
     from megalista_spark.operators.similarity import cosine_expr
 
     assigned, _ = _lloyd(embeddings, k, iters, id_col, vec_col)
+    # three consumers (both pair sides + the stats base): persist so the
+    # assignment window runs once, not per branch
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     a = assigned.select(
         "cid", F.col("vid").alias("id_a"), F.col("v").alias("_va")
     )
@@ -849,7 +854,7 @@ def semdedup_prune(
         .select("cid", F.col("id_b").alias("vid"))
         .distinct()
     )
-    return (
+    out = (
         assigned.select("cid", "vid")
         .join(dropped.withColumn("_drop", F.lit(1)), ["cid", "vid"], "left")
         .groupBy("cid")
@@ -866,4 +871,9 @@ def semdedup_prune(
             ),
         )
         .orderBy("cid")
+        # k rows: materialize now so the persisted assignment can be
+        # released instead of living for the session
+        .localCheckpoint(eager=True)
     )
+    assigned.unpersist()
+    return out
