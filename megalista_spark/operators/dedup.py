@@ -810,6 +810,7 @@ def semdedup_prune(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication" — public method): k-means
@@ -840,7 +841,8 @@ def semdedup_prune(
     assigned, _ = _lloyd(embeddings, k, iters, id_col, vec_col)
     # three consumers (both pair sides + the stats base): persist so the
     # assignment window runs once, not per branch
-    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    if materialize:
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     a = assigned.select(
         "cid", F.col("vid").alias("id_a"), F.col("v").alias("_va")
     )
@@ -871,9 +873,13 @@ def semdedup_prune(
             ),
         )
         .orderBy("cid")
-        # k rows: materialize now so the persisted assignment can be
-        # released instead of living for the session
-        .localCheckpoint(eager=True)
     )
+    if not materialize:
+        # plan-inspection path (.explain evidence): leave the full lazy
+        # dataflow visible instead of an opaque checkpoint scan
+        return out
+    # k rows: materialize now so the persisted assignment can be
+    # released instead of living for the session
+    out = out.localCheckpoint(eager=True)
     assigned.unpersist()
     return out
