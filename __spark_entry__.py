@@ -9260,6 +9260,120 @@ FROM j
 """
 
 
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets
+    (operators/association.py::association_rules): top-50 directed part
+    pairs by lift with integer-ppm confidence/lift — the
+    "bought X → suggest Y" feed. Reference scope: megalista uploads the
+    audience; this computes it. Basket cap + hash-agg pair counting keep
+    a viral order from exploding a task (same contract as the
+    co-purchase graph family)."""
+    from megalista_spark.operators.association import association_rules
+
+    return association_rules(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        cap=COPURCHASE_BASKET_CAP,
+        min_pair_support=2,
+        top_k=50,
+    )
+
+
+def _association_sql() -> str:
+    from megalista_spark.operators.association import association_rules_sql_ctes
+
+    return (
+        "WITH "
+        + association_rules_sql_ctes(cap=COPURCHASE_BASKET_CAP, min_pair_support=2)
+        + """
+SELECT antecedent, consequent, pair_support, antecedent_support,
+       consequent_support, conf_ppm, lift_ppm
+FROM rules
+ORDER BY lift_ppm DESC, conf_ppm DESC, antecedent, consequent
+LIMIT 50
+"""
+    )
+
+
+def value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-distribution drift gate
+    (operators/profiling.py::binned_drift): event values on even vs odd
+    epoch-days, 20 equal-width integer-cent bins, per-bin rate delta and
+    the chi-square-style integer contribution — the pre-training check
+    that a new data drop still looks like the old one. All-integer, so
+    the alert threshold reproduces on any engine."""
+    from megalista_spark.operators.profiling import binned_drift
+
+    e = _events(spark, sf_dir)
+    day = F.expr("unix_micros(ts) div 86400000000")
+    return binned_drift(
+        e.where(day % 2 == 0),
+        e.where(day % 2 == 1),
+        "value",
+        n_bins=20,
+    )
+
+
+VALUE_DRIFT_SQL = """
+WITH tagged AS (
+  SELECT round(value * 100)::BIGINT AS cents,
+         (epoch_us(ts::TIMESTAMP) // 86400000000) % 2 AS side
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (
+  SELECT min(cents) AS lo, max(cents) AS hi,
+         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         (max(cents) - min(cents) + 20) // 20 AS width
+  FROM tagged
+),
+binned AS (
+  SELECT (cents - lo) // width AS bin_id,
+         min(lo + ((cents - lo) // width) * width) AS bin_lo_cents,
+         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS n_baseline,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS n_current,
+         min(n_a) AS na, min(n_b) AS nb
+  FROM tagged CROSS JOIN bounds
+  GROUP BY bin_id
+)
+SELECT bin_id, bin_lo_cents, n_baseline, n_current,
+       n_baseline * 1000000 // na AS rate_a_ppm,
+       n_current * 1000000 // nb AS rate_b_ppm,
+       (n_current * 1000000 // nb - n_baseline * 1000000 // na)
+         * (n_current * 1000000 // nb - n_baseline * 1000000 // na)
+         // (n_baseline * 1000000 // na + 1) AS drift_contrib
+FROM binned
+ORDER BY bin_id
+"""
+
+
+def frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, contiguous tier
+    (operators/sessions.py::frequent_event_ngrams): the 20 most common
+    3-step event-type sequences across user streams — one user-keyed
+    window + hash agg + TakeOrdered; event_id breaks same-timestamp ties
+    so the sequences are engine-independent."""
+    from megalista_spark.operators.sessions import frequent_event_ngrams
+
+    return frequent_event_ngrams(_events(spark, sf_dir), n=3, top_k=20)
+
+
+EVENT_TRIGRAMS_SQL = """
+WITH seq AS (
+  SELECT event_type || '>' ||
+         lead(event_type, 1) OVER w || '>' ||
+         lead(event_type, 2) OVER w AS gram,
+         lead(event_type, 2) OVER w AS last_t
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT gram, count(*)::BIGINT AS n_occurrences
+FROM seq WHERE last_t IS NOT NULL
+GROUP BY gram
+ORDER BY n_occurrences DESC, gram
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -9276,6 +9390,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the whole roster — every name here is green in the local mirror
 # (scripts/compare_oracle.py) at sf0.01.
 _GATE_ROTATION_FIRST = [
+    "association_rules_parts",
+    "value_drift_bins",
+    "frequent_event_trigrams",
+    "semdedup_cluster_prune",
+    "dsir_importance_topk",
     "bpe_merge_table",
     "setsim_doc_pairs",
     "heavy_hitter_langs",
@@ -9536,6 +9655,9 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "kmeans_embeddings": kmeans_embeddings,
         "semdedup_cluster_prune": semdedup_cluster_prune,
         "dsir_importance_topk": dsir_importance_topk,
+        "association_rules_parts": association_rules_parts,
+        "value_drift_bins": value_drift_bins,
+        "frequent_event_trigrams": frequent_event_trigrams,
         "kmv_distinct_estimate": kmv_distinct_estimate,
         "hll_distinct_estimate": hll_distinct_estimate,
         "cms_user_frequencies": cms_user_frequencies,
@@ -9660,6 +9782,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": KMEANS_SQL,
         "semdedup_cluster_prune": SEMDEDUP_SQL,
         "dsir_importance_topk": DSIR_SQL,
+        "association_rules_parts": _association_sql(),
+        "value_drift_bins": VALUE_DRIFT_SQL,
+        "frequent_event_trigrams": EVENT_TRIGRAMS_SQL,
         "kmv_distinct_estimate": KMV_SQL,
         "hll_distinct_estimate": _hll_sql(),
         "cms_user_frequencies": _cms_sql(),

@@ -83,6 +83,89 @@ def _portable_distinct_estimates(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def binned_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    n_bins: int = 20,
+    decimals: int = 2,
+) -> DataFrame:
+    """Distribution-drift monitor between two cuts of the same feature —
+    the chi-square/PSI-style check a feature store runs before letting a
+    new data drop into training.
+
+    All arithmetic is integer, so the statistic reproduces bit-for-bit on
+    any engine (chi-square proper and PSI both need float division/log;
+    this is their integer-rate twin, rank-equivalent for alerting):
+
+      cents     = round(value·10^decimals)  (values assumed ≤ ``decimals``
+                  decimal places — the money contract, see sessions.py)
+      width     = ceil((max−min+1)/n_bins) over the COMBINED range
+      rate ppm  = bin_count·1e6 div side_total
+      contrib   = (rate_b − rate_a)² div (rate_a + 1)
+
+    Scale shape: one union scan → one hash aggregate on the bin id
+    (≤ n_bins groups, map-side combined), with the combined min/max and
+    the two side totals each a 1-row broadcast. Nothing here grows with
+    input size except the two scans.
+    """
+    scale = 10**decimals
+    tagged = baseline.select(
+        F.round(F.col(value_col) * scale).cast("bigint").alias("cents"),
+        F.lit(0).alias("side"),
+    ).unionAll(
+        current.select(
+            F.round(F.col(value_col) * scale).cast("bigint").alias("cents"),
+            F.lit(1).alias("side"),
+        )
+    ).where(F.col("cents").isNotNull())
+    bounds = tagged.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.sum(F.expr("CASE WHEN side = 0 THEN 1 ELSE 0 END")).alias("n_a"),
+        F.sum(F.expr("CASE WHEN side = 1 THEN 1 ELSE 0 END")).alias("n_b"),
+    ).withColumn("width", F.expr(f"(hi - lo + {n_bins}) div {n_bins}"))
+    binned = (
+        tagged.crossJoin(F.broadcast(bounds))
+        .withColumn("bin_id", F.expr("(cents - lo) div width"))
+        .groupBy("bin_id")
+        .agg(
+            F.min(F.expr("lo + bin_id * width")).alias("bin_lo_cents"),
+            F.sum(F.expr("CASE WHEN side = 0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_baseline"),
+            F.sum(F.expr("CASE WHEN side = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_current"),
+            F.min("n_a").alias("_na"),
+            F.min("n_b").alias("_nb"),
+        )
+    )
+    return (
+        binned.withColumn(
+            "rate_a_ppm", F.expr("n_baseline * 1000000 div _na")
+        )
+        .withColumn("rate_b_ppm", F.expr("n_current * 1000000 div _nb"))
+        .withColumn(
+            "drift_contrib",
+            F.expr(
+                "(rate_b_ppm - rate_a_ppm) * (rate_b_ppm - rate_a_ppm)"
+                " div (rate_a_ppm + 1)"
+            ),
+        )
+        .select(
+            "bin_id",
+            "bin_lo_cents",
+            "n_baseline",
+            "n_current",
+            "rate_a_ppm",
+            "rate_b_ppm",
+            "drift_contrib",
+        )
+        .orderBy("bin_id")
+    )
+
+
 def profile_columns(
     df: DataFrame,
     columns: list[str] | None = None,

@@ -351,3 +351,41 @@ def sequence_pattern_match(
             F.col("seq").rlike(pattern).alias("is_match"),
         )
     )
+
+
+def frequent_event_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-``top_k`` most frequent length-``n`` event-type sequences
+    across all users — sequential-pattern mining's workhorse tier (the
+    contiguous n-gram), the behavioral sibling of the text collocation
+    miner.
+
+    One user-keyed window (single shuffle+sort; ``id_col`` breaks
+    same-timestamp ties so the sequence order is engine-independent)
+    emits each row's following n−1 event types via lead(); the gram
+    string aggregates map-side and the top-k cut is orderBy+limit
+    (TakeOrdered: per-partition heaps + a k-row driver merge, no global
+    sort). At 100 TB the window shuffle is the one unavoidable pass;
+    per-user state is a sort, never a collect.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    parts = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    grams = events.select(
+        F.concat_ws(">", *parts).alias("gram"),
+        parts[-1].alias("_last"),
+    ).where(F.col("_last").isNotNull())
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(top_k)
+    )

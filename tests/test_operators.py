@@ -2347,3 +2347,82 @@ def test_assign_batches_global_window_guard(spark):
     assert out.where("iteration = 4").count() == 10  # 100 = 3*30 + 10
     with _pytest.raises(ValueError, match="single task"):
         assign_batches(df, ["k"], 30, max_global_rows=50)
+
+
+def test_association_rules_hand_example(spark):
+    from megalista_spark.operators.association import association_rules
+
+    # baskets: {1,2,3}, {1,2}, {2,3}, {1,4} -> supp: 1:3, 2:3, 3:2, 4:1
+    # pairs with support >= 2: (1,2)=2 and (2,3)=2 -> 4 directed rules
+    rows = [
+        (10, 1), (10, 2), (10, 3),
+        (11, 1), (11, 2),
+        (12, 2), (12, 3),
+        (13, 1), (13, 4),
+    ]
+    tx = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    out = association_rules(tx, min_pair_support=2, top_k=10).collect()
+    # lift(3->2) = floor(1e6*4/3) = 1333333 beats lift(2->3) = 1333332
+    # (floor-of-floor composition); the 888888 tie breaks on antecedent
+    assert [
+        (r["antecedent"], r["consequent"], r["conf_ppm"], r["lift_ppm"])
+        for r in out
+    ] == [
+        (3, 2, 1000000, 1333333),
+        (2, 3, 666666, 1333332),
+        (1, 2, 666666, 888888),
+        (2, 1, 666666, 888888),
+    ]
+    r = {(x["antecedent"], x["consequent"]): x for x in out}
+    assert r[(1, 2)]["pair_support"] == 2
+    assert r[(1, 2)]["antecedent_support"] == 3
+    assert r[(1, 2)]["consequent_support"] == 3
+
+
+def test_association_rules_basket_cap(spark):
+    from megalista_spark.operators.association import association_rules
+
+    # cap=2 keeps the two lowest item ids per basket: pairs only (1,2)
+    rows = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (2, 9)]
+    tx = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    out = association_rules(tx, cap=2, min_pair_support=2, top_k=10).collect()
+    assert {(x["antecedent"], x["consequent"]) for x in out} == {(1, 2), (2, 1)}
+
+
+def test_binned_drift_rates_and_contrib(spark):
+    from megalista_spark.operators.profiling import binned_drift
+
+    # baseline uniform over [0,1] cents bins; current shifted
+    a = spark.createDataFrame([(0.01,), (0.02,), (0.03,), (0.04,)], ["v"])
+    b = spark.createDataFrame([(0.03,), (0.04,), (0.04,), (0.04,)], ["v"])
+    out = binned_drift(a, b, "v", n_bins=4).collect()
+    # cents 1..4, width=(4-1+4)//4=1 -> bins 0..3
+    by = {r["bin_id"]: r for r in out}
+    assert by[0]["n_baseline"] == 1 and by[0]["n_current"] == 0
+    assert by[3]["n_baseline"] == 1 and by[3]["n_current"] == 3
+    assert by[3]["rate_a_ppm"] == 250000 and by[3]["rate_b_ppm"] == 750000
+    # (750000-250000)^2 // 250001
+    assert by[3]["drift_contrib"] == (500000 * 500000) // 250001
+    # identical distributions -> zero drift everywhere
+    same = binned_drift(a, a, "v", n_bins=4).collect()
+    assert all(r["drift_contrib"] == 0 for r in same)
+
+
+def test_frequent_event_ngrams_ties_and_order(spark):
+    from datetime import datetime
+
+    from megalista_spark.operators.sessions import frequent_event_ngrams
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: a b c d  -> grams a>b>c, b>c>d
+        (1, t0, 1, "a"), (2, t0, 1, "b"), (3, t0, 1, "c"), (4, t0, 1, "d"),
+        # user 2: a b c    -> gram a>b>c (same timestamps: event_id orders)
+        (5, t0, 2, "a"), (6, t0, 2, "b"), (7, t0, 2, "c"),
+    ]
+    e = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = frequent_event_ngrams(e, n=3, top_k=10).collect()
+    assert [(r["gram"], r["n_occurrences"]) for r in out] == [
+        ("a>b>c", 2),
+        ("b>c>d", 1),
+    ]
