@@ -72,6 +72,9 @@ HEADLINE = [
     "kmeans_embeddings",
     "semdedup_cluster_prune",
     "dsir_importance_topk",
+    "association_rules_parts",
+    "value_drift_bins",
+    "frequent_event_trigrams",
     "attribution_range_join",
     "unpivot_lineitem_metrics",
     "kmv_distinct_estimate",
