@@ -8680,31 +8680,16 @@ def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted): one row (n_conversions, avg_sec, p50_sec, p90_sec) over
     per-chain latencies — the metric that tells a campaign how long its
     window should actually BE. Greedy-earliest chains (exact, see
-    operators/sessions.py::windowed_funnel); latency quantiles use the
-    same exact continuous percentile the oracle's quantile_cont
-    computes."""
-    sec = F.col("ts").cast("long")
-    e = _events(spark, sf_dir)
-    typed = e.select(F.col("user_id").alias("u"), sec.alias("t"), "event_type")
-    c1 = (
-        typed.where(F.col("event_type") == "view")
-        .select("u", F.col("t").alias("t1"))
-        .distinct()
+    operators/sessions.py::windowed_funnel, stage joins keyed on (user,
+    window-width time bucket) so a bot user's whole history never cross
+    products); latency quantiles use the same exact continuous
+    percentile the oracle's quantile_cont computes."""
+    from megalista_spark.operators.sessions import windowed_funnel_chains
+
+    chains = windowed_funnel_chains(
+        _events(spark, sf_dir), ["view", "click", "purchase"], 3600
     )
-    nxt = typed.select(F.col("u").alias("_u"), F.col("t").alias("_t"), "event_type")
-    s2 = (
-        c1.join(nxt, (F.col("u") == F.col("_u")) & (F.col("event_type") == "click"))
-        .where((F.col("_t") > F.col("t1")) & (F.col("_t") <= F.col("t1") + 3600))
-        .groupBy("u", "t1")
-        .agg(F.min("_t").alias("t2"))
-    )
-    s3 = (
-        s2.join(nxt, (F.col("u") == F.col("_u")) & (F.col("event_type") == "purchase"))
-        .where((F.col("_t") > F.col("t2")) & (F.col("_t") <= F.col("t1") + 3600))
-        .groupBy("u", "t1")
-        .agg(F.min("_t").alias("t3"))
-    )
-    lat = s3.select((F.col("t3") - F.col("t1")).alias("latency"))
+    lat = chains.select((F.col("tk") - F.col("t1")).alias("latency"))
     return lat.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
         F.round(F.avg("latency"), 6).alias("avg_sec"),

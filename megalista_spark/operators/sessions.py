@@ -236,6 +236,69 @@ def gap_islands(
     )
 
 
+def _funnel_stage_bucketed(
+    cur: DataFrame, step_events: DataFrame, window_seconds: int
+) -> DataFrame:
+    """One funnel stage: earliest step event per (u, t1) chain with
+    tk < t ≤ t1 + window.
+
+    The join key is (user, t div window): any event inside a chain's
+    window lands in the chain's own bucket or the next one (div is
+    monotone and bucket(t1+W) ≤ bucket(t1)+1), so each chain probes
+    exactly two buckets and per-task work is bounded by per-2W event
+    density — the whole-history per-user cross product can't form.
+    """
+    w = window_seconds
+    cand = cur.select(
+        "u",
+        "t1",
+        "tk",
+        F.explode(
+            F.array(F.expr(f"t1 div {w}"), F.expr(f"t1 div {w} + 1"))
+        ).alias("b"),
+    )
+    nxt = step_events.select(
+        F.col("u").alias("_u"),
+        F.col("t").alias("_t"),
+        F.expr(f"t div {w}").alias("_b"),
+    )
+    return (
+        cand.join(nxt, (F.col("u") == F.col("_u")) & (F.col("b") == F.col("_b")))
+        .where((F.col("_t") > F.col("tk")) & (F.col("_t") <= F.col("t1") + F.lit(w)))
+        .groupBy("u", "t1")
+        .agg(F.min("_t").alias("tk"))
+    )
+
+
+def windowed_funnel_chains(
+    events: DataFrame,
+    steps: list[str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Completed full-depth funnel chains, kept instead of counted:
+    (u, t1, tk) per (user, first-step event) whose greedy-earliest chain
+    reaches the final step inside the window — the latency-analysis twin
+    of :func:`windowed_funnel` (same greedy-exactness argument, same
+    bucketed stage joins)."""
+    sec = F.col(ts_col).cast("long")
+    typed = events.select(
+        F.col(user_col).alias("u"), sec.alias("t"), F.col(type_col).alias("et")
+    )
+    cur = (
+        typed.where(F.col("et") == steps[0])
+        .select("u", F.col("t").alias("t1"), F.col("t").alias("tk"))
+        .distinct()
+    )
+    for step in steps[1:]:
+        cur = _funnel_stage_bucketed(
+            cur, typed.where(F.col("et") == step), window_seconds
+        )
+    return cur
+
+
 def windowed_funnel(
     events: DataFrame,
     steps: list[str],
@@ -257,12 +320,17 @@ def windowed_funnel(
     optimal, and maximizing over first events is exact — no per-user
     event-subset search.
 
-    Plan shape: stage k is one equi-join on the user key (candidate
-    chains ⋈ step-k events) + a min-aggregate per (user, chain start) —
-    the same stage-shrinking cost model as the containment funnel, just
-    keyed by (user, t1) instead of user. Timestamps compare as epoch
-    seconds (bigint) so the window bound is integer arithmetic any
-    engine reproduces. No window function ever sees the whole stream.
+    Plan shape: stage k is one equi-join on (user, window-width time
+    bucket) — each candidate chain fans out to the two buckets its
+    window can touch, each step event carries its own bucket, and the
+    window predicate then filters exactly — followed by a min-aggregate
+    per (user, chain start). Bucketing the join key bounds per-task work
+    by the user's event density within 2·window, not their whole
+    history: a bot user with 10^6 events over a year joins per-hour
+    slices, never a 10^6×10^6 per-user cross product. Timestamps compare
+    as epoch seconds (bigint) so the window bound is integer arithmetic
+    any engine reproduces. No window function ever sees the whole
+    stream.
     """
     sec = F.col(ts_col).cast("long")
     typed = events.select(
@@ -277,17 +345,8 @@ def windowed_funnel(
     reach = [chains.select("u").distinct()]
     cur = chains.select("u", "t1", F.col("t1").alias("tk"))
     for step in steps[1:]:
-        nxt = typed.where(F.col("et") == step).select(
-            F.col("u").alias("_u"), F.col("t").alias("_t")
-        )
-        cur = (
-            cur.join(nxt, (F.col("u") == F.col("_u")))
-            .where(
-                (F.col("_t") > F.col("tk"))
-                & (F.col("_t") <= F.col("t1") + F.lit(window_seconds))
-            )
-            .groupBy("u", "t1")
-            .agg(F.min("_t").alias("tk"))
+        cur = _funnel_stage_bucketed(
+            cur, typed.where(F.col("et") == step), window_seconds
         )
         reach.append(cur.select("u").distinct())
     out = None

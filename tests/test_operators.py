@@ -2426,3 +2426,35 @@ def test_frequent_event_ngrams_ties_and_order(spark):
         ("a>b>c", 2),
         ("b>c>d", 1),
     ]
+
+
+def test_windowed_funnel_bucket_boundary_chains(spark):
+    from datetime import datetime, timedelta
+
+    from megalista_spark.operators.sessions import (
+        windowed_funnel,
+        windowed_funnel_chains,
+    )
+
+    # t1 at the very end of its window-width bucket: the qualifying next
+    # steps land in the NEXT bucket and must still join (two-bucket fanout)
+    base = datetime(2024, 1, 1)  # epoch multiple of 3600
+    rows = [
+        (1, base + timedelta(seconds=3599), "view"),
+        (1, base + timedelta(seconds=3600), "click"),   # next bucket
+        (1, base + timedelta(seconds=7199), "purchase"),  # t1+3600 exactly
+        # user 2: purchase one second past the window -> no level 3
+        (2, base, "view"),
+        (2, base + timedelta(seconds=10), "click"),
+        (2, base + timedelta(seconds=3601), "purchase"),
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    lv = {
+        r["level"]: r["n_users"]
+        for r in windowed_funnel(e, ["view", "click", "purchase"], 3600).collect()
+    }
+    assert lv == {1: 2, 2: 2, 3: 1}
+    chains = windowed_funnel_chains(
+        e, ["view", "click", "purchase"], 3600
+    ).collect()
+    assert [(c["u"], c["tk"] - c["t1"]) for c in chains] == [(1, 3600)]
