@@ -7392,6 +7392,27 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_sql(merges: int = 3) -> str:
+    final = "\nUNION ALL ".join(
+        f"SELECT {t} AS step, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM b{t}"
+        for t in range(1, merges + 1)
+    )
+    return _bpe_cte_sql(merges) + f"\n{final}\nORDER BY step\n"
+
+
+def _bpe_encode_sql(merges: int = 3, top: int = 20) -> str:
+    # same unrolled training rounds; the final SELECT aggregates the
+    # last symbol state (the encoded corpus) instead of the merge table
+    return _bpe_cte_sql(merges) + f"""
+SELECT row_number() OVER (ORDER BY tf DESC, token)::BIGINT AS rank, token, tf
+FROM (
+  SELECT sym AS token, sum(wc)::BIGINT AS tf FROM seq{merges} GROUP BY sym
+)
+ORDER BY rank
+LIMIT {top}
+"""
+
+
+def _bpe_cte_sql(merges: int) -> str:
     rounds = []
     for t in range(1, merges + 1):
         rounds.append(f"""p{t} AS (
@@ -7424,10 +7445,6 @@ def _bpe_sql(merges: int = 3) -> str:
   SELECT word, wc, pos, sym FROM s{t}d WHERE NOT prev_active
 )""")
     rounds_sql = ",\n".join(rounds)
-    final = "\nUNION ALL ".join(
-        f"SELECT {t} AS step, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM b{t}"
-        for t in range(1, merges + 1)
-    )
     return f"""
 WITH words AS MATERIALIZED (
   SELECT word, count(*)::BIGINT AS wc FROM (
@@ -7444,10 +7461,7 @@ seq0 AS MATERIALIZED (
     FROM words
   )
 ),
-{rounds_sql}
-{final}
-ORDER BY step
-"""
+{rounds_sql}"""
 
 
 def setsim_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9360,6 +9374,199 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# Round-6 operators: BPE tokenizer application, bigram-LM surprisal filter,
+# temperature-flattened corpus mixing, cross-split duplicate-leakage audit
+# --------------------------------------------------------------------------
+
+
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (operators/text.py::bpe_encode_token_stats):
+    encode the corpus with 3 in-flight-trained BPE merges and report the
+    top-20 resulting tokens by corpus frequency — the vocabulary-audit
+    step after tokenizer training. Zero extra corpus passes: the
+    training kernel's final symbol state IS the encoded corpus; the
+    oracle unrolls the identical rounds and aggregates the same state."""
+    from megalista_spark.operators.text import bpe_encode_token_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_encode_token_stats(d, merges=3, top=20)
+
+
+def doc_lm_surprisal_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style LM filter (operators/text.py::doc_lm_surprisal):
+    the 20 documents whose word transitions the corpus's own bigram
+    model finds least probable — exact integer parts-per-million
+    arithmetic end-to-end, so the ranking is engine-portable without
+    float-sum hazards."""
+    from megalista_spark.operators.text import doc_lm_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    return doc_lm_surprisal(d, k=20)
+
+
+DOC_LM_SURPRISAL_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+  FROM documents
+),
+dbg AS MATERIALIZED (
+  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+  FROM toks WHERE len(w) >= 2
+),
+c12 AS MATERIALIZED (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM dbg GROUP BY w1, w2
+),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY w1),
+lm AS (
+  SELECT c12.w1, c12.w2, (1000000 * c12) // c1 AS prob_ppm
+  FROM c12 JOIN c1 USING (w1)
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       (sum(prob_ppm) // count(*))::BIGINT AS avg_prob_ppm
+FROM dbg JOIN lm USING (w1, w2)
+GROUP BY doc_id
+ORDER BY avg_prob_ppm, doc_id
+LIMIT 20
+"""
+
+
+def temperature_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened multilingual mixing (operators/sampling.py::
+    temperature_sample, the p ∝ n^0.5 rule of mBERT/XLM-R): allocate a
+    2000-document budget across languages by integer √n weights, draw
+    each quota in portable-hash order, and report the per-language plan
+    vs realized sample — all-integer allocation, so quota boundaries
+    reproduce on any engine."""
+    from megalista_spark.operators.sampling import temperature_sample
+
+    d = _t(spark, sf_dir, "documents")
+    s = temperature_sample(d, "lang", "doc_id", budget=2000)
+    return (
+        s.groupBy("lang", "group_rows", "group_weight", "group_take")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sampled_docs"),
+            F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEMPERATURE_MIX_SQL = """
+WITH counts AS (
+  SELECT lang, count(*)::BIGINT AS group_rows FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, group_rows, floor(sqrt(group_rows))::BIGINT AS group_weight
+  FROM counts
+),
+tot AS (SELECT sum(group_weight)::BIGINT AS tw FROM w),
+plan AS (
+  SELECT lang, group_rows, group_weight,
+         (2000 * group_weight) // tw AS group_take
+  FROM w CROSS JOIN tot
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('temp|' || doc_id::VARCHAR), 1, 15))::BIGINT,
+                    doc_id)::BIGINT AS sample_rank
+  FROM documents
+)
+SELECT p.lang, p.group_rows, p.group_weight, p.group_take,
+       count(*)::BIGINT AS sampled_docs, sum(r.n_chars)::BIGINT AS sampled_chars
+FROM plan p
+JOIN ranked r ON r.lang = p.lang AND r.sample_rank <= p.group_take
+GROUP BY 1, 2, 3, 4
+ORDER BY p.lang
+"""
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: duplicate-opening (5-word prefix
+    fingerprint — the standard template/boilerplate blocking key) pairs
+    crossing the 80/10/10 hash-split boundaries — the leakage check
+    every corpus split must pass before training. Composes hash_split
+    with document_fingerprint: ONE fingerprint groupBy,
+    per-(fingerprint, split) counts, then pair counts from the count
+    table itself (n_a·n_b across splits, C(n,2) within) — the quadratic
+    pair space is never materialized."""
+    from megalista_spark.operators.sampling import hash_split
+    from megalista_spark.operators.text import document_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    s = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "split"
+    )
+    fp = document_fingerprint(d, prefix_words=5).join(s, "doc_id")
+    per = fp.groupBy("fingerprint", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a, b = per.alias("a"), per.alias("b")
+    pairs = (
+        a.join(b, "fingerprint")
+        .where(F.col("a.split") <= F.col("b.split"))
+        .select(
+            F.col("a.split").alias("split_a"),
+            F.col("b.split").alias("split_b"),
+            F.expr(
+                "CASE WHEN a.split = b.split THEN (a.n * (a.n - 1)) div 2"
+                " ELSE a.n * b.n END"
+            )
+            .cast("bigint")
+            .alias("dup_pairs"),
+        )
+    )
+    return (
+        pairs.where(F.col("dup_pairs") > 0)
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+            F.sum("dup_pairs").cast("bigint").alias("dup_pairs"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+SPLIT_LEAKAGE_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 10000 < 8000 THEN 'train'
+              WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+fp AS (
+  SELECT d.doc_id,
+         md5(array_to_string(
+           list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                       t -> t <> '')[1:5], ' ')) AS fingerprint,
+         s.split
+  FROM documents d JOIN s USING (doc_id)
+),
+per AS (
+  SELECT fingerprint, split, count(*)::BIGINT AS n FROM fp GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.split AS split_a, b.split AS split_b,
+         CASE WHEN a.split = b.split THEN (a.n * (a.n - 1)) // 2
+              ELSE a.n * b.n END AS dup_pairs
+  FROM per a JOIN per b USING (fingerprint)
+  WHERE a.split <= b.split
+)
+SELECT split_a, split_b, count(*)::BIGINT AS n_fingerprints,
+       sum(dup_pairs)::BIGINT AS dup_pairs
+FROM pairs
+WHERE dup_pairs > 0
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
 
@@ -9375,6 +9582,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the whole roster — every name here is green in the local mirror
 # (scripts/compare_oracle.py) at sf0.01.
 _GATE_ROTATION_FIRST = [
+    "bpe_encode_tokens",
+    "doc_lm_surprisal_bottomk",
+    "temperature_mix_by_lang",
+    "split_leakage_audit",
     "association_rules_parts",
     "value_drift_bins",
     "frequent_event_trigrams",
@@ -9643,6 +9854,10 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "association_rules_parts": association_rules_parts,
         "value_drift_bins": value_drift_bins,
         "frequent_event_trigrams": frequent_event_trigrams,
+        "bpe_encode_tokens": bpe_encode_tokens,
+        "doc_lm_surprisal_bottomk": doc_lm_surprisal_bottomk,
+        "temperature_mix_by_lang": temperature_mix_by_lang,
+        "split_leakage_audit": split_leakage_audit,
         "kmv_distinct_estimate": kmv_distinct_estimate,
         "hll_distinct_estimate": hll_distinct_estimate,
         "cms_user_frequencies": cms_user_frequencies,
@@ -9770,6 +9985,10 @@ def oracle_sql() -> dict[str, str]:
         "association_rules_parts": _association_sql(),
         "value_drift_bins": VALUE_DRIFT_SQL,
         "frequent_event_trigrams": EVENT_TRIGRAMS_SQL,
+        "bpe_encode_tokens": _bpe_encode_sql(),
+        "doc_lm_surprisal_bottomk": DOC_LM_SURPRISAL_SQL,
+        "temperature_mix_by_lang": TEMPERATURE_MIX_SQL,
+        "split_leakage_audit": SPLIT_LEAKAGE_SQL,
         "kmv_distinct_estimate": KMV_SQL,
         "hll_distinct_estimate": _hll_sql(),
         "cms_user_frequencies": _cms_sql(),

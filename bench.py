@@ -75,6 +75,10 @@ HEADLINE = [
     "association_rules_parts",
     "value_drift_bins",
     "frequent_event_trigrams",
+    "bpe_encode_tokens",
+    "doc_lm_surprisal_bottomk",
+    "temperature_mix_by_lang",
+    "split_leakage_audit",
     "attribution_range_join",
     "unpivot_lineitem_metrics",
     "kmv_distinct_estimate",

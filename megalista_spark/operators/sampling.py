@@ -85,6 +85,59 @@ def weighted_mix(
     return out
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    budget: int,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-flattened corpus mixing (the multilingual-sampling
+    rule of mBERT/XLM-R, p_g ∝ n_g^α with α = 0.5; public method):
+    allocate a global row ``budget`` across groups proportionally to
+    √n_g, then draw each group's quota deterministically by portable-hash
+    order. Low-resource groups are up-weighted relative to their share,
+    high-resource groups down-weighted — the standard fix for head-group
+    domination in training mixes.
+
+    Exact integer end-to-end, so the allocation is engine-portable:
+    weight_g = floor(sqrt(n_g)) (sqrt is IEEE correctly-rounded on any
+    engine, floor collapses the last-ulp), take_g = (budget · weight_g)
+    div Σ weights, and the draw is rank-over-(hash, key) ≤ take_g.
+    Returns the sampled rows plus plan columns (group_rows, group_weight,
+    group_take, sample_rank).
+
+    Scale: one count aggregate, a 1-row total broadcast back, and ONE
+    rank window partitioned by group — same shuffle shape as
+    ``stratified_sample``. The decision is a pure function of (row key,
+    corpus counts): appends change quotas but never un-sample a row
+    below its old rank.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("bigint").alias("group_rows"))
+    weights = counts.select(
+        group_col,
+        "group_rows",
+        F.floor(F.sqrt(F.col("group_rows"))).cast("bigint").alias("group_weight"),
+    )
+    total = weights.agg(F.sum("group_weight").cast("bigint").alias("_tw"))
+    plan = weights.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "group_rows",
+        "group_weight",
+        F.expr(f"({int(budget)} * group_weight) div _tw").cast("bigint").alias("group_take"),
+    )
+    h = portable_hash64(
+        F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    ranked = df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+    return ranked.join(F.broadcast(plan), group_col).where(
+        F.col("sample_rank") <= F.col("group_take")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -183,18 +183,32 @@ def tfidf_top_terms(
 
 
 def document_fingerprint(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_words: int | None = None,
 ) -> DataFrame:
     """Content fingerprint: md5 of the casefolded, punctuation-stripped,
     whitespace-collapsed text. Robust to formatting-only edits; the cheap
     first pass of a dedup pipeline (hash-groupBy on the fingerprint).
+
+    ``prefix_words`` fingerprints only the first N normalized words — the
+    standard cheap blocking key for near-dup detection (documents that
+    open identically are overwhelmingly template/boilerplate kin even
+    when their tails diverge). Both forms are one codegen projection.
     """
     text = F.col(text_col)
-    normalized = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(text), PUNCT_PATTERN, ""), r"\s+", " "
+    if prefix_words is not None:
+        words = F.filter(
+            F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != F.lit("")
         )
-    )
+        normalized = F.array_join(F.slice(words, 1, prefix_words), " ")
+    else:
+        normalized = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(text), PUNCT_PATTERN, ""), r"\s+", " "
+            )
+        )
     return df.select(
         F.col(id_col),
         F.md5(normalized).alias("fingerprint"),
@@ -293,14 +307,19 @@ def build_vocab(
     )
 
 
-def bpe_train_merges(
+def _bpe_state(
     df: DataFrame,
     text_col: str = "text",
     merges: int = 3,
     max_words: int | None = None,
     group_col: str | None = None,
-) -> DataFrame:
-    """Byte-pair-encoding merge training (Sennrich et al. 2016; public
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE kernel: runs ``merges`` training rounds and returns
+    (per-round merge rows, final symbol state). The final state IS the
+    corpus encoded with the learned tokenizer — ``bpe_train_merges``
+    consumes the first element, ``bpe_encode_token_stats`` the second.
+
+    Byte-pair-encoding merge training (Sennrich et al. 2016; public
     method) as a driver loop of PURELY RELATIONAL steps — the tokenizer-
     training operator an LLM data pipeline runs over its corpus. Returns
     the learned merge table (step, lhs, rhs, merged, pair_count), step
@@ -451,12 +470,62 @@ def bpe_train_merges(
             .localCheckpoint(eager=True)
         )
 
+    return merge_rows, seq
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: int = 3,
+    max_words: int | None = None,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Learned BPE merge table (step, lhs, rhs, merged, pair_count), step
+    1-based in training order. See ``_bpe_state`` for the kernel design
+    and scale notes."""
+    merge_rows, _ = _bpe_state(df, text_col, merges, max_words, group_col)
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     if group_col is not None:
         return out.withColumnRenamed("_g", group_col).orderBy(group_col, "step")
     return out.drop("_g").orderBy("step")
+
+
+def bpe_encode_token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: int = 3,
+    top: int = 20,
+    max_words: int | None = None,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale — the other half of BPE.
+    Encodes the corpus with the ``merges`` rules learned in-flight and
+    returns the top-``top`` resulting tokens by corpus frequency
+    (rank, token, tf). This is the token-frequency profile a training
+    pipeline audits before committing to a tokenizer.
+
+    Zero extra passes over the corpus: the training kernel's final symbol
+    state (``_bpe_state``) already holds every word of the DISTINCT
+    vocabulary in encoded form with its corpus count ``wc`` — encoding
+    the corpus is one weighted groupBy over that relation, O(Σ|word|)
+    state like training itself, never O(corpus). The global top-k is
+    TakeOrderedAndProject (per-partition heaps), not a full sort.
+    """
+    _, seq = _bpe_state(df, text_col, merges, max_words, group_col)
+    from pyspark.sql import Window
+
+    stats = seq.groupBy("_g", "sym").agg(F.sum("wc").cast("bigint").alias("tf"))
+    w = Window.partitionBy("_g").orderBy(F.desc("tf"), F.asc("sym"))
+    out = (
+        stats.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= top)
+        .select("_g", "rank", F.col("sym").alias("token"), "tf")
+    )
+    if group_col is not None:
+        return out.withColumnRenamed("_g", group_col).orderBy(group_col, "rank")
+    return out.drop("_g").orderBy("rank")
 
 
 def tfidf_cosine_pairs(
@@ -784,6 +853,78 @@ def bigram_lm_topk(
         .crossJoin(F.broadcast(vocab))
         .select("w1", "w2", "pair_count", F.round(prob, 6).alias("prob"))
     )
+
+
+def doc_lm_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Perplexity-style quality filter without a neural LM: score every
+    document by its average bigram transition probability under the
+    corpus's OWN bigram model and return the ``k`` most surprising
+    (lowest-probability) documents — the classic "LM filter" step of a
+    training-data pipeline (documents whose word transitions the corpus
+    itself finds improbable are boilerplate, garbled text, or outliers).
+
+    All arithmetic is exact integer parts-per-million:
+
+        prob_ppm(w1→w2) = (ppm_scale · c12) div c1
+        avg_ppm(doc)    = Σ prob_ppm div n_bigrams
+
+    c1 is the bigram-prefix count (Σ_w2 c12), so probabilities normalize
+    per head word; no logs, no float sums — the ranking is a pure integer
+    function of the corpus and therefore engine-portable bit-for-bit
+    (the same fixed-point discipline as the iterative graph operators).
+
+    Scale: doc-bigrams fold per row (zero shuffle, one array transform),
+    the LM is ONE (w1,w2) groupBy over the same relation, and scoring is
+    an equi-join back on (w1,w2) + a per-doc aggregate — two shuffles
+    total, both map-side-combinable. Stop-word bigrams are hot join keys;
+    AQE skew-split handles them (the LM side is one row per key, so the
+    join never amplifies). Bottom-k is TakeOrderedAndProject.
+    """
+    toks = _word_tokens(text_col)
+    doc_bg = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1),"
+                    " i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c12 = doc_bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    lm = c12.join(
+        c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1")), "w1"
+    ).select(
+        "w1",
+        "w2",
+        F.expr(f"({ppm_scale} * c12) div c1").cast("bigint").alias("prob_ppm"),
+    )
+    scored = (
+        doc_bg.join(lm, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("prob_ppm").cast("bigint").alias("_sum_ppm"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.expr("_sum_ppm div n_bigrams").cast("bigint").alias("avg_prob_ppm"),
+        )
+    )
+    return scored.orderBy(F.asc("avg_prob_ppm"), F.asc(id_col)).limit(k)
 
 
 def vocab_drift_report(

@@ -149,6 +149,55 @@ def test_stratified_sample_exact_per_stratum(spark):
     }
 
 
+def test_temperature_sample_quota_and_determinism(spark):
+    import math
+
+    from megalista_spark.operators.sampling import temperature_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = temperature_sample(d, "lang", "doc_id", budget=60)
+    rows = out.collect()
+    # quotas: take_g = (budget * floor(sqrt(n_g))) div sum(weights), and
+    # no group exceeds its quota
+    counts = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    weights = {g: int(math.isqrt(n)) for g, n in counts.items()}
+    tw = sum(weights.values())
+    per_group: dict[str, int] = {}
+    for r in rows:
+        per_group[r["lang"]] = per_group.get(r["lang"], 0) + 1
+        assert r["group_rows"] == counts[r["lang"]]
+        assert r["group_weight"] == weights[r["lang"]]
+        assert r["group_take"] == (60 * weights[r["lang"]]) // tw
+    for g, n in per_group.items():
+        assert n == min((60 * weights[g]) // tw, counts[g])
+    # flattening: sampled share of a small group exceeds its corpus share
+    # whenever a dominant group exists (sqrt compresses the head)
+    # determinism under repartition
+    again = {
+        (r["lang"], r["doc_id"])
+        for r in temperature_sample(d.repartition(7), "lang", "doc_id", budget=60).collect()
+    }
+    assert {(r["lang"], r["doc_id"]) for r in rows} == again
+
+
+def test_document_fingerprint_prefix_mode(spark):
+    from megalista_spark.operators.text import document_fingerprint
+
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over one fence."),
+            (2, "the QUICK brown fox jumps over another gate!"),
+            (3, "a completely different opening line here"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in document_fingerprint(df, prefix_words=5).collect()}
+    assert fp[1] == fp[2] != fp[3]
+    # full-text mode still distinguishes them
+    full = {r["doc_id"]: r["fingerprint"] for r in document_fingerprint(df).collect()}
+    assert full[1] != full[2]
+
+
 def test_weighted_mix_rates(spark):
     from megalista_spark.operators.sampling import weighted_mix
 

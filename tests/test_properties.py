@@ -408,7 +408,7 @@ def _bpe_reference(word_counts: dict[str, int], merges: int):
                     merged.append(syms[i])
                     i += 1
             seqs[w] = merged
-    return out
+    return out, seqs
 
 
 def test_bpe_matches_reference_on_random_corpora(spark):
@@ -430,13 +430,91 @@ def test_bpe_matches_reference_on_random_corpora(spark):
         wc: dict[str, int] = {}
         for w in words:
             wc[w] = wc.get(w, 0) + 1
-        expect = _bpe_reference(wc, merges=4)
+        expect, _ = _bpe_reference(wc, merges=4)
         df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
         got = [
             (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
             for r in bpe_train_merges(df, merges=4).collect()
         ]
         assert got == expect, f"trial {trial}: {got} != {expect}"
+
+
+def test_bpe_encode_matches_reference_final_state(spark):
+    """bpe_encode_token_stats must equal the sequential reference's final
+    symbol state aggregated to weighted token frequencies — encoding is
+    the training kernel's end state, so any divergence here means the
+    relational merge application drifted from greedy BPE."""
+    import random
+
+    from megalista_spark.operators.text import bpe_encode_token_stats
+
+    rng = random.Random(23)
+    for trial in range(3):
+        words = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 5)))
+            for _ in range(40)
+        ]
+        text = " ".join(words)
+        wc: dict[str, int] = {}
+        for w in words:
+            wc[w] = wc.get(w, 0) + 1
+        _, seqs = _bpe_reference(wc, merges=3)
+        tf: dict[str, int] = {}
+        for w, syms in seqs.items():
+            for s in syms:
+                tf[s] = tf.get(s, 0) + wc[w]
+        expect = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect = [
+            (i + 1, tok, n) for i, (tok, n) in enumerate(expect)
+        ]
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        got = [
+            (r["rank"], r["token"], r["tf"])
+            for r in bpe_encode_token_stats(df, merges=3, top=len(expect)).collect()
+        ]
+        assert got == expect, f"trial {trial}: {got} != {expect}"
+
+
+def test_doc_lm_surprisal_matches_bruteforce(spark):
+    """Integer-ppm bigram surprisal must equal a per-doc brute-force
+    recomputation for random corpora (probabilities from bigram-prefix
+    counts, floor division at both stages)."""
+    import random
+    import re
+
+    from megalista_spark.operators.text import doc_lm_surprisal
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 9))))
+        for i in range(25)
+    ]
+    c12: dict[tuple[str, str], int] = {}
+    per_doc: dict[int, list[tuple[str, str]]] = {}
+    for i, text in docs:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        bgs = list(zip(toks, toks[1:]))
+        per_doc[i] = bgs
+        for p in bgs:
+            c12[p] = c12.get(p, 0) + 1
+    c1: dict[str, int] = {}
+    for (w1, _), n in c12.items():
+        c1[w1] = c1.get(w1, 0) + n
+    scores = []
+    for i, bgs in per_doc.items():
+        if not bgs:
+            continue
+        ppms = [(1_000_000 * c12[p]) // c1[p[0]] for p in bgs]
+        scores.append((sum(ppms) // len(ppms), i, len(bgs)))
+    scores.sort()
+    expect = [(i, n, avg) for avg, i, n in scores[:10]]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = [
+        (r["doc_id"], r["n_bigrams"], r["avg_prob_ppm"])
+        for r in doc_lm_surprisal(df, k=10).collect()
+    ]
+    assert got == expect
 
 
 def test_windowed_funnel_matches_bruteforce(spark):
