@@ -9566,6 +9566,239 @@ ORDER BY 1, 2
 """
 
 
+def cusum_hourly_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection (operators/timeseries.py::cusum_flags,
+    Page 1954): two-sided CUSUM over each event type's hourly volume,
+    centered on the type's own series mean, closed form (prefix sum −
+    running min — one window shuffle, no recurrence). Flags sustained
+    level shifts that the pointwise z-score anomaly query cannot see."""
+    from megalista_spark.operators.timeseries import cusum_flags
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return cusum_flags(
+        hourly, "hour", "n_events", key_cols=["event_type"], slack=1, threshold=5
+    ).orderBy("event_type", "hour")
+
+
+CUSUM_HOURLY_SQL = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts::TIMESTAMP) // 3600000000 AS hour,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, count(*)::BIGINT AS _n, sum(n_events)::BIGINT AS _sx
+  FROM hourly GROUP BY 1
+),
+d AS (
+  SELECT h.event_type, h.hour, h.n_events, st._n,
+         st._n * h.n_events - st._sx - st._n * 1 AS du,
+         -(st._n * h.n_events - st._sx + st._n * 1) AS dn
+  FROM hourly h JOIN st USING (event_type)
+),
+p AS (
+  SELECT event_type, hour, n_events, _n,
+         sum(du) OVER w AS pu, sum(dn) OVER w AS pd
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT event_type, hour, n_events, _n,
+         pu - least(0, min(pu) OVER w) AS su,
+         pd - least(0, min(pd) OVER w) AS sd
+  FROM p
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, hour, n_events,
+       ((1000 * su) // _n)::BIGINT AS cusum_pos_milli,
+       ((1000 * sd) // _n)::BIGINT AS cusum_neg_milli,
+       su > _n * 5 AS shift_up,
+       sd > _n * 5 AS shift_down
+FROM s
+ORDER BY event_type, hour
+"""
+
+
+def km_repurchase_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer retention curve (operators/survival.py::kaplan_meier,
+    Kaplan & Meier 1958): per market segment, time-to-second-order in
+    days with one-order customers right-censored at the study end — the
+    churn-analysis twin of the remarketing audiences the reference
+    exports. Product-limit survival in exact integer ppm (floor division
+    each step), so the curve is engine-portable bit-for-bit."""
+    from megalista_spark.operators.survival import kaplan_meier
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    day = F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+    per = o.select(F.col("o_custkey"), day.alias("_day")).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sort_array(F.collect_list("_day")).alias("_days"),
+    )
+    end = o.select(F.max(day).alias("_study_end"))
+    subj = (
+        per.crossJoin(F.broadcast(end))
+        .join(c.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"), "o_custkey")
+        .select(
+            "c_mktsegment",
+            F.when(
+                F.col("_cnt") >= 2,
+                F.element_at("_days", 2) - F.element_at("_days", 1),
+            )
+            .otherwise(F.col("_study_end") - F.element_at("_days", 1))
+            .cast("bigint")
+            .alias("duration"),
+            (F.col("_cnt") >= 2).cast("int").alias("event"),
+        )
+    )
+    return kaplan_meier(subj, "duration", "event", key_cols=["c_mktsegment"])
+
+
+KM_REPURCHASE_SQL = """
+WITH RECURSIVE subj AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_orders,
+         min(epoch_us(o_orderdate::TIMESTAMP) // 86400000000) AS first_day,
+         (array_agg(epoch_us(o_orderdate::TIMESTAMP) // 86400000000
+                    ORDER BY epoch_us(o_orderdate::TIMESTAMP) // 86400000000))[2]
+           AS second_day
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT max(epoch_us(o_orderdate::TIMESTAMP) // 86400000000) AS study_end
+  FROM orders
+),
+durs AS (
+  SELECT c.c_mktsegment,
+         (CASE WHEN s.n_orders >= 2 THEN s.second_day - s.first_day
+               ELSE g.study_end - s.first_day END)::BIGINT AS t,
+         (CASE WHEN s.n_orders >= 2 THEN 1 ELSE 0 END) AS ev
+  FROM subj s JOIN customer c ON c.c_custkey = s.o_custkey CROSS JOIN g
+),
+life AS (
+  SELECT c_mktsegment, t, sum(ev)::BIGINT AS d_events,
+         sum(1 - ev)::BIGINT AS c_censored
+  FROM durs GROUP BY 1, 2
+),
+lt AS (
+  SELECT c_mktsegment, t, d_events, c_censored,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY t) AS rn,
+         (sum(d_events + c_censored) OVER (PARTITION BY c_mktsegment))::BIGINT
+           - coalesce(sum(d_events + c_censored) OVER (
+               PARTITION BY c_mktsegment ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS n_risk
+  FROM life
+),
+km AS (
+  SELECT c_mktsegment, rn, t, n_risk, d_events, c_censored,
+         CASE WHEN d_events > 0
+              THEN (1000000 * (n_risk - d_events)) // n_risk
+              ELSE 1000000 END AS survival_ppm
+  FROM lt WHERE rn = 1
+  UNION ALL
+  SELECT l.c_mktsegment, l.rn, l.t, l.n_risk, l.d_events, l.c_censored,
+         CASE WHEN l.d_events > 0
+              THEN (km.survival_ppm * (l.n_risk - l.d_events)) // l.n_risk
+              ELSE km.survival_ppm END
+  FROM km JOIN lt l ON l.c_mktsegment = km.c_mktsegment AND l.rn = km.rn + 1
+)
+SELECT c_mktsegment, t, n_risk, d_events, c_censored, survival_ppm
+FROM km
+ORDER BY c_mktsegment, t
+"""
+
+
+def event_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-allowed sequential-pattern mining (operators/sessions.py::
+    sequential_pattern_support, the PrefixSpan problem for length ≤ 3):
+    support = users whose history CONTAINS the ordered subsequence,
+    other events permitted between — computed linearly via the
+    greedy-earliest-occurrence identity (first/last timestamps + one
+    earliest-completion join), never per-user subsequence explosion."""
+    from megalista_spark.operators.sessions import sequential_pattern_support
+
+    e = _t(spark, sf_dir, "events")
+    return sequential_pattern_support(e, max_len=3, min_support=5)
+
+
+EVENT_SEQ_SUPPORT_SQL = """
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(ts::TIMESTAMP) // 1000000 AS t, event_type AS e
+  FROM events
+),
+fl AS (SELECT u, e, min(t) AS f, max(t) AS l FROM ev GROUP BY 1, 2),
+s1 AS (
+  SELECT e AS pattern, 1 AS length, count(*)::BIGINT AS support FROM fl GROUP BY 1
+),
+s2 AS (
+  SELECT a.e || '>' || b.e AS pattern, 2 AS length, count(*)::BIGINT AS support
+  FROM fl a JOIN fl b ON a.u = b.u AND a.f < b.l
+  GROUP BY 1
+),
+eab AS (
+  SELECT ev.u, a.e AS ea, ev.e AS eb, min(ev.t) AS et
+  FROM ev JOIN fl a ON a.u = ev.u AND ev.t > a.f
+  GROUP BY 1, 2, 3
+),
+s3 AS (
+  SELECT eab.ea || '>' || eab.eb || '>' || c.e AS pattern, 3 AS length,
+         count(*)::BIGINT AS support
+  FROM eab JOIN fl c ON c.u = eab.u AND eab.et < c.l
+  GROUP BY 1
+)
+SELECT pattern, length::INT AS length, support FROM (
+  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+)
+WHERE support >= 5
+ORDER BY length, support DESC, pattern
+"""
+
+
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance of the embedding table (operators/
+    linalg.py::embedding_covariance): upper-triangle (i, j, n, sxy, cov)
+    via per-partition integer Gram kernels (numpy QᵀQ inside Arrow
+    mapInPandas — the shuffle carries O(partitions·d²) rows, never
+    rows·d²). The PCA/whitening/Mahalanobis precursor of an embedding
+    pipeline; the oracle is the posexplode² formulation the kernel
+    avoids."""
+    from megalista_spark.operators.linalg import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding", dim=64)
+
+
+EMB_COVARIANCE_SQL = """
+WITH q AS (
+  SELECT vec_id, i::INT AS i,
+         CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM (
+    SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  )
+),
+nn AS (SELECT count(DISTINCT vec_id)::BIGINT AS n FROM q),
+s AS (SELECT i, sum(q)::BIGINT AS sx FROM q GROUP BY 1),
+p AS (
+  SELECT a.i AS i, b.i AS j, sum(a.q * b.q)::BIGINT AS sxy
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT p.i, p.j, nn.n, p.sxy,
+       round((nn.n * p.sxy - si.sx * sj.sx)
+             / (nn.n * (nn.n - 1) * 1000000.0), 6) + 0 AS cov
+FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j CROSS JOIN nn
+ORDER BY p.i, p.j
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -9582,6 +9815,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the whole roster — every name here is green in the local mirror
 # (scripts/compare_oracle.py) at sf0.01.
 _GATE_ROTATION_FIRST = [
+    "cusum_hourly_shifts",
+    "km_repurchase_curves",
+    "event_sequence_support",
+    "embedding_covariance_matrix",
     "bpe_encode_tokens",
     "doc_lm_surprisal_bottomk",
     "temperature_mix_by_lang",
@@ -9854,6 +10091,10 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "association_rules_parts": association_rules_parts,
         "value_drift_bins": value_drift_bins,
         "frequent_event_trigrams": frequent_event_trigrams,
+        "cusum_hourly_shifts": cusum_hourly_shifts,
+        "km_repurchase_curves": km_repurchase_curves,
+        "event_sequence_support": event_sequence_support,
+        "embedding_covariance_matrix": embedding_covariance_matrix,
         "bpe_encode_tokens": bpe_encode_tokens,
         "doc_lm_surprisal_bottomk": doc_lm_surprisal_bottomk,
         "temperature_mix_by_lang": temperature_mix_by_lang,
@@ -9985,6 +10226,10 @@ def oracle_sql() -> dict[str, str]:
         "association_rules_parts": _association_sql(),
         "value_drift_bins": VALUE_DRIFT_SQL,
         "frequent_event_trigrams": EVENT_TRIGRAMS_SQL,
+        "cusum_hourly_shifts": CUSUM_HOURLY_SQL,
+        "km_repurchase_curves": KM_REPURCHASE_SQL,
+        "event_sequence_support": EVENT_SEQ_SUPPORT_SQL,
+        "embedding_covariance_matrix": EMB_COVARIANCE_SQL,
         "bpe_encode_tokens": _bpe_encode_sql(),
         "doc_lm_surprisal_bottomk": DOC_LM_SURPRISAL_SQL,
         "temperature_mix_by_lang": TEMPERATURE_MIX_SQL,

@@ -75,6 +75,10 @@ HEADLINE = [
     "association_rules_parts",
     "value_drift_bins",
     "frequent_event_trigrams",
+    "cusum_hourly_shifts",
+    "km_repurchase_curves",
+    "event_sequence_support",
+    "embedding_covariance_matrix",
     "bpe_encode_tokens",
     "doc_lm_surprisal_bottomk",
     "temperature_mix_by_lang",

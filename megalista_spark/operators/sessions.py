@@ -448,3 +448,96 @@ def frequent_event_ngrams(
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
         .limit(top_k)
     )
+
+
+def sequential_pattern_support(
+    events: DataFrame,
+    max_len: int = 3,
+    min_support: int = 1,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """GAP-ALLOWED sequential-pattern support (the PrefixSpan problem,
+    Pei et al. 2001, restricted to single-item elements and length ≤ 3;
+    public method): for each ordered event-type subsequence ⟨a⟩, ⟨a,b⟩,
+    ⟨a,b,c⟩, the number of users whose history CONTAINS it — other
+    events may fall in between, which is what ``frequent_event_ngrams``
+    (contiguous grams) cannot see. Returns (pattern, length, support)
+    with ``a>b>c`` pattern strings, support ≥ ``min_support``, ordered
+    by (length, support desc, pattern).
+
+    A naive contains-check explodes each user's m events into O(m³)
+    subsequences. The greedy-earliest-occurrence identity makes it
+    LINEAR in events: a subsequence exists iff matching each symbol at
+    its earliest possible position succeeds, so
+
+        ⟨a,b⟩   exists  iff  first(a) < last(b)
+        ⟨a,b,c⟩ exists  iff  e(a,b) < last(c)
+          where e(a,b) = min{ts_b : ts_b > first(a)}  (earliest
+          completion of ⟨a,b⟩ — the only middle state needed)
+
+    Everything is per-(user, type) firsts/lasts plus one join of b-events
+    against the firsts table: O(|events|·|types|) work, no per-user
+    quadratics. Strict '<' on seconds-truncated timestamps keeps
+    same-second ties out of the match (consistent with the funnel
+    operators' tie discipline).
+
+    Scale shape: the alphabet |types| is the fan-out constant (event
+    taxonomies are dozens, not thousands — pre-bucket long tails first).
+    One (user, type) aggregate, one broadcast-sized types list, one
+    events⋈firsts equi-join on user, two pattern-level count
+    aggregates over |types|²/³ keys. Pattern support counts are
+    map-side-combinable bigints.
+    """
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("long").alias("_t"),
+        F.col(type_col).alias("_e"),
+    )
+    fl = ev.groupBy("_u", "_e").agg(
+        F.min("_t").alias("_first"), F.max("_t").alias("_last")
+    )
+    sup1 = (
+        fl.groupBy(F.col("_e").alias("pattern"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .withColumn("length", F.lit(1).cast("int"))
+    )
+    out = sup1
+    if max_len >= 2:
+        a = fl.select("_u", F.col("_e").alias("_a"), "_first")
+        b = fl.select("_u", F.col("_e").alias("_b"), "_last")
+        ab = a.join(b, "_u").where(F.col("_first") < F.col("_last"))
+        sup2 = (
+            ab.groupBy(
+                F.concat_ws(">", "_a", "_b").alias("pattern")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+            .withColumn("length", F.lit(2).cast("int"))
+        )
+        out = out.unionByName(sup2)
+    if max_len >= 3:
+        # earliest completion of <a,b>: min b-event strictly after first(a)
+        a = fl.select("_u", F.col("_e").alias("_a"), "_first")
+        eab = (
+            ev.select("_u", F.col("_e").alias("_b"), "_t")
+            .join(a, "_u")
+            .where(F.col("_t") > F.col("_first"))
+            .groupBy("_u", "_a", "_b")
+            .agg(F.min("_t").alias("_eab"))
+        )
+        c = fl.select("_u", F.col("_e").alias("_c"), "_last")
+        abc = eab.join(c, "_u").where(F.col("_eab") < F.col("_last"))
+        sup3 = (
+            abc.groupBy(
+                F.concat_ws(">", "_a", "_b", "_c").alias("pattern")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+            .withColumn("length", F.lit(3).cast("int"))
+        )
+        out = out.unionByName(sup3)
+    return (
+        out.where(F.col("support") >= min_support)
+        .select("pattern", "length", "support")
+        .orderBy("length", F.desc("support"), "pattern")
+    )

@@ -1,0 +1,128 @@
+"""Survival analysis: Kaplan-Meier product-limit estimator (Kaplan &
+Meier 1958; public method) — the retention/churn curve primitive. Given
+one row per subject with an integer duration and an event/censored flag,
+produce the per-group life table and survival curve.
+
+The reference ETL ships audience/retention exports; the survival curve is
+the analytics-side twin every marketing team derives from them (time to
+repurchase, churn-by-cohort). It also serves training-data pipelines as
+label-horizon analysis (time to document re-crawl / update).
+
+Scale shape:
+- one (group, duration) groupBy over subjects — the only data-sized
+  shuffle; everything after operates on the LIFE TABLE, whose row count
+  is bounded by the duration grid (e.g. days in the study window), not
+  by subject count;
+- the risk set n_t = N - Σ_{s<t}(d_s + c_s) is one key-partitioned
+  cumulative window over that bounded table;
+- the product-limit recurrence S_t = S_{t-1}·(n_t-d_t)/n_t is inherently
+  sequential, so it folds per group over a collect_list of the (few
+  hundred) life-table rows with ``aggregate`` — driver never sees data,
+  and the fold state is O(timepoints), not O(subjects).
+
+Engine-portable: survival is exact integer parts-per-million with floor
+division at every step, S_k = (S_{k-1}·(n_k-d_k)) div n_k — the same
+fixed-point discipline as the iterative graph operators, so any engine
+reproduces the curve bit-for-bit (a float product would drift across
+multiplication orders).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    key_cols: Sequence[str] = (),
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Kaplan-Meier life table + survival curve per group.
+
+    Input: one row per subject; ``duration_col`` integer time-to-outcome,
+    ``event_col`` boolean/0-1 (1 = event observed, 0 = right-censored at
+    that duration). Output one row per (group, distinct duration):
+    (key..., t, n_risk, d_events, c_censored, survival_ppm), ordered by
+    (key..., t), survival_ppm starting from ``ppm_scale`` and stepping
+    down only at event timepoints.
+
+    Censoring follows the standard convention: subjects censored AT t are
+    still in the risk set for events at t (leave after).
+    """
+    keys = list(key_cols)
+    ev = F.col(event_col).cast("int")
+    life = df.groupBy(*keys, F.col(duration_col).cast("bigint").alias("t")).agg(
+        F.sum(ev).cast("bigint").alias("d_events"),
+        F.sum(1 - ev).cast("bigint").alias("c_censored"),
+    )
+    w = (
+        Window.partitionBy(*keys).orderBy("t")
+        if keys
+        else Window.orderBy("t")
+    )
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    totals = life.groupBy(*keys).agg(
+        F.sum(F.col("d_events") + F.col("c_censored")).alias("_N")
+    )
+    with_n = (
+        (life.join(totals, keys) if keys else life.crossJoin(F.broadcast(totals)))
+        .withColumn(
+            "n_risk",
+            (
+                F.col("_N")
+                - F.coalesce(
+                    F.sum(F.col("d_events") + F.col("c_censored")).over(prior),
+                    F.lit(0),
+                )
+            ).cast("bigint"),
+        )
+        .drop("_N")
+    )
+    # fold the product-limit recurrence over each group's sorted life table
+    pts = with_n.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "n_risk", "d_events", "c_censored"))
+        ).alias("_pts")
+    )
+    folded = pts.select(
+        *keys,
+        F.expr(
+            f"""
+            aggregate(
+              _pts,
+              struct(
+                cast({int(ppm_scale)} as bigint) as s,
+                cast(array() as array<struct<
+                  t: bigint, n_risk: bigint, d_events: bigint,
+                  c_censored: bigint, survival_ppm: bigint>>) as out
+              ),
+              (acc, x) -> struct(
+                cast(if(x.d_events > 0,
+                        (acc.s * (x.n_risk - x.d_events)) div x.n_risk,
+                        acc.s) as bigint) as s,
+                array_append(acc.out, struct(
+                  x.t as t, x.n_risk as n_risk, x.d_events as d_events,
+                  x.c_censored as c_censored,
+                  cast(if(x.d_events > 0,
+                          (acc.s * (x.n_risk - x.d_events)) div x.n_risk,
+                          acc.s) as bigint) as survival_ppm))
+              ),
+              acc -> acc.out
+            )
+            """
+        ).alias("_curve"),
+    )
+    out = folded.select(*keys, F.explode("_curve").alias("_r")).select(
+        *keys,
+        F.col("_r.t").alias("t"),
+        F.col("_r.n_risk").alias("n_risk"),
+        F.col("_r.d_events").alias("d_events"),
+        F.col("_r.c_censored").alias("c_censored"),
+        F.col("_r.survival_ppm").alias("survival_ppm"),
+    )
+    return out.orderBy(*keys, "t")

@@ -151,6 +151,89 @@ def ewma_trailing(
     )
 
 
+def cusum_flags(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    slack: int = 0,
+    threshold: int = 0,
+) -> DataFrame:
+    """Two-sided CUSUM change-point statistic (Page 1954; public method)
+    over an integer-bucketed series, centered on each key's own series
+    mean: (key..., bucket, value, cusum_pos_milli, cusum_neg_milli,
+    shift_up, shift_down).
+
+    The textbook form is a per-step recurrence
+    ``S_t = max(0, S_{t-1} + (x_t - mean - slack))`` — sequential, which
+    would serialize the series. The CLOSED FORM removes the recurrence:
+    with D_t = x_t - mean - slack and prefix sums P_t = Σ_{j≤t} D_j,
+
+        S_t = P_t - min(0, min_{j≤t} P_j)
+
+    i.e. one cumulative sum plus one running minimum — two frames of the
+    SAME key-partitioned, bucket-ordered window (one sort, one shuffle).
+    The mirrored statistic uses -D'_t with D'_t = x_t - mean + slack.
+
+    Exact integer arithmetic: the mean never materializes as a fraction —
+    everything is scaled by n (the key's bucket count):
+
+        n·D_t = n·x_t - Σx - n·slack
+
+    so prefix sums and minima are bigint and bit-identical on any engine.
+    Outputs are rescaled once at the boundary: cusum_*_milli =
+    (1000·S_t) div n. ``shift_up``/``shift_down`` flag S_t > n·threshold
+    (slack and threshold are in VALUE units; callers with money pass
+    cents, per the fixed-point convention of session_stats).
+
+    Scale shape: input is already bucket-aggregated (|buckets| rows, not
+    |events|); one mean aggregate joined back (broadcast — one row per
+    key), then ONE window shuffle serving both sides and both frames.
+    Per-key series length is bounded by the bucket grid (time range /
+    step), so the window sort state is bounded regardless of raw volume.
+    """
+    keys = list(key_cols)
+    x = F.col(value_col).cast("bigint")
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(x).cast("bigint").alias("_sx"),
+    )
+    base = df.join(stats, keys) if keys else df.crossJoin(F.broadcast(stats))
+    up = F.col("_n") * x - F.col("_sx") - F.col("_n") * F.lit(int(slack))
+    dn = -(F.col("_n") * x - F.col("_sx") + F.col("_n") * F.lit(int(slack)))
+    w = (
+        Window.partitionBy(*keys).orderBy(bucket_col)
+        if keys
+        else Window.orderBy(bucket_col)
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = base.select(
+        *keys,
+        bucket_col,
+        x.alias(value_col),
+        F.col("_n"),
+        F.sum(up).over(run).alias("_pu"),
+        F.sum(dn).over(run).alias("_pd"),
+    ).select(
+        *keys,
+        bucket_col,
+        value_col,
+        F.col("_n"),
+        (F.col("_pu") - F.least(F.lit(0), F.min("_pu").over(run))).alias("_su"),
+        (F.col("_pd") - F.least(F.lit(0), F.min("_pd").over(run))).alias("_sd"),
+    )
+    thr = F.col("_n") * F.lit(int(threshold))
+    return scored.select(
+        *keys,
+        bucket_col,
+        value_col,
+        F.expr("(1000 * _su) div _n").cast("bigint").alias("cusum_pos_milli"),
+        F.expr("(1000 * _sd) div _n").cast("bigint").alias("cusum_neg_milli"),
+        (F.col("_su") > thr).alias("shift_up"),
+        (F.col("_sd") > thr).alias("shift_down"),
+    )
+
+
 def linear_trend(
     df: DataFrame,
     x_col: str,

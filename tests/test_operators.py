@@ -2507,3 +2507,134 @@ def test_windowed_funnel_bucket_boundary_chains(spark):
         e, ["view", "click", "purchase"], 3600
     ).collect()
     assert [(c["u"], c["tk"] - c["t1"]) for c in chains] == [(1, 3600)]
+
+
+def test_cusum_flags_matches_recurrence(spark):
+    """Closed form (prefix sum - running min) must equal the textbook
+    per-step recurrence S_t = max(0, S_{t-1} + (x_t - mean -/+ slack)),
+    scaled by n, on a series with a deliberate level shift."""
+    import random
+
+    from megalista_spark.operators.timeseries import cusum_flags
+
+    rng = random.Random(7)
+    xs = [10 + rng.randint(-2, 2) for _ in range(30)] + [
+        16 + rng.randint(-2, 2) for _ in range(15)
+    ]
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], ["key", "bucket", "x"]
+    )
+    out = cusum_flags(df, "bucket", "x", key_cols=["key"], slack=1, threshold=3)
+    rows = {r["bucket"]: r for r in out.collect()}
+    n, sx = len(xs), sum(xs)
+    su = sd = 0
+    for i, x in enumerate(xs):
+        su = max(0, su + (n * x - sx - n * 1))
+        sd = max(0, sd - (n * x - sx + n * 1))
+        r = rows[i]
+        assert r["cusum_pos_milli"] == (1000 * su) // n, i
+        assert r["cusum_neg_milli"] == (1000 * sd) // n, i
+        assert r["shift_up"] == (su > n * 3), i
+        assert r["shift_down"] == (sd > n * 3), i
+    # the injected upward shift must actually be flagged
+    assert any(r["shift_up"] for r in rows.values())
+
+
+def test_kaplan_meier_matches_bruteforce(spark):
+    """Integer-ppm product-limit curve vs a sequential brute force on a
+    censored cohort (censored-at-t subjects stay in the risk set)."""
+    from megalista_spark.operators.survival import kaplan_meier
+
+    subj = [
+        # (group, duration, event)
+        *[("a", t, e) for t, e in [(1, 1), (1, 1), (2, 0), (3, 1), (3, 0), (5, 1), (7, 0)]],
+        *[("b", t, e) for t, e in [(2, 1), (2, 1), (2, 1), (4, 0)]],
+    ]
+    df = spark.createDataFrame(subj, ["g", "dur", "ev"])
+    out = kaplan_meier(df, "dur", "ev", key_cols=["g"])
+    got = [
+        (r["g"], r["t"], r["n_risk"], r["d_events"], r["c_censored"], r["survival_ppm"])
+        for r in out.collect()
+    ]
+    expect = []
+    for g in ["a", "b"]:
+        rows = [(t, e) for gg, t, e in subj if gg == g]
+        n = len(rows)
+        s = 1_000_000
+        for t in sorted({t for t, _ in rows}):
+            d = sum(1 for tt, e in rows if tt == t and e == 1)
+            c = sum(1 for tt, e in rows if tt == t and e == 0)
+            if d > 0:
+                s = (s * (n - d)) // n
+            expect.append((g, t, n, d, c, s))
+            n -= d + c
+    assert got == expect
+
+
+def test_sequential_pattern_support_bruteforce(spark):
+    """Greedy-earliest relational support vs per-user brute-force
+    subsequence containment on random histories (distinct timestamps)."""
+    import itertools
+    import random
+
+    from megalista_spark.operators.sessions import sequential_pattern_support
+
+    rng = random.Random(11)
+    types = ["a", "b", "c"]
+    rows = []
+    histories: dict[int, list[str]] = {}
+    t = 0
+    for u in range(25):
+        hist = [rng.choice(types) for _ in range(rng.randint(0, 8))]
+        histories[u] = hist
+        for e in hist:
+            t += 1  # strictly increasing: no ties anywhere
+            rows.append((u, t, e))
+    df = spark.createDataFrame(rows, ["user_id", "sec", "event_type"]).select(
+        "user_id", F.col("sec").cast("timestamp").alias("ts"), "event_type"
+    )
+    out = sequential_pattern_support(df, max_len=3, min_support=1)
+    got = {(r["pattern"], r["length"]): r["support"] for r in out.collect()}
+
+    def contains(hist, pat):
+        it = iter(hist)
+        return all(s in it for s in pat)
+
+    expect = {}
+    for ln in (1, 2, 3):
+        for pat in itertools.product(types, repeat=ln):
+            sup = sum(1 for h in histories.values() if contains(h, pat))
+            if sup >= 1:
+                expect[(">".join(pat), ln)] = sup
+    assert got == expect
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Kernel Gram accumulation vs numpy covariance of the same
+    quantization; stable under repartition (order-independent sums)."""
+    import numpy as np
+
+    from megalista_spark.operators.linalg import embedding_covariance
+
+    rng = np.random.default_rng(3)
+    d, n = 5, 40
+    mat = rng.normal(scale=0.5, size=(n, d)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)], ["id", "embedding"]
+    )
+    out = embedding_covariance(df, "embedding", dim=d).collect()
+    q = (np.floor(np.abs(mat.astype(np.float64)) * 1000 + 0.5) * np.sign(mat)).astype(
+        np.int64
+    )
+    g = q.T @ q
+    s = q.sum(axis=0)
+    for r in out:
+        i, j = r["i"] - 1, r["j"] - 1
+        assert r["n"] == n
+        assert r["sxy"] == g[i, j]
+        cov = (n * g[i, j] - s[i] * s[j]) / (n * (n - 1) * 1_000_000)
+        assert abs(r["cov"] - round(cov, 6)) < 1e-9
+    again = embedding_covariance(df.repartition(7), "embedding", dim=d).collect()
+    assert sorted((r["i"], r["j"], r["sxy"]) for r in again) == sorted(
+        (r["i"], r["j"], r["sxy"]) for r in out
+    )
