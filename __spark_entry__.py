@@ -9799,6 +9799,250 @@ ORDER BY p.i, p.j
 """
 
 
+def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate canonicalization (operators/dedup.py::
+    keep_best): within each 5-word-prefix fingerprint group (the
+    template/boilerplate blocking key of split_leakage_audit) keep the
+    LONGEST copy (ties to the lowest doc_id) — corpus-dedup practice
+    keeps the best-written representative, not the first-crawled one.
+    Output is the winners of multi-member groups only."""
+    from megalista_spark.operators.dedup import keep_best
+    from megalista_spark.operators.text import document_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    fp = document_fingerprint(d, prefix_words=5).select("doc_id", "fingerprint")
+    winners = keep_best(d.join(fp, "doc_id"), "fingerprint", "n_chars", "doc_id")
+    return (
+        winners.where(F.col("dup_count") >= 2)
+        .select("doc_id", "lang", "source", "n_chars", "dup_count")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5(array_to_string(
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '')[1:5], ' ')) AS fingerprint
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY fingerprint
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY fingerprint)::BIGINT AS dup_count
+  FROM fp
+)
+SELECT doc_id, lang, source, n_chars, dup_count
+FROM ranked
+WHERE rk = 1 AND dup_count >= 2
+ORDER BY doc_id
+"""
+
+
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit (operators/text.py::oov_rate): per
+    source, the ppm of word occurrences outside the corpus-global
+    top-500 vocabulary — slices with high OOV degrade into byte
+    fallbacks at training time. Vocab is a broadcast top-k; OOV is a
+    broadcast anti-join of the (source, word) COUNT table, never raw
+    occurrences."""
+    from megalista_spark.operators.text import oov_rate
+
+    d = _t(spark, sf_dir, "documents")
+    return oov_rate(d, vocab_size=500, group_col="source")
+
+
+OOV_RATE_SQL = """
+WITH gw AS (
+  SELECT source AS g, w, count(*)::BIGINT AS c
+  FROM (
+    SELECT source,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS w
+    FROM documents
+  )
+  GROUP BY 1, 2
+),
+vocab AS (
+  SELECT w FROM (SELECT w, sum(c)::BIGINT AS tf FROM gw GROUP BY 1)
+  ORDER BY tf DESC, w LIMIT 500
+),
+tot AS (SELECT g, sum(c)::BIGINT AS total_tokens FROM gw GROUP BY 1),
+oov AS (
+  SELECT g, sum(c)::BIGINT AS oov_tokens
+  FROM gw ANTI JOIN vocab USING (w)
+  GROUP BY g
+)
+SELECT t.g AS source, t.total_tokens,
+       coalesce(o.oov_tokens, 0)::BIGINT AS oov_tokens,
+       ((1000000 * coalesce(o.oov_tokens, 0)) // t.total_tokens)::BIGINT AS oov_ppm
+FROM tot t LEFT JOIN oov o ON o.g = t.g
+ORDER BY source
+"""
+
+
+_LM_SOURCES = "('src0', 'src1', 'src2', 'src3', 'src4')"
+
+
+def cross_domain_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style domain filter (operators/text.py::doc_lm_surprisal
+    with a foreign LM): train the bigram LM on the src0-src4 slice and
+    score the REST — the 20 most improbable documents under the clean
+    slice's model, with scored-bigram coverage reported so low-evidence
+    scores are visible. Exact integer ppm end-to-end."""
+    from megalista_spark.operators.text import doc_lm_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    lm_src = ["src0", "src1", "src2", "src3", "src4"]
+    return doc_lm_surprisal(
+        d.where(~F.col("source").isin(lm_src)),
+        k=20,
+        lm_df=d.where(F.col("source").isin(lm_src)),
+    )
+
+
+CROSS_DOMAIN_SURPRISAL_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+lmbg AS MATERIALIZED (
+  SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+  FROM toks WHERE len(w) >= 2 AND source IN {_LM_SOURCES}
+),
+c12 AS MATERIALIZED (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM lmbg GROUP BY 1, 2
+),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+lm AS (
+  SELECT c12.w1, c12.w2, (1000000 * c12) // c1 AS prob_ppm
+  FROM c12 JOIN c1 USING (w1)
+),
+dbg AS MATERIALIZED (
+  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+  FROM toks WHERE len(w) >= 2 AND source NOT IN {_LM_SOURCES}
+),
+tot AS (SELECT doc_id, count(*)::BIGINT AS total_bigrams FROM dbg GROUP BY 1),
+sc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         (sum(prob_ppm) // count(*))::BIGINT AS avg_prob_ppm
+  FROM dbg JOIN lm USING (w1, w2)
+  GROUP BY doc_id
+)
+SELECT sc.doc_id, sc.n_bigrams, t.total_bigrams,
+       ((1000000 * sc.n_bigrams) // t.total_bigrams)::BIGINT AS coverage_ppm,
+       sc.avg_prob_ppm
+FROM sc JOIN tot t USING (doc_id)
+ORDER BY sc.avg_prob_ppm, sc.doc_id
+LIMIT 20
+"""
+
+
+def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity audit (operators/text.py::ngram_diversity):
+    distinct-over-total trigram ratio + type-token ratio per source in
+    exact integer ppm — the repetitiveness profile that decides which
+    slices need aggressive dedup. Two-phase (group, gram) aggregation
+    collapses duplicates map-side; no countDistinct over raw grams."""
+    from megalista_spark.operators.text import ngram_diversity
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_diversity(d, group_col="source", n=3)
+
+
+NGRAM_DIVERSITY_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(w) - 2 + 1),
+                               i -> array_to_string(w[i:i+2], ' '))) AS g
+  FROM toks WHERE len(w) >= 3
+),
+gs AS (
+  SELECT source, sum(c)::BIGINT AS total_ngrams,
+         count(*)::BIGINT AS distinct_ngrams
+  FROM (SELECT source, g, count(*)::BIGINT AS c FROM grams GROUP BY 1, 2)
+  GROUP BY 1
+),
+words AS (SELECT source, unnest(w) AS wd FROM toks),
+ws AS (
+  SELECT source, sum(c)::BIGINT AS total_words,
+         count(*)::BIGINT AS distinct_words
+  FROM (SELECT source, wd, count(*)::BIGINT AS c FROM words GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT gs.source, gs.total_ngrams, gs.distinct_ngrams,
+       ((1000000 * gs.distinct_ngrams) // gs.total_ngrams)::BIGINT AS distinct_ppm,
+       ws.total_words, ws.distinct_words,
+       ((1000000 * ws.distinct_words) // ws.total_words)::BIGINT AS ttr_ppm
+FROM gs JOIN ws USING (source)
+ORDER BY source
+"""
+
+
+def robust_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers (operators/timeseries.py::mad_outliers,
+    Hampel filter family): hourly volumes whose deviation from the
+    per-type MEDIAN exceeds 3×MAD — the 50%-breakdown-point twin of the
+    mean/σ z-score flags (which melt under heavy contamination). Lower
+    medians as exact order statistics: all-integer, engine-portable."""
+    from megalista_spark.operators.timeseries import mad_outliers
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return mad_outliers(
+        hourly, "hour", "n_events", key_cols=["event_type"], thresh_num=3
+    ).orderBy("event_type", "hour")
+
+
+ROBUST_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts::TIMESTAMP) // 3600000000 AS hour,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n_events, hour) AS rn,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM hourly
+),
+med AS (
+  SELECT event_type, n_events::BIGINT AS median FROM r1 WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT h.event_type, h.hour, h.n_events, m.median,
+         abs(h.n_events - m.median)::BIGINT AS abs_dev
+  FROM hourly h JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs_dev, hour) AS rn,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, abs_dev::BIGINT AS mad FROM r2 WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type, d.hour, d.n_events, d.median, m.mad, d.abs_dev,
+       d.abs_dev * 1 > greatest(m.mad, 1) * 3 AS is_outlier
+FROM dev d JOIN mad m USING (event_type)
+ORDER BY d.event_type, d.hour
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -9815,6 +10059,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the whole roster — every name here is green in the local mirror
 # (scripts/compare_oracle.py) at sf0.01.
 _GATE_ROTATION_FIRST = [
+    "dedup_keep_best_docs",
+    "oov_rate_by_source",
+    "cross_domain_surprisal",
+    "ngram_diversity_by_source",
+    "robust_hourly_anomalies",
     "cusum_hourly_shifts",
     "km_repurchase_curves",
     "event_sequence_support",
@@ -10091,6 +10340,11 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "association_rules_parts": association_rules_parts,
         "value_drift_bins": value_drift_bins,
         "frequent_event_trigrams": frequent_event_trigrams,
+        "dedup_keep_best_docs": dedup_keep_best_docs,
+        "oov_rate_by_source": oov_rate_by_source,
+        "cross_domain_surprisal": cross_domain_surprisal,
+        "ngram_diversity_by_source": ngram_diversity_by_source,
+        "robust_hourly_anomalies": robust_hourly_anomalies,
         "cusum_hourly_shifts": cusum_hourly_shifts,
         "km_repurchase_curves": km_repurchase_curves,
         "event_sequence_support": event_sequence_support,
@@ -10226,6 +10480,11 @@ def oracle_sql() -> dict[str, str]:
         "association_rules_parts": _association_sql(),
         "value_drift_bins": VALUE_DRIFT_SQL,
         "frequent_event_trigrams": EVENT_TRIGRAMS_SQL,
+        "dedup_keep_best_docs": DEDUP_KEEP_BEST_SQL,
+        "oov_rate_by_source": OOV_RATE_SQL,
+        "cross_domain_surprisal": CROSS_DOMAIN_SURPRISAL_SQL,
+        "ngram_diversity_by_source": NGRAM_DIVERSITY_SQL,
+        "robust_hourly_anomalies": ROBUST_ANOMALY_SQL,
         "cusum_hourly_shifts": CUSUM_HOURLY_SQL,
         "km_repurchase_curves": KM_REPURCHASE_SQL,
         "event_sequence_support": EVENT_SEQ_SUPPORT_SQL,

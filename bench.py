@@ -75,6 +75,11 @@ HEADLINE = [
     "association_rules_parts",
     "value_drift_bins",
     "frequent_event_trigrams",
+    "dedup_keep_best_docs",
+    "oov_rate_by_source",
+    "cross_domain_surprisal",
+    "ngram_diversity_by_source",
+    "robust_hourly_anomalies",
     "cusum_hourly_shifts",
     "km_repurchase_curves",
     "event_sequence_support",

@@ -22,7 +22,7 @@ key-salted by construction since bucket ids include the band index).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------- helpers
@@ -883,3 +883,32 @@ def semdedup_prune(
     out = out.localCheckpoint(eager=True)
     assigned.unpersist()
     return out
+
+
+def keep_best(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Duplicate-group canonicalization by QUALITY: within each dup
+    group keep the highest-``score_col`` row (ties to the lowest id —
+    deterministic), annotated with the group size. The curation-minded
+    sibling of ``exact_dedup``'s keep-lowest-id rule: when near-dup
+    clusters collapse to one representative, you want the best-written
+    copy, not the first-crawled one (standard corpus-dedup practice).
+
+    One window over (group) ordered by (score desc, id asc) plus a
+    group-size count in the same frame — a single shuffle on the group
+    key. State per group is a sort of the group's rows; dup groups are
+    small by construction (they are duplicates), so no skew path is
+    needed beyond AQE.
+    """
+    w = Window.partitionBy(group_col)
+    ranked = df.withColumn(
+        "_rk",
+        F.row_number().over(
+            w.orderBy(F.desc(score_col), F.asc(id_col))
+        ),
+    ).withColumn("dup_count", F.count(F.lit(1)).over(w).cast("bigint"))
+    return ranked.where(F.col("_rk") == 1).drop("_rk")

@@ -861,6 +861,7 @@ def doc_lm_surprisal(
     id_col: str = "doc_id",
     k: int = 20,
     ppm_scale: int = 1_000_000,
+    lm_df: DataFrame | None = None,
 ) -> DataFrame:
     """Perplexity-style quality filter without a neural LM: score every
     document by its average bigram transition probability under the
@@ -885,23 +886,17 @@ def doc_lm_surprisal(
     total, both map-side-combinable. Stop-word bigrams are hot join keys;
     AQE skew-split handles them (the LM side is one row per key, so the
     join never amplifies). Bottom-k is TakeOrderedAndProject.
+
+    CROSS-DOMAIN mode (``lm_df`` given): the LM trains on ``lm_df``'s
+    text and scores ``df`` — the CCNet-style domain filter (score web
+    text under a clean-corpus LM). Bigrams unseen by the foreign LM
+    can't be scored; the output then adds ``total_bigrams`` and
+    ``coverage_ppm`` (scored/total) so low-coverage scores are visibly
+    low-evidence, and ``avg_prob_ppm`` averages over SCORED bigrams.
     """
-    toks = _word_tokens(text_col)
-    doc_bg = (
-        df.select(F.col(id_col), toks.alias("_toks"))
-        .where(F.size("_toks") >= 2)
-        .select(
-            id_col,
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(_toks) - 1),"
-                    " i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
-                )
-            ).alias("bg"),
-        )
-        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    )
-    c12 = doc_bg.groupBy("w1", "w2").agg(
+    doc_bg = _doc_bigrams(df, text_col, id_col)
+    lm_bg = doc_bg if lm_df is None else _doc_bigrams(lm_df, text_col, id_col)
+    c12 = lm_bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c12")
     )
     lm = c12.join(
@@ -924,7 +919,171 @@ def doc_lm_surprisal(
             F.expr("_sum_ppm div n_bigrams").cast("bigint").alias("avg_prob_ppm"),
         )
     )
+    if lm_df is not None:
+        totals = doc_bg.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_bigrams")
+        )
+        scored = scored.join(totals, id_col).select(
+            id_col,
+            "n_bigrams",
+            "total_bigrams",
+            F.expr(f"({ppm_scale} * n_bigrams) div total_bigrams")
+            .cast("bigint")
+            .alias("coverage_ppm"),
+            "avg_prob_ppm",
+        )
     return scored.orderBy(F.asc("avg_prob_ppm"), F.asc(id_col)).limit(k)
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) word-bigram relation: per-row array fold, zero
+    shuffle."""
+    toks = _word_tokens(text_col)
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1),"
+                    " i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """N-gram diversity audit per corpus slice — the repetitiveness /
+    memorization-risk profile (a distinct-over-total ratio is the
+    corpus-level analog of Self-BLEU; public method): per group,
+
+        total_ngrams, distinct_ngrams, distinct_ppm = distinct/total,
+        total_words,  distinct_words,  ttr_ppm      = type-token ratio
+
+    in exact integer ppm. Low distinct_ppm = boilerplate-heavy slice
+    (templates, scraped duplicates); the audit that decides which
+    sources need aggressive dedup before training.
+
+    Scale: word n-grams fold per row (zero shuffle), then ONE
+    (group, gram) groupBy collapses duplicates map-side before the
+    per-group count — the same two-phase shape as exact dedup; no
+    countDistinct over raw grams.
+    """
+    toks = _word_tokens(text_col)
+    grams = (
+        df.select(F.col(group_col).alias("_g"), toks.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(
+            "_g",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_toks) - {n} + 1),"
+                    f" i -> array_join(slice(_toks, i, {n}), ' '))"
+                )
+            ).alias("_gram"),
+        )
+    )
+    gram_stats = (
+        grams.groupBy("_g", "_gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").cast("bigint").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"),
+        )
+    )
+    words = df.select(F.col(group_col).alias("_g"), F.explode(toks).alias("_w"))
+    word_stats = (
+        words.groupBy("_g", "_w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").cast("bigint").alias("total_words"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_words"),
+        )
+    )
+    return (
+        gram_stats.join(word_stats, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "total_ngrams",
+            "distinct_ngrams",
+            F.expr(f"({ppm_scale} * distinct_ngrams) div total_ngrams")
+            .cast("bigint")
+            .alias("distinct_ppm"),
+            "total_words",
+            "distinct_words",
+            F.expr(f"({ppm_scale} * distinct_words) div total_words")
+            .cast("bigint")
+            .alias("ttr_ppm"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    group_col: str = "source",
+    text_col: str = "text",
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Out-of-vocabulary audit: per corpus slice, the fraction of word
+    occurrences not covered by the corpus-global top-``vocab_size``
+    vocabulary (ties broken by term, same rule as ``build_vocab``) —
+    the tokenizer-coverage check run before committing to a vocab
+    (slices with high OOV get mangled into byte fallbacks at training
+    time). Returns (group, total_tokens, oov_tokens, oov_ppm).
+
+    Scale: term counts aggregate once ((group, word) then word), the
+    vocab is a TakeOrdered top-k small enough to broadcast, and OOV is
+    a broadcast LEFT ANTI of the (group, word) count table — never a
+    join against raw token occurrences.
+    """
+    toks = _word_tokens(text_col)
+    gw = (
+        df.select(F.col(group_col).alias("_g"), F.explode(toks).alias("_w"))
+        .groupBy("_g", "_w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    vocab = (
+        gw.groupBy("_w")
+        .agg(F.sum("_c").alias("_tf"))
+        .orderBy(F.desc("_tf"), F.asc("_w"))
+        .limit(int(vocab_size))
+        .select("_w")
+    )
+    totals = gw.groupBy("_g").agg(F.sum("_c").cast("bigint").alias("total_tokens"))
+    oov = (
+        gw.join(F.broadcast(vocab), "_w", "left_anti")
+        .groupBy("_g")
+        .agg(F.sum("_c").cast("bigint").alias("oov_tokens"))
+    )
+    return (
+        totals.join(oov, "_g", "left")
+        .select(
+            F.col("_g").alias(group_col),
+            "total_tokens",
+            F.coalesce(F.col("oov_tokens"), F.lit(0)).cast("bigint").alias(
+                "oov_tokens"
+            ),
+            F.expr(
+                f"({ppm_scale} * coalesce(oov_tokens, 0)) div total_tokens"
+            )
+            .cast("bigint")
+            .alias("oov_ppm"),
+        )
+        .orderBy(group_col)
+    )
 
 
 def vocab_drift_report(

@@ -286,3 +286,80 @@ def linear_trend(
         F.when(d != 0, F.round(slope, 6)).alias("slope"),
         F.when(d != 0, F.round(intercept, 6)).alias("intercept"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    thresh_num: int = 5,
+    thresh_den: int = 1,
+) -> DataFrame:
+    """Robust outlier detection via median / MAD (Hampel filter family;
+    public method): flag buckets where
+
+        |x - median| > (thresh_num/thresh_den) · MAD
+
+    per key, with median and MAD as LOWER MEDIANS (the ⌈n/2⌉-th order
+    statistic) so every quantity is an exact integer of the input's own
+    units — no interpolation, no floats, engine-portable bit-for-bit.
+    The mean/σ z-score flags (hourly_anomaly_flags) melt when the
+    contamination is heavy (outliers inflate σ); median/MAD has a 50%
+    breakdown point — the robust twin.
+
+    Scale shape: two key-partitioned window sorts over the BUCKET grid
+    (series length, not event count): one ranks x to select the median,
+    one ranks |x - median|. The medians travel back via per-key 1-row
+    broadcast joins. The all-constant degenerate case (MAD = 0) flags
+    any deviation ≥ 1 unit, matching the Hampel convention of falling
+    back to a minimum scale.
+
+    Returns (key..., bucket, value, median, mad, abs_dev, is_outlier).
+    """
+    keys = list(key_cols)
+    x = F.col(value_col).cast("bigint")
+    wk = (
+        Window.partitionBy(*keys)
+        if keys
+        else Window.partitionBy(F.lit(1))
+    )
+
+    def lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        ranked = frame.withColumn(
+            "_rn", F.row_number().over(wk.orderBy(F.col(col), bucket_col))
+        ).withColumn("_n", F.count(F.lit(1)).over(wk))
+        med = ranked.where(
+            F.col("_rn") == F.expr("(_n + 1) div 2")
+        ).select(*keys, F.col(col).cast("bigint").alias(out))
+        return med
+
+    base = df.select(*keys, bucket_col, x.alias(value_col))
+    med = lower_median(base, value_col, "median")
+    with_med = (
+        base.join(F.broadcast(med), keys)
+        if keys
+        else base.crossJoin(F.broadcast(med))
+    )
+    dev = with_med.withColumn(
+        "abs_dev", F.abs(F.col(value_col) - F.col("median")).cast("bigint")
+    )
+    mad = lower_median(dev, "abs_dev", "mad")
+    out = (
+        dev.join(F.broadcast(mad), keys)
+        if keys
+        else dev.crossJoin(F.broadcast(mad))
+    )
+    scale = F.greatest(F.col("mad"), F.lit(1))
+    return out.select(
+        *keys,
+        bucket_col,
+        value_col,
+        "median",
+        "mad",
+        "abs_dev",
+        (
+            F.col("abs_dev") * F.lit(int(thresh_den))
+            > scale * F.lit(int(thresh_num))
+        ).alias("is_outlier"),
+    )

@@ -74,6 +74,9 @@ def main() -> None:
     tmp = os.environ.get("DUCKDB_TEMP_DIR", "/tmp/duckdb_oracle_spill")
     os.makedirs(tmp, exist_ok=True)
     con.sql(f"SET temp_directory='{tmp}'")
+    threads = os.environ.get("DUCKDB_THREADS")
+    if threads:
+        con.sql(f"SET threads={int(threads)}")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     timeout_sec = float(os.environ.get("ORACLE_TIMEOUT_SEC", "0") or 0)

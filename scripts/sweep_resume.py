@@ -47,6 +47,10 @@ def main() -> None:
     sf_dir, log = sys.argv[1], sys.argv[2]
     max_attempts = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     names = roster()
+    shard = os.environ.get("SWEEP_SHARD")  # "i/n" — run every n-th query
+    if shard:
+        i, n = (int(x) for x in shard.split("/"))
+        names = [q for k, q in enumerate(names) if k % n == i]
     for attempt in range(max_attempts):
         remaining = [n for n in names if n not in done_names(log)]
         if not remaining:

@@ -2638,3 +2638,83 @@ def test_embedding_covariance_matches_numpy(spark):
     assert sorted((r["i"], r["j"], r["sxy"]) for r in again) == sorted(
         (r["i"], r["j"], r["sxy"]) for r in out
     )
+
+
+def test_keep_best_quality_winner(spark):
+    from megalista_spark.operators.dedup import keep_best
+
+    df = spark.createDataFrame(
+        [
+            (1, "g1", 50),
+            (2, "g1", 90),
+            (3, "g1", 90),  # tie with 2 -> lowest id wins
+            (4, "g2", 10),
+        ],
+        ["id", "grp", "score"],
+    )
+    out = {r["id"]: r["dup_count"] for r in keep_best(df, "grp", "score", "id").collect()}
+    assert out == {2: 3, 4: 1}
+
+
+def test_oov_rate_and_ngram_diversity(spark):
+    from megalista_spark.operators.text import ngram_diversity, oov_rate
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x y x y"),          # words: x,y,x,y
+            (2, "b", "x z q"),            # q,z are OOV for vocab_size=2
+        ],
+        ["doc_id", "source", "text"],
+    )
+    oov = {r["source"]: (r["total_tokens"], r["oov_tokens"], r["oov_ppm"])
+           for r in oov_rate(df, vocab_size=2, group_col="source").collect()}
+    # global tf: x=3, y=2, z=1, q=1 -> vocab {x, y}
+    assert oov["a"] == (4, 0, 0)
+    assert oov["b"] == (3, 2, (1_000_000 * 2) // 3)
+
+    div = {r["source"]: r for r in ngram_diversity(df, "source", n=2).collect()}
+    # source a bigrams: "x y","y x","x y" -> total 3 distinct 2
+    assert div["a"]["total_ngrams"] == 3 and div["a"]["distinct_ngrams"] == 2
+    assert div["a"]["distinct_ppm"] == (1_000_000 * 2) // 3
+    assert div["a"]["total_words"] == 4 and div["a"]["distinct_words"] == 2
+    assert div["b"]["total_ngrams"] == 2 and div["b"]["distinct_ngrams"] == 2
+
+
+def test_mad_outliers_matches_bruteforce(spark):
+    import random
+
+    from megalista_spark.operators.timeseries import mad_outliers
+
+    rng = random.Random(5)
+    xs = [20 + rng.randint(-3, 3) for _ in range(41)]
+    xs[7] = 90  # one gross outlier: median/MAD must still flag it
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], ["key", "bucket", "x"]
+    )
+    out = {r["bucket"]: r for r in
+           mad_outliers(df, "bucket", "x", key_cols=["key"], thresh_num=3).collect()}
+    n = len(xs)
+    med = sorted(xs)[(n + 1) // 2 - 1]
+    devs = sorted(abs(x - med) for x in xs)
+    mad = devs[(n + 1) // 2 - 1]
+    for i, x in enumerate(xs):
+        r = out[i]
+        assert r["median"] == med and r["mad"] == mad
+        assert r["is_outlier"] == (abs(x - med) > max(mad, 1) * 3), i
+    assert out[7]["is_outlier"]
+
+
+def test_doc_lm_surprisal_cross_domain_coverage(spark):
+    from megalista_spark.operators.text import doc_lm_surprisal
+
+    lm = spark.createDataFrame([(1, "the cat sat on the mat")], ["doc_id", "text"])
+    df = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "purple elephants dance wildly")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in doc_lm_surprisal(df, k=10, lm_df=lm).collect()}
+    # doc 10: both bigrams seen by the LM -> full coverage
+    assert rows[10]["coverage_ppm"] == 1_000_000
+    assert rows[10]["n_bigrams"] == 2 and rows[10]["total_bigrams"] == 2
+    # doc 11: no bigram seen -> absent from scored output entirely
+    assert 11 not in rows
