@@ -280,3 +280,36 @@ def test_copurchase_basket_cap_bounds_viral_order(spark, entry):
     # the kept parts are the lowest part keys of the viral order
     kept = pairs.agg(F.max("id_b")).first()[0]
     assert kept <= 10 + cap - 1
+
+
+def test_cusum_single_window_exchange(spark, entry):
+    # closed form = both CUSUM sides + both frames in ONE window sort;
+    # counting Window nodes guards against a per-side re-shuffle
+    txt = plan_of(entry.cusum_hourly_shifts(spark, SF))
+    assert "PythonUDF" not in txt
+    import re
+
+    # exchanges: one for the hourly agg, one for the key-partitioned
+    # window (+ AQE reads); no exchange proliferation per statistic
+    n_window = len(re.findall(r"\bRunningWindowFunction|\bWindow\b", txt))
+    assert n_window <= 3, txt
+
+
+def test_embedding_covariance_kernel_not_explode(spark, entry):
+    # the scale path is the Arrow kernel: a MapInPandas/ArrowEvalPython
+    # node must appear and NO Generate/Explode of components may exist
+    # (the posexplode^2 formulation is the oracle's job, not ours)
+    txt = plan_of(entry.embedding_covariance_matrix(spark, SF))
+    assert "MapInPandas" in txt or "mapInPandas" in txt
+    assert "Generate" not in txt
+
+
+def test_sequential_pattern_no_cartesian(spark, entry):
+    txt = plan_of(entry.event_sequence_support(spark, SF))
+    assert "CartesianProduct" not in txt and "BroadcastNestedLoopJoin" not in txt
+
+
+def test_kaplan_meier_no_python_no_cartesian(spark, entry):
+    txt = plan_of(entry.km_repurchase_curves(spark, SF))
+    assert "PythonUDF" not in txt
+    assert "CartesianProduct" not in txt
