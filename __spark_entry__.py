@@ -5661,17 +5661,21 @@ WITH tf AS MATERIALIZED (
     FROM documents
   ) GROUP BY doc_id, term
 ), dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
 per AS (
   SELECT id, sum(tf)::BIGINT AS n_tokens,
          sum(tf * df)::BIGINT AS df_sum,
          sum(CASE WHEN df <= 2 THEN tf ELSE 0 END)::BIGINT AS rare
   FROM tf JOIN dfc USING (term) GROUP BY id
 )
+-- integer half-up rounding (matches the operator): engine round(double)
+-- implementations disagree on tie-adjacent ratios at corpus scale
 SELECT d.doc_id,
        coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
-       coalesce(round(p.df_sum / (p.n_tokens * n.n_docs), 6), 0.0) AS mean_token_df,
-       coalesce(round(p.rare / p.n_tokens, 6), 0.0) AS rare_frac
+       coalesce(((2000000 * p.df_sum + p.n_tokens * n.n_docs)
+                 // (2 * p.n_tokens * n.n_docs)) / 1000000.0, 0.0) AS mean_token_df,
+       coalesce(((2000000 * p.rare + p.n_tokens)
+                 // (2 * p.n_tokens)) / 1000000.0, 0.0) AS rare_frac
 FROM documents d LEFT JOIN per p ON p.id = d.doc_id CROSS JOIN n
 ORDER BY d.doc_id
 """
@@ -6494,7 +6498,11 @@ def linear_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolls up by click hour. The interval join is the binned equi-join
     (operators/rangejoin.py — never a cartesian BETWEEN); the per-
     purchase touch count is one window over the join output. Purchases
-    with no clicks in window credit nobody."""
+    with no clicks in window credit nobody. Credits are exact integer
+    MICRO-currency (floor per touch: pv_cents·10⁴ div n) so the hourly
+    sums are order-independent bigints — float credit sums round
+    differently across engines at scale. A window loses at most n−1
+    micro to flooring."""
     from megalista_spark.operators.rangejoin import range_join_binned
 
     e = _events(spark, sf_dir)
@@ -6502,7 +6510,7 @@ def linear_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
         F.col("ts").alias("w_end"),
-        F.col("value").alias("p_value"),
+        F.round(F.col("value") * 100).cast("long").alias("pv_cents"),
     )
     clicks = e.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
@@ -6515,8 +6523,8 @@ def linear_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wp = Window.partitionBy("purchase_id")
     credited = joined.withColumn(
-        "credit", F.col("p_value") / F.count(F.lit(1)).over(wp)
-    )
+        "_n", F.count(F.lit(1)).over(wp)
+    ).withColumn("credit_micro", F.expr("(pv_cents * 10000) div _n"))
     return (
         credited.groupBy(
             (F.floor(F.col("c_ts").cast("long") / 3600) * 3600)
@@ -6525,7 +6533,7 @@ def linear_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_touches"),
-            F.round(F.sum("credit"), 6).alias("credited_revenue"),
+            (F.sum("credit_micro") / F.lit(1000000.0)).alias("credited_revenue"),
         )
         .orderBy("click_hour_sec")
     )
@@ -6535,23 +6543,25 @@ LINEAR_ATTRIBUTION_SQL = """
 WITH e AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
 p AS (
   SELECT event_id AS purchase_id, ts - INTERVAL 5 MINUTE AS w_start,
-         ts AS w_end, value AS p_value
+         ts AS w_end, CAST(round(value * 100) AS BIGINT) AS pv_cents
   FROM e WHERE event_type = 'purchase'
 ),
 c AS (
   SELECT event_id AS click_id, ts AS c_ts FROM e WHERE event_type = 'click'
 ),
 j AS (
-  SELECT p.purchase_id, p.p_value, c.c_ts
+  SELECT p.purchase_id, p.pv_cents, c.c_ts
   FROM c JOIN p ON c.c_ts >= p.w_start AND c.c_ts <= p.w_end
 ),
 credited AS (
-  SELECT c_ts, p_value / count(*) OVER (PARTITION BY purchase_id) AS credit
+  SELECT c_ts,
+         (pv_cents * 10000) // count(*) OVER (PARTITION BY purchase_id)
+           AS credit_micro
   FROM j
 )
 SELECT (epoch_us(c_ts) // 1000000 // 3600 * 3600)::BIGINT AS click_hour_sec,
        count(*)::BIGINT AS n_touches,
-       round(sum(credit), 6) AS credited_revenue
+       (sum(credit_micro) / 1000000.0) AS credited_revenue
 FROM credited
 GROUP BY 1
 ORDER BY click_hour_sec
@@ -6565,8 +6575,9 @@ def position_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
     20%; one-touch windows take 100%, two-touch windows split 50/50.
     Same binned interval join as the linear form; position comes from
     one row_number window per purchase (ties by click id —
-    deterministic), weights are exact rational doubles so both engines
-    compute identical credits. Gated output: per-position-class touch
+    deterministic), weights applied as exact RATIONALS on integer
+    micro-currency credits (floor per touch) — order-independent sums,
+    no float weight arithmetic. Gated output: per-position-class touch
     counts and credited revenue."""
     from pyspark.sql import Window
 
@@ -6577,7 +6588,7 @@ def position_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
         F.col("ts").alias("w_end"),
-        F.col("value").alias("p_value"),
+        F.round(F.col("value") * 100).cast("long").alias("pv_cents"),
     )
     clicks = e.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
@@ -6596,20 +6607,33 @@ def position_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(r == n, F.lit("last"))
         .otherwise(F.lit("middle"))
     )
-    weight = (
-        F.when(n == 1, F.lit(1.0))
-        .when(n == 2, F.lit(0.5))
-        .when((r == 1) | (r == n), F.lit(0.4))
-        .otherwise(F.lit(0.2) / (n - 2))
-    )
+    w_num = (
+        F.when(n == 1, F.lit(1))
+        .when(n == 2, F.lit(1))
+        .when((r == 1) | (r == n), F.lit(2))
+        .otherwise(F.lit(1))
+    ).cast("long")
+    w_den = (
+        F.when(n == 1, F.lit(1))
+        .when(n == 2, F.lit(2))
+        .when((r == 1) | (r == n), F.lit(5))
+        .otherwise((n - 2) * 5)
+    ).cast("long")
     return (
         joined.select(
-            pos.alias("position"), (F.col("p_value") * weight).alias("credit")
+            pos.alias("position"),
+            F.col("pv_cents"),
+            w_num.alias("_wn"),
+            w_den.alias("_wd"),
+        )
+        .select(
+            "position",
+            F.expr("(pv_cents * 10000 * _wn) div _wd").alias("credit_micro"),
         )
         .groupBy("position")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_touches"),
-            F.round(F.sum("credit"), 6).alias("credited_revenue"),
+            (F.sum("credit_micro") / F.lit(1000000.0)).alias("credited_revenue"),
         )
         .orderBy("position")
     )
@@ -6619,12 +6643,12 @@ def decay_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-decay attribution — the fourth classic rule-based model
     (last-touch / linear / U-shaped / decay): a click's weight halves
     per minute of age at purchase time, w = 2^(−floor(age/60s)),
-    normalized within the window. Powers of two make every weight AND
-    every per-purchase weight sum EXACTLY representable in binary
-    floating point (ages span 0–5 min → exponents 0..−5), so the
-    normalization is bit-identical cross-engine regardless of summation
-    order — the one float-determinism hazard a decay model usually
-    carries. Output: credited revenue per click hour."""
+    normalized within the window. Weights are INTEGERS (2^(5−age) —
+    ages span 0–5 min), credits integer micro-currency with floor
+    division per touch, so the per-purchase normalization AND the
+    hourly sums are order-independent bigints (a float credit would
+    sum order-dependently and round differently across engines).
+    Output: credited revenue per click hour."""
     from pyspark.sql import Window
 
     from megalista_spark.operators.rangejoin import range_join_binned
@@ -6634,7 +6658,7 @@ def decay_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
         F.col("ts").alias("w_end"),
-        F.col("value").alias("p_value"),
+        F.round(F.col("value") * 100).cast("long").alias("pv_cents"),
     )
     clicks = e.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
@@ -6645,11 +6669,17 @@ def decay_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     age_min = F.floor(
         (F.col("w_end").cast("long") - F.col("c_ts").cast("long")) / 60
-    )
-    wgt = F.pow(F.lit(2.0), -age_min.cast("double"))
+    ).cast("int")
+    # integer weight 2^(5-age) in 1/32nds of the newest touch's weight
+    wgt = F.expr("cast(shiftleft(1, 5 - _age) as bigint)")
     wp = Window.partitionBy("purchase_id")
-    credited = joined.withColumn("_w", wgt).withColumn(
-        "credit", F.col("p_value") * F.col("_w") / F.sum("_w").over(wp)
+    credited = (
+        joined.withColumn("_age", age_min)
+        .withColumn("_w", wgt)
+        .withColumn("_wsum", F.sum("_w").over(wp))
+        .withColumn(
+            "credit_micro", F.expr("(pv_cents * 10000 * _w) div _wsum")
+        )
     )
     return (
         credited.groupBy(
@@ -6659,7 +6689,7 @@ def decay_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_touches"),
-            F.round(F.sum("credit"), 6).alias("credited_revenue"),
+            (F.sum("credit_micro") / F.lit(1000000.0)).alias("credited_revenue"),
         )
         .orderBy("click_hour_sec")
     )
@@ -6672,7 +6702,8 @@ def last_touch_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFram
     rank-1-of-descending over the binned interval join, ties to the
     higher click id being impossible here (ids are unique) but the
     (c_ts DESC, click_id DESC) order pins determinism anyway. Hourly
-    rollup matches the other attribution outputs."""
+    rollup matches the other attribution outputs; revenue sums in exact
+    integer cents."""
     from pyspark.sql import Window
 
     from megalista_spark.operators.rangejoin import range_join_binned
@@ -6682,7 +6713,7 @@ def last_touch_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("event_id").alias("purchase_id"),
         (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
         F.col("ts").alias("w_end"),
-        F.col("value").alias("p_value"),
+        F.round(F.col("value") * 100).cast("long").alias("pv_cents"),
     )
     clicks = e.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
@@ -6703,7 +6734,9 @@ def last_touch_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_touches"),
-            F.round(F.sum("p_value"), 6).alias("credited_revenue"),
+            (F.sum("pv_cents").cast("double") / F.lit(100.0)).alias(
+                "credited_revenue"
+            ),
         )
         .orderBy("click_hour_sec")
     )
@@ -6713,14 +6746,14 @@ LAST_TOUCH_SQL = """
 WITH e AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
 p AS (
   SELECT event_id AS purchase_id, ts - INTERVAL 5 MINUTE AS w_start,
-         ts AS w_end, value AS p_value
+         ts AS w_end, CAST(round(value * 100) AS BIGINT) AS pv_cents
   FROM e WHERE event_type = 'purchase'
 ),
 c AS (
   SELECT event_id AS click_id, ts AS c_ts FROM e WHERE event_type = 'click'
 ),
 j AS (
-  SELECT p.purchase_id, p.p_value, c.c_ts, c.click_id
+  SELECT p.purchase_id, p.pv_cents, c.c_ts, c.click_id
   FROM c JOIN p ON c.c_ts >= p.w_start AND c.c_ts <= p.w_end
 ),
 last AS (
@@ -6732,7 +6765,7 @@ last AS (
 )
 SELECT (epoch_us(c_ts) // 1000000 // 3600 * 3600)::BIGINT AS click_hour_sec,
        count(*)::BIGINT AS n_touches,
-       round(sum(p_value), 6) AS credited_revenue
+       (sum(pv_cents) / 100.0) AS credited_revenue
 FROM last
 GROUP BY 1
 ORDER BY click_hour_sec
@@ -6743,25 +6776,27 @@ DECAY_ATTRIBUTION_SQL = """
 WITH e AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
 p AS (
   SELECT event_id AS purchase_id, ts - INTERVAL 5 MINUTE AS w_start,
-         ts AS w_end, value AS p_value
+         ts AS w_end, CAST(round(value * 100) AS BIGINT) AS pv_cents
   FROM e WHERE event_type = 'purchase'
 ),
 c AS (
   SELECT event_id AS click_id, ts AS c_ts FROM e WHERE event_type = 'click'
 ),
 j AS (
-  SELECT p.purchase_id, p.p_value, c.c_ts,
-         pow(2.0, -((epoch_us(p.w_end) // 1000000
-                     - epoch_us(c.c_ts) // 1000000) // 60)::DOUBLE) AS w
+  SELECT p.purchase_id, p.pv_cents, c.c_ts,
+         (1::BIGINT << (5 - ((epoch_us(p.w_end) // 1000000
+                     - epoch_us(c.c_ts) // 1000000) // 60)))::BIGINT AS w
   FROM c JOIN p ON c.c_ts >= p.w_start AND c.c_ts <= p.w_end
 ),
 credited AS (
-  SELECT c_ts, p_value * w / sum(w) OVER (PARTITION BY purchase_id) AS credit
+  SELECT c_ts,
+         (pv_cents * 10000 * w) // sum(w) OVER (PARTITION BY purchase_id)
+           AS credit_micro
   FROM j
 )
 SELECT (epoch_us(c_ts) // 1000000 // 3600 * 3600)::BIGINT AS click_hour_sec,
        count(*)::BIGINT AS n_touches,
-       round(sum(credit), 6) AS credited_revenue
+       (sum(credit_micro) / 1000000.0) AS credited_revenue
 FROM credited
 GROUP BY 1
 ORDER BY click_hour_sec
@@ -6772,18 +6807,18 @@ POSITION_ATTRIBUTION_SQL = """
 WITH e AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
 p AS (
   SELECT event_id AS purchase_id, ts - INTERVAL 5 MINUTE AS w_start,
-         ts AS w_end, value AS p_value
+         ts AS w_end, CAST(round(value * 100) AS BIGINT) AS pv_cents
   FROM e WHERE event_type = 'purchase'
 ),
 c AS (
   SELECT event_id AS click_id, ts AS c_ts FROM e WHERE event_type = 'click'
 ),
 j AS (
-  SELECT p.purchase_id, p.p_value, c.c_ts, c.click_id
+  SELECT p.purchase_id, p.pv_cents, c.c_ts, c.click_id
   FROM c JOIN p ON c.c_ts >= p.w_start AND c.c_ts <= p.w_end
 ),
 ranked AS (
-  SELECT purchase_id, p_value,
+  SELECT purchase_id, pv_cents,
          count(*) OVER (PARTITION BY purchase_id) AS n,
          row_number() OVER (PARTITION BY purchase_id
                             ORDER BY c_ts ASC, click_id ASC) AS r
@@ -6794,14 +6829,18 @@ credited AS (
               WHEN r = 1 THEN 'first'
               WHEN r = n THEN 'last'
               ELSE 'middle' END AS position,
-         p_value * (CASE WHEN n = 1 THEN 1.0
-                         WHEN n = 2 THEN 0.5
-                         WHEN r = 1 OR r = n THEN 0.4
-                         ELSE 0.2 / (n - 2) END) AS credit
+         (pv_cents * 10000 * (CASE WHEN n = 1 THEN 1
+                                   WHEN n = 2 THEN 1
+                                   WHEN r = 1 OR r = n THEN 2
+                                   ELSE 1 END))
+           // (CASE WHEN n = 1 THEN 1
+                    WHEN n = 2 THEN 2
+                    WHEN r = 1 OR r = n THEN 5
+                    ELSE 5 * (n - 2) END) AS credit_micro
   FROM ranked
 )
 SELECT position, count(*)::BIGINT AS n_touches,
-       round(sum(credit), 6) AS credited_revenue
+       (sum(credit_micro) / 1000000.0) AS credited_revenue
 FROM credited
 GROUP BY position
 ORDER BY position
@@ -9119,7 +9158,11 @@ def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = sym.select(
         F.col("src").alias("seed"), F.col("dst").alias("cand")
     )
-    cands = wedges.join(existing, ["seed", "cand"], "left_anti")
+    # the anti-join's right side is the CORPUS-SIZED edge set: force a
+    # sort-merge anti-join — at sf1 its on-disk estimate can sneak under
+    # the broadcast threshold while the in-memory hashed relation blows
+    # the (shared, local-mode) driver heap
+    cands = wedges.join(existing.hint("merge"), ["seed", "cand"], "left_anti")
     w = Window.partitionBy("seed").orderBy(F.desc("ra_score"), F.asc("cand"))
     return (
         cands.withColumn("_rk", F.row_number().over(w))
@@ -10043,6 +10086,121 @@ ORDER BY d.event_type, d.hour
 """
 
 
+def l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/expectations.py::l_diversity_report,
+    Machanavajjhala et al. 2007): the k-anonymity companion — under the
+    same (nation, segment) quasi-identifier, how many groups carry only
+    ONE distinct value of the sensitive attribute (account in debt):
+    those groups leak the attribute for every member even when large.
+    Two stacked aggregates, no countDistinct over raw rows."""
+    from megalista_spark.operators.expectations import l_diversity_report
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "in_debt", (F.col("c_acctbal") < 0).cast("int")
+    )
+    return l_diversity_report(
+        c, ["c_nationkey", "c_mktsegment"], "in_debt", l=2
+    )
+
+
+L_DIVERSITY_SQL = """
+WITH per_val AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS in_debt,
+         count(*)::BIGINT AS c
+  FROM customer GROUP BY 1, 2, 3
+),
+per_group AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS div,
+         sum(c)::BIGINT AS rows_
+  FROM per_val GROUP BY 1, 2
+)
+SELECT div AS diversity, count(*)::BIGINT AS n_groups,
+       sum(rows_)::BIGINT AS n_rows, div < 2 AS violates
+FROM per_group
+GROUP BY div
+ORDER BY diversity
+"""
+
+
+def harmonic_centrality_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round harmonic centrality (Boldi & Vigna 2014; public
+    method) of seed customers in the supply graph: Σ 1/d over nodes
+    within 3 relaxation rounds, in exact integer micro-units
+    (Σ 1000000 div dist) over the integer affinity distances of
+    bounded_sssp — closeness that handles disconnection natively.
+    Pure composition: one aggregate over the SSSP distance table."""
+    from megalista_spark.operators.graph import bounded_sssp
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(1000000)).cast("long").alias("supp"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cust", "supp",
+            (F.lit(1000) - F.least(F.col("cnt"), F.lit(999))).alias("w"),
+        )
+    )
+    edges = pairs.selectExpr("cust AS src", "supp AS dst", "w").union(
+        pairs.selectExpr("supp AS src", "cust AS dst", "w")
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 20)
+        .select(F.col("c_custkey").alias("id"))
+    )
+    dists = bounded_sssp(edges, seeds, rounds=3)
+    return (
+        dists.where(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.sum(F.expr("1000000 div dist")).cast("bigint").alias("harmonic_micro"),
+        )
+        .orderBy("seed")
+    )
+
+
+def _harmonic_sql(rounds: int = 3) -> str:
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(f"""r{t} AS MATERIALIZED (
+  SELECT seed, node, min(dist)::BIGINT AS dist FROM (
+    SELECT * FROM r{t-1}
+    UNION ALL
+    SELECT d.seed, e2.v AS node, d.dist + e2.w AS dist
+    FROM r{t-1} d JOIN e2 ON d.node = e2.u
+  ) GROUP BY seed, node
+)""")
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH pw AS MATERIALIZED (
+  SELECT cust, supp, (1000 - least(cnt, 999))::BIGINT AS w
+  FROM {_supply_pairs_sql()}
+),
+e AS (
+  SELECT cust AS u, supp AS v, w FROM pw UNION ALL SELECT supp, cust, w FROM pw
+),
+e2 AS MATERIALIZED (SELECT u, v, min(w) AS w FROM e GROUP BY u, v),
+r0 AS (
+  SELECT c_custkey AS seed, c_custkey AS node, 0::BIGINT AS dist
+  FROM customer WHERE c_custkey <= 20
+),
+{steps_sql}
+SELECT seed, count(*)::BIGINT AS n_reached,
+       sum(1000000 // dist)::BIGINT AS harmonic_micro
+FROM r{rounds}
+WHERE dist > 0
+GROUP BY seed
+ORDER BY seed
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -10059,6 +10217,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # the whole roster — every name here is green in the local mirror
 # (scripts/compare_oracle.py) at sf0.01.
 _GATE_ROTATION_FIRST = [
+    "l_diversity_customers",
+    "harmonic_centrality_customers",
     "dedup_keep_best_docs",
     "oov_rate_by_source",
     "cross_domain_surprisal",
@@ -10340,6 +10500,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "association_rules_parts": association_rules_parts,
         "value_drift_bins": value_drift_bins,
         "frequent_event_trigrams": frequent_event_trigrams,
+        "l_diversity_customers": l_diversity_customers,
+        "harmonic_centrality_customers": harmonic_centrality_customers,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "oov_rate_by_source": oov_rate_by_source,
         "cross_domain_surprisal": cross_domain_surprisal,
@@ -10480,6 +10642,8 @@ def oracle_sql() -> dict[str, str]:
         "association_rules_parts": _association_sql(),
         "value_drift_bins": VALUE_DRIFT_SQL,
         "frequent_event_trigrams": EVENT_TRIGRAMS_SQL,
+        "l_diversity_customers": L_DIVERSITY_SQL,
+        "harmonic_centrality_customers": _harmonic_sql(),
         "dedup_keep_best_docs": DEDUP_KEEP_BEST_SQL,
         "oov_rate_by_source": OOV_RATE_SQL,
         "cross_domain_surprisal": CROSS_DOMAIN_SURPRISAL_SQL,

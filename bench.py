@@ -75,6 +75,8 @@ HEADLINE = [
     "association_rules_parts",
     "value_drift_bins",
     "frequent_event_trigrams",
+    "l_diversity_customers",
+    "harmonic_centrality_customers",
     "dedup_keep_best_docs",
     "oov_rate_by_source",
     "cross_domain_surprisal",

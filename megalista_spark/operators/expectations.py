@@ -148,6 +148,50 @@ def k_anonymity_report(
     )
 
 
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007; public method) —
+    the companion check to ``k_anonymity_report``: a quasi-identifier
+    group can be large (k-anonymous) yet still leak if every member
+    shares the SAME sensitive value. Reports, per distinct-sensitive
+    count, how many QI groups and rows sit at that diversity level;
+    ``violates`` marks diversity < ``l``.
+
+    Scale: one (QI..., sensitive) groupBy collapses duplicates map-side,
+    one (QI...) count gives per-group diversity (no countDistinct over
+    raw rows), then an O(distinct diversities) histogram. Same shape and
+    cost class as the k-anonymity audit.
+
+    Output: (diversity, n_groups, n_rows, violates) ordered by
+    diversity.
+    """
+    per_val = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per_group = per_val.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_div"),
+        F.sum("_c").cast("long").alias("_rows"),
+    )
+    return (
+        per_group.groupBy(F.col("_div").alias("diversity"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("_rows").cast("long").alias("n_rows"),
+        )
+        .select(
+            "diversity",
+            "n_groups",
+            "n_rows",
+            (F.col("diversity") < l).alias("violates"),
+        )
+        .orderBy("diversity")
+    )
+
+
 def enforce_min_group_size(
     df: DataFrame, quasi_cols: list[str], k: int = 50
 ) -> DataFrame:

@@ -685,10 +685,14 @@ def corpus_frequency_score(
       rare_frac      — fraction of instances whose token appears in
                        ≤ ``rare_df_max`` documents (high ⇒ noise)
 
-    Both are ratios of exact integer sums (Σ df over instances, counts)
-    divided once at the output boundary — no logs (libm-dependent), no
-    float accumulation — so an external oracle hash-matches (the same
-    ratio-form trick as ``tfidf_top_terms``). Rounded to 6dp.
+    Both are ratios of exact integer sums (Σ df over instances, counts).
+    The 6-dp rounding itself is INTEGER half-up — round(a/b, 6) computed
+    as (2·10⁶·a + b) div (2·b), divided by 10⁶ once at the boundary —
+    because engine round(double, 6) implementations disagree on
+    tie-adjacent values (Spark rounds the double's exact decimal
+    expansion; DuckDB rounds x·10⁶ in floating point — at corpus scale
+    some ratio always lands on the disagreement). Headroom: 2·10⁶·Σdf
+    needs Σdf ≲ 4.6e12 — fine to ~10⁹ docs of 10³ tokens.
 
     Scale: ONE (doc, term) shuffle for tf, df from the collapsed tf
     relation, a doc-keyed weighted sum — the tf-idf plan shape, reused.
@@ -700,7 +704,7 @@ def corpus_frequency_score(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    n = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     per_doc = (
         tf.join(dfc, "term")
         .groupBy("id")
@@ -715,10 +719,17 @@ def corpus_frequency_score(
     out = per_doc.crossJoin(F.broadcast(n)).select(
         F.col("id").alias(id_col),
         "n_tokens",
-        F.round(
-            F.col("_df_sum") / (F.col("n_tokens") * F.col("n_docs")), 6
+        (
+            F.expr(
+                "(2000000 * _df_sum + n_tokens * n_docs)"
+                " div (2 * n_tokens * n_docs)"
+            )
+            / F.lit(1000000.0)
         ).alias("mean_token_df"),
-        F.round(F.col("_rare") / F.col("n_tokens"), 6).alias("rare_frac"),
+        (
+            F.expr("(2000000 * _rare + n_tokens) div (2 * n_tokens)")
+            / F.lit(1000000.0)
+        ).alias("rare_frac"),
     )
     # docs that tokenize to nothing still get a row (0, 0.0, 0.0)
     ids = df.select(F.col(id_col))
