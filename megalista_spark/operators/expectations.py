@@ -228,3 +228,80 @@ def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "column string, change string, old_type string, new_type string"
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: int = 200_000,
+    ordered: bool = False,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007, ICDE —
+    public method): the third rung after ``k_anonymity_report`` and
+    ``l_diversity_report``. A QI group can be k-anonymous AND l-diverse
+    yet still leak when its sensitive-value DISTRIBUTION diverges from
+    the table's (e.g. one nation's customers are 90% one segment while
+    the corpus is uniform). Reports, per QI group, the distance between
+    the group's sensitive distribution and the global one; ``violates``
+    marks distance > ``t_ppm``.
+
+    Distance, in exact integer ppm (bit-identical across engines —
+    no float ratios anywhere):
+
+    - categorical (``ordered=False``): total variation distance
+      ``½·Σ_v |p_v − q_v|``, computed over a common denominator:
+      ``(1e6 · Σ_v |cnt_gv·N − cnt_v·n_g|) div (2·n_g·N)``.
+    - ordered (``ordered=True``): Earth-Mover's with unit ground
+      distance over the m ranked values (the paper's ordered-attribute
+      form) — same rational trick over CUMULATIVE counts, normalized by
+      ``(m−1)``.
+
+    Scale: one (QI, sensitive) groupBy collapses the table map-side to
+    O(groups·values-present); the dense grid needed for absent values is
+    groups × m where m = distinct sensitive values (small by
+    construction for any attribute t-closeness applies to), built by a
+    broadcast join against the m-row value list — never a shuffle of raw
+    rows. Output is one row per QI group: O(groups).
+    """
+    from pyspark.sql.window import Window as _W
+
+    cell = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    values = df.groupBy(sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_gc")
+    )
+    groups = cell.groupBy(*quasi_cols).agg(F.sum("_c").cast("long").alias("_ng"))
+    total = df.count()  # one scalar; the audit is a terminal report
+    m = values.count()  # sensitive-domain size (small by construction)
+    grid = (
+        groups.join(F.broadcast(values), how="cross")
+        .join(cell, [*quasi_cols, sensitive_col], "left")
+        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+    )
+    if ordered:
+        w = _W.partitionBy(*quasi_cols).orderBy(sensitive_col)
+        # EMD over cumulatives; the m-th cumulative term is identically
+        # zero, so summing all m keeps the aggregate unconditional
+        num_term = F.abs(
+            F.sum("_c").over(w) * F.lit(total) - F.sum("_gc").over(w) * F.col("_ng")
+        )
+        norm = max(m - 1, 1)
+    else:
+        num_term = F.abs(F.col("_c") * F.lit(total) - F.col("_gc") * F.col("_ng"))
+        norm = 2
+    return (
+        grid.withColumn("_term", num_term)
+        .groupBy(*quasi_cols, "_ng")
+        .agg(F.sum("_term").alias("_dn"))
+        .select(
+            *quasi_cols,
+            F.col("_ng").alias("group_rows"),
+            F.expr(f"(1000000 * _dn) div (_ng * {total}L * {norm}L)")
+            .cast("long")
+            .alias("distance_ppm"),
+        )
+        .withColumn("violates", F.col("distance_ppm") > F.lit(t_ppm))
+        .orderBy(*quasi_cols)
+    )
