@@ -10123,6 +10123,54 @@ ORDER BY diversity
 """
 
 
+def t_closeness_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators/expectations.py::t_closeness_report,
+    Li, Li & Venkatasubramanian 2007): per-nation distance between the
+    nation's market-segment distribution and the global one, as exact
+    integer total-variation ppm. The third privacy rung after
+    k-anonymity and l-diversity; all arithmetic decimal(38,0)-exact and
+    the grid re-join is null-safe, so NULL QI/sensitive values audit
+    correctly."""
+    from megalista_spark.operators.expectations import t_closeness_report
+
+    c = _t(spark, sf_dir, "customer")
+    return t_closeness_report(
+        c, ["c_nationkey"], "c_mktsegment", t_ppm=60_000
+    )
+
+
+T_CLOSENESS_SQL = """
+WITH cell AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS c
+  FROM customer GROUP BY 1, 2
+),
+vals AS (
+  SELECT c_mktsegment, count(*)::BIGINT AS gc FROM customer GROUP BY 1
+),
+grp AS (
+  SELECT c_nationkey, count(*)::BIGINT AS ng FROM customer GROUP BY 1
+),
+tot AS (SELECT count(*)::BIGINT AS n FROM customer),
+grid AS (
+  SELECT g.c_nationkey, v.c_mktsegment, g.ng, v.gc,
+         coalesce(cl.c, 0)::BIGINT AS c
+  FROM grp g
+  CROSS JOIN vals v
+  LEFT JOIN cell cl
+    ON cl.c_nationkey IS NOT DISTINCT FROM g.c_nationkey
+   AND cl.c_mktsegment IS NOT DISTINCT FROM v.c_mktsegment
+)
+SELECT grid.c_nationkey, ng AS group_rows,
+       ((1000000 * sum(abs(c * t.n - gc * ng))) // (ng * t.n * 2))::BIGINT
+         AS distance_ppm,
+       ((1000000 * sum(abs(c * t.n - gc * ng))) // (ng * t.n * 2))::BIGINT
+         > 60000 AS violates
+FROM grid, tot t
+GROUP BY grid.c_nationkey, ng, t.n
+ORDER BY grid.c_nationkey
+"""
+
+
 def harmonic_centrality_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-round harmonic centrality (Boldi & Vigna 2014; public
     method) of seed customers in the supply graph: Σ 1/d over nodes
@@ -10501,6 +10549,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "value_drift_bins": value_drift_bins,
         "frequent_event_trigrams": frequent_event_trigrams,
         "l_diversity_customers": l_diversity_customers,
+        "t_closeness_customers": t_closeness_customers,
         "harmonic_centrality_customers": harmonic_centrality_customers,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "oov_rate_by_source": oov_rate_by_source,
@@ -10643,6 +10692,7 @@ def oracle_sql() -> dict[str, str]:
         "value_drift_bins": VALUE_DRIFT_SQL,
         "frequent_event_trigrams": EVENT_TRIGRAMS_SQL,
         "l_diversity_customers": L_DIVERSITY_SQL,
+        "t_closeness_customers": T_CLOSENESS_SQL,
         "harmonic_centrality_customers": _harmonic_sql(),
         "dedup_keep_best_docs": DEDUP_KEEP_BEST_SQL,
         "oov_rate_by_source": OOV_RATE_SQL,

@@ -263,7 +263,17 @@ def t_closeness_report(
     construction for any attribute t-closeness applies to), built by a
     broadcast join against the m-row value list — never a shuffle of raw
     rows. Output is one row per QI group: O(groups).
+
+    NULL handling: NULL is a legitimate QI-group key AND a legitimate
+    sensitive value (groupBy keys NULLs together); the grid re-join uses
+    null-safe equality so NULL-bearing cells match their counts instead
+    of silently coalescing to 0. Arithmetic runs in decimal(38,0) so the
+    ppm numerator cannot wrap a 64-bit long at petascale (n_g·N up to
+    ~1e31 stays exact), then the integral quotient comes back as long.
     """
+    import functools
+    import operator as _op
+
     from pyspark.sql.window import Window as _W
 
     cell = df.groupBy(*quasi_cols, sensitive_col).agg(
@@ -275,30 +285,46 @@ def t_closeness_report(
     groups = cell.groupBy(*quasi_cols).agg(F.sum("_c").cast("long").alias("_ng"))
     total = df.count()  # one scalar; the audit is a terminal report
     m = values.count()  # sensitive-domain size (small by construction)
-    grid = (
-        groups.join(F.broadcast(values), how="cross")
-        .join(cell, [*quasi_cols, sensitive_col], "left")
-        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+    keys = [*quasi_cols, sensitive_col]
+    g = groups.join(F.broadcast(values), how="cross").alias("_g")
+    c = cell.alias("_cell")
+    cond = functools.reduce(
+        _op.and_,
+        [F.col(f"_g.{k}").eqNullSafe(F.col(f"_cell.{k}")) for k in keys],
     )
+    grid = g.join(c, cond, "left").select(
+        *[F.col(f"_g.{k}") for k in keys],
+        F.col("_g._ng"),
+        F.col("_g._gc"),
+        F.coalesce(F.col("_cell._c"), F.lit(0)).cast("decimal(38,0)").alias("_c"),
+    )
+    dec_total = F.lit(total).cast("decimal(38,0)")
     if ordered:
         w = _W.partitionBy(*quasi_cols).orderBy(sensitive_col)
         # EMD over cumulatives; the m-th cumulative term is identically
         # zero, so summing all m keeps the aggregate unconditional
         num_term = F.abs(
-            F.sum("_c").over(w) * F.lit(total) - F.sum("_gc").over(w) * F.col("_ng")
+            F.sum("_c").over(w) * dec_total
+            - F.sum(F.col("_gc").cast("decimal(38,0)")).over(w) * F.col("_ng")
         )
         norm = max(m - 1, 1)
     else:
-        num_term = F.abs(F.col("_c") * F.lit(total) - F.col("_gc") * F.col("_ng"))
+        num_term = F.abs(
+            F.col("_c") * dec_total
+            - F.col("_gc").cast("decimal(38,0)") * F.col("_ng")
+        )
         norm = 2
     return (
         grid.withColumn("_term", num_term)
         .groupBy(*quasi_cols, "_ng")
-        .agg(F.sum("_term").alias("_dn"))
+        .agg(F.sum("_term").cast("decimal(38,0)").alias("_dn"))
         .select(
             *quasi_cols,
             F.col("_ng").alias("group_rows"),
-            F.expr(f"(1000000 * _dn) div (_ng * {total}L * {norm}L)")
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * _dn)"
+                f" div (CAST(_ng AS DECIMAL(38,0)) * {total} * {norm})"
+            )
             .cast("long")
             .alias("distance_ppm"),
         )

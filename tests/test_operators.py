@@ -1839,6 +1839,35 @@ def test_k_anonymity_and_suppression(spark):
     assert kept.where((F.col("q1") == "a") & (F.col("q2") == 2)).count() == 0
 
 
+def test_t_closeness_nulls_and_ordered(spark):
+    """NULL QI keys and NULL sensitive values participate via the
+    null-safe grid re-join (r7 fix): hand-computed TVD/EMD ppm."""
+    from megalista_spark.operators.expectations import t_closeness_report
+
+    rows = [("A", "x"), ("A", "x"), ("A", None), ("A", None),
+            ("B", "x"), ("B", "y"), ("B", "y"), ("B", None),
+            (None, "x"), (None, "y")]
+    df = spark.createDataFrame(rows, "qi string, s string")
+    got = {r["qi"]: r for r in
+           t_closeness_report(df, ["qi"], "s", t_ppm=250_000).collect()}
+    # global dist {None:3, x:4, y:3}/10; A=(.5,.5,0) -> TVD .3
+    assert got["A"]["distance_ppm"] == 300_000 and got["A"]["violates"]
+    # B=(.25,.25,.5) -> TVD .2
+    assert got["B"]["distance_ppm"] == 200_000 and not got["B"]["violates"]
+    # NULL group=(0,.5,.5) -> TVD .3 — would be wrong without eqNullSafe
+    assert got[None]["distance_ppm"] == 300_000
+    assert got[None]["group_rows"] == 2
+
+    # ordered (EMD over cumulatives): global 1:2,2:1,3:3 of N=6
+    df2 = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("A", 3), ("B", 2), ("B", 3), ("B", 3)],
+        "qi string, s int")
+    got2 = {r["qi"]: r["distance_ppm"] for r in
+            t_closeness_report(df2, ["qi"], "s", ordered=True).collect()}
+    # A cum p=(2/3,2/3,1) vs q=(1/3,1/2,1): (1/3+1/6)/2 = 1/4
+    assert got2["A"] == 250_000
+
+
 def test_schema_diff_reports_drift(spark):
     from megalista_spark.operators.expectations import schema_diff
 
