@@ -25,6 +25,26 @@ from pyspark.sql import functions as F
 GLOBAL_WINDOW_MAX_ROWS = 10_000_000
 
 
+def guard_global_window(
+    df: DataFrame,
+    op: str,
+    key_param: str = "key_cols",
+    max_global_rows: int = GLOBAL_WINDOW_MAX_ROWS,
+) -> None:
+    """Shared raise-above-threshold contract for keyless global-window
+    operators (the assign_batches rule, factored out): count the frame
+    the window would actually sort and refuse to funnel more than
+    ``max_global_rows`` rows through one task. Only the keyless path
+    pays the count; keyed windows scale and skip the check."""
+    n = df.count()
+    if n > max_global_rows:
+        raise ValueError(
+            f"{op} without {key_param} would sort {n} rows through a "
+            f"single task — pass {key_param} so the window is per-group "
+            "and parallel"
+        )
+
+
 def assign_batches(
     df: DataFrame,
     order_by: list[str],

@@ -34,6 +34,11 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from megalista_spark.operators.batching import (
+    GLOBAL_WINDOW_MAX_ROWS,
+    guard_global_window,
+)
+
 
 def kaplan_meier(
     df: DataFrame,
@@ -41,6 +46,7 @@ def kaplan_meier(
     event_col: str,
     key_cols: Sequence[str] = (),
     ppm_scale: int = 1_000_000,
+    max_global_rows: int | None = None,
 ) -> DataFrame:
     """Kaplan-Meier life table + survival curve per group.
 
@@ -60,6 +66,12 @@ def kaplan_meier(
         F.sum(ev).cast("bigint").alias("d_events"),
         F.sum(1 - ev).cast("bigint").alias("c_censored"),
     )
+    if not keys:
+        # the window sorts the LIFE TABLE, not subjects — guard that
+        guard_global_window(
+            life, "kaplan_meier",
+            max_global_rows=max_global_rows or GLOBAL_WINDOW_MAX_ROWS,
+        )
     w = (
         Window.partitionBy(*keys).orderBy("t")
         if keys

@@ -23,6 +23,11 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from megalista_spark.operators.batching import (
+    GLOBAL_WINDOW_MAX_ROWS,
+    guard_global_window,
+)
+
 
 def densify_ffill(
     df: DataFrame,
@@ -158,6 +163,7 @@ def cusum_flags(
     key_cols: Sequence[str] = (),
     slack: int = 0,
     threshold: int = 0,
+    max_global_rows: int | None = None,
 ) -> DataFrame:
     """Two-sided CUSUM change-point statistic (Page 1954; public method)
     over an integer-bucketed series, centered on each key's own series
@@ -193,6 +199,11 @@ def cusum_flags(
     step), so the window sort state is bounded regardless of raw volume.
     """
     keys = list(key_cols)
+    if not keys:
+        guard_global_window(
+            df, "cusum_flags",
+            max_global_rows=max_global_rows or GLOBAL_WINDOW_MAX_ROWS,
+        )
     x = F.col(value_col).cast("bigint")
     stats = df.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("bigint").alias("_n"),
@@ -261,6 +272,10 @@ def linear_trend(
     Scale: one key-partitioned min-agg + join back + one moments agg —
     two shuffles total, state O(1) per key. The fit is the trend/
     drift-detection primitive next to ewma_trailing's smoother.
+    Keyless input needs NO raise-above-threshold guard (unlike
+    cusum_flags/mad_outliers): there is no window sort anywhere — the
+    keyless path is a 1-row broadcast crossJoin plus a map-side-partial
+    global aggregate, which scales to any row count.
     """
     keys = list(key_cols)
     x = F.col(x_col).cast("bigint")
@@ -295,6 +310,7 @@ def mad_outliers(
     key_cols: Sequence[str] = (),
     thresh_num: int = 5,
     thresh_den: int = 1,
+    max_global_rows: int | None = None,
 ) -> DataFrame:
     """Robust outlier detection via median / MAD (Hampel filter family;
     public method): flag buckets where
@@ -318,6 +334,11 @@ def mad_outliers(
     Returns (key..., bucket, value, median, mad, abs_dev, is_outlier).
     """
     keys = list(key_cols)
+    if not keys:
+        guard_global_window(
+            df, "mad_outliers",
+            max_global_rows=max_global_rows or GLOBAL_WINDOW_MAX_ROWS,
+        )
     x = F.col(value_col).cast("bigint")
     wk = (
         Window.partitionBy(*keys)

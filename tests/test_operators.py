@@ -1839,6 +1839,30 @@ def test_k_anonymity_and_suppression(spark):
     assert kept.where((F.col("q1") == "a") & (F.col("q2") == 2)).count() == 0
 
 
+def test_keyless_global_window_guards_raise(spark):
+    """Keyless cusum_flags/mad_outliers/kaplan_meier refuse to sort a
+    large frame through one task — same contract as assign_batches;
+    the error names the per-group fix (key_cols)."""
+    import pytest
+
+    from megalista_spark.operators.survival import kaplan_meier
+    from megalista_spark.operators.timeseries import cusum_flags, mad_outliers
+
+    series = spark.createDataFrame(
+        [(i, i % 7) for i in range(20)], "bucket long, v long")
+    with pytest.raises(ValueError, match="cusum_flags.*key_cols"):
+        cusum_flags(series, "bucket", "v", max_global_rows=10)
+    with pytest.raises(ValueError, match="mad_outliers.*key_cols"):
+        mad_outliers(series, "bucket", "v", max_global_rows=10)
+    subj = spark.createDataFrame(
+        [(i, 1) for i in range(20)], "dur long, ev int")
+    with pytest.raises(ValueError, match="kaplan_meier.*key_cols"):
+        kaplan_meier(subj, "dur", "ev", max_global_rows=10)
+    # under the threshold the keyless path still works
+    assert cusum_flags(series, "bucket", "v", max_global_rows=100).count() == 20
+    assert kaplan_meier(subj, "dur", "ev", max_global_rows=100).count() == 20
+
+
 def test_t_closeness_nulls_and_ordered(spark):
     """NULL QI keys and NULL sensitive values participate via the
     null-safe grid re-join (r7 fix): hand-computed TVD/EMD ppm."""
