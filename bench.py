@@ -76,6 +76,7 @@ HEADLINE = [
     "value_drift_bins",
     "frequent_event_trigrams",
     "l_diversity_customers",
+    "t_closeness_customers",
     "harmonic_centrality_customers",
     "dedup_keep_best_docs",
     "oov_rate_by_source",
