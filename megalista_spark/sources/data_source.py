@@ -288,10 +288,14 @@ class BigQueryDataSource(DataSource):
             }
         return {"table": self.source.path}
 
-    def read_raw(self) -> DataFrame:
+    def read_raw(
+        self,
+        transactional_type: "TransactionalType | None" = None,
+        cols: "list[str] | None" = None,
+    ) -> DataFrame:
         try:
             reader = self.spark.read.format("bigquery")
-            for k, v in self.connector_options().items():
+            for k, v in self.connector_options(transactional_type, cols).items():
                 reader = reader.option(k, v)
             return reader.load()
         except Exception as exc:  # connector jar missing in local env
@@ -299,6 +303,36 @@ class BigQueryDataSource(DataSource):
                 "BigQuery connector not available in this environment; "
                 "use a FILE source or add the spark-bigquery jar"
             ) from exc
+
+    def retrieve_data(
+        self,
+        schema: "DestinationSchema | None" = None,
+        transactional_type: "TransactionalType" = None,  # type: ignore[assignment]
+    ) -> DataFrame:
+        """BQ-native dedup (reference big_query_data_source.py:76-148):
+        with ``dedup_in_bq`` the anti-join LEFT JOIN ships INSIDE the
+        connector ``query`` option, so BigQuery filters already-uploaded
+        rows server-side and only the remainder crosses the Storage API —
+        the Spark-side anti-join is skipped (it would be a no-op re-check
+        of rows BQ already excluded). Without it, fall back to the base
+        scan + Spark broadcast anti-join path."""
+        from megalista_spark.models.execution import TransactionalType
+
+        if transactional_type is None:
+            transactional_type = TransactionalType.NOT_TRANSACTIONAL
+        if (
+            self.dedup_in_bq
+            and transactional_type != TransactionalType.NOT_TRANSACTIONAL
+        ):
+            # push literal column names server-side only when the whole
+            # contract is literal — regex patterns resolve against the
+            # actual table columns, which only the scan knows
+            cols = None
+            if schema is not None and all(not s.is_pattern for s in schema.columns):
+                cols = [s.name for s in schema.columns]
+            df = self.read_raw(transactional_type, cols)
+            return schema.apply(df) if schema is not None else df
+        return super().retrieve_data(schema, transactional_type)
 
 
 def read_evolving_parquet(
