@@ -55,14 +55,28 @@ def _write_file(spark: SparkSession, path: str, payload: bytes) -> None:
 
 def _read_file(spark: SparkSession, path: str) -> bytes:
     # py4j passes byte[] BY VALUE — Java-side readFully mutations never
-    # reach a Python bytearray, so read through commons-io (on Spark's
-    # classpath) and bring the content back as a string return value
+    # reach a Python bytearray, so read through commons-io (on stock
+    # Spark's classpath) and bring the content back as a string return
+    # value; fall back to byte-at-a-time reads (manifests are O(files)
+    # bytes, so the per-byte py4j round-trips stay trivial) on
+    # distributions that shade or drop commons-io
     fs, jvm = _fs(spark, path)
-    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    stream = fs.open(hpath)
     try:
         return jvm.org.apache.commons.io.IOUtils.toString(
             stream, "UTF-8"
         ).encode()
+    except Exception:
+        stream.close()
+        stream = fs.open(hpath)  # reopen: position 0 regardless of the
+        buf = bytearray()  # failed attempt's consumption
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            buf.append(b)
+        return bytes(buf)
     finally:
         stream.close()
 
@@ -82,12 +96,24 @@ def current_snapshot_id(spark: SparkSession, base_dir: str) -> int | None:
 
 
 def publish_snapshot(
-    df: DataFrame, base_dir: str, snapshot_id: int | None = None
+    df: DataFrame,
+    base_dir: str,
+    snapshot_id: int | None = None,
+    pointer_swap=None,
 ) -> dict:
     """Write ``df`` as the next snapshot of ``base_dir`` and atomically
     make it current. Returns the manifest dict. ``snapshot_id`` defaults
     to current + 1 (1 for a fresh table); passing an existing id raises
-    (snapshots are immutable)."""
+    (snapshots are immutable).
+
+    ``pointer_swap``: optional ``(spark, pointer_path, payload_bytes,
+    expected_current_id) -> None`` hook replacing the default
+    delete-old + rename commit — the seam for object-store multi-writer
+    safety (S3/GCS conditional PUT with if-match/x-goog-if-generation,
+    or a DynamoDB/ZooKeeper lock, as Iceberg's commit services do). The
+    default path additionally re-reads the pointer just before the swap
+    and raises on a concurrent advance (optimistic concurrency: detects
+    lost-update races even where rename alone could silently clobber)."""
     spark = df.sparkSession
     cur = current_snapshot_id(spark, base_dir)
     snap = int(snapshot_id) if snapshot_id is not None else (cur or 0) + 1
@@ -111,10 +137,21 @@ def publish_snapshot(
     }
     payload = json.dumps(manifest, sort_keys=True).encode()
     _write_file(spark, f"{base_dir}/snapshots/{snap}.json", payload)
-    # pointer swap: tmp write, then delete-old + rename (atomic on
-    # HDFS/local; see module docstring for object-store caveats)
-    tmp = f"{base_dir}/_MANIFEST.json.tmp"
     final = f"{base_dir}/_MANIFEST.json"
+    if pointer_swap is not None:
+        pointer_swap(spark, final, payload, cur)
+        return manifest
+    # default pointer swap: tmp write, then delete-old + rename (atomic
+    # on HDFS/local; see module docstring for object-store caveats),
+    # guarded by an optimistic re-check of the pointer
+    if current_snapshot_id(spark, base_dir) != cur:
+        raise RuntimeError(
+            f"concurrent publish detected on {base_dir}: pointer advanced "
+            f"past snapshot {cur} during this write; retry from "
+            "current_snapshot_id (or supply pointer_swap for a "
+            "conditional-put commit on object stores)"
+        )
+    tmp = f"{base_dir}/_MANIFEST.json.tmp"
     _write_file(spark, tmp, payload)
     fs2, jvm2 = _fs(spark, final)
     fp = jvm2.org.apache.hadoop.fs.Path(final)

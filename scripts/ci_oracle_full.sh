@@ -12,6 +12,10 @@ SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.01}"
 LOG="$(mktemp)"
 cd "$(dirname "$0")/.."
 
+# registry/docs/bench freshness gate: every queries() name documented in
+# COVERAGE.md and benched (or whitelisted) — fail the seal on drift
+python -m pytest tests/test_docs_freshness.py -q --no-header -x
+
 python scripts/compare_oracle.py "$SF_DIR" 2>&1 | tee "$LOG" | grep -E "^(ok|rows-only|FAIL)" || true
 
 python - "$ROUND" "$SF_DIR" "$LOG" <<'EOF'

@@ -54,3 +54,62 @@ def test_snapshots_are_immutable(spark, tmp_path):
     publish_snapshot(spark.range(3), base)
     with pytest.raises(ValueError, match="immutable"):
         publish_snapshot(spark.range(3), base, snapshot_id=1)
+
+
+def test_pointer_swap_hook_receives_commit_contract(spark, tmp_path):
+    """The conditional-put seam: the hook gets (spark, pointer_path,
+    payload, expected_current_id) and OWNS the commit — nothing else
+    touches the pointer."""
+    base = str(tmp_path / "tbl")
+    publish_snapshot(spark.range(2), base)
+    calls = []
+
+    def fake_conditional_put(s, pointer_path, payload, expected_cur):
+        calls.append((pointer_path, expected_cur))
+        import json as _json
+
+        assert _json.loads(payload)["snapshot"] == 2
+        # emulate the store's conditional PUT succeeding
+        from megalista_spark.operators.publish import _write_file
+
+        _write_file(s, pointer_path, payload)
+
+    publish_snapshot(spark.range(7), base, pointer_swap=fake_conditional_put)
+    assert calls == [(f"{base}/_MANIFEST.json", 1)]
+    assert current_snapshot_id(spark, base) == 2
+    assert read_snapshot(spark, base).count() == 7
+
+
+def test_concurrent_publish_detected(spark, tmp_path):
+    """Optimistic concurrency: a pointer that advanced between manifest
+    read and swap fails the commit instead of silently clobbering."""
+    base = str(tmp_path / "tbl")
+    publish_snapshot(spark.range(2), base)
+
+    def racing_swap(s, pointer_path, payload, expected_cur):
+        raise AssertionError("unused")
+
+    # simulate the race by publishing 2 normally, then attempting a
+    # publish whose pointer re-check must observe the advance: we patch
+    # current_snapshot_id's view by advancing AFTER the initial read via
+    # the hookless path — easiest deterministic simulation is the direct
+    # guard: expected cur=1 while pointer already names 2
+    publish_snapshot(spark.range(3), base)  # pointer now at 2
+    import megalista_spark.operators.publish as pub
+
+    with pytest.raises(RuntimeError, match="concurrent publish"):
+        # re-entering with a stale expected-current: force by calling the
+        # internal guard path with snapshot_id=4 and a monkeypatched
+        # current reader that returns the stale value on first call only
+        real = pub.current_snapshot_id
+        seen = {"n": 0}
+
+        def stale_then_real(s, b):
+            seen["n"] += 1
+            return 1 if seen["n"] == 1 else real(s, b)
+
+        pub.current_snapshot_id = stale_then_real
+        try:
+            pub.publish_snapshot(spark.range(4), base, snapshot_id=4)
+        finally:
+            pub.current_snapshot_id = real
