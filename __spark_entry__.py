@@ -10250,6 +10250,183 @@ ORDER BY seed
 
 
 # --------------------------------------------------------------------------
+# Round 7: dataset-audit statistics (join-skew profile, chi-squared
+# independence, empirical-Bayes rate shrinkage, winsorized group stats,
+# Benford first-digit audit) — operators/stats.py + operators/profiling.py
+# --------------------------------------------------------------------------
+
+
+def join_skew_audit_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiles for the two hottest shuffle keys in the
+    schema (operators/profiling.py::join_skew_audit) — max/avg frequency
+    ratio in ppm plus exact frequency percentiles computed from the
+    frequency HISTOGRAM (never a global sort of the key-count table)."""
+    from megalista_spark.operators.profiling import join_skew_audit
+
+    li = join_skew_audit(_t(spark, sf_dir, "lineitem"), "l_orderkey").select(
+        F.lit("lineitem.l_orderkey").alias("key_label"), "*"
+    )
+    od = join_skew_audit(_t(spark, sf_dir, "orders"), "o_custkey").select(
+        F.lit("orders.o_custkey").alias("key_label"), "*"
+    )
+    return li.unionByName(od).orderBy("key_label")
+
+
+def _skew_audit_sql(label: str, table: str, key: str) -> str:
+    return f"""
+SELECT '{label}' AS key_label, nr AS n_rows, nk AS n_keys, mf AS max_freq,
+       p50 AS p50_freq, p99 AS p99_freq, tk AS top_key,
+       CAST(1000000 * mf * nk // nr AS BIGINT) AS skew_ratio_ppm,
+       (1000000 * mf * nk // nr) > 10 * 1000000 AS recommend_salting
+FROM (SELECT COUNT(*)::BIGINT nk, SUM(f)::BIGINT nr, MAX(f)::BIGINT mf
+      FROM (SELECT COUNT(*)::BIGINT f FROM {table} GROUP BY {key})),
+     (SELECT MIN(CASE WHEN c * 100 >= 50 * (SELECT COUNT(*) FROM (SELECT 1 FROM {table} GROUP BY {key})) THEN f END)::BIGINT p50,
+             MIN(CASE WHEN c * 100 >= 99 * (SELECT COUNT(*) FROM (SELECT 1 FROM {table} GROUP BY {key})) THEN f END)::BIGINT p99
+      FROM (SELECT f, SUM(nkf) OVER (ORDER BY f) c
+            FROM (SELECT f, COUNT(*) nkf
+                  FROM (SELECT COUNT(*)::BIGINT f FROM {table} GROUP BY {key})
+                  GROUP BY f))),
+     (SELECT MIN(CAST(k AS VARCHAR)) tk
+      FROM (SELECT {key} k, COUNT(*)::BIGINT f FROM {table} GROUP BY {key})
+      WHERE f = (SELECT MAX(f) FROM (SELECT COUNT(*)::BIGINT f FROM {table} GROUP BY {key})))
+"""
+
+
+JOIN_SKEW_SQL = (
+    _skew_audit_sql("lineitem.l_orderkey", "lineitem", "l_orderkey")
+    + " UNION ALL "
+    + _skew_audit_sql("orders.o_custkey", "orders", "o_custkey")
+    + " ORDER BY key_label"
+)
+
+
+def chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence audit between customer market segment and
+    order priority (operators/stats.py::chi2_independence) — exact
+    integer ppm, decimal(38,0) cell arithmetic."""
+    from megalista_spark.operators.stats import chi2_independence
+
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    j = od.join(cu, od.o_custkey == cu.c_custkey).select(
+        "c_mktsegment", "o_orderpriority"
+    )
+    return chi2_independence(j, "c_mktsegment", "o_orderpriority")
+
+
+CHI2_SQL = """
+WITH j AS (SELECT c_mktsegment a, o_orderpriority b
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+cells AS (SELECT a, b, COUNT(*)::BIGINT o FROM j GROUP BY a, b),
+rs AS (SELECT a, SUM(o)::BIGINT r FROM cells GROUP BY a),
+cs AS (SELECT b, SUM(o)::BIGINT c FROM cells GROUP BY b),
+nn AS (SELECT SUM(o)::BIGINT n FROM cells),
+terms AS (
+  SELECT CAST((CAST(1000000 AS HUGEINT)
+               * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+               * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c))
+              // (CAST(n AS HUGEINT) * r * c) AS BIGINT) t
+  FROM cells JOIN rs USING(a) JOIN cs USING(b) CROSS JOIN nn
+)
+SELECT (SELECT SUM(t)::BIGINT FROM terms) AS chi2_ppm,
+       CAST(((SELECT COUNT(DISTINCT a) FROM cells) - 1)
+            * ((SELECT COUNT(DISTINCT b) FROM cells) - 1) AS BIGINT) AS dof,
+       (SELECT n FROM nn) AS n_rows
+"""
+
+
+def shrunk_purchase_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour purchase propensity with empirical-Bayes shrinkage toward
+    the global rate (operators/stats.py::shrunk_rates, m=500 pseudo-
+    observations) — how to rank small cohorts by a rate without noise
+    winning."""
+    from megalista_spark.operators.stats import shrunk_rates
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.hour("ts").cast("long").alias("event_hour"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+    )
+    return shrunk_rates(ev, ["event_hour"], "is_purchase", prior_strength=500)
+
+
+SHRUNK_RATES_SQL = """
+WITH e AS (SELECT CAST(hour(ts) AS BIGINT) event_hour,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END s
+           FROM events),
+per AS (SELECT event_hour, COUNT(*)::BIGINT n_obs, SUM(s)::BIGINT n_success
+        FROM e GROUP BY event_hour),
+g AS (SELECT CAST(1000000 * SUM(n_success) // SUM(n_obs) AS BIGINT) gppm FROM per)
+SELECT event_hour, n_obs, n_success,
+       CAST(1000000 * n_success // n_obs AS BIGINT) AS raw_ppm,
+       CAST((1000000 * n_success + 500 * gppm) // (n_obs + 500) AS BIGINT) AS shrunk_ppm,
+       gppm AS global_ppm
+FROM per CROSS JOIN g
+ORDER BY event_hour
+"""
+
+
+def winsorized_brand_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand winsorized mean retail price (operators/stats.py::
+    winsorized_stats) — exact [p5, p95] order-statistic boundaries, clip,
+    integer-cents mean."""
+    from megalista_spark.operators.stats import winsorized_stats
+
+    return winsorized_stats(_t(spark, sf_dir, "part"), "p_brand", "p_retailprice")
+
+
+WINSORIZED_SQL = """
+WITH c AS (SELECT p_brand g, CAST(ROUND(p_retailprice * 100) AS BIGINT) v
+           FROM part WHERE p_retailprice IS NOT NULL),
+r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) rk,
+             COUNT(*) OVER (PARTITION BY g) n
+      FROM c),
+b AS (SELECT g,
+             MIN(CASE WHEN rk = GREATEST(1, CAST(CEIL(5 * n / 100.0) AS INT)) THEN v END) lo,
+             MIN(CASE WHEN rk = GREATEST(1, CAST(CEIL(95 * n / 100.0) AS INT)) THEN v END) hi
+      FROM r GROUP BY g)
+SELECT c.g AS p_brand, COUNT(*)::BIGINT AS n_values,
+       b.lo AS lo_cents, b.hi AS hi_cents,
+       CAST(SUM(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END)
+            // COUNT(*) AS BIGINT) AS winsorized_mean_cents
+FROM c JOIN b ON c.g = b.g
+GROUP BY c.g, b.lo, b.hi
+ORDER BY p_brand
+"""
+
+
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (operators/profiling.py::
+    benford_audit) — integer-ppm observed vs expected digit distribution;
+    synthetic uniform amounts fail loudly, which IS the data-quality
+    signal."""
+    from megalista_spark.operators.profiling import benford_audit
+
+    return benford_audit(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+_BENFORD_CASE = (
+    "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939 "
+    "WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992 "
+    "WHEN 8 THEN 51153 WHEN 9 THEN 45757 END"
+)
+
+BENFORD_SQL = f"""
+WITH d AS (SELECT CAST(substr(CAST(ABS(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS VARCHAR), 1, 1) AS INT) digit
+           FROM orders
+           WHERE o_totalprice IS NOT NULL
+             AND ABS(CAST(ROUND(o_totalprice * 100) AS BIGINT)) > 0),
+c AS (SELECT digit, COUNT(*)::BIGINT n FROM d GROUP BY digit),
+t AS (SELECT SUM(n)::BIGINT tot FROM c)
+SELECT digit, n,
+       CAST(1000000 * n // tot AS BIGINT) AS obs_ppm,
+       CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm,
+       CAST(ABS(1000000 * n // tot - ({_BENFORD_CASE})) AS BIGINT) AS abs_dev_ppm
+FROM c CROSS JOIN t
+ORDER BY digit
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
 
@@ -10265,6 +10442,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the whole roster — every name here is green in the local mirror
 # (scripts/compare_oracle.py) at sf0.01.
 _GATE_ROTATION_FIRST = [
+    "join_skew_audit_keys",
+    "chi2_segment_priority",
+    "shrunk_purchase_rates",
+    "winsorized_brand_prices",
+    "benford_price_audit",
     "l_diversity_customers",
     "harmonic_centrality_customers",
     "dedup_keep_best_docs",
@@ -10550,6 +10732,11 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "frequent_event_trigrams": frequent_event_trigrams,
         "l_diversity_customers": l_diversity_customers,
         "t_closeness_customers": t_closeness_customers,
+        "join_skew_audit_keys": join_skew_audit_keys,
+        "chi2_segment_priority": chi2_segment_priority,
+        "shrunk_purchase_rates": shrunk_purchase_rates,
+        "winsorized_brand_prices": winsorized_brand_prices,
+        "benford_price_audit": benford_price_audit,
         "harmonic_centrality_customers": harmonic_centrality_customers,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "oov_rate_by_source": oov_rate_by_source,
@@ -10693,6 +10880,11 @@ def oracle_sql() -> dict[str, str]:
         "frequent_event_trigrams": EVENT_TRIGRAMS_SQL,
         "l_diversity_customers": L_DIVERSITY_SQL,
         "t_closeness_customers": T_CLOSENESS_SQL,
+        "join_skew_audit_keys": JOIN_SKEW_SQL,
+        "chi2_segment_priority": CHI2_SQL,
+        "shrunk_purchase_rates": SHRUNK_RATES_SQL,
+        "winsorized_brand_prices": WINSORIZED_SQL,
+        "benford_price_audit": BENFORD_SQL,
         "harmonic_centrality_customers": _harmonic_sql(),
         "dedup_keep_best_docs": DEDUP_KEEP_BEST_SQL,
         "oov_rate_by_source": OOV_RATE_SQL,

@@ -77,6 +77,11 @@ HEADLINE = [
     "frequent_event_trigrams",
     "l_diversity_customers",
     "t_closeness_customers",
+    "join_skew_audit_keys",
+    "chi2_segment_priority",
+    "shrunk_purchase_rates",
+    "winsorized_brand_prices",
+    "benford_price_audit",
     "harmonic_centrality_customers",
     "dedup_keep_best_docs",
     "oov_rate_by_source",

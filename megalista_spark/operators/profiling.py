@@ -233,3 +233,123 @@ def profile_columns(
             "max_value",
         )
     )
+
+
+def join_skew_audit(df: DataFrame, key_col: str, salt_threshold_ratio: int = 10) -> DataFrame:
+    """Join-key skew profile — the pre-flight check before shuffling a
+    100 TB table on ``key_col``: how hot is the hottest key relative to
+    the average, and should the join be salted / left to AQE skew-split
+    (operators/skew.py::salted_join is the mitigation this audit gates).
+
+    Output is ONE row: ``(n_rows, n_keys, max_freq, p50_freq, p99_freq,
+    top_key, skew_ratio_ppm, recommend_salting)`` where skew_ratio_ppm =
+    1e6·max_freq·n_keys div n_rows (max/avg in ppm; 1e6 = perfectly
+    uniform) and recommend_salting fires above ``salt_threshold_ratio``×
+    average.
+
+    Scale shape — deliberately NO global sort over the key-count table
+    (at 100 TB the count table itself is billions of rows): percentiles
+    of the per-key frequency come from the frequency HISTOGRAM
+    (aggregate the count table by freq value — the domain is small, a
+    key occurs 1..k times — then one prefix-sum window over that
+    bounded histogram). Two hash aggregates + an O(distinct-freq)
+    window + two 1-row broadcasts.
+    """
+    from pyspark.sql.window import Window as _W
+
+    counts = df.groupBy(F.col(key_col).alias("_key")).agg(
+        F.count(F.lit(1)).cast("long").alias("_freq")
+    )
+    hist = counts.groupBy("_freq").agg(F.count(F.lit(1)).cast("long").alias("_nk"))
+    w = _W.orderBy("_freq").rowsBetween(_W.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_nk").over(w))
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_freq").cast("long").alias("n_rows"),
+        F.max("_freq").cast("long").alias("max_freq"),
+    )
+    # smallest freq whose cumulative key count reaches ceil(p·n_keys)
+    pct = (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            F.min(
+                F.when(
+                    F.col("_cum") * 100 >= F.expr("50 * n_keys"), F.col("_freq")
+                )
+            ).alias("p50_freq"),
+            F.min(
+                F.when(
+                    F.col("_cum") * 100 >= F.expr("99 * n_keys"), F.col("_freq")
+                )
+            ).alias("p99_freq"),
+        )
+    )
+    top = (
+        counts.crossJoin(F.broadcast(totals.select("max_freq")))
+        .where(F.col("_freq") == F.col("max_freq"))
+        .agg(F.min(F.col("_key").cast("string")).alias("top_key"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(pct))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_freq",
+            "p50_freq",
+            "p99_freq",
+            "top_key",
+            F.expr("1000000 * max_freq * n_keys div n_rows").alias("skew_ratio_ppm"),
+            F.expr(
+                f"1000000 * max_freq * n_keys div n_rows > {int(salt_threshold_ratio)} * 1000000"
+            ).alias("recommend_salting"),
+        )
+    )
+
+
+# Benford first-digit expectation, ppm of log10(1 + 1/d) — public constants
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def benford_audit(df: DataFrame, value_col: str, decimals: int = 2) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-data /
+    broken-upstream detector for naturally-occurring amounts (fraud
+    analytics staple; synthetic uniform generators fail it loudly, which
+    is itself the signal that a feed is not organic).
+
+    Values are fixed-pointed (``decimals``, the money contract), zero /
+    NULL dropped, and the leading digit of the absolute value counted.
+    Output: 9 rows ``(digit, n, obs_ppm, expected_ppm, abs_dev_ppm)``;
+    Σ abs_dev_ppm is the portable L1 deviation statistic (integer ppm
+    throughout — no logs at query time, the Benford expectations are
+    baked constants).
+
+    Scale shape: one scan → one 9-group hash aggregate (map-side
+    combined) + a 1-row total broadcast. Nothing grows with input.
+    """
+    scale = 10**decimals
+    digits = (
+        df.select(
+            F.abs(F.round(F.col(value_col) * scale)).cast("long").alias("_cents")
+        )
+        .where(F.col("_cents").isNotNull() & (F.col("_cents") > 0))
+        .select(F.substring(F.col("_cents").cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    expected = "CASE digit " + " ".join(
+        f"WHEN {d + 1} THEN {ppm}" for d, ppm in enumerate(BENFORD_PPM)
+    ) + " END"
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("1000000 * n div _total").alias("obs_ppm"),
+            F.expr(expected).cast("long").alias("expected_ppm"),
+            F.abs(F.expr("1000000 * n div _total") - F.expr(expected)).alias(
+                "abs_dev_ppm"
+            ),
+        )
+        .orderBy("digit")
+    )

@@ -1,0 +1,119 @@
+"""Brute-force verification of the round-7 audit statistics
+(operators/stats.py, operators/profiling.py additions): chi-squared
+independence, empirical-Bayes shrinkage, winsorized group stats,
+join-skew audit, Benford first-digit audit.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from megalista_spark.operators.profiling import benford_audit, join_skew_audit
+from megalista_spark.operators.stats import (
+    chi2_independence,
+    shrunk_rates,
+    winsorized_stats,
+)
+
+ROWS = [
+    ("A", "x"), ("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"),
+    ("B", "y"), ("B", "y"), ("C", "x"), ("C", "x"), ("C", "y"),
+]
+
+
+def test_chi2_matches_brute_force(spark):
+    df = spark.createDataFrame(ROWS, ["a", "b"])
+    got = chi2_independence(df, "a", "b").collect()[0]
+
+    n = len(ROWS)
+    cells = Counter(ROWS)
+    rows = Counter(a for a, _ in ROWS)
+    cols = Counter(b for _, b in ROWS)
+    expected = sum(
+        (1_000_000 * (o * n - rows[a] * cols[b]) ** 2) // (n * rows[a] * cols[b])
+        for (a, b), o in cells.items()
+    )
+    assert got["chi2_ppm"] == expected
+    assert got["dof"] == (3 - 1) * (2 - 1)
+    assert got["n_rows"] == n
+
+
+def test_chi2_independent_columns_score_near_zero(spark):
+    # perfectly proportional table → every o·N == rs·cs → chi2 exactly 0
+    rows = [(a, b) for a in "AB" for b in "xy" for _ in range(5)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    assert chi2_independence(df, "a", "b").collect()[0]["chi2_ppm"] == 0
+
+
+def test_shrunk_rates_pull_small_groups_toward_global(spark):
+    # big group: 100 obs at 50%; tiny group: 1 obs at 100%
+    rows = [("big", i % 2) for i in range(100)] + [("tiny", 1)]
+    df = spark.createDataFrame(rows, ["g", "s"])
+    out = {r["g"]: r for r in shrunk_rates(df, ["g"], "s", prior_strength=10).collect()}
+
+    global_ppm = 1_000_000 * 51 // 101
+    assert out["big"]["global_ppm"] == global_ppm
+    assert out["tiny"]["raw_ppm"] == 1_000_000
+    expected_tiny = (1_000_000 * 1 + 10 * global_ppm) // (1 + 10)
+    assert out["tiny"]["shrunk_ppm"] == expected_tiny
+    # shrinkage moved tiny toward global, big barely moved
+    assert abs(out["tiny"]["shrunk_ppm"] - global_ppm) < abs(1_000_000 - global_ppm)
+    assert abs(out["big"]["shrunk_ppm"] - out["big"]["raw_ppm"]) < 5_000
+
+
+def test_winsorized_stats_clip_tails(spark):
+    import math
+
+    vals = list(range(1, 101))  # 1..100, one group
+    df = spark.createDataFrame([("g", float(v)) for v in vals], ["grp", "v"])
+    out = winsorized_stats(df, "grp", "v", lo_pct=5, hi_pct=95).collect()[0]
+
+    cents = sorted(v * 100 for v in vals)
+    lo = cents[max(1, math.ceil(5 * 100 / 100)) - 1]
+    hi = cents[max(1, math.ceil(95 * 100 / 100)) - 1]
+    clipped = [min(max(c, lo), hi) for c in cents]
+    assert out["lo_cents"] == lo and out["hi_cents"] == hi
+    assert out["n_values"] == 100
+    assert out["winsorized_mean_cents"] == sum(clipped) // 100
+
+
+def test_winsorized_outlier_resistance(spark):
+    base = [("g", 10.0)] * 98 + [("g", 1e6), ("g", -1e6)]
+    out = winsorized_stats(spark.createDataFrame(base, ["grp", "v"]), "grp", "v").collect()[0]
+    assert out["winsorized_mean_cents"] == 1000  # outliers clipped to 10.00
+
+def test_join_skew_audit_brute_force(spark):
+    # key 1 appears 8 times, keys 2..9 once each: max=8, keys=9, rows=16
+    rows = [(1,)] * 8 + [(k,) for k in range(2, 10)]
+    out = join_skew_audit(spark.createDataFrame(rows, ["k"]), "k").collect()[0]
+    assert out["n_rows"] == 16 and out["n_keys"] == 9 and out["max_freq"] == 8
+    # freq histogram: 1×8, 8×1 → p50 over keys = 1, p99 = 8
+    assert out["p50_freq"] == 1 and out["p99_freq"] == 8
+    assert out["top_key"] == "1"
+    assert out["skew_ratio_ppm"] == 1_000_000 * 8 * 9 // 16
+    assert not out["recommend_salting"]  # 4.5× < 10× threshold
+
+
+def test_join_skew_audit_flags_heavy_key(spark):
+    rows = [(1,)] * 1000 + [(k,) for k in range(2, 52)]
+    out = join_skew_audit(spark.createDataFrame(rows, ["k"]), "k").collect()[0]
+    assert out["recommend_salting"]
+
+
+def test_benford_audit_brute_force(spark):
+    # 30 values starting with digit 1, 10 with digit 2, 10 with digit 9
+    vals = [1.23] * 30 + [2.5] * 10 + [9.99] * 10
+    out = {r["digit"]: r for r in benford_audit(
+        spark.createDataFrame([(v,) for v in vals], ["v"]), "v"
+    ).collect()}
+    assert set(out) == {1, 2, 9}
+    assert out[1]["n"] == 30 and out[1]["obs_ppm"] == 1_000_000 * 30 // 50
+    assert out[1]["expected_ppm"] == 301030
+    assert out[1]["abs_dev_ppm"] == abs(1_000_000 * 30 // 50 - 301030)
+    assert out[9]["expected_ppm"] == 45757
+    # zero and NULL are dropped
+    vals2 = [(0.0,), (None,), (1.0,)]
+    out2 = benford_audit(
+        spark.createDataFrame(vals2, "v double"), "v"
+    ).collect()
+    assert len(out2) == 1 and out2[0]["n"] == 1
