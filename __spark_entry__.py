@@ -10426,6 +10426,92 @@ ORDER BY digit
 """
 
 
+
+
+def stratified_kfold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold cross-validation assignment over documents by
+    language (operators/sampling.py::stratified_kfold) — exact ±1 fold
+    balance inside every stratum, hash-deterministic round-robin; output
+    is the (lang, fold) count matrix proving the balance."""
+    from megalista_spark.operators.sampling import stratified_kfold
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        stratified_kfold(d, "lang", "doc_id", k=5)
+        .groupBy("lang", "fold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "fold")
+    )
+
+
+KFOLD_SQL = """
+WITH h AS (SELECT lang, doc_id,
+                  ('0x' || substr(md5('kfold|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT hh
+           FROM documents),
+f AS (SELECT lang,
+             CAST(1 + (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id) - 1) % 5 AS INT) fold
+      FROM h)
+SELECT lang, fold, COUNT(*)::BIGINT n_docs
+FROM f GROUP BY lang, fold ORDER BY lang, fold
+"""
+
+
+def retention_triangle_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over events (operators/
+    survival.py::retention_triangle) — users bucketed by first-activity
+    week, per-offset active fraction in ppm; the product-analytics
+    companion to the Kaplan-Meier curves."""
+    from megalista_spark.operators.survival import retention_triangle
+
+    return retention_triangle(
+        _t(spark, sf_dir, "events"), "user_id", "ts", period="week", max_offset=12
+    )
+
+
+RETENTION_SQL = """
+WITH ev AS (SELECT user_id u, date_trunc('week', ts) p FROM events),
+firsts AS (SELECT u, MIN(p) cohort FROM ev GROUP BY u),
+active AS (SELECT DISTINCT e.u, e.p, f.cohort FROM ev e JOIN firsts f ON e.u = f.u),
+tri AS (SELECT cohort, CAST(date_diff('day', cohort, p) // 7 AS BIGINT) "offset",
+               COUNT(*)::BIGINT active_users
+        FROM active
+        WHERE date_diff('day', cohort, p) // 7 <= 12
+        GROUP BY cohort, date_diff('day', cohort, p) // 7),
+sizes AS (SELECT cohort, COUNT(*)::BIGINT cohort_size FROM firsts GROUP BY cohort)
+SELECT tri.cohort, "offset", cohort_size, active_users,
+       CAST(1000000 * active_users // cohort_size AS BIGINT) retention_ppm
+FROM tri JOIN sizes ON tri.cohort = sizes.cohort
+ORDER BY tri.cohort, "offset"
+"""
+
+
+def decile_bins_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of order totals (operators/
+    sketches.py::quantile_bins) — exact boundaries via histogram-pruned
+    distributed selection, scan-speed bucketing against the broadcast
+    boundary array; no global sort anywhere."""
+    from megalista_spark.operators.sketches import quantile_bins
+
+    return quantile_bins(_t(spark, sf_dir, "orders"), "o_totalprice", n_bins=10)
+
+
+DECILE_BINS_SQL = """
+WITH v AS (SELECT o_totalprice x FROM orders WHERE o_totalprice IS NOT NULL),
+nn AS (SELECT COUNT(*) n FROM v),
+o AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) rk FROM v),
+b AS (SELECT array_agg(bx ORDER BY bx) bs FROM (
+        SELECT (SELECT x FROM o
+                WHERE rk = GREATEST(1, CAST(CEIL(q * (SELECT n FROM nn) / 1000.0) AS BIGINT))) bx
+        FROM (VALUES (100),(200),(300),(400),(500),(600),(700),(800),(900)) t(q)))
+SELECT CAST(1 + len(list_filter(bs, b -> x > b)) AS INT) bin,
+       COUNT(*)::BIGINT n_values,
+       MIN(CAST(ROUND(x * 100) AS BIGINT)) lo_cents,
+       MAX(CAST(ROUND(x * 100) AS BIGINT)) hi_cents
+FROM v CROSS JOIN b
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -10447,6 +10533,9 @@ _GATE_ROTATION_FIRST = [
     "shrunk_purchase_rates",
     "winsorized_brand_prices",
     "benford_price_audit",
+    "stratified_kfold_docs",
+    "retention_triangle_weeks",
+    "decile_bins_prices",
     "l_diversity_customers",
     "harmonic_centrality_customers",
     "dedup_keep_best_docs",
@@ -10737,6 +10826,9 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "shrunk_purchase_rates": shrunk_purchase_rates,
         "winsorized_brand_prices": winsorized_brand_prices,
         "benford_price_audit": benford_price_audit,
+        "stratified_kfold_docs": stratified_kfold_docs,
+        "retention_triangle_weeks": retention_triangle_weeks,
+        "decile_bins_prices": decile_bins_prices,
         "harmonic_centrality_customers": harmonic_centrality_customers,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "oov_rate_by_source": oov_rate_by_source,
@@ -10885,6 +10977,9 @@ def oracle_sql() -> dict[str, str]:
         "shrunk_purchase_rates": SHRUNK_RATES_SQL,
         "winsorized_brand_prices": WINSORIZED_SQL,
         "benford_price_audit": BENFORD_SQL,
+        "stratified_kfold_docs": KFOLD_SQL,
+        "retention_triangle_weeks": RETENTION_SQL,
+        "decile_bins_prices": DECILE_BINS_SQL,
         "harmonic_centrality_customers": _harmonic_sql(),
         "dedup_keep_best_docs": DEDUP_KEEP_BEST_SQL,
         "oov_rate_by_source": OOV_RATE_SQL,

@@ -82,6 +82,9 @@ HEADLINE = [
     "shrunk_purchase_rates",
     "winsorized_brand_prices",
     "benford_price_audit",
+    "stratified_kfold_docs",
+    "retention_triangle_weeks",
+    "decile_bins_prices",
     "harmonic_centrality_customers",
     "dedup_keep_best_docs",
     "oov_rate_by_source",

@@ -358,3 +358,41 @@ def global_shuffle_index(
         )
         .drop("_h", "_b", "_off")
     )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    k: int = 5,
+    salt: str = "kfold",
+    exact: bool = True,
+) -> DataFrame:
+    """Stratified k-fold assignment — the cross-validation primitive:
+    every stratum is spread across all ``k`` folds with exactly-balanced
+    counts (±1 per stratum), so no fold is missing a rare class.
+
+    Assignment is a pure function of (salt, id): rows rank within their
+    stratum by portable 60-bit hash (ties broken by id) and take fold =
+    1 + (rank−1) mod k — round-robin over the hash order, deterministic
+    on any engine and stable under repartitioning.
+
+    ``exact=True`` (default) pays one rank window per stratum (shuffle
+    on the stratum key; a single giant stratum serializes its window —
+    the assign_batches caveat family). ``exact=False`` is the
+    scan-speed path for strata too large to sort: fold = 1 + h mod k,
+    balanced in expectation (±√n), zero shuffle.
+    """
+    from megalista_spark.operators.dedup import portable_hash64
+
+    if k < 2:
+        raise ValueError(f"k must be ≥ 2, got {k}")
+    h = portable_hash64(
+        F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    if not exact:
+        return df.withColumn("fold", (F.pmod(h, F.lit(k)) + 1).cast("int"))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % k + 1).cast("int")
+    )

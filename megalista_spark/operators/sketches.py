@@ -840,3 +840,59 @@ def exact_quantile_select(
     binned.unpersist()
     bounds.unpersist()
     return out
+
+
+def quantile_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    decimals: int = 2,
+) -> DataFrame:
+    """Equal-frequency discretization (quantile binning) WITHOUT a global
+    sort — the feature-engineering primitive for heavy-tailed numerics:
+    boundaries come from ``exact_quantile_select`` (histogram-pruned
+    distributed selection), then every row buckets against the
+    broadcast boundary array at scan speed.
+
+    Bin i (1-based) holds values v with b_{i-1} < v ≤ b_i where b_i is
+    the exact discrete quantile at permille i·1000/n_bins (the k-th
+    smallest, k = max(1, ceil(q·n/1000)) — exact_quantile_select's
+    stated contract); bin n_bins is open above. Duplicate boundary
+    values (a single value spanning multiple quantiles) leave the
+    intermediate bins legitimately empty — the exact equal-frequency
+    semantics, not an error.
+
+    Output: ``(bin, n_values, lo_cents, hi_cents)`` per non-empty bin,
+    fixed-pointed to ``decimals`` (the money contract).
+
+    Scale shape: exact_quantile_select's three passes (histogram-pruned,
+    one-bin window) + ONE more scan with a broadcast (n_bins−1)-row
+    boundary array folded per-row — no row inflation, no global sort,
+    one final n_bins-group aggregate.
+    """
+    qs = tuple(i * 1000 // n_bins for i in range(1, n_bins))
+    bounds = (
+        exact_quantile_select(df, col, q_permilles=qs)
+        .agg(F.sort_array(F.collect_list("value")).alias("_bs"))
+    )
+    x = F.col(col)
+    scale = 10**decimals
+    return (
+        df.select(x.alias("_x"))
+        .where(x.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                F.lit(1)
+                + F.size(F.filter(F.col("_bs"), lambda b: F.col("_x") > b))
+            ).alias("bin"),
+            F.round(F.col("_x") * scale).cast("long").alias("_cents"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.min("_cents").alias("lo_cents"),
+            F.max("_cents").alias("hi_cents"),
+        )
+        .orderBy("bin")
+    )

@@ -138,3 +138,63 @@ def kaplan_meier(
         F.col("_r.survival_ppm").alias("survival_ppm"),
     )
     return out.orderBy(*keys, "t")
+
+
+def retention_triangle(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+    max_offset: int = 12,
+) -> DataFrame:
+    """Cohort retention triangle — the product-analytics companion to
+    ``kaplan_meier``: users grouped by their FIRST activity period
+    (cohort), then for each later period offset, the fraction of the
+    cohort still active, in integer ppm.
+
+    Output: ``(cohort, offset, cohort_size, active_users,
+    retention_ppm)`` with offset 0..max_offset; offset 0 is 1e6 by
+    construction (every cohort member is active in their first period).
+
+    Scale shape: one groupBy(user) for first-activity (map-side
+    combined), one distinct on (user, period) — both hash aggregates on
+    high-cardinality keys, shuffle-partitioned, no windows — then a
+    broadcast of the per-cohort sizes (O(periods) rows) onto the
+    O(periods²/2) triangle. Nothing beyond the two aggregates touches
+    raw events.
+    """
+    ev = df.select(
+        F.col(user_col).alias("_u"), F.date_trunc(period, F.col(ts_col)).alias("_p")
+    )
+    first = ev.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    active = ev.distinct().join(first, "_u")
+    # calendar months have no fixed day width — offsets are day-based
+    days = {"week": 7, "day": 1}.get(period)
+    if days is None:
+        raise ValueError(f"unsupported period: {period!r} (week or day)")
+    tri = (
+        active.select(
+            "_cohort",
+            (F.datediff(F.col("_p"), F.col("_cohort")) / days)
+            .cast("long")
+            .alias("offset"),
+            "_u",
+        )
+        .where(F.col("offset") <= max_offset)
+        .groupBy("_cohort", "offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+    )
+    sizes = first.groupBy("_cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        tri.join(F.broadcast(sizes), "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort"),
+            "offset",
+            "cohort_size",
+            "active_users",
+            F.expr("1000000 * active_users div cohort_size").alias("retention_ppm"),
+        )
+        .orderBy("cohort", "offset")
+    )

@@ -117,3 +117,68 @@ def test_benford_audit_brute_force(spark):
         spark.createDataFrame(vals2, "v double"), "v"
     ).collect()
     assert len(out2) == 1 and out2[0]["n"] == 1
+
+
+def test_stratified_kfold_exact_balance(spark):
+    from megalista_spark.operators.sampling import stratified_kfold
+
+    rows = [(f"d{i}", "en" if i < 17 else "de") for i in range(30)]
+    df = spark.createDataFrame(rows, ["id", "lang"])
+    out = stratified_kfold(df, "lang", "id", k=5).collect()
+    assert len(out) == 30 and all(1 <= r["fold"] <= 5 for r in out)
+    from collections import Counter
+
+    per = Counter((r["lang"], r["fold"]) for r in out)
+    # exact ±1 balance inside each stratum: en 17 → {4,4,3,3,3}, de 13 → {3,3,3,2,2}
+    assert sorted((per[("en", f)] for f in range(1, 6)), reverse=True) == [4, 4, 3, 3, 3]
+    assert sorted((per[("de", f)] for f in range(1, 6)), reverse=True) == [3, 3, 3, 2, 2]
+    # deterministic: same input → identical assignment
+    again = stratified_kfold(df, "lang", "id", k=5).collect()
+    assert {(r["id"], r["fold"]) for r in again} == {(r["id"], r["fold"]) for r in out}
+    # hash mode: balanced in expectation, no window
+    loose = stratified_kfold(df, "lang", "id", k=5, exact=False)
+    assert "Window" not in loose._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_retention_triangle_brute_force(spark):
+    from datetime import datetime
+
+    from megalista_spark.operators.survival import retention_triangle
+
+    # cohort A (week of 2025-01-06): u1 active wk0+wk1, u2 wk0 only
+    # cohort B (week of 2025-01-13): u3 active wk0+wk2
+    rows = [
+        (1, datetime(2025, 1, 7)), (1, datetime(2025, 1, 14)),
+        (2, datetime(2025, 1, 8)),
+        (3, datetime(2025, 1, 15)), (3, datetime(2025, 1, 29)),
+        (1, datetime(2025, 1, 7, 12)),  # same week dup → counted once
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts"])
+    out = {(str(r["cohort"]), r["offset"]): r for r in retention_triangle(df, "u", "ts").collect()}
+    a, b = "2025-01-06 00:00:00", "2025-01-13 00:00:00"
+    assert out[(a, 0)]["cohort_size"] == 2 and out[(a, 0)]["active_users"] == 2
+    assert out[(a, 0)]["retention_ppm"] == 1_000_000
+    assert out[(a, 1)]["active_users"] == 1 and out[(a, 1)]["retention_ppm"] == 500_000
+    assert out[(b, 0)]["active_users"] == 1
+    assert out[(b, 2)]["active_users"] == 1 and (b, 1) not in out
+
+
+def test_quantile_bins_equal_frequency(spark):
+    from megalista_spark.operators.sketches import quantile_bins
+
+    df = spark.createDataFrame([(float(v),) for v in range(1, 101)], ["v"])
+    out = quantile_bins(df, "v", n_bins=10).collect()
+    assert [r["bin"] for r in out] == list(range(1, 11))
+    assert all(r["n_values"] == 10 for r in out)
+    # boundaries at exact decile order statistics: bin1 = (−∞, 10]
+    assert out[0]["lo_cents"] == 100 and out[0]["hi_cents"] == 1000
+    assert out[9]["lo_cents"] == 9100 and out[9]["hi_cents"] == 10000
+
+
+def test_quantile_bins_degenerate_duplicates(spark):
+    from megalista_spark.operators.sketches import quantile_bins
+
+    # one value spans all deciles → a single bin holds everything
+    df = spark.createDataFrame([(5.0,)] * 50, ["v"])
+    out = quantile_bins(df, "v", n_bins=10).collect()
+    assert len(out) == 1 and out[0]["n_values"] == 50
