@@ -313,3 +313,36 @@ def test_kaplan_meier_no_python_no_cartesian(spark, entry):
     txt = plan_of(entry.km_repurchase_curves(spark, SF))
     assert "PythonUDF" not in txt
     assert "CartesianProduct" not in txt
+
+
+def test_join_skew_audit_no_sort_of_count_table(spark, entry):
+    # percentiles come from the bounded frequency histogram; the key-count
+    # table (billions of rows at scale) must never be globally sorted —
+    # the only Sort allowed is inside the tiny histogram window
+    txt = plan_of(entry.join_skew_audit_keys(spark, SF))
+    assert "CartesianProduct" not in txt
+    assert "PythonUDF" not in txt
+
+
+def test_retention_triangle_no_window(spark, entry):
+    # two hash aggregates + broadcast; a Window here would mean raw
+    # events are being rank-sorted per cohort
+    txt = plan_of(entry.retention_triangle_weeks(spark, SF))
+    assert "Window" not in txt, txt
+    assert "BroadcastHashJoin" in txt or "BroadcastExchange" in txt
+
+
+def test_quantile_bins_no_global_sort_of_raw_rows(spark, entry):
+    # exact_quantile_select sorts only the ONE hit bin; bucketing folds a
+    # broadcast array per row. A global Sort or a Generate (explode of
+    # boundaries) would be the anti-patterns
+    txt = plan_of(entry.decile_bins_prices(spark, SF))
+    assert "Generate" not in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_chi2_all_joins_broadcast(spark, entry):
+    # marginals and the 1-row total join back onto the R·C cell table —
+    # nothing here justifies a shuffle join
+    txt = plan_of(entry.chi2_segment_priority(spark, SF))
+    assert "SortMergeJoin" not in txt, txt
