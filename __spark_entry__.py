@@ -10276,8 +10276,8 @@ def _skew_audit_sql(label: str, table: str, key: str) -> str:
     return f"""
 SELECT '{label}' AS key_label, nr AS n_rows, nk AS n_keys, mf AS max_freq,
        p50 AS p50_freq, p99 AS p99_freq, tk AS top_key,
-       CAST(1000000 * mf * nk // nr AS BIGINT) AS skew_ratio_ppm,
-       (1000000 * mf * nk // nr) > 10 * 1000000 AS recommend_salting
+       CAST(CAST(1000000 AS HUGEINT) * mf * nk // nr AS BIGINT) AS skew_ratio_ppm,
+       (CAST(1000000 AS HUGEINT) * mf * nk // nr) > 10 * 1000000 AS recommend_salting
 FROM (SELECT COUNT(*)::BIGINT nk, SUM(f)::BIGINT nr, MAX(f)::BIGINT mf
       FROM (SELECT COUNT(*)::BIGINT f FROM {table} GROUP BY {key})),
      (SELECT MIN(CASE WHEN c * 100 >= 50 * (SELECT COUNT(*) FROM (SELECT 1 FROM {table} GROUP BY {key})) THEN f END)::BIGINT p50,
@@ -10326,11 +10326,13 @@ terms AS (
                * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
                * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c))
               // (CAST(n AS HUGEINT) * r * c) AS BIGINT) t
-  FROM cells JOIN rs USING(a) JOIN cs USING(b) CROSS JOIN nn
+  FROM cells JOIN rs ON cells.a IS NOT DISTINCT FROM rs.a
+             JOIN cs ON cells.b IS NOT DISTINCT FROM cs.b
+             CROSS JOIN nn
 )
 SELECT (SELECT SUM(t)::BIGINT FROM terms) AS chi2_ppm,
-       CAST(((SELECT COUNT(DISTINCT a) FROM cells) - 1)
-            * ((SELECT COUNT(DISTINCT b) FROM cells) - 1) AS BIGINT) AS dof,
+       CAST(((SELECT COUNT(DISTINCT a) + MAX(CASE WHEN a IS NULL THEN 1 ELSE 0 END) FROM cells) - 1)
+            * ((SELECT COUNT(DISTINCT b) + MAX(CASE WHEN b IS NULL THEN 1 ELSE 0 END) FROM cells) - 1) AS BIGINT) AS dof,
        (SELECT n FROM nn) AS n_rows
 """
 
@@ -10418,9 +10420,9 @@ WITH d AS (SELECT CAST(substr(CAST(ABS(CAST(ROUND(o_totalprice * 100) AS BIGINT)
 c AS (SELECT digit, COUNT(*)::BIGINT n FROM d GROUP BY digit),
 t AS (SELECT SUM(n)::BIGINT tot FROM c)
 SELECT digit, n,
-       CAST(1000000 * n // tot AS BIGINT) AS obs_ppm,
+       CAST(CAST(1000000 AS HUGEINT) * n // tot AS BIGINT) AS obs_ppm,
        CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm,
-       CAST(ABS(1000000 * n // tot - ({_BENFORD_CASE})) AS BIGINT) AS abs_dev_ppm
+       CAST(ABS(CAST(1000000 AS HUGEINT) * n // tot - ({_BENFORD_CASE})) AS BIGINT) AS abs_dev_ppm
 FROM c CROSS JOIN t
 ORDER BY digit
 """

@@ -67,14 +67,10 @@ def assign_batches(
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(*order_by)
     else:
-        n = df.count()
-        if n > max_global_rows:
-            raise ValueError(
-                f"assign_batches without partition_by would sort {n} rows "
-                "through a single task — pass partition_by (per-group "
-                "windows) or use the sink executor's partition-local "
-                "chunking"
-            )
+        guard_global_window(
+            df, "assign_batches", key_param="partition_by",
+            max_global_rows=max_global_rows,
+        )
         w = Window.partitionBy().orderBy(*order_by)
     rn = F.row_number().over(w)
     out = df.withColumn(

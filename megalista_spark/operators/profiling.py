@@ -299,10 +299,16 @@ def join_skew_audit(df: DataFrame, key_col: str, salt_threshold_ratio: int = 10)
             "p50_freq",
             "p99_freq",
             "top_key",
-            F.expr("1000000 * max_freq * n_keys div n_rows").alias("skew_ratio_ppm"),
+            # decimal(38,0): 1e6·max_freq·n_keys wraps int64 right at the
+            # billions-of-keys scale this audit exists for
             F.expr(
-                f"1000000 * max_freq * n_keys div n_rows > {int(salt_threshold_ratio)} * 1000000"
-            ).alias("recommend_salting"),
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * max_freq * n_keys)"
+                " div CAST(n_rows AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("skew_ratio_ppm"),
+        )
+        .withColumn(
+            "recommend_salting",
+            F.col("skew_ratio_ppm") > F.lit(int(salt_threshold_ratio) * 1_000_000),
         )
     )
 
@@ -340,16 +346,20 @@ def benford_audit(df: DataFrame, value_col: str, decimals: int = 2) -> DataFrame
     expected = "CASE digit " + " ".join(
         f"WHEN {d + 1} THEN {ppm}" for d, ppm in enumerate(BENFORD_PPM)
     ) + " END"
+    # decimal(38,0): a single digit's count exceeds 1e6-overflow headroom
+    # (~9.2e12 rows) well inside the 100 TB regime
+    obs = (
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * n)"
+        " div CAST(_total AS DECIMAL(38,0)) AS BIGINT)"
+    )
     return (
         counts.crossJoin(F.broadcast(total))
         .select(
             "digit",
             "n",
-            F.expr("1000000 * n div _total").alias("obs_ppm"),
+            F.expr(obs).alias("obs_ppm"),
             F.expr(expected).cast("long").alias("expected_ppm"),
-            F.abs(F.expr("1000000 * n div _total") - F.expr(expected)).alias(
-                "abs_dev_ppm"
-            ),
+            F.abs(F.expr(obs) - F.expr(expected)).alias("abs_dev_ppm"),
         )
         .orderBy("digit")
     )

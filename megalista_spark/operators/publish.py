@@ -55,30 +55,16 @@ def _write_file(spark: SparkSession, path: str, payload: bytes) -> None:
 
 def _read_file(spark: SparkSession, path: str) -> bytes:
     # py4j passes byte[] BY VALUE — Java-side readFully mutations never
-    # reach a Python bytearray, so read through commons-io (on stock
-    # Spark's classpath) and bring the content back as a string return
-    # value; fall back to byte-at-a-time reads (manifests are O(files)
-    # bytes, so the per-byte py4j round-trips stay trivial) on
-    # distributions that shade or drop commons-io
+    # reach a Python bytearray, but a byte[] RETURN converts fine: drain
+    # through hadoop-common's IOUtils into a ByteArrayOutputStream and
+    # return toByteArray(). hadoop-common ships the FileSystem API being
+    # called, so unlike commons-io it cannot be absent or shaded away.
     fs, jvm = _fs(spark, path)
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    stream = fs.open(hpath)
-    try:
-        return jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        ).encode()
-    except Exception:
-        stream.close()
-        stream = fs.open(hpath)  # reopen: position 0 regardless of the
-        buf = bytearray()  # failed attempt's consumption
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            buf.append(b)
-        return bytes(buf)
-    finally:
-        stream.close()
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    # copyBytes(in, out, buffSize, close=True) closes both streams
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 8192, True)
+    return bytes(baos.toByteArray())
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
@@ -136,21 +122,26 @@ def publish_snapshot(
         "schema": df.schema.jsonValue(),
     }
     payload = json.dumps(manifest, sort_keys=True).encode()
-    _write_file(spark, f"{base_dir}/snapshots/{snap}.json", payload)
     final = f"{base_dir}/_MANIFEST.json"
-    if pointer_swap is not None:
-        pointer_swap(spark, final, payload, cur)
-        return manifest
-    # default pointer swap: tmp write, then delete-old + rename (atomic
-    # on HDFS/local; see module docstring for object-store caveats),
-    # guarded by an optimistic re-check of the pointer
-    if current_snapshot_id(spark, base_dir) != cur:
+    # optimistic re-check BEFORE the snapshot manifest lands: a conflict
+    # detected after snapshots/{snap}.json exists would leave a
+    # fully-formed orphan that time-travel readers treat as published
+    # and whose id is burned forever — on conflict, the uncommitted data
+    # directory is removed so the id stays reusable
+    if pointer_swap is None and current_snapshot_id(spark, base_dir) != cur:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(data_path), True)
         raise RuntimeError(
             f"concurrent publish detected on {base_dir}: pointer advanced "
             f"past snapshot {cur} during this write; retry from "
             "current_snapshot_id (or supply pointer_swap for a "
             "conditional-put commit on object stores)"
         )
+    _write_file(spark, f"{base_dir}/snapshots/{snap}.json", payload)
+    if pointer_swap is not None:
+        pointer_swap(spark, final, payload, cur)
+        return manifest
+    # default pointer swap: tmp write, then delete-old + rename (atomic
+    # on HDFS/local; see module docstring for object-store caveats)
     tmp = f"{base_dir}/_MANIFEST.json.tmp"
     _write_file(spark, tmp, payload)
     fs2, jvm2 = _fs(spark, final)

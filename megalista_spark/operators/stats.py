@@ -48,12 +48,19 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     R·C cell table. Nothing beyond the first aggregate touches raw rows.
     """
     cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("_o"))
-    rows = cells.groupBy(col_a).agg(F.sum("_o").alias("_rs"))
-    colsums = cells.groupBy(col_b).agg(F.sum("_o").alias("_cs"))
+    # NULL is a legitimate category level: groupBy keys NULLs together,
+    # so the marginal joins must be null-safe or NULL cells silently
+    # vanish from the statistic (the t_closeness_report lesson)
+    rows = cells.groupBy(col_a).agg(F.sum("_o").alias("_rs")).select(
+        F.col(col_a).alias("_ka"), "_rs"
+    )
+    colsums = cells.groupBy(col_b).agg(F.sum("_o").alias("_cs")).select(
+        F.col(col_b).alias("_kb"), "_cs"
+    )
     n = cells.agg(F.sum("_o").alias("_n"))
     g = (
-        cells.join(F.broadcast(rows), col_a)
-        .join(F.broadcast(colsums), col_b)
+        cells.join(F.broadcast(rows), F.col(col_a).eqNullSafe(F.col("_ka")))
+        .join(F.broadcast(colsums), F.col(col_b).eqNullSafe(F.col("_kb")))
         .crossJoin(F.broadcast(n))
     )
     term = g.select(
@@ -68,14 +75,16 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .cast("long")
         .alias("_term_ppm"),
     )
+    # count_distinct ignores NULL — add the NULL level back when present
+    levels_a = F.count_distinct(col_a) + F.coalesce(
+        F.max(F.col(col_a).isNull().cast("int")), F.lit(0)
+    )
+    levels_b = F.count_distinct(col_b) + F.coalesce(
+        F.max(F.col(col_b).isNull().cast("int")), F.lit(0)
+    )
     return term.agg(
         F.sum("_term_ppm").alias("chi2_ppm"),
-        (
-            (F.count_distinct(col_a) - F.lit(1))
-            * (F.count_distinct(col_b) - F.lit(1))
-        )
-        .cast("long")
-        .alias("dof"),
+        ((levels_a - F.lit(1)) * (levels_b - F.lit(1))).cast("long").alias("dof"),
     ).crossJoin(F.broadcast(n.select(F.col("_n").cast("long").alias("n_rows"))))
 
 
@@ -176,8 +185,11 @@ def winsorized_stats(
             ),
         )
     )
+    # null-safe: NULL is a legitimate group key (the window and the bounds
+    # aggregate both keep it; a plain equi-join would silently drop it)
+    bounds = bounds.select(F.col("grp").alias("_bg"), "lo_cents", "hi_cents")
     return (
-        cents.join(F.broadcast(bounds), "grp")
+        cents.join(F.broadcast(bounds), F.col("grp").eqNullSafe(F.col("_bg")))
         .select(
             "grp",
             F.expr(

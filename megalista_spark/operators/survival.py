@@ -70,7 +70,9 @@ def kaplan_meier(
         # the window sorts the LIFE TABLE, not subjects — guard that
         guard_global_window(
             life, "kaplan_meier",
-            max_global_rows=max_global_rows or GLOBAL_WINDOW_MAX_ROWS,
+            max_global_rows=(
+                GLOBAL_WINDOW_MAX_ROWS if max_global_rows is None else max_global_rows
+            ),
         )
     w = (
         Window.partitionBy(*keys).orderBy("t")

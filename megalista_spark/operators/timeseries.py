@@ -202,7 +202,9 @@ def cusum_flags(
     if not keys:
         guard_global_window(
             df, "cusum_flags",
-            max_global_rows=max_global_rows or GLOBAL_WINDOW_MAX_ROWS,
+            max_global_rows=(
+                GLOBAL_WINDOW_MAX_ROWS if max_global_rows is None else max_global_rows
+            ),
         )
     x = F.col(value_col).cast("bigint")
     stats = df.groupBy(*keys).agg(
@@ -337,7 +339,9 @@ def mad_outliers(
     if not keys:
         guard_global_window(
             df, "mad_outliers",
-            max_global_rows=max_global_rows or GLOBAL_WINDOW_MAX_ROWS,
+            max_global_rows=(
+                GLOBAL_WINDOW_MAX_ROWS if max_global_rows is None else max_global_rows
+            ),
         )
     x = F.col(value_col).cast("bigint")
     wk = (

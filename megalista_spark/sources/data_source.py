@@ -259,6 +259,14 @@ class BigQueryDataSource(DataSource):
         self.dedup_in_bq = dedup_in_bq
         self.bq_client = bq_client
 
+    def bq_control_table(self, transactional_type: "TransactionalType"):
+        from megalista_spark.sources.bigquery_control import BigQueryControlTable
+
+        return BigQueryControlTable(
+            self.bq_client, self.source.metadata, self.ops_dataset,
+            transactional_type,
+        )
+
     def connector_options(
         self, transactional_type: "TransactionalType | None" = None,
         cols: "list[str] | None" = None,
@@ -273,16 +281,10 @@ class BigQueryDataSource(DataSource):
             and transactional_type is not None
             and transactional_type != TransactionalType.NOT_TRANSACTIONAL
         ):
-            from megalista_spark.sources.bigquery_control import (
-                BigQueryControlTable,
-            )
-
-            ctrl = BigQueryControlTable(
-                self.bq_client, self.source.metadata, self.ops_dataset,
-                transactional_type,
-            )
             return {
-                "query": ctrl.dedup_sql(cols or ["*"]),
+                "query": self.bq_control_table(transactional_type).dedup_sql(
+                    cols or ["*"]
+                ),
                 "viewsEnabled": "true",
                 "materializationDataset": self.ops_dataset,
             }
@@ -324,6 +326,11 @@ class BigQueryDataSource(DataSource):
             self.dedup_in_bq
             and transactional_type != TransactionalType.NOT_TRANSACTIONAL
         ):
+            # the pushed LEFT JOIN references the control table — create
+            # it (idempotent DDL with 15-day expiry) BEFORE the read, or
+            # the first run fails with table-not-found (reference
+            # big_query_data_source.py:119-127 ensures before querying)
+            self.bq_control_table(transactional_type).ensure_exists()
             # push literal column names server-side only when the whole
             # contract is literal — regex patterns resolve against the
             # actual table columns, which only the scan knows

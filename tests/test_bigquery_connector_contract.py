@@ -85,6 +85,14 @@ def test_bq_side_dedup_query_ships_in_options(fake_bigquery, spark):
         spark, src, ops_dataset="ops", dedup_in_bq=True, bq_client=_FakeBqClient()
     )
     df = ds.retrieve_data(schema=None, transactional_type=TransactionalType.GCLID_TIME)
+    # the control table the pushed LEFT JOIN references was ensured first
+    # (idempotent DDL, 15-day partition expiry — reference
+    # big_query_data_source.py:119-127), or the first run would fail
+    # with table-not-found
+    assert any(
+        "CREATE TABLE IF NOT EXISTS `ops.conv_uploaded`" in q
+        for q in ds.bq_client.queries
+    )
     # plan is the bare fake scan — no join node (dedup happened in BQ)
     assert "Join" not in df._jdf.queryExecution().optimizedPlan().toString()
     got = _options_of(df)

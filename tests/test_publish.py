@@ -113,3 +113,11 @@ def test_concurrent_publish_detected(spark, tmp_path):
             pub.publish_snapshot(spark.range(4), base, snapshot_id=4)
         finally:
             pub.current_snapshot_id = real
+    # no orphan artifacts: the conflict fired BEFORE the snapshot manifest
+    # landed and the uncommitted data dir was cleaned, so the id is reusable
+    import os
+
+    assert not os.path.exists(f"{base}/snapshots/4.json")
+    assert not os.path.exists(f"{base}/data/snap=4")
+    publish_snapshot(spark.range(9), base, snapshot_id=4)
+    assert read_snapshot(spark, base, snapshot_id=4).count() == 9

@@ -182,3 +182,45 @@ def test_quantile_bins_degenerate_duplicates(spark):
     df = spark.createDataFrame([(5.0,)] * 50, ["v"])
     out = quantile_bins(df, "v", n_bins=10).collect()
     assert len(out) == 1 and out[0]["n_values"] == 50
+
+
+def test_chi2_null_categories_participate(spark):
+    # NULL is a legitimate level: its cells must contribute terms and its
+    # level must count toward dof (review finding: plain equi-joins
+    # dropped NULL cells while N/marginals still counted their rows)
+    rows = [("A", "x"), ("A", "y"), (None, "x"), (None, "x"), (None, "y"), ("A", "x")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = chi2_independence(df, "a", "b").collect()[0]
+
+    n = len(rows)
+    cells = Counter(rows)
+    rmarg = Counter(a for a, _ in rows)
+    cmarg = Counter(b for _, b in rows)
+    expected = sum(
+        (1_000_000 * (o * n - rmarg[a] * cmarg[b]) ** 2) // (n * rmarg[a] * cmarg[b])
+        for (a, b), o in cells.items()
+    )
+    assert got["chi2_ppm"] == expected
+    assert got["dof"] == (2 - 1) * (2 - 1)  # levels {A, NULL} × {x, y}
+    assert got["n_rows"] == n
+
+
+def test_winsorized_null_group_kept(spark):
+    from megalista_spark.operators.stats import winsorized_stats as _w
+
+    rows = [("a", 1.0), ("a", 2.0), (None, 5.0), (None, 7.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {r["grp"]: r for r in _w(df, "grp", "v").collect()}
+    assert None in out and out[None]["n_values"] == 2
+    assert out[None]["winsorized_mean_cents"] == (500 + 700) // 2
+
+
+def test_keyless_guard_zero_threshold_refuses(spark):
+    # review finding: `max_global_rows or DEFAULT` swallowed an explicit 0
+    import pytest as _pytest
+
+    from megalista_spark.operators.survival import kaplan_meier
+
+    df = spark.createDataFrame([(1, 1), (2, 0)], ["d", "e"])
+    with _pytest.raises(ValueError, match="single task"):
+        kaplan_meier(df, "d", "e", max_global_rows=0)
