@@ -74,6 +74,12 @@ def main() -> None:
     tmp = os.environ.get("DUCKDB_TEMP_DIR", "/tmp/duckdb_oracle_spill")
     os.makedirs(tmp, exist_ok=True)
     con.sql(f"SET temp_directory='{tmp}'")
+    # cap the oracle engine: DuckDB defaults to ~80% of RAM and runs in
+    # THIS process — an unspillable oracle plan (e.g. a list-heavy
+    # self-join at sf1) otherwise grows until the kernel OOM-kills the
+    # whole comparison instead of erroring the one query
+    mem = os.environ.get("DUCKDB_MEMORY_LIMIT", "32GB")
+    con.sql(f"SET memory_limit='{mem}'")
     threads = os.environ.get("DUCKDB_THREADS")
     if threads:
         con.sql(f"SET threads={int(threads)}")
