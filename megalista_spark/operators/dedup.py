@@ -498,6 +498,7 @@ def simhash_near_pairs(
     max_hamming: int = 6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_candidate_pairs: int = 50_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance, banded for scale.
 
@@ -508,6 +509,16 @@ def simhash_near_pairs(
     With bands=4 the band join is EXACT for max_hamming ≤ 3 and a
     high-recall heuristic above that (standard practice; raise ``bands``
     for exact recall at higher distances).
+
+    Candidate-volume guard (the tfidf_cosine_pairs contract): corpora
+    whose fingerprints cluster (small vocabularies, templated text) can
+    make the band buckets quadratically hot — and the shuffle-free pair
+    emission materializes each bucket's pair array in ONE row, so a
+    single 20k-member bucket is a multi-GB row that kills the JVM long
+    before the output is written. The bucket volume Σ n·(n−1)/2 is
+    counted first (one cheap aggregate over bucket sizes) and anything
+    above ``max_candidate_pairs`` raises with remediation instead of
+    silently OOMing an executor.
     """
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
@@ -536,6 +547,22 @@ def simhash_near_pairs(
     # shuffle of every candidate pair) each pair is emitted ONLY from its
     # lowest agreeing band — a local filter computable from the two
     # fingerprints alone, so no dedup shuffle exists at all.
+    volume = (
+        banded.groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.sum(F.expr("_n * (_n - 1) div 2")).alias("_pairs"))
+        .collect()[0]["_pairs"]
+    ) or 0
+    if volume > max_candidate_pairs:
+        raise ValueError(
+            f"simhash_near_pairs would emit {volume} candidate pairs "
+            f"(> max_candidate_pairs={max_candidate_pairs}) on this corpus "
+            "shape — the fingerprints cluster into hot band buckets. Raise "
+            "bits (wider band values), lower max_hamming with more bands, "
+            "or use the MinHash/set-similarity family "
+            "(minhash_lsh_pairs / setsim_prefix_pairs) whose shingle "
+            "buckets key on content, not sign-bit votes."
+        )
     buckets = (
         banded.groupBy("band_id", "band_val")
         .agg(F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("ms"))

@@ -224,3 +224,20 @@ def test_keyless_guard_zero_threshold_refuses(spark):
     df = spark.createDataFrame([(1, 1), (2, 0)], ["d", "e"])
     with _pytest.raises(ValueError, match="single task"):
         kaplan_meier(df, "d", "e", max_global_rows=0)
+
+
+def test_simhash_candidate_volume_guard(spark):
+    # templated near-identical docs cluster into one hot band bucket;
+    # the guard must refuse before materializing the quadratic pair array
+    import pytest as _pytest
+
+    from megalista_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same tokens every time " * 3) for i in range(60)],
+        ["doc_id", "text"],
+    )
+    with _pytest.raises(ValueError, match="candidate pairs"):
+        simhash_near_pairs(docs, max_candidate_pairs=1000).count()
+    # generous cap → completes
+    assert simhash_near_pairs(docs, max_candidate_pairs=100_000).count() >= 0
