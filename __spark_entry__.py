@@ -10514,6 +10514,48 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+
+
+def rrf_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion of two heterogeneous retrievers — exact
+    brute-force cosine and IVF-pruned ANN — per query
+    (operators/similarity.py::rrf_fuse; Cormack et al. 2009, k=60).
+    Integer micro-unit scores; the retrievers do the data-sized work,
+    fusion touches only their top-k tables."""
+    from megalista_spark.operators.similarity import rrf_fuse
+
+    return rrf_fuse(
+        [ann_cosine_topk(spark, sf_dir), ann_ivf_topk(spark, sf_dir)],
+        k=60,
+        topk=10,
+    )
+
+
+RRF_SQL = f"""
+WITH brute AS ({ANN_SQL}),
+ivf AS ({IVF_SQL}),
+u AS (
+  SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS s FROM brute
+  UNION ALL
+  SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS s FROM ivf
+),
+fused AS (
+  SELECT query_id, neighbor_id, SUM(s)::BIGINT AS rrf_micro,
+         COUNT(*)::BIGINT AS n_lists
+  FROM u GROUP BY query_id, neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, rrf_micro, n_lists,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_micro DESC, neighbor_id) AS fused_rank
+  FROM fused
+)
+SELECT query_id, neighbor_id, rrf_micro, n_lists, fused_rank::BIGINT AS fused_rank
+FROM r WHERE fused_rank <= 10
+ORDER BY query_id, fused_rank
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -10538,6 +10580,7 @@ _GATE_ROTATION_FIRST = [
     "stratified_kfold_docs",
     "retention_triangle_weeks",
     "decile_bins_prices",
+    "rrf_fused_topk",
     "l_diversity_customers",
     "harmonic_centrality_customers",
     "dedup_keep_best_docs",
@@ -10831,6 +10874,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "stratified_kfold_docs": stratified_kfold_docs,
         "retention_triangle_weeks": retention_triangle_weeks,
         "decile_bins_prices": decile_bins_prices,
+        "rrf_fused_topk": rrf_fused_topk,
         "harmonic_centrality_customers": harmonic_centrality_customers,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "oov_rate_by_source": oov_rate_by_source,
@@ -10982,6 +11026,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_kfold_docs": KFOLD_SQL,
         "retention_triangle_weeks": RETENTION_SQL,
         "decile_bins_prices": DECILE_BINS_SQL,
+        "rrf_fused_topk": RRF_SQL,
         "harmonic_centrality_customers": _harmonic_sql(),
         "dedup_keep_best_docs": DEDUP_KEEP_BEST_SQL,
         "oov_rate_by_source": OOV_RATE_SQL,

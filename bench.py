@@ -85,6 +85,7 @@ HEADLINE = [
     "stratified_kfold_docs",
     "retention_triangle_weeks",
     "decile_bins_prices",
+    "rrf_fused_topk",
     "harmonic_centrality_customers",
     "dedup_keep_best_docs",
     "oov_rate_by_source",

@@ -1201,3 +1201,63 @@ def ivfpq_compact_index(spark, path: str) -> int:
         .parquet(f"{path}/codes")
     )
     return n_cells
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    key_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009; public
+    method) — merge per-query rankings from heterogeneous retrievers
+    (exact cosine, IVF, LSH, lexical BM25, …) without score calibration:
+
+        rrf_micro(item) = Σ_lists 1_000_000 div (k + rank_in_list)
+
+    Integer micro-units with floor division (the fixed-point discipline
+    of the attribution/graph families), so fused scores are bit-identical
+    on any engine; k=60 is the paper's constant. Ties break on item id.
+
+    Output per (key, item): ``(key, item, rrf_micro, n_lists, fused_rank)``
+    limited to ``topk``.
+
+    Scale shape: one union of the (already small) per-retriever top-k
+    tables, one hash aggregate on (key, item), one window per key over
+    ≤ Σ topk_i candidate rows — bounded per query by construction. The
+    retrievers themselves are the data-sized work; fusion never touches
+    the corpus.
+    """
+    from pyspark.sql import Window as _W
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    u = None
+    for r in rankings:
+        cur = r.select(
+            F.col(key_col).alias("_k"),
+            F.col(item_col).alias("_i"),
+            F.expr(f"1000000 div ({int(k)} + {rank_col})").alias("_s"),
+        )
+        u = cur if u is None else u.unionByName(cur)
+    fused = u.groupBy("_k", "_i").agg(
+        F.sum("_s").cast("long").alias("rrf_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = _W.partitionBy("_k").orderBy(
+        F.col("rrf_micro").desc(), F.col("_i").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("fused_rank") <= topk)
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_i").alias(item_col),
+            "rrf_micro",
+            "n_lists",
+            "fused_rank",
+        )
+        .orderBy(key_col, "fused_rank")
+    )

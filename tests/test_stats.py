@@ -241,3 +241,21 @@ def test_simhash_candidate_volume_guard(spark):
         simhash_near_pairs(docs, max_candidate_pairs=1000).count()
     # generous cap → completes
     assert simhash_near_pairs(docs, max_candidate_pairs=100_000).count() >= 0
+
+
+def test_rrf_fuse_brute_force(spark):
+    from megalista_spark.operators.similarity import rrf_fuse
+
+    # retriever A ranks x,y; retriever B ranks y,z — y should fuse on top
+    a = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2)], ["query_id", "neighbor_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(1, "y", 1), (1, "z", 2)], ["query_id", "neighbor_id", "rank"]
+    )
+    out = {r["neighbor_id"]: r for r in rrf_fuse([a, b], k=60, topk=10).collect()}
+    assert out["y"]["rrf_micro"] == 1_000_000 // 61 + 1_000_000 // 62
+    assert out["y"]["n_lists"] == 2 and out["y"]["fused_rank"] == 1
+    assert out["x"]["rrf_micro"] == 1_000_000 // 61 and out["x"]["n_lists"] == 1
+    # x and z tie on score (rank1-only vs... x:61 z:62) — x ahead of z
+    assert out["x"]["fused_rank"] == 2 and out["z"]["fused_rank"] == 3
