@@ -10390,7 +10390,7 @@ SELECT c.g AS p_brand, COUNT(*)::BIGINT AS n_values,
        b.lo AS lo_cents, b.hi AS hi_cents,
        CAST(SUM(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END)
             // COUNT(*) AS BIGINT) AS winsorized_mean_cents
-FROM c JOIN b ON c.g = b.g
+FROM c JOIN b ON c.g IS NOT DISTINCT FROM b.g
 GROUP BY c.g, b.lo, b.hi
 ORDER BY p_brand
 """

@@ -499,6 +499,9 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_candidate_pairs: int = 50_000_000,
+    array_bucket_max: int = 1_000,
+    max_bucket_size: int | None = None,
+    on_excess: str = "warn",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance, banded for scale.
 
@@ -510,16 +513,33 @@ def simhash_near_pairs(
     high-recall heuristic above that (standard practice; raise ``bands``
     for exact recall at higher distances).
 
-    Candidate-volume guard (the tfidf_cosine_pairs contract): corpora
-    whose fingerprints cluster (small vocabularies, templated text) can
-    make the band buckets quadratically hot — and the shuffle-free pair
-    emission materializes each bucket's pair array in ONE row, so a
-    single 20k-member bucket is a multi-GB row that kills the JVM long
-    before the output is written. The bucket volume Σ n·(n−1)/2 is
-    counted first (one cheap aggregate over bucket sizes) and anything
-    above ``max_candidate_pairs`` raises with remediation instead of
-    silently OOMing an executor.
+    Hot-bucket execution (the guard's replacement): corpora whose
+    fingerprints cluster (small vocabularies, templated text) make some
+    band buckets quadratically hot — and the shuffle-free pair emission
+    materializes each bucket's pair array in ONE row, so a single
+    20k-member bucket is a multi-GB row that kills the JVM long before
+    the output is written. Buckets are therefore routed by size:
+
+      * size ≤ ``array_bucket_max`` → the shuffle-free array emission
+        (one collect_list row per bucket, pairs exploded locally) — the
+        fast path for the normal near-dup regime of tiny buckets;
+      * size > ``array_bucket_max`` → a within-bucket SELF-JOIN on the
+        band key: a plain shuffle join whose matched groups live in
+        Spark's spillable join buffers, so a 300k-member bucket streams
+        n² candidate rows through disk instead of materializing one
+        n²-struct array row. Quadratic WORK is inherent to a clustered
+        corpus at a given banding; this path makes it spill, not crash.
+
+    ``max_candidate_pairs`` (Σ n·(n−1)/2 over buckets, counted with one
+    cheap aggregate over the checkpointed fingerprints) is an ADVISORY
+    tier: above it the operator logs a warning naming the volume and the
+    cheaper sub-quadratic alternatives, and with ``on_excess="raise"``
+    restores the old strict refusal. ``max_bucket_size`` optionally caps
+    each bucket to its lowest-id members (recall loss logged): use it to
+    bound worst-case quadratic work on pathological corpora.
     """
+    import logging
+
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     fp = simhash(df, bits, text_col, id_col)
@@ -541,12 +561,14 @@ def simhash_near_pairs(
         ).alias("band"),
     ).select("id", "simhash", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val"))
 
-    # bucket-grouping form: fingerprints are computed ONCE (a banded
-    # self-join would run the simhash fold for both sides). A pair can
-    # surface from several bands; instead of a global distinct (a full
-    # shuffle of every candidate pair) each pair is emitted ONLY from its
-    # lowest agreeing band — a local filter computable from the two
-    # fingerprints alone, so no dedup shuffle exists at all.
+    # Materialize fingerprints ONCE: the volume guard, the small-bucket
+    # aggregate and the hot-bucket self-join all reference ``banded``,
+    # and without truncation each reference would re-run the simhash
+    # fold over the whole corpus. localCheckpoint stores the banded rows
+    # in executor block storage (memory, spilling to disk) and truncates
+    # lineage, so every downstream path reads blocks.
+    banded = banded.localCheckpoint(eager=True)
+
     volume = (
         banded.groupBy("band_id", "band_val")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -554,45 +576,123 @@ def simhash_near_pairs(
         .collect()[0]["_pairs"]
     ) or 0
     if volume > max_candidate_pairs:
-        raise ValueError(
-            f"simhash_near_pairs would emit {volume} candidate pairs "
+        msg = (
+            f"simhash_near_pairs will stream {volume} candidate pairs "
             f"(> max_candidate_pairs={max_candidate_pairs}) on this corpus "
-            "shape — the fingerprints cluster into hot band buckets. Raise "
-            "bits (wider band values), lower max_hamming with more bands, "
-            "or use the MinHash/set-similarity family "
-            "(minhash_lsh_pairs / setsim_prefix_pairs) whose shingle "
-            "buckets key on content, not sign-bit votes."
+            "shape — the fingerprints cluster into hot band buckets. The "
+            "hot buckets take the spillable self-join path, but the "
+            "quadratic candidate volume is inherent: raise bits (wider "
+            "band values), lower max_hamming with more bands, set "
+            "max_bucket_size to cap per-bucket work, or use the "
+            "MinHash/set-similarity family (minhash_lsh_pairs / "
+            "setsim_prefix_pairs) whose shingle buckets key on content, "
+            "not sign-bit votes."
         )
-    buckets = (
-        banded.groupBy("band_id", "band_val")
+        if on_excess == "raise":
+            raise ValueError(msg)
+        logging.getLogger(__name__).warning(msg)
+
+    # bucket-size annotation: both windows share the band partition key,
+    # so Catalyst plans ONE exchange feeding two window nodes
+    bw = Window.partitionBy("band_id", "band_val")
+    ann = banded.select(
+        "id",
+        "simhash",
+        "band_id",
+        "band_val",
+        F.count(F.lit(1)).over(bw).alias("_bn"),
+        F.row_number().over(bw.orderBy("id")).alias("_br"),
+    )
+    truncated = max_bucket_size is not None
+    if truncated:
+        dropped = ann.where(F.col("_br") > max_bucket_size).count()
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "simhash_near_pairs: max_bucket_size=%d truncates %d "
+                "bucket memberships — pairs touching dropped members are "
+                "lost (recall loss)",
+                max_bucket_size,
+                dropped,
+            )
+        ann = ann.where(F.col("_br") <= max_bucket_size).withColumn(
+            "_bn", F.least(F.col("_bn"), F.lit(max_bucket_size)).cast("long")
+        )
+
+    # small buckets: fingerprint pairs assembled locally from one sorted
+    # array per bucket (no candidate shuffle at all)
+    small_buckets = (
+        ann.where(F.col("_bn") <= array_bucket_max)
+        .groupBy("band_id", "band_val")
         .agg(F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
         .where(F.size("ms") > 1)
     )
-    xor = F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
-    first_band = F.coalesce(
-        *[
-            F.when(
-                F.shiftright(xor, j * band_bits).bitwiseAND(F.lit(mask)) == 0,
-                F.lit(j),
-            )
-            for j in range(bands)
-        ]
-    )
-    hamming = F.bit_count(xor)
     # spread before exploding (see ngram_jaccard_pairs: AQE coalesces the
     # tiny bucket table to ~1 partition, serializing the pair emission)
-    return (
-        _spread(buckets).select(
-            F.col("band_id"), F.explode(_ordered_pairs(F.col("ms"))).alias("p")
-        )
-        .where(F.col("band_id") == first_band)
+    small_pairs = (
+        _spread(small_buckets)
+        .select(F.col("band_id"), F.explode(_ordered_pairs(F.col("ms"))).alias("p"))
         .select(
-            F.col("p.a.id").alias("doc_a"),
-            F.col("p.b.id").alias("doc_b"),
-            hamming.cast("bigint").alias("hamming"),
+            "band_id",
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.a.simhash").alias("sim_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.b.simhash").alias("sim_b"),
         )
-        .where(F.col("hamming") <= max_hamming)
     )
+    # hot buckets: shuffle self-join on the band key — the matched group
+    # sits in a spillable join buffer, so pair emission streams
+    hot = ann.where(F.col("_bn") > array_bucket_max).select(
+        "band_id", "band_val", "id", "simhash"
+    )
+    hot_pairs = (
+        hot.alias("a")
+        .join(
+            hot.alias("b"),
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.band_id").alias("band_id"),
+            F.col("a.id").alias("id_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+    )
+    cand = small_pairs.unionByName(hot_pairs)
+
+    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    hamming = F.bit_count(xor)
+    out = cand.select(
+        "band_id",
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        hamming.cast("bigint").alias("hamming"),
+        xor.alias("_xor"),
+    ).where(F.col("hamming") <= max_hamming)
+    if not truncated:
+        # A pair can surface from several agreeing bands; emit it ONLY
+        # from its lowest agreeing band — a local filter computable from
+        # the two fingerprints alone, so no dedup shuffle exists at all.
+        first_band = F.coalesce(
+            *[
+                F.when(
+                    F.shiftright(F.col("_xor"), j * band_bits).bitwiseAND(F.lit(mask)) == 0,
+                    F.lit(j),
+                )
+                for j in range(bands)
+            ]
+        )
+        return out.where(F.col("band_id") == first_band).select(
+            "doc_a", "doc_b", "hamming"
+        )
+    # truncation can drop a pair from its lowest agreeing band while a
+    # higher band still emits it — the local first-band filter would then
+    # lose the pair entirely, so the capped mode pays one dedup shuffle
+    return out.select("doc_a", "doc_b", "hamming").distinct()
 
 
 # -------------------------------------------------- duplicate-group resolution

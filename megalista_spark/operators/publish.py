@@ -138,7 +138,16 @@ def publish_snapshot(
         )
     _write_file(spark, f"{base_dir}/snapshots/{snap}.json", payload)
     if pointer_swap is not None:
-        pointer_swap(spark, final, payload, cur)
+        try:
+            pointer_swap(spark, final, payload, cur)
+        except Exception:
+            # a failed conditional PUT (commit conflict) must not leave a
+            # fully-formed orphan: snapshots/{snap}.json was written just
+            # above and time-travel readers would treat it as published,
+            # burning the id — mirror the default path's conflict cleanup
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base_dir}/snapshots/{snap}.json"), False)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(data_path), True)
+            raise
         return manifest
     # default pointer swap: tmp write, then delete-old + rename (atomic
     # on HDFS/local; see module docstring for object-store caveats)

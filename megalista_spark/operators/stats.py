@@ -37,9 +37,12 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         term_ppm = (1e6 · (o·N − rs·cs)²) div (N · rs · cs)
 
     in decimal(38,0) (o·N can reach ~1e19 at petascale and its square
-    ~1e38 — right at the decimal ceiling, so the statistic documents a
+    ~1e38 — right at the decimal ceiling, so the statistic ENFORCES a
     guard: |o·N − rs·cs| ≤ ~1e16 stays exact, i.e. tables to ~1e8 rows
-    per shard; audit bigger tables on a sampled or sharded basis).
+    per shard; beyond it a per-cell overflow yields NULL in non-ANSI
+    Spark and a silent F.sum skip would UNDERSTATE chi2_ppm, so the
+    aggregate counts overflowed cells and raises at execution time —
+    audit bigger tables on a sampled or sharded basis instead.
     Output is ONE row: chi2_ppm (Σ term_ppm), dof, n, plus the grid
     dimensions — compare chi2_ppm against 1e6× the critical value.
 
@@ -82,8 +85,31 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     levels_b = F.count_distinct(col_b) + F.coalesce(
         F.max(F.col(col_b).isNull().cast("int")), F.lit(0)
     )
+    # overflow-to-NULL guard: _term_ppm inputs are never NULL (cells are
+    # non-empty counts), so a NULL term can only be decimal/long overflow
+    # — fail loudly instead of summing past it (a plain F.sum skips NULL
+    # and quietly understates the statistic)
+    n_overflow = F.sum(F.when(F.col("_term_ppm").isNull(), F.lit(1)).otherwise(F.lit(0)))
+    chi2 = (
+        F.when(
+            n_overflow > 0,
+            F.raise_error(
+                F.concat(
+                    n_overflow.cast("string"),
+                    F.lit(
+                        " chi2_independence contingency cells overflowed the "
+                        "decimal(38,0)/long headroom (|o*N - rs*cs| beyond "
+                        "~1e16; see docstring) - the statistic would be "
+                        "silently understated. Audit this table on a sampled "
+                        "or sharded basis."
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.sum("_term_ppm"))
+    )
     return term.agg(
-        F.sum("_term_ppm").alias("chi2_ppm"),
+        chi2.alias("chi2_ppm"),
         ((levels_a - F.lit(1)) * (levels_b - F.lit(1))).cast("long").alias("dof"),
     ).crossJoin(F.broadcast(n.select(F.col("_n").cast("long").alias("n_rows"))))
 
@@ -150,8 +176,12 @@ def winsorized_stats(
     ceil(p·n/100) ordered by (value, then value again for a total
     order) — deterministic and engine-portable, no interpolation.
     Values are fixed-pointed to ``decimals`` places (the money contract,
-    see profiling.binned_drift); the mean is floor-divided back to
-    integer fixed-point.
+    see profiling.binned_drift); the mean is integer-divided back to
+    fixed-point. NOTE the portability contract assumes NON-NEGATIVE
+    values: Spark ``div`` truncates toward zero while DuckDB ``//``
+    floors, and the two diverge exactly when sum(_w) is negative —
+    true-by-construction for prices/amounts, not for signed deltas
+    (normalize such inputs to a non-negative offset first).
 
     Scale shape: one window rank per group (single shuffle on the group
     key), a broadcast of the per-group boundary rows (2 rows per group),

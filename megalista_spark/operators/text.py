@@ -537,6 +537,8 @@ def tfidf_cosine_pairs(
     max_term_df_frac: float = 0.2,
     idf_scale: int = 1000,
     max_candidate_pairs: int = 200_000_000,
+    array_bucket_max: int = 1_000,
+    on_excess: str = "warn",
 ) -> DataFrame:
     """Sparse TEXT cosine similarity pairs — the term-vector complement
     of the dense embedding near-dup family: all document pairs with
@@ -562,13 +564,25 @@ def tfidf_cosine_pairs(
     at ``floor(max_term_df_frac · N)`` — a FRACTION, because an absolute
     cap silently degrades as the corpus grows (at 10× the docs the same
     cap=100 pruned every shared term of true duplicate pairs and the
-    operator returned nothing); intra-term pairs come from the
-    bucket-grouping form (corpus weighted ONCE, sorted member list,
-    ordered pairs) — never a self-join that recomputes the index for
-    its second side.
+    operator returned nothing). The weighted inverted index is computed
+    ONCE (localCheckpoint of the tf relation — every downstream branch
+    reads blocks); intra-term pairs are routed by posting-list length:
+    terms with df ≤ ``array_bucket_max`` take the bucket-grouping form
+    (sorted member list, ordered pairs exploded locally — no candidate
+    shuffle), hotter terms take a within-term SELF-JOIN on the term key
+    whose matched groups live in Spark's spillable join buffers — a
+    clustered corpus streams its quadratic candidate volume through
+    disk instead of materializing one multi-GB pair-array row per term.
+
+    ``max_candidate_pairs`` (exactly Σ C(df,2) over kept terms, one
+    cheap scalar agg) is an ADVISORY tier: above it the operator logs a
+    warning pointing at the sub-quadratic family; ``on_excess="raise"``
+    restores the strict refusal.
 
     Output: (id_a, id_b, cos_sim) with id_a < id_b.
     """
+    import logging
+
     from megalista_spark.operators.dedup import _ordered_pairs
 
     toks = _word_tokens(text_col)
@@ -576,6 +590,10 @@ def tfidf_cosine_pairs(
         df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # every downstream relation (df counts, the volume guard, the
+        # weighted index, norms, both pair paths) derives from tf — one
+        # tokenize+shuffle pass, then blocks
+        .localCheckpoint(eager=True)
     )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
@@ -607,20 +625,25 @@ def tfidf_cosine_pairs(
         ).first()["p"]
     )
     if est_pairs > max_candidate_pairs:
-        raise ValueError(
-            f"tfidf_cosine_pairs would generate {est_pairs} candidate "
+        msg = (
+            f"tfidf_cosine_pairs will stream {est_pairs} candidate "
             f"pairs (> max_candidate_pairs={max_candidate_pairs}) on this "
-            "corpus shape. Lower max_term_df_frac / max_term_df, raise "
-            "threshold, or use the sub-quadratic near-dup family "
-            "(dedup.minhash_lsh_pairs / setsim_prefix_pairs / "
-            "similarity.srp_lsh_pairs)."
+            "corpus shape. Hot terms take the spillable self-join path, "
+            "but the quadratic volume is inherent: lower "
+            "max_term_df_frac / max_term_df, raise threshold, or use the "
+            "sub-quadratic near-dup family (dedup.minhash_lsh_pairs / "
+            "setsim_prefix_pairs / similarity.srp_lsh_pairs)."
         )
+        if on_excess == "raise":
+            raise ValueError(msg)
+        logging.getLogger(__name__).warning(msg)
     weighted = (
         tf.join(kept_terms, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "term",
             "id",
+            F.col("df"),
             (
                 F.col("tf")
                 * F.round(
@@ -635,21 +658,43 @@ def tfidf_cosine_pairs(
     norms = weighted.groupBy("id").agg(
         F.sqrt(F.sum(wd * wd).cast("double")).alias("norm")
     )
-    buckets = (
-        weighted.groupBy("term")
+    # posting lists routed by length: short → local array pairs,
+    # long → spillable within-term self-join (kept_terms carries df, so
+    # the routing predicate is a free column filter, no extra count)
+    small_buckets = (
+        weighted.where(F.col("df") <= array_bucket_max)
+        .groupBy("term")
         .agg(F.sort_array(F.collect_list(F.struct("id", "w"))).alias("ms"))
         .where(F.size("ms") >= 2)
     )
-    dots = (
-        buckets.select(F.explode(_ordered_pairs(F.col("ms"))).alias("p"))
+    small_cand = small_buckets.select(
+        F.explode(_ordered_pairs(F.col("ms"))).alias("p")
+    ).select(
+        F.col("p.a.id").alias("id_a"),
+        F.col("p.b.id").alias("id_b"),
+        (
+            F.col("p.a.w").cast("decimal(19,0)")
+            * F.col("p.b.w").cast("decimal(19,0)")
+        ).alias("prod"),
+    )
+    hot = weighted.where(F.col("df") > array_bucket_max).select("term", "id", "w")
+    hot_cand = (
+        hot.alias("a")
+        .join(
+            hot.alias("b"),
+            on=[F.col("a.term") == F.col("b.term"), F.col("a.id") < F.col("b.id")],
+        )
         .select(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
             (
-                F.col("p.a.w").cast("decimal(19,0)")
-                * F.col("p.b.w").cast("decimal(19,0)")
+                F.col("a.w").cast("decimal(19,0)")
+                * F.col("b.w").cast("decimal(19,0)")
             ).alias("prod"),
         )
+    )
+    dots = (
+        small_cand.unionByName(hot_cand)
         .groupBy("id_a", "id_b")
         .agg(F.sum("prod").alias("dot"))
     )

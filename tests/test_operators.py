@@ -489,6 +489,31 @@ def test_operators_handle_empty_inputs(spark):
     assert remove_contaminated_spans(empty, one).count() == 0
 
 
+def test_tfidf_hot_term_join_path_matches_array_path(spark):
+    # identical output whether posting lists go through the local array
+    # emission or the spillable within-term self-join
+    import pytest as _pytest
+
+    from megalista_spark.operators.text import tfidf_cosine_pairs
+
+    rows = [
+        (i, f"shared corpus words everywhere doc{i % 5} extra tail {i % 11}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(threshold=0.3, max_term_df_frac=1.0)
+    arr = sorted(map(tuple, tfidf_cosine_pairs(docs, array_bucket_max=10_000, **kw).collect()))
+    jn = sorted(map(tuple, tfidf_cosine_pairs(docs, array_bucket_max=1, **kw).collect()))
+    assert arr == jn and len(arr) > 0
+
+    # advisory tier: default completes past the threshold, strict raises
+    with _pytest.raises(ValueError, match="candidate pairs"):
+        tfidf_cosine_pairs(docs, max_candidate_pairs=10, on_excess="raise", **kw).count()
+    assert (
+        tfidf_cosine_pairs(docs, max_candidate_pairs=10, **kw).count() == len(arr)
+    )
+
+
 def test_check_constraints_counts_violations(spark):
     from megalista_spark.operators.expectations import check_constraints
 

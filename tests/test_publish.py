@@ -121,3 +121,71 @@ def test_concurrent_publish_detected(spark, tmp_path):
     assert not os.path.exists(f"{base}/data/snap=4")
     publish_snapshot(spark.range(9), base, snapshot_id=4)
     assert read_snapshot(spark, base, snapshot_id=4).count() == 9
+
+
+class _CASPointerStore:
+    """Minimal object-store commit service: a generation-checked
+    conditional PUT (the S3 if-match / GCS x-goog-if-generation
+    contract). The store is the single source of commit truth — a PUT
+    whose expected generation is stale raises instead of clobbering."""
+
+    class Conflict(Exception):
+        pass
+
+    def __init__(self):
+        self.generation = 0  # 0 = pointer never written
+        self.swap = None  # the pointer_swap callable, built per writer
+
+    def conditional_put(self, spark, pointer_path, payload, expected_cur):
+        expected_gen = 0 if expected_cur is None else int(expected_cur)
+        if self.generation != expected_gen:
+            raise self.Conflict(
+                f"conditional PUT failed: generation {self.generation} "
+                f"!= expected {expected_gen}"
+            )
+        from megalista_spark.operators.publish import _write_file
+
+        _write_file(spark, pointer_path, payload)
+        import json as _json
+
+        self.generation = int(_json.loads(payload)["snapshot"])
+
+
+def test_two_writer_cas_race_one_wins_loser_cleaned(spark, tmp_path):
+    """End-to-end two-writer race through the conditional-put seam:
+    both writers read the same current snapshot; writer A commits first
+    (CAS generation advances); writer B's CAS must fail, its snapshot
+    manifest and data directory must be cleaned up, and its id stays
+    reusable for the retry."""
+    base = str(tmp_path / "tbl")
+    store = _CASPointerStore()
+    publish_snapshot(spark.range(2), base, pointer_swap=store.conditional_put)
+    assert store.generation == 1
+
+    # Writer B enters publish_snapshot having read cur=1. Its swap hook
+    # models A committing in the window between B's read and B's CAS:
+    # A's full publish (snapshot 2) runs first, THEN B's own CAS attempt
+    # goes to the store with the now-stale expectation.
+    def b_swap(s, pointer_path, payload, expected_cur):
+        publish_snapshot(  # writer A wins the race
+            spark.range(7), base, snapshot_id=2, pointer_swap=store.conditional_put
+        )
+        store.conditional_put(s, pointer_path, payload, expected_cur)
+
+    with pytest.raises(_CASPointerStore.Conflict, match="conditional PUT"):
+        publish_snapshot(spark.range(3), base, snapshot_id=3, pointer_swap=b_swap)
+
+    # exactly one commit won: the pointer and store agree on A's snapshot
+    assert store.generation == 2
+    assert current_snapshot_id(spark, base) == 2
+    assert read_snapshot(spark, base).count() == 7
+    # the loser's fully-formed manifest + data were cleaned up — no
+    # orphan visible to time travel, id 3 not burned
+    import os
+
+    assert not os.path.exists(f"{base}/snapshots/3.json")
+    assert not os.path.exists(f"{base}/data/snap=3")
+    # B retries from the fresh current and succeeds with the same id
+    publish_snapshot(spark.range(3), base, snapshot_id=3, pointer_swap=store.conditional_put)
+    assert store.generation == 3
+    assert read_snapshot(spark, base, snapshot_id=3).count() == 3

@@ -228,7 +228,7 @@ def test_keyless_guard_zero_threshold_refuses(spark):
 
 def test_simhash_candidate_volume_guard(spark):
     # templated near-identical docs cluster into one hot band bucket;
-    # the guard must refuse before materializing the quadratic pair array
+    # the advisory tier warns by default and refuses only on opt-in
     import pytest as _pytest
 
     from megalista_spark.operators.dedup import simhash_near_pairs
@@ -238,9 +238,43 @@ def test_simhash_candidate_volume_guard(spark):
         ["doc_id", "text"],
     )
     with _pytest.raises(ValueError, match="candidate pairs"):
-        simhash_near_pairs(docs, max_candidate_pairs=1000).count()
-    # generous cap → completes
-    assert simhash_near_pairs(docs, max_candidate_pairs=100_000).count() >= 0
+        simhash_near_pairs(docs, max_candidate_pairs=1000, on_excess="raise").count()
+    # default tier: warns, routes hot buckets through the spillable
+    # self-join, and COMPLETES past the advisory threshold — all 60
+    # identical docs pair up: C(60,2) pairs at hamming 0
+    got = simhash_near_pairs(docs, max_candidate_pairs=1000).count()
+    assert got == 60 * 59 // 2
+    assert simhash_near_pairs(docs, max_candidate_pairs=100_000).count() == got
+
+
+def test_simhash_hot_bucket_join_path_matches_array_path(spark):
+    # the same corpus through array_bucket_max large (pure array path)
+    # and tiny (pure join path) must yield identical pair sets
+    from megalista_spark.operators.dedup import simhash_near_pairs
+
+    rows = [(i, f"token{i % 7} alpha beta gamma delta common words {i % 3}") for i in range(80)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    arr = simhash_near_pairs(docs, array_bucket_max=10_000)
+    jn = simhash_near_pairs(docs, array_bucket_max=1)
+    a = sorted(map(tuple, arr.collect()))
+    j = sorted(map(tuple, jn.collect()))
+    assert a == j and len(a) > 0
+
+
+def test_simhash_max_bucket_size_caps_with_dedup(spark):
+    from megalista_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same tokens every time " * 3) for i in range(30)],
+        ["doc_id", "text"],
+    )
+    capped = simhash_near_pairs(docs, max_bucket_size=10)
+    rows = capped.collect()
+    # only the 10 lowest-id members per bucket may pair, and the capped
+    # mode's distinct() must not emit duplicates across agreeing bands
+    assert len(rows) == 10 * 9 // 2
+    assert len({(r.doc_a, r.doc_b) for r in rows}) == len(rows)
+    assert all(r.doc_a < 10 and r.doc_b < 10 for r in rows)
 
 
 def test_rrf_fuse_brute_force(spark):
