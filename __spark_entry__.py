@@ -4221,8 +4221,15 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 0.45. Per-cluster dedup-rate report."""
     from megalista_spark.operators.dedup import semdedup_prune
 
+    # target_cluster_size keeps in-cluster pair work LINEAR in n (a
+    # pinned k measured 14.7× wall for 10× data at sf1): k = ceil(n/64),
+    # which is exactly 8 at the sf0.01 gate (500 embeddings) — the
+    # static k=8 oracle below stays bit-identical there
     return semdedup_prune(
-        _t(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=0.45
+        _t(spark, sf_dir, "embeddings"),
+        iters=2,
+        threshold=0.45,
+        target_cluster_size=64,
     )
 
 
@@ -11186,4 +11193,368 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction_ra": LINK_PREDICTION_SQL,
         "lang_diversity_by_source": LANG_DIVERSITY_SQL,
         "audience_2of3_members": AUDIENCE_2OF3_SQL,
+    }
+
+
+# --------------------------------------------------------------------------
+# Materialized-iteration oracle scripts — the sf1+ harness path.
+#
+# The single-statement oracles above remain the driver's correctness gate at
+# sf0.01. For the ITERATIVE queries they are deliberately naive and melt one
+# decade up: DuckDB re-inlines each round's CTE into every reference (round
+# r{k-1} feeds BOTH the dangling sum and the in-rank sum, so the unrolled
+# plan doubles per round and spills >90 GB at sf1), and the recursive-CTE
+# connected-components form materializes the full transitive closure. The
+# callables below compute the SAME results with per-round TEMP TABLES (each
+# round materialized exactly once; scalar totals fetched into Python and
+# inlined as literals) so oracle memory stays O(|graph|). Convergence loops
+# mirror the Spark kernels' own fixpoint semantics.
+#
+# scripts/compare_oracle.py prefers these when ORACLE_USE_SCRIPTS=1; each
+# callable takes an open DuckDB connection (standard table views registered)
+# and returns a pandas DataFrame with the exact schema of its oracle_sql()
+# twin, so row/column/value-hash comparison is unchanged.
+# --------------------------------------------------------------------------
+
+
+def _ms_drop(con, names: list[str]) -> None:
+    for t in names:
+        con.execute(f"DROP TABLE IF EXISTS {t}")
+
+
+def _ms_pagerank_family(
+    con,
+    pairs_sql: str,
+    weighted: bool,
+    seeded: bool,
+    iters: int = 3,
+    scale: int = 10**12,
+    d: int = 85,
+):
+    """Shared materialized kernel for the rank-family 2×2. ``pairs_sql``
+    yields (cust, supp, w); unweighted callers pass w=1. Matches
+    _pagerank_sql/_ppr_sql round algebra term for term (floor `//`
+    divisions, integer micro-units)."""
+    tmp = ["_ms_edges", "_ms_deg", "_ms_nodes", "_ms_r", "_ms_r2"]
+    _ms_drop(con, tmp)
+    con.execute(
+        f"""CREATE TEMP TABLE _ms_edges AS
+        WITH pairs AS ({pairs_sql})
+        SELECT cust AS src, supp AS dst, w FROM pairs
+        UNION ALL
+        SELECT supp AS src, cust AS dst, w FROM pairs"""
+    )
+    share = "(r.ru * e.w) // d.wdeg" if weighted else "r.ru // d.wdeg"
+    wdeg = "SUM(w)" if weighted else "COUNT(*)"
+    con.execute(
+        f"CREATE TEMP TABLE _ms_deg AS SELECT src AS node, {wdeg}::BIGINT AS wdeg "
+        "FROM _ms_edges GROUP BY src"
+    )
+    if seeded:
+        con.execute(
+            """CREATE TEMP TABLE _ms_nodes AS
+            SELECT node, EXISTS (
+              SELECT 1 FROM customer s
+              WHERE s.c_custkey <= 3 AND s.c_custkey::BIGINT = n.node
+            ) AS is_seed
+            FROM (SELECT DISTINCT src AS node FROM _ms_edges) n"""
+        )
+        ns = con.sql(
+            "SELECT COUNT(DISTINCT c_custkey) FROM customer WHERE c_custkey <= 3"
+        ).fetchone()[0]
+        con.execute(
+            f"""CREATE TEMP TABLE _ms_r AS
+            SELECT node, (CASE WHEN is_seed THEN {scale} // {ns} ELSE 0 END)::BIGINT AS ru
+            FROM _ms_nodes"""
+        )
+        base = f"(CASE WHEN nd.is_seed THEN ({100 - d} * ({scale} // {ns})) // 100 ELSE 0 END)"
+        dang = f"(CASE WHEN nd.is_seed THEN _DU_ // {ns} ELSE 0 END)"
+    else:
+        con.execute(
+            "CREATE TEMP TABLE _ms_nodes AS "
+            "SELECT DISTINCT src AS node, FALSE AS is_seed FROM _ms_edges"
+        )
+        n = con.sql("SELECT COUNT(*) FROM _ms_nodes").fetchone()[0]
+        con.execute(
+            f"CREATE TEMP TABLE _ms_r AS SELECT node, ({scale} // {n})::BIGINT AS ru "
+            "FROM _ms_nodes"
+        )
+        base = f"(({100 - d} * ({scale} // {n})) // 100)"
+        dang = f"(_DU_ // {n})"
+    for _ in range(iters):
+        # dangling mass: one exact integer scalar per round, inlined
+        du = con.sql(
+            "SELECT COALESCE(SUM(r.ru), 0)::BIGINT FROM _ms_r r "
+            "WHERE NOT EXISTS (SELECT 1 FROM _ms_deg g WHERE g.node = r.node)"
+        ).fetchone()[0]
+        con.execute(
+            f"""CREATE OR REPLACE TEMP TABLE _ms_r2 AS
+            WITH c AS (
+              SELECT e.dst AS node, SUM({share})::BIGINT AS inu
+              FROM _ms_edges e
+              JOIN _ms_deg d ON d.node = e.src
+              JOIN _ms_r r ON r.node = e.src
+              GROUP BY e.dst
+            )
+            SELECT nd.node,
+                   ({base}
+                    + (({d} * (COALESCE(c.inu, 0) + {dang.replace('_DU_', str(int(du)))})) // 100)
+                   )::BIGINT AS ru
+            FROM _ms_nodes nd
+            LEFT JOIN c ON c.node = nd.node"""
+        )
+        con.execute("CREATE OR REPLACE TEMP TABLE _ms_r AS SELECT * FROM _ms_r2")
+    out = con.sql(
+        f"SELECT node, ru AS rank_u, round(ru / {float(scale)}, 6) AS rank "
+        "FROM _ms_r ORDER BY node"
+    ).df()
+    _ms_drop(con, tmp)
+    return out
+
+
+_MS_PAIRS_DISTINCT = """
+  SELECT DISTINCT o.o_custkey AS cust, (1000000 + l.l_suppkey)::BIGINT AS supp,
+         1::BIGINT AS w
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+_MS_PAIRS_ORDERCOUNT = """
+  SELECT o.o_custkey AS cust, (1000000 + l.l_suppkey)::BIGINT AS supp,
+         COUNT(DISTINCT o.o_orderkey)::BIGINT AS w
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+"""
+
+_MS_PAIRS_ROWCOUNT = """
+  SELECT o.o_custkey AS cust, (1000000 + l.l_suppkey)::BIGINT AS supp,
+         COUNT(*)::BIGINT AS w
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+"""
+
+
+def _ms_components(con, prs_sql: str, nodes_sql: str, final_sql: str, max_rounds: int = 64):
+    """Exact connected components by materialized min-label iteration with
+    pointer jumping (label := min(self, neighbor labels, label(label)) per
+    round — O(log diameter) convergence), replacing the recursive-CTE
+    transitive closure. ``prs_sql`` yields (id_a, id_b) undirected pairs;
+    ``nodes_sql`` yields (id); ``final_sql`` reads _ms_lab(id, label)."""
+    tmp = ["_ms_cedges", "_ms_lab", "_ms_lab2"]
+    _ms_drop(con, tmp)
+    con.execute(
+        f"""CREATE TEMP TABLE _ms_cedges AS
+        WITH prs AS ({prs_sql})
+        SELECT id_a AS src, id_b AS dst FROM prs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM prs"""
+    )
+    con.execute(
+        f"CREATE TEMP TABLE _ms_lab AS SELECT id, id AS label FROM ({nodes_sql})"
+    )
+    for _ in range(max_rounds):
+        con.execute(
+            """CREATE OR REPLACE TEMP TABLE _ms_lab2 AS
+            WITH nb AS (
+              SELECT n.id, least(n.label, coalesce(min(m.label), n.label)) AS label
+              FROM _ms_lab n
+              LEFT JOIN _ms_cedges e ON e.src = n.id
+              LEFT JOIN _ms_lab m ON m.id = e.dst
+              GROUP BY n.id, n.label
+            )
+            SELECT nb.id, least(nb.label, p.label) AS label
+            FROM nb JOIN _ms_lab p ON p.id = nb.label"""
+        )
+        changed = con.sql(
+            "SELECT count(*) FROM _ms_lab2 a JOIN _ms_lab b "
+            "ON a.id = b.id AND a.label <> b.label"
+        ).fetchone()[0]
+        con.execute("CREATE OR REPLACE TEMP TABLE _ms_lab AS SELECT * FROM _ms_lab2")
+        if changed == 0:
+            break
+    out = con.sql(final_sql).df()
+    _ms_drop(con, tmp)
+    return out
+
+
+_MS_NEARDUP_PRS = """
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
+  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+    ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+"""
+
+_MS_FUZZY_PRS = """
+  WITH vars AS (
+    SELECT c_custkey AS id, c_name AS name, v.variant
+    FROM customer,
+    LATERAL (
+      SELECT unnest(list_prepend(
+        c_name,
+        list_transform(range(1, len(c_name) + 1),
+                       i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1))
+      )) AS variant
+    ) v
+  ),
+  cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+    FROM vars a JOIN vars b ON a.variant = b.variant AND a.id < b.id
+  )
+  SELECT id_a, id_b FROM cand WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+_MS_COMPONENT_FINAL = """
+SELECT id, label AS group_label, (id = label) AS is_canonical
+FROM _ms_lab ORDER BY id
+"""
+
+_MS_ENTITY_FINAL = """
+WITH sizes AS (SELECT label, count(*)::BIGINT AS cluster_size FROM _ms_lab GROUP BY label)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM sizes GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+def _ms_lsh_near_dup(con, threshold: float = 0.45, n_planes: int = 16, bands: int = 4, dim: int = 64):
+    """SRP-LSH near-dup with vectors kept OUT of the candidate join: the
+    single-statement form carries 64-double lists through a grouped
+    self-join (first(a.v)/first(b.v)) whose list buffers allocate outside
+    DuckDB's tracked memory limit — kernel-OOM at sf1. Here id-only band
+    pairs land in a spillable temp table and vectors join back once for
+    the final exact cosine."""
+    from megalista_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(dim, n_planes)
+    tmp = ["_ms_u", "_ms_banded", "_ms_cand"]
+    _ms_drop(con, tmp)
+    con.execute(
+        """CREATE TEMP TABLE _ms_u AS
+        SELECT vec_id AS id,
+               list_transform(embedding::DOUBLE[],
+                              x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+        FROM embeddings"""
+    )
+    bit_cols = ",\n".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in planes[p])}]) >= 0 THEN 1 ELSE 0 END) AS b{p}"
+        for p in range(n_planes)
+    )
+    bits_per_band = n_planes // bands
+    band_selects = []
+    for b in range(bands):
+        val = " + ".join(
+            f"b{b * bits_per_band + i} * {1 << (bits_per_band - 1 - i)}"
+            for i in range(bits_per_band)
+        )
+        band_selects.append(
+            f"SELECT id, {b} AS band_id, ({val}) AS band_val FROM bits"
+        )
+    con.execute(
+        f"""CREATE TEMP TABLE _ms_banded AS
+        WITH bits AS (SELECT id, {bit_cols} FROM _ms_u)
+        {" UNION ALL ".join(band_selects)}"""
+    )
+    con.execute(
+        """CREATE TEMP TABLE _ms_cand AS
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM _ms_banded a
+        JOIN _ms_banded b ON a.band_id = b.band_id
+                         AND a.band_val = b.band_val AND a.id < b.id"""
+    )
+    out = con.sql(
+        f"""SELECT id_a, id_b, round(list_dot_product(ua.v, ub.v), 6) AS cos_sim
+        FROM _ms_cand c
+        JOIN _ms_u ua ON ua.id = c.id_a
+        JOIN _ms_u ub ON ub.id = c.id_b
+        WHERE round(list_dot_product(ua.v, ub.v), 6) >= {threshold}
+        ORDER BY id_a, id_b"""
+    ).df()
+    _ms_drop(con, tmp)
+    return out
+
+
+def _ms_semdedup(con, target_cluster_size: int = 64, iters: int = 2, threshold: float = 0.45, dim: int = 64):
+    """SemDeDup with the registered query's dynamic k = ceil(n /
+    target_cluster_size): materialized Lloyd's rounds (assignment and
+    centroid tables per round) instead of one k-pinned CTE chain."""
+    n = con.sql("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    k = max(1, -(-n // target_cluster_size))
+    tmp = ["_ms_e", "_ms_c", "_ms_a"]
+    _ms_drop(con, tmp)
+    con.execute(
+        "CREATE TEMP TABLE _ms_e AS SELECT vec_id AS vid, "
+        "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings"
+    )
+    con.execute(
+        f"""CREATE TEMP TABLE _ms_c AS
+        SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, v AS cv
+        FROM (SELECT * FROM _ms_e ORDER BY vid LIMIT {k})"""
+    )
+    assign = """CREATE OR REPLACE TEMP TABLE _ms_a AS
+        SELECT vid, v, cid FROM (
+          SELECT vid, v, cid, row_number() OVER (
+            PARTITION BY vid
+            ORDER BY round(list_sum(list_transform(list_zip(v, cv), p -> (p[1]-p[2])*(p[1]-p[2]))), 6), cid
+          ) AS rk
+          FROM _ms_e CROSS JOIN _ms_c
+        ) WHERE rk = 1"""
+    # iters rounds of (assign, re-center); the pair join reads the LAST
+    # assignment (a_iters, computed against c_{iters-1}) — exactly the
+    # a2-vs-c1 relation SEMDEDUP_SQL's unrolled form pairs on
+    for _ in range(iters):
+        con.execute(assign)
+        con.execute(
+            f"""CREATE OR REPLACE TEMP TABLE _ms_c AS
+            WITH m AS (
+              SELECT cid, pos, round(avg(v[pos]), 6) AS mval
+              FROM _ms_a CROSS JOIN generate_series(1, {dim}) AS t(pos)
+              GROUP BY cid, pos
+            )
+            SELECT cid, list(mval ORDER BY pos) AS cv FROM m GROUP BY cid"""
+        )
+    out = con.sql(
+        f"""WITH p AS (
+          SELECT a.cid AS cid, b.vid AS vid
+          FROM _ms_a a JOIN _ms_a b ON a.cid = b.cid AND a.vid < b.vid
+          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+          GROUP BY a.cid, b.vid
+        )
+        SELECT a.cid, count(*)::BIGINT AS n_members,
+               count(p.vid)::BIGINT AS n_dropped,
+               (count(*) - count(p.vid))::BIGINT AS n_survivors
+        FROM _ms_a a LEFT JOIN p ON p.cid = a.cid AND p.vid = a.vid
+        GROUP BY a.cid ORDER BY a.cid"""
+    ).df()
+    _ms_drop(con, tmp)
+    return out
+
+
+def oracle_scripts():
+    """Materialized-iteration oracle callables (see section comment):
+    name -> fn(duckdb_connection) -> pandas.DataFrame. Harness-only
+    (ORACLE_USE_SCRIPTS=1); the driver's oracle_sql() gate is untouched."""
+    return {
+        "pagerank_supply_graph": lambda con: _ms_pagerank_family(
+            con, _MS_PAIRS_DISTINCT, weighted=False, seeded=False
+        ),
+        "pagerank_weighted_supply": lambda con: _ms_pagerank_family(
+            con, _MS_PAIRS_ORDERCOUNT, weighted=True, seeded=False
+        ),
+        "personalized_pagerank_supply": lambda con: _ms_pagerank_family(
+            con, _MS_PAIRS_DISTINCT, weighted=False, seeded=True
+        ),
+        "personalized_pagerank_weighted": lambda con: _ms_pagerank_family(
+            con, _MS_PAIRS_ROWCOUNT, weighted=True, seeded=True
+        ),
+        "near_dup_groups_fixpoint": lambda con: _ms_components(
+            con, _MS_NEARDUP_PRS, "SELECT vec_id AS id FROM embeddings", _MS_COMPONENT_FINAL
+        ),
+        "near_dup_groups_star": lambda con: _ms_components(
+            con, _MS_NEARDUP_PRS, "SELECT vec_id AS id FROM embeddings", _MS_COMPONENT_FINAL
+        ),
+        "customer_entity_resolution": lambda con: _ms_components(
+            con, _MS_FUZZY_PRS, "SELECT c_custkey AS id FROM customer", _MS_ENTITY_FINAL
+        ),
+        "embedding_lsh_near_dup": _ms_lsh_near_dup,
+        "semdedup_cluster_prune": _ms_semdedup,
     }

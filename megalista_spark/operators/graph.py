@@ -441,13 +441,26 @@ def star_contraction_components(
             .localCheckpoint(eager=True)
         )
 
-    for _ in range(max_rounds):
+    import logging
+
+    log = logging.getLogger(__name__)
+    for rnd in range(max_rounds):
         after_large = _star(edges, large=True)
         after_small = _star(after_large, large=False)
         # exact change detection: same count and no row outside the old set
-        changed = (
-            after_small.count() != edges.count()
-            or after_small.exceptAll(edges).count() > 0
+        n_before, n_after = edges.count(), after_small.count()
+        changed = n_after != n_before or after_small.exceptAll(edges).count() > 0
+        # scaling instrumentation (the sf1 26×/10× adjudication): edge
+        # counts per round attribute superlinear wall-clock to component
+        # structure (rounds/edge-volume growth) vs kernel overhead; the
+        # checkpointed counts are block-metadata reads, ~free
+        log.info(
+            "star_contraction round %d: edges %d -> large %d -> small %d%s",
+            rnd + 1,
+            n_before,
+            after_large.count(),
+            n_after,
+            "" if changed else " (converged)",
         )
         edges = after_small
         if not changed:

@@ -14,6 +14,12 @@ Env:
   whole roster. Unset = no timeout.
   DUCKDB_TEMP_DIR — spill directory for the oracle engine (default
   /tmp/duckdb_oracle_spill; sf1 oracles can spill tens of GB).
+  ORACLE_USE_SCRIPTS=1 — prefer ``oracle_scripts()`` callables
+  (materialized-iteration temp-table oracles) over ``oracle_sql()``
+  strings where both exist. The scripts compute identical results with
+  bounded memory — the path for sf1+ sweeps whose recursive/unrolled
+  CTE oracles time out or exhaust the host. Default off, so the
+  driver-gate behavior (single-statement oracles) is unchanged.
 """
 
 from __future__ import annotations
@@ -87,10 +93,12 @@ def main() -> None:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     timeout_sec = float(os.environ.get("ORACLE_TIMEOUT_SEC", "0") or 0)
 
-    def run_oracle(sql: str):
-        """Run the oracle with an interrupt watchdog; returns (df, timed_out)."""
+    def run_oracle(sql):
+        """Run the oracle (SQL string or callable(con) -> DataFrame) with
+        an interrupt watchdog; returns (df, timed_out)."""
+        runner = sql if callable(sql) else (lambda c: c.sql(sql).df())
         if not timeout_sec:
-            return con.sql(sql).df(), False
+            return runner(con), False
         import threading
 
         fired = threading.Event()
@@ -111,7 +119,7 @@ def main() -> None:
         timer = threading.Timer(timeout_sec, interrupt)
         timer.start()
         try:
-            result = con.sql(sql).df()
+            result = runner(con)
             with lock:
                 done.set()
             return result, False
@@ -125,6 +133,8 @@ def main() -> None:
             timer.cancel()
 
     qs, oracles = m.queries(), m.oracle_sql()
+    if os.environ.get("ORACLE_USE_SCRIPTS") == "1":
+        oracles = {**oracles, **getattr(m, "oracle_scripts", dict)()}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
