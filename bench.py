@@ -5,6 +5,17 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed to completion (count() materializes the full plan;
 results are small aggregates so the action cost is the query itself).
+
+Extra env knobs (adjudication modes; the driver's default run uses none):
+  SPARK_GRAFT_BENCH_ONLY=a,b,c  — bench only these HEADLINE names.
+  SPARK_GRAFT_BENCH_FRESH=1     — run each query in its OWN subprocess
+    (fresh JVM/session per query). This machine reproduces within-session
+    spreads up to 4.6x on shuffle-heavy queries (session-depth JIT/GC +
+    host stalls — see BASELINE.md round-7 adjudication), so cross-round
+    per-query comparisons should use this mode; totals are NOT comparable
+    to the shared-session default.
+  SPARK_GRAFT_BENCH_EXCLUDE=a,b — skip these names (sf1 sweeps exclude
+    the quadratic-oracle-verifier family there, not here).
 """
 
 from __future__ import annotations
@@ -251,8 +262,61 @@ HEADLINE = [
 #       steady-state cost is already benched via near_dup_groups_star.
 
 
+def _selected_names() -> list[str]:
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    exclude = set(
+        (os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE") or "").split(",")
+    ) - {""}
+    names = [n for n in HEADLINE if n not in exclude]
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        names = [n for n in names if n in set(wanted)]
+    return names
+
+
+def _fresh_mode(sf_dir: str, names: list[str]) -> None:
+    """One subprocess per query: each runs this script with
+    SPARK_GRAFT_BENCH_ONLY=<name> and FRESH unset, and we keep its cold
+    time. Slow (session startup per query) but immune to session-depth
+    JIT/GC drift — the cross-round comparison mode."""
+    import subprocess
+
+    timings: dict[str, float] = {}
+    for name in names:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_ONLY"] = name
+        env.pop("SPARK_GRAFT_BENCH_FRESH", None)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        try:
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][0]
+            timings[name] = json.loads(line)["queries"][name]
+        except Exception:
+            timings[name] = -1.0
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_fresh",
+                "value": round(sum(v for v in timings.values() if v > 0), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = _selected_names()
+    if os.environ.get("SPARK_GRAFT_BENCH_FRESH") == "1":
+        _fresh_mode(sf_dir, names)
+        return
     spec = importlib.util.spec_from_file_location("spark_entry", f"{REPO}/__spark_entry__.py")
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
@@ -278,7 +342,7 @@ def main() -> None:
     # round-over-round comparability with BENCH_r01.
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = qs[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()

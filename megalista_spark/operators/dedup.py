@@ -640,9 +640,17 @@ def simhash_near_pairs(
         )
     )
     # hot buckets: shuffle self-join on the band key — the matched group
-    # sits in a spillable join buffer, so pair emission streams
-    hot = ann.where(F.col("_bn") > array_bucket_max).select(
-        "band_id", "band_val", "id", "simhash"
+    # sits in a spillable join buffer, so pair emission streams. The
+    # explicit-N repartition pins the join's partition count: its shuffle
+    # INPUT is tiny (fingerprints) so AQE would coalesce to ~1 partition,
+    # serializing the quadratic candidate OUTPUT (the tfidf hot-join
+    # lesson); a user-specified count is exempt from coalescing and
+    # already satisfies the join's hash-distribution requirement.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    hot = (
+        ann.where(F.col("_bn") > array_bucket_max)
+        .select("band_id", "band_val", "id", "simhash")
+        .repartition(par, "band_id", "band_val")
     )
     hot_pairs = (
         hot.alias("a")

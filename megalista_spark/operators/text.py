@@ -583,7 +583,7 @@ def tfidf_cosine_pairs(
     """
     import logging
 
-    from megalista_spark.operators.dedup import _ordered_pairs
+    from megalista_spark.operators.dedup import _ordered_pairs, _spread
 
     toks = _word_tokens(text_col)
     tf = (
@@ -667,7 +667,11 @@ def tfidf_cosine_pairs(
         .agg(F.sort_array(F.collect_list(F.struct("id", "w"))).alias("ms"))
         .where(F.size("ms") >= 2)
     )
-    small_cand = small_buckets.select(
+    # spread before exploding: the bucket table is tiny so AQE coalesces
+    # it to 1-2 partitions, serializing the pair emission (measured at
+    # sf1: the small-path explode ran minutes on 2 tasks); the explicit
+    # round-robin repartition parallelizes it and is AQE-exempt
+    small_cand = _spread(small_buckets).select(
         F.explode(_ordered_pairs(F.col("ms"))).alias("p")
     ).select(
         F.col("p.a.id").alias("id_a"),
@@ -677,7 +681,18 @@ def tfidf_cosine_pairs(
             * F.col("p.b.w").cast("decimal(19,0)")
         ).alias("prod"),
     )
-    hot = weighted.where(F.col("df") > array_bucket_max).select("term", "id", "w")
+    # explicit-N repartition on the join key: the hot side's shuffle
+    # INPUT is tiny (a few MB of postings) so AQE coalesces it to 1-2
+    # partitions, but the join OUTPUT is the quadratic candidate stream —
+    # measured serialized to 2 tasks at sf1. A user-specified partition
+    # count is exempt from AQE coalescing and satisfies the join's
+    # hash-distribution requirement, so no extra shuffle is added.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    hot = (
+        weighted.where(F.col("df") > array_bucket_max)
+        .select("term", "id", "w")
+        .repartition(par, "term")
+    )
     hot_cand = (
         hot.alias("a")
         .join(

@@ -20,6 +20,11 @@ Env:
   bounded memory — the path for sf1+ sweeps whose recursive/unrolled
   CTE oracles time out or exhaust the host. Default off, so the
   driver-gate behavior (single-statement oracles) is unchanged.
+  ORACLE_ROWSONLY=a,b — for these names, record the Spark row COUNT
+  without collecting to pandas and skip the oracle. For pair generators
+  whose sf1 output is 10^8+ rows, a driver-side toPandas of the result
+  is the wrong tool; the value-level verdict comes from a sliced-corpus
+  run (same query + oracle over a deterministic 10% id-hash slice).
 """
 
 from __future__ import annotations
@@ -135,11 +140,22 @@ def main() -> None:
     qs, oracles = m.queries(), m.oracle_sql()
     if os.environ.get("ORACLE_USE_SCRIPTS") == "1":
         oracles = {**oracles, **getattr(m, "oracle_scripts", dict)()}
+    rowsonly = set(
+        (os.environ.get("ORACLE_ROWSONLY") or "").split(",")
+    ) - {""}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        if name in rowsonly:
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"rows-only  {name}: {n} rows ({time.time()-t0:.1f}s)")
+            except Exception as exc:
+                print(f"FAIL  {name}: spark error: {exc}")
+                failures.append(name)
+            continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:

@@ -68,6 +68,20 @@ def test_bench_headline_covers_registry_minus_whitelist():
     assert not phantom, f"bench.py HEADLINE names not in queries(): {sorted(phantom)}"
 
 
+def test_oracle_scripts_subset_of_queries_and_callable():
+    """oracle_scripts() (the materialized-iteration sf1 harness path)
+    must name only registered queries that also have an oracle_sql()
+    twin — a script whose single-statement sibling disappears would
+    silently stop being cross-checked at the sf0.01 gate."""
+    m = _load(os.path.join(REPO, "__spark_entry__.py"), "spark_entry_fresh3")
+    scripts = m.oracle_scripts()
+    queries = set(m.queries().keys())
+    oracles = set(m.oracle_sql().keys())
+    assert set(scripts) <= queries, f"script keys not registered: {set(scripts) - queries}"
+    assert set(scripts) <= oracles, f"scripts without oracle_sql twin: {set(scripts) - oracles}"
+    assert all(callable(fn) for fn in scripts.values())
+
+
 def test_every_query_has_oracle_or_documented_exemption():
     """Every queries() entry should have an oracle_sql() twin; the known
     exemptions are the non-SQL-expressible ops (streaming, stateful)."""
