@@ -639,26 +639,34 @@ def simhash_near_pairs(
             F.col("p.b.simhash").alias("sim_b"),
         )
     )
-    # hot buckets: shuffle self-join on the band key — the matched group
-    # sits in a spillable join buffer, so pair emission streams. The
-    # explicit-N repartition pins the join's partition count: its shuffle
-    # INPUT is tiny (fingerprints) so AQE would coalesce to ~1 partition,
-    # serializing the quadratic candidate OUTPUT (the tfidf hot-join
-    # lesson); a user-specified count is exempt from coalescing and
-    # already satisfies the join's hash-distribution requirement.
+    # hot buckets: SALTED shuffle self-join on the band key — the matched
+    # group sits in a spillable join buffer, so pair emission streams.
+    # Salting (side A keyed by id mod S, side B replicated to every salt)
+    # splits a single mega-bucket's quadratic output S ways instead of
+    # landing it in one task: the join's shuffle INPUT is tiny
+    # fingerprint rows, so neither AQE coalescing nor its skew-join split
+    # (both input-byte-driven) would parallelize the OUTPUT. Each pair
+    # meets exactly once, in salt(a.id); the explicit partition count
+    # keeps the exchange AQE-coalesce-exempt.
     par = df.sparkSession.sparkContext.defaultParallelism
-    hot = (
-        ann.where(F.col("_bn") > array_bucket_max)
-        .select("band_id", "band_val", "id", "simhash")
-        .repartition(par, "band_id", "band_val")
+    salt = max(2, min(par, 16))
+    hot = ann.where(F.col("_bn") > array_bucket_max).select(
+        "band_id", "band_val", "id", "simhash"
+    )
+    # salt from murmur3 (physical routing only — never part of the
+    # portable-results contract), so non-numeric id types salt fine
+    hot_a = hot.withColumn("_salt", F.pmod(F.hash("id"), F.lit(salt)))
+    hot_b = hot.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     hot_pairs = (
-        hot.alias("a")
+        hot_a.alias("a").repartition(par, "band_id", "band_val", "_salt")
         .join(
-            hot.alias("b"),
+            hot_b.alias("b").repartition(par, "band_id", "band_val", "_salt"),
             on=[
                 F.col("a.band_id") == F.col("b.band_id"),
                 F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a._salt") == F.col("b._salt"),
                 F.col("a.id") < F.col("b.id"),
             ],
         )

@@ -681,23 +681,33 @@ def tfidf_cosine_pairs(
             * F.col("p.b.w").cast("decimal(19,0)")
         ).alias("prod"),
     )
-    # explicit-N repartition on the join key: the hot side's shuffle
-    # INPUT is tiny (a few MB of postings) so AQE coalesces it to 1-2
-    # partitions, but the join OUTPUT is the quadratic candidate stream —
-    # measured serialized to 2 tasks at sf1. A user-specified partition
-    # count is exempt from AQE coalescing and satisfies the join's
-    # hash-distribution requirement, so no extra shuffle is added.
+    # Salted hot self-join: a single hot term's quadratic output would
+    # otherwise land in ONE task (term-hash skew — measured: a straggler
+    # task ran minutes after its 15 siblings finished at sf1, and AQE's
+    # skew-join split keys on input bytes, which are tiny here). Side A
+    # carries a deterministic salt = id mod S, side B is replicated to
+    # every salt (S copies of a ≤ df-row posting list — trivial shuffle
+    # volume), so each pair (a,b) meets exactly once, in salt(a.id), and
+    # per-term work splits S ways. The explicit partition count keeps the
+    # exchange AQE-coalesce-exempt.
     par = df.sparkSession.sparkContext.defaultParallelism
-    hot = (
-        weighted.where(F.col("df") > array_bucket_max)
-        .select("term", "id", "w")
-        .repartition(par, "term")
+    salt = max(2, min(par, 16))
+    hot = weighted.where(F.col("df") > array_bucket_max).select("term", "id", "w")
+    # salt from murmur3 (physical routing only — never part of the
+    # portable-results contract), so non-numeric id types salt fine
+    hot_a = hot.withColumn("_salt", F.pmod(F.hash("id"), F.lit(salt)))
+    hot_b = hot.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     hot_cand = (
-        hot.alias("a")
+        hot_a.alias("a").repartition(par, "term", "_salt")
         .join(
-            hot.alias("b"),
-            on=[F.col("a.term") == F.col("b.term"), F.col("a.id") < F.col("b.id")],
+            hot_b.alias("b").repartition(par, "term", "_salt"),
+            on=[
+                F.col("a.term") == F.col("b.term"),
+                F.col("a._salt") == F.col("b._salt"),
+                F.col("a.id") < F.col("b.id"),
+            ],
         )
         .select(
             F.col("a.id").alias("id_a"),
