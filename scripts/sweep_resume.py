@@ -47,6 +47,8 @@ def main() -> None:
     sf_dir, log = sys.argv[1], sys.argv[2]
     max_attempts = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     names = roster()
+    exclude = set((os.environ.get("SWEEP_EXCLUDE") or "").split(",")) - {""}
+    names = [q for q in names if q not in exclude]
     shard = os.environ.get("SWEEP_SHARD")  # "i/n" — run every n-th query
     if shard:
         i, n = (int(x) for x in shard.split("/"))
