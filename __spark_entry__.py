@@ -10563,6 +10563,275 @@ ORDER BY query_id, fused_rank
 """
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k acceptance audit of the IVF ANN index against exact
+    brute-force cosine (operators/similarity.py::topk_recall) — per
+    query, the ppm fraction of the TRUE top-10 the index returned. The
+    audit joins only the two top-k TABLES; the retrievers do the
+    data-sized work (and both are themselves oracle-gated queries)."""
+    from megalista_spark.operators.similarity import topk_recall
+
+    return topk_recall(
+        ann_cosine_topk(spark, sf_dir), ann_ivf_topk(spark, sf_dir)
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH brute AS ({ANN_SQL}),
+ivf AS ({IVF_SQL}),
+base AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM brute GROUP BY query_id),
+hits AS (
+  SELECT b.query_id, count(*)::BIGINT AS n_hits
+  FROM brute b JOIN ivf v
+    ON v.query_id = b.query_id AND v.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT base.query_id AS query_id, n_exact,
+       coalesce(n_hits, 0)::BIGINT AS n_hits,
+       1000000 * coalesce(n_hits, 0) // n_exact AS recall_ppm
+FROM base LEFT JOIN hits ON base.query_id = hits.query_id
+ORDER BY base.query_id
+"""
+
+
+def auc_purchase_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the event value against "is a purchase"
+    (operators/stats.py::binary_auc) — the Mann-Whitney audit a learned
+    quality/propensity score gets before it gates data. Never sorts all
+    distinct scores through one task: coarse-bucket prefix sums + a
+    per-bucket (keyed, parallel) fine window; integer units-of-2
+    tie-corrected arithmetic, one ppm division at the end."""
+    from megalista_spark.operators.stats import binary_auc
+
+    e = _events(spark, sf_dir)
+    return binary_auc(
+        e.select(
+            "value",
+            (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        ),
+        "value",
+        "is_purchase",
+    )
+
+
+AUC_SQL = """
+WITH t AS (SELECT round(value * 100)::BIGINT AS s,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL),
+g AS (SELECT s, sum(y)::BIGINT AS pos, sum(1 - y)::BIGINT AS neg FROM t GROUP BY s),
+w AS (SELECT pos, neg,
+             coalesce(sum(neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::HUGEINT AS nb
+      FROM g),
+a AS (SELECT sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,
+             count(*)::BIGINT AS n_distinct_scores,
+             sum(2 * nb * pos + pos::HUGEINT * neg)::HUGEINT AS num2
+      FROM w)
+SELECT n_pos, n_neg, n_distinct_scores,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN ((1000000::HUGEINT * num2) // (2::HUGEINT * n_pos * n_neg))::BIGINT
+       END AS auc_ppm
+FROM a
+"""
+
+
+def gains_decile_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table of event value vs purchase
+    conversion (operators/stats.py::gains_table) — equal-frequency score
+    deciles via histogram-pruned exact boundaries (no global sort), per
+    bin the conversion rate and, walking top-down, the cumulative share
+    of all purchases captured. All-integer ppm."""
+    from megalista_spark.operators.stats import gains_table
+
+    e = _events(spark, sf_dir)
+    return gains_table(
+        e.select(
+            "value",
+            (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        ),
+        "value",
+        "is_purchase",
+        n_bins=10,
+    )
+
+
+GAINS_SQL = """
+WITH v AS (SELECT value AS x,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL),
+nn AS (SELECT count(*) AS n FROM v),
+o AS (SELECT x, row_number() OVER (ORDER BY x) AS rk FROM v),
+b AS (SELECT array_agg(bx ORDER BY bx) AS bs FROM (
+        SELECT (SELECT x FROM o
+                WHERE rk = GREATEST(1, CAST(CEIL(q * (SELECT n FROM nn) / 1000.0) AS BIGINT))) AS bx
+        FROM (VALUES (100),(200),(300),(400),(500),(600),(700),(800),(900)) t(q))),
+binned AS (
+  SELECT CAST(1 + len(list_filter(bs, b -> x > b)) AS INT) AS bin,
+         count(*)::BIGINT AS n_rows, sum(y)::BIGINT AS n_pos,
+         min(round(x * 100)::BIGINT) AS lo_cents
+  FROM v CROSS JOIN b GROUP BY 1),
+tot AS (SELECT sum(n_rows)::BIGINT AS _n, sum(n_pos)::BIGINT AS _p FROM binned),
+cum AS (SELECT *,
+               sum(n_pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_pos,
+               sum(n_rows) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_rows
+        FROM binned)
+SELECT bin, n_rows, n_pos, lo_cents,
+       ((1000000::HUGEINT * n_pos) // n_rows)::BIGINT AS rate_ppm,
+       cum_pos, cum_rows,
+       CASE WHEN _p > 0 THEN ((1000000::HUGEINT * cum_pos) // _p)::BIGINT END AS capture_ppm,
+       CASE WHEN _p > 0
+            THEN ((1000000::HUGEINT * n_pos * _n) // (n_rows::HUGEINT * _p))::BIGINT
+       END AS lift_ppm
+FROM cum CROSS JOIN tot
+ORDER BY bin
+"""
+
+
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (operators/stats.py::
+    cuped_lift; Deng et al. 2013): per user, even-day activity value is
+    the pre-period covariate, odd-day purchase revenue the metric; users
+    hash-split 50/50 (sampling.py::hash_split, salt "exp1" — the
+    experiment_lift_summary convention). One user-grain hash aggregate;
+    exact decimal(38,0) moments; final ratios shared-operand double
+    (the z-stat precedent)."""
+    from megalista_spark.operators.sampling import hash_split
+    from megalista_spark.operators.stats import cuped_lift
+
+    e = _events(spark, sf_dir)
+    day_is_even = F.expr("(unix_micros(ts) div 86400000000) % 2 = 0")
+    users = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(day_is_even, F.round(F.col("value") * 100).cast("long"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("x_cents"),
+        F.sum(
+            F.when(
+                (~day_is_even) & (F.col("event_type") == "purchase"),
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("y_cents"),
+    )
+    arms = hash_split(
+        users, "user_id", {"control": 0.5, "treatment": 0.5}, salt="exp1"
+    )
+    return cuped_lift(arms, "user_id", "split", "y_cents", "x_cents")
+
+
+CUPED_SQL = """
+WITH u AS MATERIALIZED (
+  SELECT user_id,
+         sum(CASE WHEN (epoch_us(ts::TIMESTAMP) // 86400000000) % 2 = 0
+                  THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS x,
+         sum(CASE WHEN (epoch_us(ts::TIMESTAMP) // 86400000000) % 2 = 1
+                       AND event_type = 'purchase'
+                  THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS y
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT *, CASE WHEN ('0x' || substr(md5('exp1|' || user_id::VARCHAR), 1, 15))::BIGINT
+                      % 10000 < 5000 THEN 'control' ELSE 'treatment' END AS split
+  FROM u
+),
+per AS (
+  SELECT split, count(*)::BIGINT AS n,
+         sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         sum(x::HUGEINT * y)::HUGEINT AS sxy,
+         sum(x::HUGEINT * x)::HUGEINT AS sxx,
+         sum(y::HUGEINT * y)::HUGEINT AS syy
+  FROM arms GROUP BY split
+),
+g AS (
+  SELECT c.n AS nc, t.n AS nt, c.sx AS sxc, t.sx AS sxt, c.sy AS syc, t.sy AS syt,
+         c.n + t.n AS np, c.sx + t.sx AS sx, c.sy + t.sy AS sy,
+         c.sxy + t.sxy AS sxy, c.sxx + t.sxx AS sxx, c.syy + t.syy AS syy
+  FROM (SELECT * FROM per WHERE split = 'control') c,
+       (SELECT * FROM per WHERE split = 'treatment') t
+),
+m AS (
+  SELECT nc, nt,
+         syt::DOUBLE / nt - syc::DOUBLE / nc AS raw_diff,
+         sxt::DOUBLE / nt - sxc::DOUBLE / nc AS x_diff,
+         np * sxy - sx * sy AS cov,
+         np * sxx - sx * sx AS varx,
+         np * syy - sy * sy AS vary
+  FROM g
+)
+SELECT nc::BIGINT AS n_control, nt::BIGINT AS n_treatment,
+       round(raw_diff, 6) AS raw_diff,
+       round(raw_diff - (CASE WHEN varx > 0 THEN cov::DOUBLE / varx::DOUBLE ELSE 0 END) * x_diff, 6) AS cuped_diff,
+       round(CASE WHEN varx > 0 THEN cov::DOUBLE / varx::DOUBLE ELSE 0 END, 6) AS theta,
+       round(CASE WHEN varx > 0 AND vary > 0
+                  THEN (cov::DOUBLE * cov::DOUBLE) / (varx::DOUBLE * vary::DOUBLE)
+                  ELSE 0 END, 6) AS rho2
+FROM m
+"""
+
+
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by Broder containment over 3-gram
+    shingles (operators/dedup.py::containment_pairs) — catches the
+    short-doc-embedded-in-long-doc dup shape Jaccard structurally
+    misses; same shingled-once inverted-index plan as
+    dedup_ngram_jaccard, directional integer-ppm filter."""
+    from megalista_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(d, n=3, threshold_ppm=800_000).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+CONTAINMENT_SQL = _SHINGLE_CTE + """
+, ex AS (SELECT doc_id AS id, len(shingles) AS set_size,
+         unnest(list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS shingle FROM sh)
+, pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, count(*)::BIGINT AS shared,
+         a.set_size::BIGINT AS size_a, b.set_size::BIGINT AS size_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2, 4, 5
+)
+SELECT doc_a, doc_b, shared, size_a, size_b,
+       1000000 * shared // size_a AS cont_a_in_b_ppm,
+       1000000 * shared // size_b AS cont_b_in_a_ppm
+FROM pairs
+WHERE 1000000 * shared // size_a >= 800000
+   OR 1000000 * shared // size_b >= 800000
+ORDER BY doc_a, doc_b
+"""
+
+
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster audit (operators/dedup.py::dup_cluster_stats)
+    over the near_dup_groups assignment: cluster-size histogram, docs
+    per size bucket, what one-copy-per-cluster dedup would remove, and
+    each bucket's ppm share of the corpus — two hash aggregates past the
+    (already oracle-gated) grouping stage."""
+    from megalista_spark.operators.dedup import dup_cluster_stats, min_label_groups
+    from megalista_spark.operators.similarity import embedding_near_dup_pairs_blocked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs_blocked(emb, threshold=0.45)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return dup_cluster_stats(min_label_groups(pairs, nodes, iters=3))
+
+
+DUP_CLUSTER_HIST_SQL = f"""
+WITH asg AS ({_near_dup_groups_sql()}),
+sizes AS (SELECT group_label, count(*)::BIGINT AS cluster_size
+          FROM asg GROUP BY group_label),
+hist AS (SELECT cluster_size, count(*)::BIGINT AS n_clusters
+         FROM sizes GROUP BY cluster_size),
+tot AS (SELECT sum(cluster_size * n_clusters)::BIGINT AS _t FROM hist)
+SELECT cluster_size, n_clusters,
+       (cluster_size * n_clusters)::BIGINT AS n_docs,
+       ((cluster_size - 1) * n_clusters)::BIGINT AS removable,
+       1000000 * cluster_size * n_clusters // _t AS docs_share_ppm
+FROM hist CROSS JOIN tot
+ORDER BY cluster_size
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -10579,6 +10848,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the whole roster — every name here is green in the local mirror
 # (scripts/compare_oracle.py) at sf0.01.
 _GATE_ROTATION_FIRST = [
+    "ann_recall_audit",
+    "auc_purchase_by_value",
+    "gains_decile_purchases",
+    "cuped_adjusted_lift",
+    "containment_dup_pairs",
+    "dup_cluster_size_histogram",
     "join_skew_audit_keys",
     "chi2_segment_priority",
     "shrunk_purchase_rates",
@@ -10882,6 +11157,12 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "retention_triangle_weeks": retention_triangle_weeks,
         "decile_bins_prices": decile_bins_prices,
         "rrf_fused_topk": rrf_fused_topk,
+        "ann_recall_audit": ann_recall_audit,
+        "auc_purchase_by_value": auc_purchase_by_value,
+        "gains_decile_purchases": gains_decile_purchases,
+        "cuped_adjusted_lift": cuped_adjusted_lift,
+        "containment_dup_pairs": containment_dup_pairs,
+        "dup_cluster_size_histogram": dup_cluster_size_histogram,
         "harmonic_centrality_customers": harmonic_centrality_customers,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "oov_rate_by_source": oov_rate_by_source,
@@ -11034,6 +11315,12 @@ def oracle_sql() -> dict[str, str]:
         "retention_triangle_weeks": RETENTION_SQL,
         "decile_bins_prices": DECILE_BINS_SQL,
         "rrf_fused_topk": RRF_SQL,
+        "ann_recall_audit": ANN_RECALL_SQL,
+        "auc_purchase_by_value": AUC_SQL,
+        "gains_decile_purchases": GAINS_SQL,
+        "cuped_adjusted_lift": CUPED_SQL,
+        "containment_dup_pairs": CONTAINMENT_SQL,
+        "dup_cluster_size_histogram": DUP_CLUSTER_HIST_SQL,
         "harmonic_centrality_customers": _harmonic_sql(),
         "dedup_keep_best_docs": DEDUP_KEEP_BEST_SQL,
         "oov_rate_by_source": OOV_RATE_SQL,

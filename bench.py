@@ -239,6 +239,12 @@ HEADLINE = [
     "link_prediction_ra",
     "lang_diversity_by_source",
     "audience_2of3_members",
+    "ann_recall_audit",
+    "auc_purchase_by_value",
+    "gains_decile_purchases",
+    "cuped_adjusted_lift",
+    "containment_dup_pairs",
+    "dup_cluster_size_histogram",
 ]
 
 # Excluded from HEADLINE on purpose:
@@ -342,7 +348,11 @@ def main() -> None:
     # round-over-round comparability with BENCH_r01.
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
+        # progress to stderr so a crashed long run (sf1: JVM OOM kills the
+        # whole process) still says WHICH query died; stdout stays the
+        # one-line JSON contract
+        print(f"[bench {i + 1}/{len(names)}] {name}", file=sys.stderr, flush=True)
         fn = qs[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()

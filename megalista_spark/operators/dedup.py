@@ -1067,3 +1067,125 @@ def keep_best(
         ),
     ).withColumn("dup_count", F.count(F.lit(1)).over(w).cast("bigint"))
     return ranked.where(F.col("_rk") == 1).drop("_rk")
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold_ppm: int = 800_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-duplication — containment, not Jaccard: for each
+    candidate pair, what fraction of A's shingle set lives inside B (and
+    vice versa)? Jaccard misses the most common real-world dup shape —
+    a short document embedded whole inside a long one (quoted articles,
+    boilerplate-wrapped reposts): |A∩B|/|A∪B| stays small when |B|≫|A|
+    even though A is a verbatim subset. Broder's containment (the
+    resemblance paper's other statistic) catches exactly that.
+
+        cont_a_in_b_ppm = 1e6 · shared div |A|
+        cont_b_in_a_ppm = 1e6 · shared div |B|
+
+    A pair is emitted when EITHER direction reaches ``threshold_ppm``
+    (integer ppm, engine-portable). Output (doc_a < doc_b):
+    ``(doc_a, doc_b, shared, size_a, size_b, cont_a_in_b_ppm,
+    cont_b_in_a_ppm)``.
+
+    Scale shape: identical to ``ngram_jaccard_pairs`` — the corpus is
+    shingled ONCE into the inverted index (explode distinct 60-bit
+    shingle hashes), singleton buckets drop for free, intra-bucket
+    ordered pairs aggregate shared counts per pair. The shuffle key is
+    the shingle; ``max_shingle_df`` caps hot (boilerplate) shingle
+    buckets with the documented recall trade. The one semantic
+    difference from Jaccard: the FILTER is directional, so small⊂large
+    pairs survive where the Jaccard filter drops them.
+    """
+    shingled = (
+        _tokenized(df, text_col, id_col)
+        .select("id", shingles_from_tokens(F.col("_toks"), n).alias("shingles"))
+        .select(
+            "id",
+            F.size("shingles").alias("set_size"),
+            F.explode_outer(
+                F.transform(F.col("shingles"), portable_hash64)
+            ).alias("shingle"),
+        )
+    )
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col("id"), F.col("set_size")))
+    ).alias("ms")
+    buckets = shingled.groupBy("shingle").agg(members).where(F.size("ms") > 1)
+    if max_shingle_df is not None:
+        buckets = buckets.where(F.size("ms") <= max_shingle_df)
+    pairs = (
+        _spread(buckets)
+        .select(F.explode(_ordered_pairs(F.col("ms"))).alias("p"))
+        .groupBy(
+            F.col("p.a.id").alias("doc_a"),
+            F.col("p.b.id").alias("doc_b"),
+            F.col("p.a.set_size").alias("size_a"),
+            F.col("p.b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    cont_a = F.expr("1000000 * shared div size_a")
+    cont_b = F.expr("1000000 * shared div size_b")
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            cont_a.alias("cont_a_in_b_ppm"),
+            cont_b.alias("cont_b_in_a_ppm"),
+        )
+        .where(
+            (F.col("cont_a_in_b_ppm") >= threshold_ppm)
+            | (F.col("cont_b_in_a_ppm") >= threshold_ppm)
+        )
+    )
+
+
+def dup_cluster_stats(assignment: DataFrame, label_col: str = "group_label") -> DataFrame:
+    """Duplicate-cluster audit over a group assignment (the output of
+    ``min_label_groups`` / ``star_contraction_components``): the
+    cluster-SIZE histogram plus what dedup would save — the number a
+    data owner actually asks for ("how duplicated is this corpus, and
+    what does keeping one copy per cluster buy?").
+
+    Output per distinct cluster size (1 = unique docs):
+      ``cluster_size, n_clusters, n_docs`` (= size·n_clusters),
+      ``removable`` (= (size−1)·n_clusters — docs dedup would drop),
+      ``docs_share_ppm`` — this size bucket's share of the corpus.
+
+    Scale shape: two hash aggregates (assignment → cluster sizes →
+    size histogram) + a 1-row total broadcast. The histogram's domain
+    is bounded by the largest cluster, never by corpus size; nothing
+    here re-touches documents.
+    """
+    sizes = assignment.groupBy(label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    tot = hist.agg(
+        F.sum(F.expr("cluster_size * n_clusters")).cast("long").alias("_total")
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            F.expr("cluster_size * n_clusters").cast("long").alias("n_docs"),
+            F.expr("(cluster_size - 1) * n_clusters").cast("long").alias(
+                "removable"
+            ),
+            F.expr("1000000 * cluster_size * n_clusters div _total").alias(
+                "docs_share_ppm"
+            ),
+        )
+        .orderBy("cluster_size")
+    )

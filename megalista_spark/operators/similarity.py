@@ -1261,3 +1261,52 @@ def rrf_fuse(
         )
         .orderBy(key_col, "fused_rank")
     )
+
+def topk_recall(
+    exact_topk: DataFrame,
+    approx_topk: DataFrame,
+    key_col: str = "query_id",
+    item_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k audit of an approximate retriever against the exact one —
+    the acceptance test every ANN index (IVF, IVF-PQ, LSH) must pass
+    before it replaces brute force in a production pipeline: per query,
+    what fraction of the TRUE top-k did the index return?
+
+        recall_ppm = 1e6 · |exact ∩ approx| div |exact|
+
+    Takes the two top-k TABLES (the retrievers do the data-sized work;
+    this audit never touches the corpus). Queries where the index
+    returned nothing still appear (n_hits = 0) — a silent-miss row is
+    the whole point of the audit. Integer ppm floor division.
+
+    Scale shape: one equi-join of two ≤ (n_queries·k)-row tables on
+    (key, item) — broadcast-eligible whenever one side is an audit
+    sample — plus two hash aggregates on the query key.
+    """
+    e = exact_topk.select(
+        F.col(key_col).alias("_k"), F.col(item_col).alias("_i")
+    )
+    a = approx_topk.select(
+        F.col(key_col).alias("_ak"), F.col(item_col).alias("_ai")
+    )
+    hits = (
+        e.join(
+            a,
+            (F.col("_k") == F.col("_ak")) & (F.col("_i") == F.col("_ai")),
+            "left_semi",
+        )
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).cast("long").alias("_h"))
+    )
+    base = e.groupBy("_k").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    return (
+        base.join(hits, "_k", "left")
+        .select(
+            F.col("_k").alias(key_col),
+            "n_exact",
+            F.coalesce(F.col("_h"), F.lit(0)).alias("n_hits"),
+            F.expr("1000000 * coalesce(_h, 0) div n_exact").alias("recall_ppm"),
+        )
+        .orderBy(key_col)
+    )

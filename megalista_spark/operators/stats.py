@@ -243,3 +243,284 @@ def winsorized_stats(
         )
         .orderBy(group_col)
     )
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    decimals: int = 2,
+    n_coarse: int = 4096,
+) -> DataFrame:
+    """Exact ROC-AUC of a numeric score against a binary label, in
+    integer ppm — the audit every learned quality/toxicity/fluency
+    classifier gets before its scores gate a training corpus.
+
+    AUC is the Mann-Whitney rank statistic: over all (positive,
+    negative) pairs, the fraction where the positive scores higher,
+    ties counting half. Grouping by distinct score value makes it
+
+        AUC = Σ_s (neg_below(s)·pos(s) + pos(s)·neg(s)/2) / (P·N)
+
+    computed here in units-of-2 integers (no halves), then one ppm
+    division. Scores are fixed-pointed to ``decimals`` (the money
+    contract); labels are 0/1 or boolean. Degenerate inputs (no
+    positives or no negatives) yield NULL ``auc_ppm`` rather than a
+    made-up 0.5 — the caller should treat them as "not measurable".
+
+    Scale shape — the naive form sorts ALL distinct scores through one
+    keyless window; this one never does: (1) one hash aggregate to the
+    distinct-score table (score → pos/neg counts), (2) coarse-bucket
+    totals (≤ ``n_coarse`` rows: bucket = (score−lo) div width) whose
+    prefix sum runs in one bounded window, (3) the fine prefix sum
+    runs per-bucket — a window PARTITIONED BY bucket, parallel and
+    spillable. neg_below = coarse prefix + in-bucket prefix. Products
+    accumulate in decimal(38,0) (Σ ≤ 2·P·N ~ 1e24 at petascale — far
+    under the ceiling).
+    """
+    scale = 10**decimals
+    g = (
+        df.select(
+            F.round(F.col(score_col) * scale).cast("long").alias("_s"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .where(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+        .groupBy("_s")
+        .agg(
+            F.sum("_y").cast("long").alias("_pos"),
+            F.sum(1 - F.col("_y")).cast("long").alias("_neg"),
+        )
+    )
+    bounds = g.agg(
+        F.min("_s").alias("_lo"),
+        F.expr(f"(max(_s) - min(_s)) div {int(n_coarse)} + 1").alias("_w"),
+    )
+    b = g.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bkt", F.expr("(_s - _lo) div _w")
+    )
+    coarse = b.groupBy("_bkt").agg(F.sum("_neg").alias("_bneg"))
+    wc = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    coarse = coarse.select(
+        F.col("_bkt").alias("_cb"),
+        F.coalesce(F.sum("_bneg").over(wc), F.lit(0)).alias("_neg_before_bkt"),
+    )
+    wf = (
+        Window.partitionBy("_bkt")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fine = (
+        b.withColumn("_neg_in_bkt", F.coalesce(F.sum("_neg").over(wf), F.lit(0)))
+        .join(F.broadcast(coarse), F.col("_bkt") == F.col("_cb"))
+        .withColumn("_nb", F.col("_neg_before_bkt") + F.col("_neg_in_bkt"))
+    )
+    num2 = F.sum(
+        F.expr(
+            f"CAST(2 AS {_D38}) * _nb * _pos + CAST(_pos AS {_D38}) * _neg"
+        )
+    )
+    return fine.agg(
+        F.sum("_pos").cast("long").alias("n_pos"),
+        F.sum("_neg").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_scores"),
+        num2.alias("_num2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "n_distinct_scores",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(
+                f"CAST((CAST(1000000 AS {_D38}) * _num2)"
+                f" div (CAST(2 AS {_D38}) * n_pos * n_neg) AS BIGINT)"
+            ),
+        ).alias("auc_ppm"),
+    )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    decimals: int = 2,
+) -> DataFrame:
+    """Cumulative gains / lift table: rows binned into equal-frequency
+    score bins (exact boundaries, no global sort — rides
+    sketches.exact_quantile_select like quantile_bins), then per bin the
+    positive rate, and walking from the HIGHEST-score bin down the
+    cumulative share of all positives captured — the "top decile holds
+    X% of conversions" audit that decides whether a score is worth
+    gating on.
+
+    Output per non-empty bin (1 = lowest scores):
+      ``n_rows, n_pos, rate_ppm`` — the bin alone,
+      ``cum_pos, cum_rows, capture_ppm`` — this bin and above,
+      ``lift_ppm`` — bin rate ÷ global rate, in ppm (1e6 = average).
+
+    All-integer (ppm floor division). Scale shape: the three
+    histogram-pruned boundary passes + ONE scan folding each row against
+    the broadcast (n_bins−1)-element boundary array + one n_bins-group
+    aggregate; the cumulative walk is a window over ≤ n_bins rows.
+    """
+    from .sketches import exact_quantile_select
+
+    scale = 10**decimals
+    qs = tuple(i * 1000 // n_bins for i in range(1, n_bins))
+    bounds = exact_quantile_select(df, score_col, q_permilles=qs).agg(
+        F.sort_array(F.collect_list("value")).alias("_bs")
+    )
+    x = F.col(score_col)
+    binned = (
+        df.select(
+            x.alias("_x"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                F.lit(1) + F.size(F.filter(F.col("_bs"), lambda b: F.col("_x") > b))
+            ).alias("bin"),
+            F.round(F.col("_x") * scale).cast("long").alias("_cents"),
+            "_y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_y").cast("long").alias("n_pos"),
+            F.min("_cents").alias("lo_cents"),
+        )
+    )
+    wd = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = binned.agg(
+        F.sum("n_rows").alias("_n"), F.sum("n_pos").alias("_p")
+    )
+    return (
+        binned.withColumn("cum_pos", F.sum("n_pos").over(wd).cast("long"))
+        .withColumn("cum_rows", F.sum("n_rows").over(wd).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_rows",
+            "n_pos",
+            "lo_cents",
+            F.expr(
+                f"CAST(CAST(1000000 AS {_D38}) * n_pos div n_rows AS BIGINT)"
+            ).alias("rate_ppm"),
+            "cum_pos",
+            "cum_rows",
+            F.when(
+                F.col("_p") > 0,
+                F.expr(
+                    f"CAST(CAST(1000000 AS {_D38}) * cum_pos div _p AS BIGINT)"
+                ),
+            ).alias("capture_ppm"),
+            F.when(
+                F.col("_p") > 0,
+                F.expr(
+                    f"CAST((CAST(1000000 AS {_D38}) * n_pos * _n)"
+                    f" div (CAST(n_rows AS {_D38}) * _p) AS BIGINT)"
+                ),
+            ).alias("lift_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+def cuped_lift(
+    df: DataFrame,
+    unit_col: str,
+    arm_col: str,
+    metric_col: str,
+    covariate_col: str,
+    control_value: str = "control",
+    treatment_value: str = "treatment",
+) -> DataFrame:
+    """CUPED variance-reduced experiment lift (Deng et al. 2013, public
+    method): adjust the treatment-vs-control difference of a metric by a
+    PRE-EXPERIMENT covariate, removing the variance the covariate
+    explains —
+
+        θ   = cov(x, y) / var(x)          (pooled over both arms)
+        Δ*  = (ȳ_t − ȳ_c) − θ·(x̄_t − x̄_c)
+
+    ``df`` is one row per experiment unit with its arm, metric y and
+    covariate x (both numeric, integer-valued units — cents are the
+    caller's job). Output is ONE row: n per arm, raw and CUPED-adjusted
+    diffs, θ and the variance-reduction fraction ρ² = cov²/(var_x·var_y)
+    — all rounded to 6dp. The moments are EXACT integer/decimal(38,0)
+    sums (Σx, Σy, Σxy, Σx², Σy² — one hash aggregate); only the final
+    few ratios are shared-operand double arithmetic (the
+    experiment-lift z-stat precedent: identical integer operands give
+    identical IEEE results on any engine).
+
+    Scale shape: one per-arm hash aggregate over units (map-side
+    combined), then everything happens on a 2-row table. Sum headroom:
+    Σx² in decimal(38,0) overflows only past ~1e19 per-unit values.
+    """
+    per = (
+        df.select(
+            F.col(arm_col).alias("_arm"),
+            F.col(metric_col).cast(_D38).alias("_y"),
+            F.col(covariate_col).cast(_D38).alias("_x"),
+        )
+        .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+        .groupBy("_arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.expr("_x * _y")).alias("_sxy"),
+            F.sum(F.expr("_x * _x")).alias("_sxx"),
+            F.sum(F.expr("_y * _y")).alias("_syy"),
+        )
+    )
+    c = per.where(F.col("_arm") == control_value).select(
+        F.col("_n").alias("nc"), F.col("_sx").alias("sxc"),
+        F.col("_sy").alias("syc"), F.col("_sxy").alias("sxyc"),
+        F.col("_sxx").alias("sxxc"), F.col("_syy").alias("syyc"),
+    )
+    t = per.where(F.col("_arm") == treatment_value).select(
+        F.col("_n").alias("nt"), F.col("_sx").alias("sxt"),
+        F.col("_sy").alias("syt"), F.col("_sxy").alias("sxyt"),
+        F.col("_sxx").alias("sxxt"), F.col("_syy").alias("syyt"),
+    )
+    g = c.crossJoin(t).select(
+        "*",
+        (F.col("nc") + F.col("nt")).alias("_np"),
+        (F.col("sxc") + F.col("sxt")).alias("_sx"),
+        (F.col("syc") + F.col("syt")).alias("_sy"),
+        (F.col("sxyc") + F.col("sxyt")).alias("_sxy"),
+        (F.col("sxxc") + F.col("sxxt")).alias("_sxx"),
+        (F.col("syyc") + F.col("syyt")).alias("_syy"),
+    )
+    # pooled central moments as exact decimals; ratios in double
+    cov = F.col("_np") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx = F.col("_np") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary = F.col("_np") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    theta = F.when(varx > 0, cov.cast("double") / varx.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    raw_diff = (
+        F.col("syt").cast("double") / F.col("nt")
+        - F.col("syc").cast("double") / F.col("nc")
+    )
+    x_diff = (
+        F.col("sxt").cast("double") / F.col("nt")
+        - F.col("sxc").cast("double") / F.col("nc")
+    )
+    rho2 = F.when(
+        (varx > 0) & (vary > 0),
+        (cov.cast("double") * cov.cast("double"))
+        / (varx.cast("double") * vary.cast("double")),
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        F.col("nc").cast("long").alias("n_control"),
+        F.col("nt").cast("long").alias("n_treatment"),
+        F.round(raw_diff, 6).alias("raw_diff"),
+        F.round(raw_diff - theta * x_diff, 6).alias("cuped_diff"),
+        F.round(theta, 6).alias("theta"),
+        F.round(rho2, 6).alias("rho2"),
+    )

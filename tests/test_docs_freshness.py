@@ -99,3 +99,36 @@ def test_every_query_has_oracle_or_documented_exemption():
     assert not undocumented, (
         f"queries without oracle_sql() outside the exempt family: {undocumented}"
     )
+
+
+def test_scale_md_names_every_superlinear_sf1_query():
+    """SCALE.md must name (and thereby explain) every query whose
+    measured sf0.1 → sf1 cold-time ratio exceeds the 12×-for-10×
+    superlinear threshold in the committed full-roster benches. Runs
+    only when BENCH_sf1.json exists; compares against the most recent
+    committed sf0.1 bench."""
+    import glob
+    import json
+
+    sf1_path = os.path.join(REPO, "BENCH_sf1.json")
+    if not os.path.exists(sf1_path):
+        import pytest
+
+        pytest.skip("no BENCH_sf1.json recorded yet")
+    rounds = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    assert rounds, "no sf0.1 round bench to compare against"
+    sf1 = json.load(open(sf1_path))
+    base = json.load(open(rounds[-1]))
+    if "queries" not in base and "parsed" in base:
+        base = base["parsed"]
+    q1, q0 = sf1.get("queries", {}), base.get("queries", {})
+    scale = open(os.path.join(REPO, "SCALE.md")).read()
+    offenders = [
+        n
+        for n in q1
+        if n in q0 and q0[n] > 0.2 and q1[n] / q0[n] > 12 and f"`{n}`" not in scale
+    ]
+    assert not offenders, (
+        "superlinear sf1 queries (>12x for 10x data) not named/explained "
+        f"in SCALE.md: {sorted(offenders)}"
+    )

@@ -2796,3 +2796,91 @@ def test_doc_lm_surprisal_cross_domain_coverage(spark):
     assert rows[10]["n_bigrams"] == 2 and rows[10]["total_bigrams"] == 2
     # doc 11: no bigram seen -> absent from scored output entirely
     assert 11 not in rows
+
+
+def test_topk_recall_bruteforce(spark):
+    from megalista_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        ["query_id", "neighbor_id"],
+    )
+    approx = spark.createDataFrame(
+        # q1 hits 2/3, q2 hits 0/2 (plus a spurious id), q3 absent entirely
+        [(1, 10), (1, 12), (1, 99), (2, 98)],
+        ["query_id", "neighbor_id"],
+    )
+    out = {r["query_id"]: r for r in topk_recall(exact, approx).collect()}
+    assert out[1]["n_hits"] == 2 and out[1]["recall_ppm"] == 2_000_000 // 3
+    assert out[2]["n_hits"] == 0 and out[2]["recall_ppm"] == 0
+    assert out[3]["n_hits"] == 0  # silent-miss query still reported
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from megalista_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"tail{i} mid{i} filler{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated words here novel")],
+        ["doc_id", "text"],
+    )
+    cont = containment_pairs(df, n=3, threshold_ppm=900_000).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    # every shingle of the short doc appears in the long one
+    assert r["cont_a_in_b_ppm"] == 1_000_000
+    assert r["cont_b_in_a_ppm"] < 200_000
+    # symmetric Jaccard at 0.5 misses this pair entirely — the point
+    jac = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_containment_matches_python_sets(spark):
+    from megalista_spark.operators.dedup import containment_pairs
+
+    texts = {
+        1: "a b c d e f g",
+        2: "a b c d e f g h i j",
+        3: "x y z a b c q r s",
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_pairs(df, n=3, threshold_ppm=1).collect()
+    }
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))}
+
+    for a in texts:
+        for b in texts:
+            if a >= b:
+                continue
+            inter = len(sh(texts[a]) & sh(texts[b]))
+            if inter == 0:
+                assert (a, b) not in got
+                continue
+            r = got[(a, b)]
+            assert r["shared"] == inter
+            assert r["cont_a_in_b_ppm"] == 1_000_000 * inter // len(sh(texts[a]))
+            assert r["cont_b_in_a_ppm"] == 1_000_000 * inter // len(sh(texts[b]))
+
+
+def test_dup_cluster_stats_bruteforce(spark):
+    from megalista_spark.operators.dedup import dup_cluster_stats
+
+    # groups: {1}, {2,3}, {4,5}, {6,7,8} → sizes 1×1, 2×2, 3×1
+    asg = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 2), (4, 4), (5, 4), (6, 6), (7, 6), (8, 6)],
+        ["id", "group_label"],
+    )
+    out = {r["cluster_size"]: r for r in dup_cluster_stats(asg).collect()}
+    assert out[1]["n_clusters"] == 1 and out[1]["removable"] == 0
+    assert out[2]["n_clusters"] == 2 and out[2]["n_docs"] == 4
+    assert out[2]["removable"] == 2
+    assert out[3]["n_clusters"] == 1 and out[3]["removable"] == 2
+    assert sum(r["n_docs"] for r in out.values()) == 8
+    assert out[3]["docs_share_ppm"] == 1_000_000 * 3 // 8

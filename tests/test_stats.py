@@ -293,3 +293,107 @@ def test_rrf_fuse_brute_force(spark):
     assert out["x"]["rrf_micro"] == 1_000_000 // 61 and out["x"]["n_lists"] == 1
     # x and z tie on score (rank1-only vs... x:61 z:62) — x ahead of z
     assert out["x"]["fused_rank"] == 2 and out["z"]["fused_rank"] == 3
+
+
+def test_binary_auc_matches_brute_force(spark):
+    from megalista_spark.operators.stats import binary_auc
+
+    # scores with ties across labels
+    rows = [
+        (1.0, 0), (2.0, 0), (2.0, 1), (3.0, 1), (3.0, 0),
+        (4.0, 1), (5.0, 0), (5.0, 1), (5.0, 1), (0.5, 0),
+    ]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    got = binary_auc(df, "s", "y", n_coarse=3).collect()[0]
+
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    num2 = sum(
+        2 if p > n_ else (1 if p == n_ else 0) for p in pos for n_ in neg
+    )
+    expected = 1_000_000 * num2 // (2 * len(pos) * len(neg))
+    assert got["auc_ppm"] == expected
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+
+
+def test_binary_auc_perfect_and_degenerate(spark):
+    from megalista_spark.operators.stats import binary_auc
+
+    perfect = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], ["s", "y"]
+    )
+    assert binary_auc(perfect, "s", "y").collect()[0]["auc_ppm"] == 1_000_000
+    onlypos = spark.createDataFrame([(1.0, 1), (2.0, 1)], ["s", "y"])
+    assert binary_auc(onlypos, "s", "y").collect()[0]["auc_ppm"] is None
+
+
+def test_binary_auc_bucketing_invariant(spark):
+    # the two-level prefix sum must give the same answer for any n_coarse
+    from megalista_spark.operators.stats import binary_auc
+
+    rows = [(float(i % 17) + (i % 3) * 0.25, (i * 7) % 5 == 0) for i in range(200)]
+    df = spark.createDataFrame([(s, int(y)) for s, y in rows], ["s", "y"])
+    a = binary_auc(df, "s", "y", n_coarse=1).collect()[0]["auc_ppm"]
+    b = binary_auc(df, "s", "y", n_coarse=7).collect()[0]["auc_ppm"]
+    c = binary_auc(df, "s", "y", n_coarse=4096).collect()[0]["auc_ppm"]
+    assert a == b == c
+
+
+def test_gains_table_brute_force(spark):
+    from megalista_spark.operators.stats import gains_table
+
+    rows = [(float(i), int(i >= 15)) for i in range(20)]  # top quarter positive
+    df = spark.createDataFrame(rows, ["s", "y"])
+    out = {r["bin"]: r for r in gains_table(df, "s", "y", n_bins=4).collect()}
+    # bins of 5; positives are 15..19 → all in the top bin
+    assert out[4]["n_pos"] == 5 and out[4]["capture_ppm"] == 1_000_000
+    assert out[4]["lift_ppm"] == 4_000_000  # 100% rate vs 25% global
+    assert out[1]["n_pos"] == 0 and out[1]["capture_ppm"] == 1_000_000
+    assert sum(r["n_pos"] for r in out.values()) == 5
+
+
+def test_cuped_reduces_to_raw_when_covariate_useless(spark):
+    from megalista_spark.operators.stats import cuped_lift
+
+    # covariate constant → var_x = 0 → theta 0 → cuped == raw
+    rows = [(i, "control" if i % 2 else "treatment", float(i), 5.0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["u", "arm", "y", "x"])
+    got = cuped_lift(df, "u", "arm", "y", "x").collect()[0]
+    assert got["theta"] == 0.0
+    assert got["cuped_diff"] == got["raw_diff"]
+
+
+def test_cuped_removes_covariate_explained_variance(spark):
+    from megalista_spark.operators.stats import cuped_lift
+
+    # y = x + 3·treated, with a small accidental covariate imbalance
+    # between arms → the raw diff is contaminated by the imbalance;
+    # CUPED must land (a) exactly on the brute-force formula and
+    # (b) closer to the true effect 3.0 than the raw diff
+    rows = []
+    for i in range(50):
+        rows.append((i, "control", float(i) + 10.0, float(i)))
+        # treatment covariate drifted up by 2 (imbalance), true lift 3
+        xt = float(i) + 2.0
+        rows.append((i + 1000, "treatment", xt + 10.0 + 3.0, xt))
+    df = spark.createDataFrame(rows, ["u", "arm", "y", "x"])
+    got = cuped_lift(df, "u", "arm", "y", "x").collect()[0]
+
+    xs = [r[3] for r in rows]
+    ys = [r[2] for r in rows]
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    yc = [r[2] for r in rows if r[1] == "control"]
+    yt = [r[2] for r in rows if r[1] == "treatment"]
+    xc = [r[3] for r in rows if r[1] == "control"]
+    xt_ = [r[3] for r in rows if r[1] == "treatment"]
+    raw = sum(yt) / len(yt) - sum(yc) / len(yc)
+    xd = sum(xt_) / len(xt_) - sum(xc) / len(xc)
+    assert got["theta"] == round(theta, 6)
+    assert got["raw_diff"] == round(raw, 6)
+    assert got["cuped_diff"] == round(raw - theta * xd, 6)
+    assert abs(got["cuped_diff"] - 3.0) < abs(got["raw_diff"] - 3.0)
+    assert got["rho2"] > 0.9
