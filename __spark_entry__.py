@@ -10832,6 +10832,98 @@ ORDER BY cluster_size
 """
 
 
+def containment_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-scale containment (operators/dedup.py::
+    containment_minhash_estimate): LSH candidates + containment
+    estimated from MinHash signature agreement and exact set sizes —
+    the scale path of containment_dup_pairs when the shingle inverted
+    index is too hot to join exactly. Rational integer estimate
+    1e6·m·(|A|+|B|) div ((H+m)·|A|); one text pass, checkpointed."""
+    from megalista_spark.operators.dedup import containment_minhash_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_minhash_estimate(d, num_hashes=16, bands=4).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _containment_minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    from megalista_spark.operators.dedup import MINHASH_P, minhash_params
+
+    rows_per_band = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(h, x -> (x * {a} + {b}) % {MINHASH_P}))"
+        for a, b in minhash_params(num_hashes)
+    )
+    return _SHINGLE_CTE + f"""
+, hashed AS (
+  SELECT doc_id, len(shingles)::BIGINT AS set_size,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
+  FROM sh
+), sig AS MATERIALIZED (
+  SELECT doc_id, set_size, [{sig_items}] AS sig FROM hashed
+), banded AS MATERIALIZED (
+  SELECT doc_id AS id, b AS band_id,
+         md5(array_to_string(list_transform(sig[b*{rows_per_band}+1 : b*{rows_per_band}+{rows_per_band}],
+                                            v -> v::VARCHAR), ',')) AS band_hash
+  FROM sig CROSS JOIN range(0, {bands}) t(b)
+), cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+), est AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_filter(list_transform(range(1, {num_hashes} + 1),
+                                        i -> sa.sig[i] = sb.sig[i]),
+                         m -> m))::BIGINT AS n_match,
+         sa.set_size AS size_a, sb.set_size AS size_b
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_match, size_a, size_b,
+       1000000 * n_match * (size_a + size_b)
+         // (({num_hashes} + n_match) * size_a) AS est_cont_a_in_b_ppm,
+       1000000 * n_match * (size_a + size_b)
+         // (({num_hashes} + n_match) * size_b) AS est_cont_b_in_a_ppm
+FROM est
+ORDER BY doc_a, doc_b
+"""
+
+
+def embedding_quality_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health audit per label (operators/similarity.py::
+    embedding_quality_audit): vector counts, dimension consistency,
+    NULL/zero encodes, and the exact integer squared-norm distribution
+    (micro²-units) — the pre-flight check before an encoder drop feeds
+    the ANN/dedup family. One scan + one hash aggregate."""
+    from megalista_spark.operators.similarity import embedding_quality_audit
+
+    return embedding_quality_audit(
+        _t(spark, sf_dir, "embeddings"), "embedding", "label"
+    )
+
+
+EMBEDDING_QUALITY_SQL = """
+WITH per AS (
+  SELECT label AS grp, len(embedding) AS dim,
+         list_sum(list_transform(embedding,
+             x -> (round(x::DOUBLE * 1000000)::BIGINT
+                   * round(x::DOUBLE * 1000000)::BIGINT)::HUGEINT)) AS n2
+  FROM embeddings
+)
+SELECT grp AS label,
+       count(*)::BIGINT AS n_vecs,
+       sum(CASE WHEN n2 IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_vecs,
+       sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_vecs,
+       count(DISTINCT dim)::BIGINT AS n_distinct_dims,
+       min(dim)::BIGINT AS min_dim, max(dim)::BIGINT AS max_dim,
+       min(n2)::BIGINT AS min_norm2, max(n2)::BIGINT AS max_norm2,
+       (sum(n2) // count(n2))::BIGINT AS mean_norm2
+FROM per GROUP BY grp ORDER BY label
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -10854,6 +10946,8 @@ _GATE_ROTATION_FIRST = [
     "cuped_adjusted_lift",
     "containment_dup_pairs",
     "dup_cluster_size_histogram",
+    "containment_minhash_estimate",
+    "embedding_quality_by_label",
     "join_skew_audit_keys",
     "chi2_segment_priority",
     "shrunk_purchase_rates",
@@ -11163,6 +11257,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "cuped_adjusted_lift": cuped_adjusted_lift,
         "containment_dup_pairs": containment_dup_pairs,
         "dup_cluster_size_histogram": dup_cluster_size_histogram,
+        "containment_minhash_estimate": containment_minhash_estimate,
+        "embedding_quality_by_label": embedding_quality_by_label,
         "harmonic_centrality_customers": harmonic_centrality_customers,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "oov_rate_by_source": oov_rate_by_source,
@@ -11321,6 +11417,8 @@ def oracle_sql() -> dict[str, str]:
         "cuped_adjusted_lift": CUPED_SQL,
         "containment_dup_pairs": CONTAINMENT_SQL,
         "dup_cluster_size_histogram": DUP_CLUSTER_HIST_SQL,
+        "containment_minhash_estimate": _containment_minhash_sql(),
+        "embedding_quality_by_label": EMBEDDING_QUALITY_SQL,
         "harmonic_centrality_customers": _harmonic_sql(),
         "dedup_keep_best_docs": DEDUP_KEEP_BEST_SQL,
         "oov_rate_by_source": OOV_RATE_SQL,

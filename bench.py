@@ -245,6 +245,8 @@ HEADLINE = [
     "cuped_adjusted_lift",
     "containment_dup_pairs",
     "dup_cluster_size_histogram",
+    "containment_minhash_estimate",
+    "embedding_quality_by_label",
 ]
 
 # Excluded from HEADLINE on purpose:

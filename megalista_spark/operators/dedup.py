@@ -1189,3 +1189,132 @@ def dup_cluster_stats(assignment: DataFrame, label_col: str = "group_label") -> 
         )
         .orderBy("cluster_size")
     )
+
+def containment_minhash_estimate(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_cont_ppm: int = 0,
+) -> DataFrame:
+    """Sketch-scale CONTAINMENT estimation — the MinHash path of
+    ``containment_pairs`` for corpora whose shingle inverted index is
+    too hot to join exactly: LSH candidates, then containment estimated
+    from the signatures and the (exact) set sizes alone, never touching
+    shingle sets at pair time.
+
+    From the signature match count m over H hashes, Ĵ = m/H, and
+    |A∩B| = J·(|A|+|B|)/(1+J) gives the rational estimate
+
+        inter_est        = m·(|A|+|B|) / (H + m)
+        cont_a_in_b_ppm  = 1e6 · m · (|A|+|B|) div ((H + m) · |A|)
+
+    — exact integer arithmetic on (m, sizes), engine-portable. A band
+    match forces its rows equal, so m ≥ H/bands for every candidate.
+
+    Scale shape: signatures AND set sizes come from ONE pass over the
+    text (one aggregate fold; the shingle array is evaluated twice in
+    that pass — size() + fold — not per seed), eagerly localCheckpointed
+    because three consumers (band buckets + both pair sides) would
+    otherwise each re-scan the corpus. Candidates form in band buckets
+    (the minhash_lsh_pairs grouping); signatures join back by id.
+    """
+    params = minhash_params(num_hashes)
+    rows_per_band = num_hashes // bands
+    toked = _tokenized(df, text_col, id_col)
+    sh = shingles_from_tokens(F.col("_toks"), shingle_n)
+    base = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+    )
+    init = F.array(*[F.lit(MINHASH_P).cast("bigint") for _ in params])
+    sig = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.array(
+            *[
+                F.least(F.get(acc, k), (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
+                for k, (a, b) in enumerate(params)
+            ]
+        ),
+    )
+    sigs = toked.select(
+        F.col("id"), sig.alias("sig"), F.size(sh).cast("long").alias("set_size")
+    ).localCheckpoint(eager=True)
+
+    banded = sigs.select(
+        "id",
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"), b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash")
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("id")).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    cand = (
+        _spread(buckets)
+        .select(F.explode(_ordered_pairs(F.col("ms"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("id").alias("doc_a"),
+        F.col("sig").alias("_sig_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    sb = sigs.select(
+        F.col("id").alias("doc_b"),
+        F.col("sig").alias("_sig_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    m = F.size(
+        F.filter(
+            F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("long")
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_match", m)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            "size_a",
+            "size_b",
+            F.expr(
+                f"1000000 * n_match * (size_a + size_b)"
+                f" div (({num_hashes} + n_match) * size_a)"
+            ).alias("est_cont_a_in_b_ppm"),
+            F.expr(
+                f"1000000 * n_match * (size_a + size_b)"
+                f" div (({num_hashes} + n_match) * size_b)"
+            ).alias("est_cont_b_in_a_ppm"),
+        )
+    )
+    if min_cont_ppm > 0:
+        out = out.where(
+            (F.col("est_cont_a_in_b_ppm") >= min_cont_ppm)
+            | (F.col("est_cont_b_in_a_ppm") >= min_cont_ppm)
+        )
+    return out

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_D38 = "decimal(38,0)"
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -1309,4 +1311,68 @@ def topk_recall(
             F.expr("1000000 * coalesce(_h, 0) div n_exact").alias("recall_ppm"),
         )
         .orderBy(key_col)
+    )
+
+def embedding_quality_audit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-table health audit — the check a similarity/ANN pipeline
+    runs before trusting a new encoder drop: per group, vector counts,
+    dimension consistency (a mixed-dim group means a broken writer),
+    zero/NULL vectors (failed encodes that silently poison cosine math),
+    and the squared-norm distribution (collapsed or exploding norms are
+    the classic symptom of a bad checkpoint).
+
+    Components quantize to round(x·scale) bigint and the squared norm
+    accumulates in decimal(38,0) — exact integer statistics, so the
+    audit reproduces bit-for-bit on any engine (the IVF-PQ discipline).
+    Output per group: ``n_vecs, n_null_vecs, n_zero_vecs,
+    n_distinct_dims, min_dim, max_dim, min_norm2, max_norm2,
+    mean_norm2`` (micro²-units).
+
+    Scale shape: ONE scan folding each vector to (dim, norm²) + one hash
+    aggregate on the group key. Nothing is ever collected; no window.
+    """
+    q = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("bigint")
+    )
+    norm2 = F.aggregate(
+        q,
+        F.lit(0).cast(_D38),
+        lambda acc, x: acc + (x * x).cast(_D38),
+    )
+    per = df.select(
+        F.col(group_col).alias("grp"),
+        F.when(F.col(vec_col).isNull(), None).otherwise(norm2).alias("_n2"),
+        F.size(F.col(vec_col)).alias("_dim"),  # -1 for NULL vectors
+    )
+    return (
+        per.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(F.col("_n2").isNull().cast("int")).cast("long").alias(
+                "n_null_vecs"
+            ),
+            F.sum((F.col("_n2") == 0).cast("int")).cast("long").alias(
+                "n_zero_vecs"
+            ),
+            F.count_distinct(F.when(F.col("_dim") >= 0, F.col("_dim")))
+            .cast("long")
+            .alias("n_distinct_dims"),
+            F.min(F.when(F.col("_dim") >= 0, F.col("_dim"))).cast("long").alias(
+                "min_dim"
+            ),
+            F.max(F.when(F.col("_dim") >= 0, F.col("_dim"))).cast("long").alias(
+                "max_dim"
+            ),
+            F.min("_n2").cast("long").alias("min_norm2"),
+            F.max("_n2").cast("long").alias("max_norm2"),
+            F.expr("CAST(sum(_n2) div count(_n2) AS BIGINT)").alias("mean_norm2"),
+        )
+        .select(F.col("grp").alias(group_col), "*")
+        .drop("grp")
+        .orderBy(group_col)
     )

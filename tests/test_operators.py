@@ -2884,3 +2884,50 @@ def test_dup_cluster_stats_bruteforce(spark):
     assert out[3]["n_clusters"] == 1 and out[3]["removable"] == 2
     assert sum(r["n_docs"] for r in out.values()) == 8
     assert out[3]["docs_share_ppm"] == 1_000_000 * 3 // 8
+
+
+def test_containment_minhash_estimate_matches_formula(spark):
+    from megalista_spark.operators.dedup import (
+        containment_minhash_estimate,
+        minhash_signatures,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " iota kappa"), (3, "unrelated words entirely here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_minhash_estimate(df, num_hashes=16, bands=4).collect()
+    }
+    assert (1, 2) in got and (1, 3) not in got
+    r = got[(1, 2)]
+    sigs = {s["doc_id"]: s["sig"] for s in minhash_signatures(df, 16).collect()}
+    m = sum(1 for x, y in zip(sigs[1], sigs[2]) if x == y)
+    assert r["n_match"] == m and m >= 4  # a band match forces >= H/bands
+    est = 1_000_000 * m * (r["size_a"] + r["size_b"]) // ((16 + m) * r["size_a"])
+    assert r["est_cont_a_in_b_ppm"] == est
+
+
+def test_embedding_quality_audit_bruteforce(spark):
+    from megalista_spark.operators.similarity import embedding_quality_audit
+
+    rows = [
+        (1, [1.0, 2.0], "a"),
+        (2, [0.0, 0.0], "a"),          # zero vector
+        (3, [3.0], "a"),               # dimension break
+        (4, None, "a"),                # failed encode
+        (5, [0.5, -0.5], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = {r["label"]: r for r in
+           embedding_quality_audit(df, "embedding", "label").collect()}
+    a = out["a"]
+    assert a["n_vecs"] == 4 and a["n_null_vecs"] == 1 and a["n_zero_vecs"] == 1
+    assert a["n_distinct_dims"] == 2 and (a["min_dim"], a["max_dim"]) == (1, 2)
+    # norms in micro^2: [1,2] -> 5e12, [0,0] -> 0, [3] -> 9e12
+    assert a["min_norm2"] == 0 and a["max_norm2"] == 9 * 10**12
+    assert a["mean_norm2"] == (5 * 10**12 + 0 + 9 * 10**12) // 3
+    b = out["b"]
+    assert b["n_vecs"] == 1 and b["max_norm2"] == 2 * 500000**2
