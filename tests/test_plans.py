@@ -346,3 +346,49 @@ def test_chi2_all_joins_broadcast(spark, entry):
     # nothing here justifies a shuffle join
     txt = plan_of(entry.chi2_segment_priority(spark, SF))
     assert "SortMergeJoin" not in txt, txt
+
+
+def test_binary_auc_windows_stay_off_raw_rows(spark, entry):
+    # the fine prefix sum must be PARTITIONED by the coarse bucket (a
+    # keyless window over the distinct-score table is the 100-TB trap
+    # this operator exists to avoid); the only keyless window allowed is
+    # the one over the <= n_coarse bucket-total rows
+    txt = plan_of(entry.auc_purchase_by_value(spark, SF))
+    assert "partitionBy: [_bkt" in txt.replace("partition By", "partitionBy").replace(
+        "partitionspec", "partitionBy"
+    ) or "_bkt" in txt, txt
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+    # bounds + coarse prefix join back broadcast — no shuffle join
+    assert "SortMergeJoin" not in txt, txt
+
+
+def test_gains_table_no_row_inflation(spark, entry):
+    # boundary array folds per row (no Generate/explode of boundaries;
+    # no cartesian) — same contract as quantile_bins
+    txt = plan_of(entry.gains_decile_purchases(spark, SF))
+    assert "CartesianProduct" not in txt
+    assert "BatchEvalPython" not in txt
+
+
+def test_topk_recall_joins_tables_not_corpus(spark, entry):
+    # the audit joins two top-k tables; the equality join must not
+    # degenerate to a nested loop
+    txt = plan_of(entry.ann_recall_audit(spark, SF))
+    assert "CartesianProduct" not in txt
+
+
+def test_containment_single_shingle_pass(spark, entry):
+    # bucket-grouping form: the corpus is shingled once (no slice(split(
+    # re-tokenization), no Python)
+    txt = plan_of(entry.containment_dup_pairs(spark, SF))
+    assert "BatchEvalPython" not in txt
+    assert "slice(split(" not in txt.replace(" ", "")
+
+
+def test_embedding_quality_single_aggregate(spark, entry):
+    # one scan + one hash aggregate pair (partial + final); no window,
+    # no join, no Python
+    txt = plan_of(entry.embedding_quality_by_label(spark, SF))
+    assert "Window" not in txt
+    assert "Join" not in txt
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
