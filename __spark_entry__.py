@@ -10924,6 +10924,105 @@ FROM per GROUP BY grp ORDER BY label
 """
 
 
+def decayed_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted user value (operators/attribution.py::
+    decayed_scores): every event's value halves per elapsed 7-day
+    half-life from the newest event — RFM's continuous cousin, in exact
+    power-of-two integer staircase decay so the ranking is
+    engine-portable. One 1-row max(ts) broadcast + one hash aggregate;
+    top 50 via per-partition heaps."""
+    from megalista_spark.operators.attribution import decayed_scores
+
+    e = _events(spark, sf_dir)
+    return (
+        decayed_scores(e, "user_id", "ts", "value", half_life_days=7)
+        .orderBy(F.desc("decayed_micro"), F.asc("user_id"))
+        .limit(50)
+    )
+
+
+DECAYED_SCORES_SQL = """
+WITH ref AS (SELECT max(ts) AS r FROM events),
+per AS (
+  SELECT user_id,
+         count(*)::BIGINT AS n_events,
+         sum(round(value * 100)::BIGINT)::BIGINT AS raw_fixed,
+         sum((round(value * 100)::BIGINT * 1000000)
+             // (1::BIGINT << least((epoch_us(r::TIMESTAMP) - epoch_us(ts::TIMESTAMP))
+                                      // (86400000000 * 7), 62)::INT))::BIGINT
+           AS decayed_micro
+  FROM events CROSS JOIN ref
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_events, raw_fixed, decayed_micro
+FROM per
+ORDER BY decayed_micro DESC, user_id
+LIMIT 50
+"""
+
+
+def lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter-quality audit (operators/dedup.py::
+    lsh_candidate_precision): of the (16 hashes, 4 bands) candidate
+    pairs, the ppm fraction that are TRUE Jaccard ≥ 0.5 near-dups, per
+    shared-band count — the acceptance test for a banding choice.
+    Exact verification runs on candidates only, never all pairs."""
+    from megalista_spark.operators.dedup import lsh_candidate_precision
+
+    d = _t(spark, sf_dir, "documents")
+    return lsh_candidate_precision(d, num_hashes=16, bands=4, threshold=0.5)
+
+
+def _lsh_precision_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    from megalista_spark.operators.dedup import MINHASH_P, minhash_params
+
+    rows_per_band = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(h, x -> (x * {a} + {b}) % {MINHASH_P}))"
+        for a, b in minhash_params(num_hashes)
+    )
+    return _SHINGLE_CTE + f"""
+, hashed AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
+  FROM sh
+), sig AS MATERIALIZED (
+  SELECT doc_id, [{sig_items}] AS sig FROM hashed
+), banded AS MATERIALIZED (
+  SELECT doc_id AS id, b AS band_id,
+         md5(array_to_string(list_transform(sig[b*{rows_per_band}+1 : b*{rows_per_band}+{rows_per_band}],
+                                            v -> v::VARCHAR), ',')) AS band_hash
+  FROM sig CROSS JOIN range(0, {bands}) t(b)
+), cand AS MATERIALIZED (
+  SELECT a.id AS doc_a, b.id AS doc_b, count(*)::BIGINT AS n_shared_bands
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+  GROUP BY 1, 2
+), ex AS (
+  SELECT doc_id AS id, len(shingles) AS set_size,
+         unnest(list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS shingle
+  FROM sh
+), ver AS (
+  SELECT c.doc_a, c.doc_b, min(a.set_size) AS sza, min(b.set_size) AS szb,
+         count(*)::BIGINT AS shared
+  FROM cand c
+  JOIN ex a ON a.id = c.doc_a
+  JOIN ex b ON b.id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+), flags AS (
+  SELECT cand.n_shared_bands,
+         coalesce(CASE WHEN v.shared / (v.sza + v.szb - v.shared) >= 0.5
+                       THEN 1 ELSE 0 END, 0) AS tp
+  FROM cand LEFT JOIN ver v ON v.doc_a = cand.doc_a AND v.doc_b = cand.doc_b
+)
+SELECT n_shared_bands, count(*)::BIGINT AS n_candidates,
+       sum(tp)::BIGINT AS n_true_pos,
+       (1000000 * sum(tp) // count(*))::BIGINT AS precision_ppm
+FROM flags GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -10948,6 +11047,8 @@ _GATE_ROTATION_FIRST = [
     "dup_cluster_size_histogram",
     "containment_minhash_estimate",
     "embedding_quality_by_label",
+    "decayed_user_scores",
+    "lsh_precision_audit",
     "join_skew_audit_keys",
     "chi2_segment_priority",
     "shrunk_purchase_rates",
@@ -11259,6 +11360,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "dup_cluster_size_histogram": dup_cluster_size_histogram,
         "containment_minhash_estimate": containment_minhash_estimate,
         "embedding_quality_by_label": embedding_quality_by_label,
+        "decayed_user_scores": decayed_user_scores,
+        "lsh_precision_audit": lsh_precision_audit,
         "harmonic_centrality_customers": harmonic_centrality_customers,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "oov_rate_by_source": oov_rate_by_source,
@@ -11419,6 +11522,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_cluster_size_histogram": DUP_CLUSTER_HIST_SQL,
         "containment_minhash_estimate": _containment_minhash_sql(),
         "embedding_quality_by_label": EMBEDDING_QUALITY_SQL,
+        "decayed_user_scores": DECAYED_SCORES_SQL,
+        "lsh_precision_audit": _lsh_precision_sql(),
         "harmonic_centrality_customers": _harmonic_sql(),
         "dedup_keep_best_docs": DEDUP_KEEP_BEST_SQL,
         "oov_rate_by_source": OOV_RATE_SQL,

@@ -247,6 +247,8 @@ HEADLINE = [
     "dup_cluster_size_histogram",
     "containment_minhash_estimate",
     "embedding_quality_by_label",
+    "decayed_user_scores",
+    "lsh_precision_audit",
 ]
 
 # Excluded from HEADLINE on purpose:

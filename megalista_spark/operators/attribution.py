@@ -203,3 +203,56 @@ def rfm_scores(
         score("frequency").cast("int").alias("f_score"),
         score("monetary").cast("int").alias("m_score"),
     )
+
+def decayed_scores(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_days: int = 7,
+    decimals: int = 2,
+) -> DataFrame:
+    """Recency-weighted entity scores — RFM's continuous cousin: each
+    event contributes its value halved once per elapsed ``half_life_days``
+    from the table's newest event, so a user's score is dominated by what
+    they did recently without any hard window cutoff.
+
+    Exact integer staircase decay (the fixed-point discipline): with
+    n = (Δdays div half_life) whole half-lives elapsed,
+
+        contribution_micro = (value_fixed · 1e6) div 2^min(n, 62)
+
+    — a power-of-two divisor, so the decay reproduces bit-for-bit on any
+    engine (continuous 2^(−Δ/h) needs pow/exp; the staircase is the
+    portable contract and the ranking it induces is what campaigns act
+    on). Values fix-point to ``decimals``.
+
+    Output per key: ``n_events, raw_fixed`` (undecayed sum),
+    ``decayed_micro``. Scale shape: a 1-row max(ts) broadcast + ONE hash
+    aggregate over events — map-side combined, no window, no sort.
+    """
+    ref = df.agg(F.max(ts_col).alias("_ref"))
+    scale = 10**decimals
+    v = F.round(F.col(value_col) * scale).cast("long")
+    nh = F.expr(
+        f"least(CAST((unix_micros(_ref) - unix_micros({ts_col}))"
+        f" div (86400000000 * {int(half_life_days)}) AS BIGINT), 62L)"
+    )
+    return (
+        df.crossJoin(F.broadcast(ref))
+        .where(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(key_col), v.alias("_v"), nh.alias("_nh"))
+        .select(
+            key_col,
+            "_v",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_nh AS INT))").alias("_div"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("_v").cast("long").alias("raw_fixed"),
+            F.sum(F.expr("_v * 1000000 div _div")).cast("long").alias(
+                "decayed_micro"
+            ),
+        )
+    )

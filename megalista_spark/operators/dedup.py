@@ -1318,3 +1318,95 @@ def containment_minhash_estimate(
             | (F.col("est_cont_b_in_a_ppm") >= min_cont_ppm)
         )
     return out
+
+def lsh_candidate_precision(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH parameter-quality audit — the acceptance test for a
+    (num_hashes, bands) choice before it gates a corpus: of the
+    candidate pairs the band collisions produce, what fraction are TRUE
+    near-duplicates at the target Jaccard threshold? Low precision means
+    the verify stage is drowning in false candidates (add rows per band);
+    the recall side is ``topk_recall``'s job for ANN and the band-count
+    statistics' here.
+
+    Exact verification runs on CANDIDATES ONLY (never all pairs): the
+    corpus is shingled once, candidates join their two shingle posting
+    sides, shared counts aggregate per pair. Output per n_shared_bands
+    (more agreeing bands should mean higher precision — the monotonicity
+    that validates the banding):
+    ``n_shared_bands, n_candidates, n_true_pos, precision_ppm``.
+
+    Scale shape: signature/banding pass (no shuffle) + bucket grouping,
+    then a candidate-bounded explode (candidate × |A| shingle rows — the
+    inherent verify cost, NOT corpus²) + one hash aggregate; final stats
+    on the ≤ ``bands``-row table. Integer ppm.
+    """
+    cand = minhash_lsh_pairs(
+        df, num_hashes, bands, shingle_n, text_col, id_col
+    ).localCheckpoint(eager=True)
+    shingled = (
+        _tokenized(df, text_col, id_col)
+        .select(
+            "id", shingles_from_tokens(F.col("_toks"), shingle_n).alias("shingles")
+        )
+        .select(
+            "id",
+            F.size("shingles").alias("set_size"),
+            F.explode_outer(
+                F.transform(F.col("shingles"), portable_hash64)
+            ).alias("shingle"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sa = shingled.select(
+        F.col("id").alias("_ida"),
+        F.col("set_size").alias("size_a"),
+        F.col("shingle").alias("_sha"),
+    )
+    sb = shingled.select(
+        F.col("id").alias("_idb"),
+        F.col("set_size").alias("size_b"),
+        F.col("shingle").alias("_shb"),
+    )
+    shared = (
+        cand.join(sa, F.col("doc_a") == F.col("_ida"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("_idb")) & (F.col("_sha") == F.col("_shb")),
+        )
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+    verdicts = cand.join(
+        shared.select(
+            F.col("doc_a").alias("_va"),
+            F.col("doc_b").alias("_vb"),
+            (jac >= threshold).cast("int").alias("_tp"),
+        ),
+        (F.col("doc_a") == F.col("_va")) & (F.col("doc_b") == F.col("_vb")),
+        "left",
+    )
+    return (
+        verdicts.groupBy("n_shared_bands")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("_tp"), F.lit(0))).cast("long").alias(
+                "n_true_pos"
+            ),
+        )
+        .select(
+            "n_shared_bands",
+            "n_candidates",
+            "n_true_pos",
+            F.expr("1000000 * n_true_pos div n_candidates").alias("precision_ppm"),
+        )
+        .orderBy("n_shared_bands")
+    )

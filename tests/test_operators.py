@@ -2931,3 +2931,52 @@ def test_embedding_quality_audit_bruteforce(spark):
     assert a["mean_norm2"] == (5 * 10**12 + 0 + 9 * 10**12) // 3
     b = out["b"]
     assert b["n_vecs"] == 1 and b["max_norm2"] == 2 * 500000**2
+
+
+def test_decayed_scores_staircase_bruteforce(spark):
+    from datetime import datetime
+
+    from megalista_spark.operators.attribution import decayed_scores
+
+    rows = [
+        # user 1: 10.00 now, 10.00 one half-life ago, 10.00 two ago
+        (1, datetime(2024, 1, 29), 10.0),
+        (1, datetime(2024, 1, 22), 10.0),
+        (1, datetime(2024, 1, 15), 10.0),
+        # user 2: one event 13 days old -> 1 whole half-life elapsed
+        (2, datetime(2024, 1, 16), 8.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r["user_id"]: r for r in
+           decayed_scores(df, "user_id", "ts", "value", half_life_days=7).collect()}
+    u1 = out[1]
+    assert u1["raw_fixed"] == 3000
+    assert u1["decayed_micro"] == (
+        1000 * 1_000_000 + 1000 * 1_000_000 // 2 + 1000 * 1_000_000 // 4
+    )
+    assert out[2]["decayed_micro"] == 800 * 1_000_000 // 2
+
+
+def test_lsh_candidate_precision_bruteforce(spark):
+    from megalista_spark.operators.dedup import (
+        lsh_candidate_precision,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    texts = [(i, "common base text shared by all near duplicates here v"
+              + str(i % 2)) for i in range(6)]
+    texts += [(100 + i, f"totally different content {i} " * 3) for i in range(3)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = lsh_candidate_precision(df, num_hashes=16, bands=4, threshold=0.5)
+    rows = out.collect()
+    cand = minhash_lsh_pairs(df, 16, 4).collect()
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    }
+    assert sum(r["n_candidates"] for r in rows) == len(cand)
+    exp_tp = sum(1 for c in cand if (c["doc_a"], c["doc_b"]) in true_pairs)
+    assert sum(r["n_true_pos"] for r in rows) == exp_tp
+    for r in rows:
+        assert r["precision_ppm"] == 1_000_000 * r["n_true_pos"] // r["n_candidates"]
