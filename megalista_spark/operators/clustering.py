@@ -52,7 +52,16 @@ def _lloyd(
     vecs = df.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).persist()
+    )
+    # the assignment stage is O(n·k·dim) compute ON THE INPUT PARTITIONS;
+    # a small-file local corpus (one parquet file → 1-4 partitions) would
+    # serialize it onto a few cores while 28 idle (measured: k=782 at sf1
+    # pinned ONE core for minutes). At cluster scale inputs carry many
+    # partitions and this is a no-op.
+    sc = df.sparkSession.sparkContext
+    if vecs.rdd.getNumPartitions() < sc.defaultParallelism:
+        vecs = vecs.repartition(sc.defaultParallelism)
+    vecs = vecs.persist()
     w_init = Window.orderBy("vid")
     centroids = (
         vecs.orderBy("vid")
@@ -75,13 +84,19 @@ def _lloyd(
     assigned = None
     for _ in range(iters):
         d = F.round(_sq_dist(F.col("v"), F.col("cv")), 6)
-        w = Window.partitionBy("vid").orderBy("d", "cid")
+        # argmin by HASH AGGREGATE, not a window: lexicographic
+        # min(struct(d, cid, v)) is exactly row_number() over
+        # (ORDER BY d, cid) row 1 — cid is distinct per vid, so v is
+        # never compared — and the map-side partial min collapses the
+        # n·k expansion to ~one row per vid per task BEFORE the shuffle
+        # (the window form shuffled and sorted all n·k rows: 39M at
+        # k=782/sf1, the measured straggler)
         assigned = (
             vecs.join(F.broadcast(centroids))
-            .select("vid", "v", "cid", d.alias("d"))
-            .withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") == 1)
-            .select("vid", "v", "cid")
+            .select("vid", d.alias("d"), "cid", "v")
+            .groupBy("vid")
+            .agg(F.min(F.struct("d", "cid", "v")).alias("_m"))
+            .select("vid", F.col("_m.v").alias("v"), F.col("_m.cid").alias("cid"))
         )
         centroids = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))

@@ -289,6 +289,10 @@ def binary_auc(
             F.sum("_y").cast("long").alias("_pos"),
             F.sum(1 - F.col("_y")).cast("long").alias("_neg"),
         )
+        # three consumers (bounds, coarse totals, fine window) would each
+        # re-run the raw-row aggregate lazily — materialize the
+        # distinct-score table once (the simhash_near_pairs lesson)
+        .localCheckpoint(eager=True)
     )
     bounds = g.agg(
         F.min("_s").alias("_lo"),
@@ -476,6 +480,10 @@ def cuped_lift(
             F.sum(F.expr("_x * _x")).alias("_sxx"),
             F.sum(F.expr("_y * _y")).alias("_syy"),
         )
+        # the control/treatment filters each consume this 2-row result;
+        # without materialization the unit-grain aggregate (the heavy
+        # scan) runs twice
+        .localCheckpoint(eager=True)
     )
     c = per.where(F.col("_arm") == control_value).select(
         F.col("_n").alias("nc"), F.col("_sx").alias("sxc"),
