@@ -11023,6 +11023,98 @@ FROM flags GROUP BY 1 ORDER BY 1
 """
 
 
+def theil_sen_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type hourly trend (operators/timeseries.py::
+    theil_sen_trend, Theil 1950/Sen 1968): the exact lower-median of all
+    pairwise slopes in integer ppm with explicit floor division — the
+    outlier-immune twin of trend_hourly_by_type's least squares. The
+    O(m²) pair work is per SERIES (720 hourly points), never per event;
+    the cap guard makes that contract explicit."""
+    from megalista_spark.operators.timeseries import theil_sen_trend
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return theil_sen_trend(hourly, "hr", "y", key_cols=["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+THEIL_SEN_SQL = """
+WITH h AS MATERIALIZED (
+  SELECT event_type, epoch_us(ts::TIMESTAMP) // 3600000000 AS hr,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT event_type, count(*)::BIGINT AS n_points FROM h GROUP BY 1),
+p AS (
+  SELECT a.event_type, (1000000 * (b.y - a.y)) // (b.hr - a.hr) AS s
+  FROM h a JOIN h b ON a.event_type = b.event_type AND b.hr > a.hr
+),
+r AS (
+  SELECT event_type, s,
+         row_number() OVER (PARTITION BY event_type ORDER BY s) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS np
+  FROM p
+)
+SELECT r.event_type, m.n_points, r.np::BIGINT AS n_pairs,
+       r.s::BIGINT AS ts_slope_ppm
+FROM r JOIN m USING (event_type)
+WHERE rk = (np + 1) // 2
+ORDER BY event_type
+"""
+
+
+def changepoint_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single best changepoint per event-type hourly series
+    (operators/timeseries.py::best_mean_shift): the split maximizing the
+    exact-integer centered-cumsum contrast |n·S_t − t·S_n| — binary
+    segmentation's first step, locating WHERE the level shifted (CUSUM's
+    flags say whether). One window sort per key + a hash-agg argmax."""
+    from megalista_spark.operators.timeseries import best_mean_shift
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return best_mean_shift(hourly, "hr", "y", key_cols=["event_type"])
+
+
+CHANGEPOINT_SQL = """
+WITH h AS MATERIALIZED (
+  SELECT event_type, epoch_us(ts::TIMESTAMP) // 3600000000 AS hr,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, hr,
+         sum(y) OVER (PARTITION BY event_type ORDER BY hr
+                      ROWS UNBOUNDED PRECEDING) AS st,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS t,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(y) OVER (PARTITION BY event_type) AS sn
+  FROM h
+),
+c AS (
+  SELECT event_type, n::BIGINT AS n_points,
+         abs(n * st - t * sn)::BIGINT AS contrast, hr
+  FROM b WHERE t < n
+),
+best AS (
+  SELECT event_type, n_points, contrast, hr,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY contrast DESC, hr ASC) AS rk
+  FROM c
+)
+SELECT event_type, n_points, hr::BIGINT AS split_x, contrast
+FROM best WHERE rk = 1
+ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -11049,6 +11141,8 @@ _GATE_ROTATION_FIRST = [
     "embedding_quality_by_label",
     "decayed_user_scores",
     "lsh_precision_audit",
+    "theil_sen_hourly_by_type",
+    "changepoint_hourly_by_type",
     "join_skew_audit_keys",
     "chi2_segment_priority",
     "shrunk_purchase_rates",
@@ -11362,6 +11456,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "embedding_quality_by_label": embedding_quality_by_label,
         "decayed_user_scores": decayed_user_scores,
         "lsh_precision_audit": lsh_precision_audit,
+        "theil_sen_hourly_by_type": theil_sen_hourly_by_type,
+        "changepoint_hourly_by_type": changepoint_hourly_by_type,
         "harmonic_centrality_customers": harmonic_centrality_customers,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "oov_rate_by_source": oov_rate_by_source,
@@ -11524,6 +11620,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quality_by_label": EMBEDDING_QUALITY_SQL,
         "decayed_user_scores": DECAYED_SCORES_SQL,
         "lsh_precision_audit": _lsh_precision_sql(),
+        "theil_sen_hourly_by_type": THEIL_SEN_SQL,
+        "changepoint_hourly_by_type": CHANGEPOINT_SQL,
         "harmonic_centrality_customers": _harmonic_sql(),
         "dedup_keep_best_docs": DEDUP_KEEP_BEST_SQL,
         "oov_rate_by_source": OOV_RATE_SQL,

@@ -249,6 +249,8 @@ HEADLINE = [
     "embedding_quality_by_label",
     "decayed_user_scores",
     "lsh_precision_audit",
+    "theil_sen_hourly_by_type",
+    "changepoint_hourly_by_type",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -388,3 +388,184 @@ def mad_outliers(
             > scale * F.lit(int(thresh_num))
         ).alias("is_outlier"),
     )
+
+def theil_sen_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: Sequence[str] = (),
+    max_points_per_key: int = 2_000,
+) -> DataFrame:
+    """Per-key Theil-Sen robust trend (Theil 1950 / Sen 1968, public
+    method): the LOWER MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i)
+    — the slope estimator that shrugs off the outliers that drag
+    ``linear_trend``'s least squares around (breakdown point ~29%).
+
+    Slopes are integer ppm with explicit FLOOR division —
+    slope_ppm = floor(1e6·Δy / Δx), Δx > 0 under the sorted-x pair
+    order, computed as (a − pmod(a, b))/b so Spark's trunc-toward-zero
+    ``div`` never diverges from a floor-semantics oracle on NEGATIVE
+    slopes (the winsorized-mean portability lesson; exact while
+    1e6·|Δy| stays under ~9e15). The median is the exact k-th smallest
+    (k = (n_pairs+1) div 2). Output per key:
+    ``(key..., n_points, n_pairs, ts_slope_ppm)``.
+
+    Scale contract: pairwise slopes are inherently O(m²) PER KEY — this
+    operator is for MANY SHORT series (per-type/source hourly rollups:
+    m ≤ a few thousand), never raw logs. ``max_points_per_key`` makes
+    that contract explicit: any key past it raises with the remediation
+    (aggregate to a coarser grain first); the cap also bounds the
+    keyless path, whose single global series funnels its pairs through
+    one rank window. Plan: one per-key sorted collect_list (the series
+    fits by contract, materialized ONCE — the guard and the pair
+    explode share the checkpoint), one pair explode, one per-key rank
+    window for the order statistic — every stage keyed, so skew = the
+    largest single series, which the guard bounds.
+    """
+    keys = list(key_cols)
+    sized = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(x_col).cast("bigint").alias("x"),
+                    F.col(y_col).cast("bigint").alias("y"),
+                )
+            )
+        ).alias("_pts"),
+    ).localCheckpoint(eager=True)
+    chk = sized.agg(F.max("_m").alias("_mx")).collect()[0]["_mx"] or 0
+    if chk > max_points_per_key:
+        raise ValueError(
+            f"theil_sen_trend: a key holds {chk} points (> "
+            f"max_points_per_key={max_points_per_key}); pairwise slopes "
+            "are O(m^2) per key - aggregate the series to a coarser "
+            "grain first, or raise the cap deliberately"
+        )
+    pairs = (
+        sized.where(F.size("_pts") >= 2)
+        .select(
+            *keys,
+            F.col("_m").cast("bigint").alias("n_points"),
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(2), F.size("_pts")),
+                        lambda i: F.transform(
+                            F.sequence(F.lit(1), i - F.lit(1)),
+                            lambda j: F.struct(
+                                F.element_at(F.col("_pts"), i)
+                                .getField("x")
+                                .alias("x2"),
+                                F.element_at(F.col("_pts"), j)
+                                .getField("x")
+                                .alias("x1"),
+                                F.element_at(F.col("_pts"), i)
+                                .getField("y")
+                                .alias("y2"),
+                                F.element_at(F.col("_pts"), j)
+                                .getField("y")
+                                .alias("y1"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p"),
+        )
+        .where(F.expr("p.x2 != p.x1"))
+        .select(
+            *keys,
+            "n_points",
+            # floor semantics on both engines: (a - pmod(a,b))/b with
+            # b > 0; pmod is non-negative so the quotient is exact
+            F.expr(
+                "CAST((1000000 * (p.y2 - p.y1)"
+                " - pmod(1000000 * (p.y2 - p.y1), p.x2 - p.x1))"
+                " / (p.x2 - p.x1) AS BIGINT)"
+            ).alias("_s"),
+        )
+    )
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    ranked = pairs.withColumn(
+        "_rk", F.row_number().over(w.orderBy("_s"))
+    ).withColumn("_np", F.count(F.lit(1)).over(w))
+    return (
+        ranked.where(F.col("_rk") == F.expr("(_np + 1) div 2"))
+        .select(
+            *keys,
+            "n_points",
+            F.col("_np").cast("bigint").alias("n_pairs"),
+            F.col("_s").alias("ts_slope_ppm"),
+        )
+    )
+
+def best_mean_shift(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: Sequence[str] = (),
+    max_global_rows: int | None = None,
+) -> DataFrame:
+    """Per-key single changepoint by binary segmentation: the split
+    point t maximizing the between-segment contrast of a mean shift —
+    where did this series change level? (CUSUM's ``cusum_flags`` says
+    WHETHER drift crossed a threshold; this says WHERE the one best
+    split is — the first step of binary-segmentation changepoint
+    detection, public method.)
+
+    The maximized statistic is the centered cumulative sum scaled to
+    stay integer: contrast(t) = |n·S_t − t·S_n| over prefix sums S_t of
+    y ordered by x (equivalent to the two-segment mean-difference test
+    statistic up to a per-t positive factor... NOTE: the UNNORMALIZED
+    form — deliberately: it is exact bigint, monotone enough for level
+    shifts, and engine-portable; the √(t(n−t)) normalization needs
+    floats). Ties break to the smallest x. Output per key:
+    ``(key..., n_points, split_x, contrast)`` — split AFTER x = split_x.
+
+    Scale shape: ONE window sort per key (prefix sum, rank and totals
+    share the frame) + one hash-aggregate argmax via lexicographic
+    max(struct(contrast, −x)). Keyless input raises above
+    ``max_global_rows`` (the assign_batches contract) — pass key_cols
+    so the sort is per-group and parallel.
+    """
+    keys = list(key_cols)
+    if not keys:
+        guard_global_window(
+            df,
+            "best_mean_shift",
+            "key_cols",
+            GLOBAL_WINDOW_MAX_ROWS if max_global_rows is None else max_global_rows,
+        )
+    x = F.col(x_col).cast("bigint")
+    y = F.col(y_col).cast("bigint")
+    wp = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    w = wp.orderBy(x_col).rowsBetween(Window.unboundedPreceding, 0)
+    base = (
+        df.select(*keys, x.alias("_x"), y.alias("_y"))
+        .withColumn("_st", F.sum("_y").over(w.orderBy("_x")))
+        .withColumn("_t", F.row_number().over(wp.orderBy("_x")))
+        .withColumn("_n", F.count(F.lit(1)).over(wp))
+        .withColumn("_sn", F.sum("_y").over(wp))
+    )
+    contrast = F.abs(
+        F.col("_n") * F.col("_st") - F.col("_t") * F.col("_sn")
+    ).cast("bigint")
+    best = (
+        base.where(F.col("_t") < F.col("_n"))  # a split needs both sides
+        .select(
+            *keys,
+            F.col("_n").cast("bigint").alias("n_points"),
+            F.struct(
+                contrast.alias("c"), (-F.col("_x")).alias("nx")
+            ).alias("_cand"),
+        )
+        .groupBy(*keys, "n_points")
+        .agg(F.max("_cand").alias("_best"))
+        .select(
+            *keys,
+            "n_points",
+            (-F.col("_best.nx")).cast("bigint").alias("split_x"),
+            F.col("_best.c").alias("contrast"),
+        )
+    )
+    return best.orderBy(*keys) if keys else best

@@ -2980,3 +2980,74 @@ def test_lsh_candidate_precision_bruteforce(spark):
     assert sum(r["n_true_pos"] for r in rows) == exp_tp
     for r in rows:
         assert r["precision_ppm"] == 1_000_000 * r["n_true_pos"] // r["n_candidates"]
+
+
+def test_theil_sen_matches_bruteforce(spark):
+    from megalista_spark.operators.timeseries import theil_sen_trend
+
+    # outlier-contaminated line: y = 2x except one wild point
+    pts = [(i, 2 * i) for i in range(10)]
+    pts[5] = (5, 500)
+    df = spark.createDataFrame([("k", x, y) for x, y in pts], ["g", "x", "y"])
+    got = theil_sen_trend(df, "x", "y", key_cols=["g"]).collect()[0]
+
+    slopes = sorted(
+        (1_000_000 * (y2 - y1)) // (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1 :]
+    )
+    k = (len(slopes) + 1) // 2
+    assert got["ts_slope_ppm"] == slopes[k - 1]
+    assert got["n_pairs"] == len(slopes) and got["n_points"] == 10
+    # the robust point: the median slope stays 2.0 despite the outlier
+    assert got["ts_slope_ppm"] == 2_000_000
+
+
+def test_theil_sen_negative_slope_floor_portable(spark):
+    from megalista_spark.operators.timeseries import theil_sen_trend
+
+    # decreasing series with a slope that does not divide evenly:
+    # floor(-1e6*2/3) = -666667, NOT trunc's -666666
+    df = spark.createDataFrame(
+        [("k", 0, 10), ("k", 3, 8)], ["g", "x", "y"]
+    )
+    got = theil_sen_trend(df, "x", "y", key_cols=["g"]).collect()[0]
+    assert got["ts_slope_ppm"] == -666667
+
+
+def test_theil_sen_cap_guard(spark):
+    import pytest
+
+    from megalista_spark.operators.timeseries import theil_sen_trend
+
+    df = spark.createDataFrame([("k", i, i) for i in range(30)], ["g", "x", "y"])
+    with pytest.raises(ValueError, match="O\\(m\\^2\\)"):
+        theil_sen_trend(df, "x", "y", key_cols=["g"], max_points_per_key=10)
+
+
+def test_best_mean_shift_finds_level_change(spark):
+    from megalista_spark.operators.timeseries import best_mean_shift
+
+    # level 10 for x in 0..9, level 50 for x in 10..19 → split at x=9
+    rows = [("k", x, 10 if x < 10 else 50) for x in range(20)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = best_mean_shift(df, "x", "y", key_cols=["g"]).collect()[0]
+    assert got["split_x"] == 9 and got["n_points"] == 20
+
+    # brute force the contrast maximum
+    ys = [y for _, _, y in rows]
+    n, sn = len(ys), sum(ys)
+    best = max(
+        (abs(n * sum(ys[: t + 1]) - (t + 1) * sn), -t) for t in range(n - 1)
+    )
+    assert got["contrast"] == best[0]
+
+
+def test_best_mean_shift_keyless_guard(spark):
+    import pytest
+
+    from megalista_spark.operators.timeseries import best_mean_shift
+
+    df = spark.createDataFrame([(i, i) for i in range(50)], ["x", "y"])
+    with pytest.raises(ValueError, match="single task"):
+        best_mean_shift(df, "x", "y", max_global_rows=10)
