@@ -12066,7 +12066,11 @@ def _ms_semdedup(con, target_cluster_size: int = 64, iters: int = 2, threshold: 
     target_cluster_size): materialized Lloyd's rounds (assignment and
     centroid tables per round) instead of one k-pinned CTE chain."""
     n = con.sql("SELECT COUNT(*) FROM embeddings").fetchone()[0]
-    k = max(1, -(-n // target_cluster_size))
+    # mirror the operator's balanced-target rule: target = max(req, √n)
+    import math as _math
+
+    _target = max(int(target_cluster_size), _math.isqrt(n))
+    k = max(1, -(-n // _target))
     tmp = ["_ms_e", "_ms_c", "_ms_a"]
     _ms_drop(con, tmp)
     con.execute(

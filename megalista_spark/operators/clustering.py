@@ -81,23 +81,44 @@ def _lloyd(
         rows = [(r["cid"], list(r["cv"])) for r in c.collect()]
         return spark.createDataFrame(rows, "cid int, cv array<double>")
 
+    # argmin by PRIMITIVE hash aggregate: (d, cid) encodes into one
+    # bigint — d is already 6dp-rounded, so d_micro = round(d·1e6) is
+    # exact, and key = d_micro·2^20 + cid preserves the lexicographic
+    # (d, cid) order bit-for-bit (k < 2^20 by contract). min(bigint)
+    # stays inside whole-stage codegen with map-side partial combine, so
+    # the n·k expansion collapses to ~one long per vid per task before
+    # the shuffle. The earlier forms both lost this: a per-vid WINDOW
+    # shuffled and sorted all n·k rows (39M at k=782/sf1 — the measured
+    # straggler), and min(struct(d, cid, v)) fell back to
+    # ObjectHashAggregate copying 64-double arrays per new minimum
+    # (measured ~2× slower than this at sf1). The vector joins back by
+    # vid from the persisted corpus — an n-row narrow join per round.
+    if k >= (1 << 20):
+        raise ValueError(f"_lloyd supports k < 2^20 (got {k})")
+    d_bound = (1 << 42) - 1  # d_micro·2^20 must stay under 2^63
     assigned = None
     for _ in range(iters):
         d = F.round(_sq_dist(F.col("v"), F.col("cv")), 6)
-        # argmin by HASH AGGREGATE, not a window: lexicographic
-        # min(struct(d, cid, v)) is exactly row_number() over
-        # (ORDER BY d, cid) row 1 — cid is distinct per vid, so v is
-        # never compared — and the map-side partial min collapses the
-        # n·k expansion to ~one row per vid per task BEFORE the shuffle
-        # (the window form shuffled and sorted all n·k rows: 39M at
-        # k=782/sf1, the measured straggler)
-        assigned = (
-            vecs.join(F.broadcast(centroids))
-            .select("vid", d.alias("d"), "cid", "v")
-            .groupBy("vid")
-            .agg(F.min(F.struct("d", "cid", "v")).alias("_m"))
-            .select("vid", F.col("_m.v").alias("v"), F.col("_m.cid").alias("cid"))
+        d_micro = F.round(d * 1_000_000).cast("bigint")
+        key = F.when(
+            d_micro <= F.lit(d_bound),
+            d_micro * F.lit(1 << 20) + F.col("cid"),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "_lloyd: squared distance exceeds the bigint argmin "
+                    "encoding headroom (d > ~4.4e6) - rescale the vectors"
+                )
+            ).cast("bigint")
         )
+        best = (
+            vecs.join(F.broadcast(centroids))
+            .select("vid", key.alias("_k"))
+            .groupBy("vid")
+            .agg(F.min("_k").alias("_k"))
+            .select("vid", F.pmod(F.col("_k"), F.lit(1 << 20)).cast("int").alias("cid"))
+        )
+        assigned = vecs.join(best, "vid").select("vid", "v", "cid")
         centroids = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")

@@ -991,8 +991,19 @@ def semdedup_prune(
     from megalista_spark.operators.similarity import cosine_expr
 
     if target_cluster_size is not None:
+        import math
+
         n_vecs = embeddings.count()
-        k = max(1, -(-n_vecs // int(target_cluster_size)))
+        # BALANCED target: assignment work is O(n·k) and in-cluster pair
+        # work is O(n·c) with c = n/k — a FIXED target c makes assignment
+        # O(n²/c) (quadratic again, measured: k=782 at sf1 spent minutes
+        # in Lloyd's). target = max(requested, √n) minimizes n·k + n·c at
+        # c ≈ √n → total O(n^1.5) for the flat assignment. (The sub-n^1.5
+        # path is hierarchical/IVF-style assignment — the documented
+        # next step for 10 TB+ corpora.) At gate scale √n < requested, so
+        # the requested target — and the oracle's k — is unchanged.
+        target = max(int(target_cluster_size), math.isqrt(n_vecs))
+        k = max(1, -(-n_vecs // target))
     assigned, _ = _lloyd(embeddings, k, iters, id_col, vec_col)
     # three consumers (both pair sides + the stats base): persist so the
     # assignment window runs once, not per branch
