@@ -401,13 +401,12 @@ def theil_sen_trend(
     — the slope estimator that shrugs off the outliers that drag
     ``linear_trend``'s least squares around (breakdown point ~29%).
 
-    Slopes are integer ppm with explicit FLOOR division —
-    slope_ppm = floor(1e6·Δy / Δx), Δx > 0 under the sorted-x pair
-    order, computed as (a − pmod(a, b))/b so Spark's trunc-toward-zero
-    ``div`` never diverges from a floor-semantics oracle on NEGATIVE
-    slopes (the winsorized-mean portability lesson; exact while
-    1e6·|Δy| stays under ~9e15). The median is the exact k-th smallest
-    (k = (n_pairs+1) div 2). Output per key:
+    Slopes are integer ppm via integral division truncating toward
+    zero — slope_ppm = 1e6·Δy div Δx with Δx > 0 under the sorted-x
+    pair order. Both Spark's ``div`` and DuckDB's ``//`` truncate
+    toward zero (verified empirically at sf1 on negative slopes), so
+    plain integral division IS the portable form. The median is the
+    exact k-th smallest (k = (n_pairs+1) div 2). Output per key:
     ``(key..., n_points, n_pairs, ts_slope_ppm)``.
 
     Scale contract: pairwise slopes are inherently O(m²) PER KEY — this
@@ -476,13 +475,11 @@ def theil_sen_trend(
         .select(
             *keys,
             "n_points",
-            # floor semantics on both engines: (a - pmod(a,b))/b with
-            # b > 0; pmod is non-negative so the quotient is exact
-            F.expr(
-                "CAST((1000000 * (p.y2 - p.y1)"
-                " - pmod(1000000 * (p.y2 - p.y1), p.x2 - p.x1))"
-                " / (p.x2 - p.x1) AS BIGINT)"
-            ).alias("_s"),
+            # plain `div`: BOTH Spark's div and DuckDB's // truncate
+            # toward zero (verified empirically: -5 // 3 = -1 in DuckDB
+            # 1.x), so integral division is already engine-portable for
+            # negative slopes — a floor-emulating form is what diverges
+            F.expr("1000000 * (p.y2 - p.y1) div (p.x2 - p.x1)").alias("_s"),
         )
     )
     w = Window.partitionBy(*keys) if keys else Window.partitionBy()

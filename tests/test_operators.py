@@ -2991,8 +2991,12 @@ def test_theil_sen_matches_bruteforce(spark):
     df = spark.createDataFrame([("k", x, y) for x, y in pts], ["g", "x", "y"])
     got = theil_sen_trend(df, "x", "y", key_cols=["g"]).collect()[0]
 
+    def tdiv(a, b):  # truncate toward zero, like Spark div / DuckDB //
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
     slopes = sorted(
-        (1_000_000 * (y2 - y1)) // (x2 - x1)
+        tdiv(1_000_000 * (y2 - y1), x2 - x1)
         for i, (x1, y1) in enumerate(pts)
         for (x2, y2) in pts[i + 1 :]
     )
@@ -3003,16 +3007,17 @@ def test_theil_sen_matches_bruteforce(spark):
     assert got["ts_slope_ppm"] == 2_000_000
 
 
-def test_theil_sen_negative_slope_floor_portable(spark):
+def test_theil_sen_negative_slope_trunc_portable(spark):
     from megalista_spark.operators.timeseries import theil_sen_trend
 
     # decreasing series with a slope that does not divide evenly:
-    # floor(-1e6*2/3) = -666667, NOT trunc's -666666
+    # trunc(-1e6*2/3) = -666666 — BOTH Spark div and DuckDB // truncate
+    # toward zero (verified at sf1), so trunc is the portable contract
     df = spark.createDataFrame(
         [("k", 0, 10), ("k", 3, 8)], ["g", "x", "y"]
     )
     got = theil_sen_trend(df, "x", "y", key_cols=["g"]).collect()[0]
-    assert got["ts_slope_ppm"] == -666667
+    assert got["ts_slope_ppm"] == -666666
 
 
 def test_theil_sen_cap_guard(spark):
