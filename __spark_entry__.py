@@ -11115,6 +11115,184 @@ ORDER BY event_type
 """
 
 
+def _exp1_user_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared experiment base: per-user purchase revenue in exact cents,
+    hash-split 50/50 into arms (sampling.py::hash_split, salt "exp1" —
+    the experiment_lift_summary convention)."""
+    from megalista_spark.operators.sampling import hash_split
+
+    e = _events(spark, sf_dir)
+    users = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("rev_cents")
+    )
+    return hash_split(users, "user_id", {"control": 0.5, "treatment": 0.5},
+                      salt="exp1")
+
+
+_EXP1_ARMS_CTE = """
+WITH u AS MATERIALIZED (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS rev_cents
+  FROM events GROUP BY user_id
+),
+arms AS MATERIALIZED (
+  SELECT *, CASE WHEN ('0x' || substr(md5('exp1|' || user_id::VARCHAR), 1, 15))::BIGINT
+                      % 10000 < 5000 THEN 'control' ELSE 'treatment' END AS split
+  FROM u
+)
+"""
+
+
+def srm_audit_exp1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio Mismatch guardrail (operators/stats.py::srm_check):
+    chi-squared goodness-of-fit of the realized 50/50 hash-split arm
+    counts against the design — the check that runs BEFORE any lift
+    readout, because a biased splitter invalidates them all. One hash
+    aggregate; exact decimal ppm."""
+    from megalista_spark.operators.stats import srm_check
+
+    arms = _exp1_user_revenue(spark, sf_dir)
+    return srm_check(
+        arms, "split", {"control": 500_000, "treatment": 500_000}
+    )
+
+
+SRM_SQL = _EXP1_ARMS_CTE + """
+, counts AS (SELECT split AS arm, count(*)::BIGINT AS n_obs FROM arms GROUP BY split),
+exp AS (SELECT * FROM (VALUES ('control', 500000), ('treatment', 500000)) e(arm, expected_ppm)),
+tot AS (SELECT sum(n_obs)::BIGINT AS _n FROM counts),
+g AS (
+  SELECT e.arm, coalesce(c.n_obs, 0)::BIGINT AS n_obs,
+         e.expected_ppm::BIGINT AS expected_ppm
+  FROM exp e LEFT JOIN counts c ON c.arm = e.arm
+),
+t AS (
+  SELECT arm, n_obs,
+         ((1000000::HUGEINT * n_obs) // _n)::BIGINT AS obs_ppm,
+         expected_ppm,
+         (_n * expected_ppm // 1000000)::BIGINT AS expected_n,
+         ((1000000::HUGEINT
+           * (n_obs - _n * expected_ppm // 1000000)
+           * (n_obs - _n * expected_ppm // 1000000))
+          // greatest(_n * expected_ppm // 1000000, 1))::BIGINT AS term
+  FROM g CROSS JOIN tot
+)
+SELECT arm, n_obs, obs_ppm, expected_ppm, expected_n,
+       (SELECT sum(term) FROM t)::BIGINT AS chi2_ppm
+FROM t ORDER BY arm
+"""
+
+
+def winsorized_arm_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust experiment lift: per-arm WINSORIZED mean revenue
+    (operators/stats.py::winsorized_stats, 5/95 boundaries) — the
+    standard defense against a single whale user swinging the readout.
+    One rank window per arm + broadcast boundaries; exact cents."""
+    from megalista_spark.operators.stats import winsorized_stats
+
+    arms = _exp1_user_revenue(spark, sf_dir)
+    w = winsorized_stats(arms, "split", "rev_cents", 5, 95, decimals=0)
+    c = w.where(F.col("split") == "control").select(
+        F.col("n_values").alias("n_control"),
+        F.col("winsorized_mean_cents").alias("control_mean_cents"),
+    )
+    t = w.where(F.col("split") == "treatment").select(
+        F.col("n_values").alias("n_treatment"),
+        F.col("winsorized_mean_cents").alias("treatment_mean_cents"),
+    )
+    return c.crossJoin(t).select(
+        "n_control",
+        "n_treatment",
+        "control_mean_cents",
+        "treatment_mean_cents",
+        (F.col("treatment_mean_cents") - F.col("control_mean_cents")).alias(
+            "winsorized_lift_cents"
+        ),
+    )
+
+
+WINSORIZED_LIFT_SQL = _EXP1_ARMS_CTE + """
+, r AS (SELECT split AS g, rev_cents AS v,
+               ROW_NUMBER() OVER (PARTITION BY split ORDER BY rev_cents) AS rk,
+               COUNT(*) OVER (PARTITION BY split) AS n
+        FROM arms),
+b AS (SELECT g,
+             MIN(CASE WHEN rk = GREATEST(1, CAST(CEIL(5 * n / 100.0) AS INT)) THEN v END) AS lo,
+             MIN(CASE WHEN rk = GREATEST(1, CAST(CEIL(95 * n / 100.0) AS INT)) THEN v END) AS hi
+      FROM r GROUP BY g),
+w AS (
+  SELECT r.g, COUNT(*)::BIGINT AS n_values,
+         CAST(SUM(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END)
+              // COUNT(*) AS BIGINT) AS mean_cents
+  FROM r JOIN b ON r.g = b.g
+  GROUP BY r.g
+)
+SELECT c.n_values AS n_control, t.n_values AS n_treatment,
+       c.mean_cents AS control_mean_cents, t.mean_cents AS treatment_mean_cents,
+       (t.mean_cents - c.mean_cents)::BIGINT AS winsorized_lift_cents
+FROM (SELECT * FROM w WHERE g = 'control') c,
+     (SELECT * FROM w WHERE g = 'treatment') t
+"""
+
+
+def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects at P25/P50/P75 — where in the revenue
+    distribution the treatment moved users (a mean lift can hide a
+    median that went nowhere). Per-arm EXACT discrete quantiles via
+    sketches.py::exact_quantile_select (histogram-pruned selection, no
+    global sort), joined on the permille."""
+    from megalista_spark.operators.sketches import exact_quantile_select
+
+    arms = _exp1_user_revenue(spark, sf_dir)
+    qs = (250, 500, 750)
+    qc = exact_quantile_select(
+        arms.where(F.col("split") == "control"), "rev_cents", q_permilles=qs
+    ).select(F.col("q_permille"), F.col("value").alias("control_cents"))
+    qt = exact_quantile_select(
+        arms.where(F.col("split") == "treatment"), "rev_cents", q_permilles=qs
+    ).select(
+        F.col("q_permille").alias("_qp"), F.col("value").alias("treatment_cents")
+    )
+    return (
+        qc.join(qt, F.col("q_permille") == F.col("_qp"))
+        .select(
+            "q_permille",
+            F.col("control_cents").cast("long").alias("control_cents"),
+            F.col("treatment_cents").cast("long").alias("treatment_cents"),
+            (F.col("treatment_cents") - F.col("control_cents"))
+            .cast("long")
+            .alias("qte_cents"),
+        )
+        .orderBy("q_permille")
+    )
+
+
+QTE_SQL = _EXP1_ARMS_CTE + """
+, r AS (SELECT split, rev_cents,
+               ROW_NUMBER() OVER (PARTITION BY split ORDER BY rev_cents) AS rk,
+               COUNT(*) OVER (PARTITION BY split) AS n
+        FROM arms),
+q AS (SELECT q FROM (VALUES (250), (500), (750)) t(q)),
+sel AS (
+  SELECT q.q, r.split,
+         MIN(CASE WHEN rk = GREATEST(1, CAST(CEIL(q.q * n / 1000.0) AS BIGINT))
+                  THEN rev_cents END) AS v
+  FROM r CROSS JOIN q GROUP BY q.q, r.split
+)
+SELECT c.q::BIGINT AS q_permille, c.v::BIGINT AS control_cents,
+       t.v::BIGINT AS treatment_cents, (t.v - c.v)::BIGINT AS qte_cents
+FROM (SELECT * FROM sel WHERE split = 'control') c
+JOIN (SELECT * FROM sel WHERE split = 'treatment') t ON t.q = c.q
+ORDER BY q_permille
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -11143,6 +11321,9 @@ _GATE_ROTATION_FIRST = [
     "lsh_precision_audit",
     "theil_sen_hourly_by_type",
     "changepoint_hourly_by_type",
+    "srm_audit_exp1",
+    "winsorized_arm_lift",
+    "quantile_treatment_effects",
     "join_skew_audit_keys",
     "chi2_segment_priority",
     "shrunk_purchase_rates",
@@ -11458,6 +11639,9 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "lsh_precision_audit": lsh_precision_audit,
         "theil_sen_hourly_by_type": theil_sen_hourly_by_type,
         "changepoint_hourly_by_type": changepoint_hourly_by_type,
+        "srm_audit_exp1": srm_audit_exp1,
+        "winsorized_arm_lift": winsorized_arm_lift,
+        "quantile_treatment_effects": quantile_treatment_effects,
         "harmonic_centrality_customers": harmonic_centrality_customers,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "oov_rate_by_source": oov_rate_by_source,
@@ -11622,6 +11806,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_precision_audit": _lsh_precision_sql(),
         "theil_sen_hourly_by_type": THEIL_SEN_SQL,
         "changepoint_hourly_by_type": CHANGEPOINT_SQL,
+        "srm_audit_exp1": SRM_SQL,
+        "winsorized_arm_lift": WINSORIZED_LIFT_SQL,
+        "quantile_treatment_effects": QTE_SQL,
         "harmonic_centrality_customers": _harmonic_sql(),
         "dedup_keep_best_docs": DEDUP_KEEP_BEST_SQL,
         "oov_rate_by_source": OOV_RATE_SQL,

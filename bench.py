@@ -251,6 +251,9 @@ HEADLINE = [
     "lsh_precision_audit",
     "theil_sen_hourly_by_type",
     "changepoint_hourly_by_type",
+    "srm_audit_exp1",
+    "winsorized_arm_lift",
+    "quantile_treatment_effects",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -177,11 +177,10 @@ def winsorized_stats(
     order) — deterministic and engine-portable, no interpolation.
     Values are fixed-pointed to ``decimals`` places (the money contract,
     see profiling.binned_drift); the mean is integer-divided back to
-    fixed-point. NOTE the portability contract assumes NON-NEGATIVE
-    values: Spark ``div`` truncates toward zero while DuckDB ``//``
-    floors, and the two diverge exactly when sum(_w) is negative —
-    true-by-construction for prices/amounts, not for signed deltas
-    (normalize such inputs to a non-negative offset first).
+    fixed-point. Portability of the closing division: Spark ``div`` and
+    DuckDB ``//`` BOTH truncate toward zero (verified empirically at sf1
+    on negative inputs — an earlier note here claimed DuckDB floors;
+    it does not), so signed sums divide identically on both engines.
 
     Scale shape: one window rank per group (single shuffle on the group
     key), a broadcast of the per-group boundary rows (2 rows per group),
@@ -531,4 +530,74 @@ def cuped_lift(
         F.round(raw_diff - theta * x_diff, 6).alias("cuped_diff"),
         F.round(theta, 6).alias("theta"),
         F.round(rho2, 6).alias("rho2"),
+    )
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected_ppm: dict,
+) -> DataFrame:
+    """Sample-Ratio Mismatch audit — the experiment guardrail that runs
+    BEFORE any lift readout: do the realized arm counts match the
+    designed allocation? A biased splitter (bot filtering, redirect
+    loss, a broken hash) silently invalidates every downstream metric,
+    and SRM is the standard detector (chi-squared goodness-of-fit
+    against the design ratios).
+
+    ``expected_ppm`` maps arm value → designed share in ppm (must sum
+    to ~1e6 and be positive). Output one row per DESIGNED arm (arms
+    missing from the data appear with n_obs = 0 — that IS the worst
+    mismatch): ``arm, n_obs, obs_ppm, expected_ppm, expected_n`` plus
+    the global ``chi2_ppm`` (Σ 1e6·(o−e)²/e in exact decimal(38,0)
+    floor arithmetic, repeated per row) — compare against 1e6× the
+    critical value at k−1 dof.
+
+    Scale shape: ONE hash aggregate on the arm column (map-side
+    combined), then everything happens on the ≤ |arms| row table with a
+    1-row total broadcast. Nothing else touches raw rows.
+    """
+    if not expected_ppm or any(v <= 0 for v in expected_ppm.values()):
+        raise ValueError("srm_check needs positive expected_ppm per arm")
+    spark = df.sparkSession
+    exp = spark.createDataFrame(
+        [(str(k), int(v)) for k, v in sorted(expected_ppm.items())],
+        f"arm string, expected_ppm long",
+    )
+    counts = (
+        df.select(F.col(arm_col).cast("string").alias("arm"))
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = counts.agg(F.sum("n_obs").cast("long").alias("_n"))
+    g = (
+        exp.join(counts, "arm", "left")
+        .select(
+            "arm",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            "expected_ppm",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            "n_obs",
+            F.expr(f"CAST(CAST(1000000 AS {_D38}) * n_obs div _n AS BIGINT)").alias(
+                "obs_ppm"
+            ),
+            "expected_ppm",
+            F.expr("_n * expected_ppm div 1000000").alias("expected_n"),
+            F.expr(
+                f"CAST((CAST(1000000 AS {_D38})"
+                " * (n_obs - _n * expected_ppm div 1000000)"
+                " * (n_obs - _n * expected_ppm div 1000000))"
+                " div greatest(_n * expected_ppm div 1000000, 1) AS BIGINT)"
+            ).alias("_term_ppm"),
+        )
+    )
+    chi2 = g.agg(F.sum("_term_ppm").cast("long").alias("chi2_ppm"))
+    return (
+        g.crossJoin(F.broadcast(chi2))
+        .select(
+            "arm", "n_obs", "obs_ppm", "expected_ppm", "expected_n", "chi2_ppm"
+        )
+        .orderBy("arm")
     )

@@ -397,3 +397,28 @@ def test_cuped_removes_covariate_explained_variance(spark):
     assert got["cuped_diff"] == round(raw - theta * xd, 6)
     assert abs(got["cuped_diff"] - 3.0) < abs(got["raw_diff"] - 3.0)
     assert got["rho2"] > 0.9
+
+
+def test_srm_check_bruteforce(spark):
+    from megalista_spark.operators.stats import srm_check
+
+    # 60/40 realized vs 50/50 designed
+    rows = [("a",)] * 60 + [("b",)] * 40
+    df = spark.createDataFrame(rows, ["arm"])
+    out = {r["arm"]: r for r in
+           srm_check(df, "arm", {"a": 500_000, "b": 500_000}).collect()}
+    assert out["a"]["n_obs"] == 60 and out["b"]["n_obs"] == 40
+    assert out["a"]["expected_n"] == 50 and out["b"]["expected_n"] == 50
+    # chi2 = (10^2/50 + 10^2/50) = 4.0 -> 4_000_000 ppm
+    assert out["a"]["chi2_ppm"] == 4_000_000
+    assert out["a"]["chi2_ppm"] == out["b"]["chi2_ppm"]
+
+
+def test_srm_check_missing_arm_is_reported(spark):
+    from megalista_spark.operators.stats import srm_check
+
+    df = spark.createDataFrame([("a",)] * 10, ["arm"])
+    out = {r["arm"]: r for r in
+           srm_check(df, "arm", {"a": 500_000, "b": 500_000}).collect()}
+    assert out["b"]["n_obs"] == 0 and out["b"]["expected_n"] == 5
+    assert out["b"]["chi2_ppm"] > 0
