@@ -143,11 +143,98 @@ def main() -> None:
     rowsonly = set(
         (os.environ.get("ORACLE_ROWSONLY") or "").split(",")
     ) - {""}
+    checksum = set(
+        (os.environ.get("ORACLE_CHECKSUM") or "").split(",")
+    ) - {""}
+
+    def spark_checksum(df):
+        """Order-insensitive full-output checksum computed IN Spark:
+        sum over rows of the 60-bit md5 of a canonical '|'-joined
+        rendering (floats → round(x·1e6) bigint; NULL → 'NULL'), plus
+        the row count — never collects the result set."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        exprs = []
+        for f in sorted(df.schema.fields, key=lambda f: f.name):
+            c = F.col(f.name)
+            if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+                c = F.round(c * 1_000_000).cast("bigint")
+            elif isinstance(f.dataType, T.TimestampType):
+                c = F.unix_micros(c)
+            exprs.append(F.coalesce(c.cast("string"), F.lit("NULL")))
+        sig = F.conv(F.substring(F.md5(F.concat_ws("|", *exprs)), 1, 15), 16, 10)
+        row = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(sig.cast("decimal(38,0)")).cast("string").alias("cks"),
+        ).collect()[0]
+        return row["n"], row["cks"]
+
+    def oracle_checksum(sql):
+        """Same canonical checksum computed IN DuckDB over the oracle's
+        result — the result set never leaves the engine."""
+        cols = con.sql(f"DESCRIBE SELECT * FROM ({sql}) _q").df()
+        exprs = []
+        for _, r in sorted(cols.iterrows(), key=lambda kv: kv[1]["column_name"]):
+            name, typ = r["column_name"], str(r["column_type"]).upper()
+            e = f'"{name}"'
+            if typ in ("DOUBLE", "FLOAT", "REAL"):
+                e = f"CAST(round({e} * 1000000) AS BIGINT)"
+            elif typ.startswith("TIMESTAMP"):
+                e = f"epoch_us({e}::TIMESTAMP)"
+            exprs.append(f"coalesce(CAST({e} AS VARCHAR), 'NULL')")
+        joined = " || '|' || ".join(exprs) if len(exprs) > 1 else exprs[0]
+        q = (
+            "SELECT COUNT(*)::BIGINT AS n, "
+            f"CAST(SUM((('0x' || substr(md5({joined}), 1, 15))::BIGINT)::HUGEINT) AS VARCHAR) AS cks "
+            f"FROM ({sql}) _q"
+        )
+        out = con.sql(q).fetchone()
+        return out[0], out[1]
+
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        if name in checksum:
+            # full-output verification WITHOUT collecting: both engines
+            # reduce their own result set to (count, order-insensitive
+            # 60-bit-md5 sum) — the path for pair generators whose sf1
+            # output is 10^8+ rows
+            try:
+                sn, scks = spark_checksum(fn(spark, sf_dir))
+            except Exception as exc:
+                print(f"FAIL  {name}: spark error: {str(exc)[:200]}")
+                failures.append(name)
+                continue
+            try:
+                if timeout_sec:
+                    res, t_out = run_oracle(
+                        lambda c: oracle_checksum(oracles[name])
+                    )
+                    if t_out:
+                        print(
+                            f"oracle-timeout  {name}: spark {sn} rows "
+                            f"({time.time()-t0:.1f}s)"
+                        )
+                        continue
+                    on_, ocks = res
+                else:
+                    on_, ocks = oracle_checksum(oracles[name])
+            except Exception as exc:
+                print(f"FAIL  {name}: oracle error: {str(exc)[:200]}")
+                failures.append(name)
+                continue
+            if (sn, scks) == (on_, ocks):
+                print(f"checksum  {name}: {sn} rows cks={scks} ({time.time()-t0:.1f}s)")
+            else:
+                print(
+                    f"FAIL  {name}: checksum mismatch spark ({sn}, {scks}) "
+                    f"vs oracle ({on_}, {ocks}) ({time.time()-t0:.1f}s)"
+                )
+                failures.append(name)
+            continue
         if name in rowsonly:
             try:
                 n = fn(spark, sf_dir).count()
