@@ -17,7 +17,8 @@ def main() -> None:
     out_path, log = sys.argv[1], sys.argv[2]
     doc = json.load(open(out_path))
     pat = re.compile(
-        r"(ok|rows-only|FAIL|oracle-timeout)\s+(\S+): (?:spark )?(\d+) rows \(([\d.]+)s"
+        r"(ok|rows-only|checksum|FAIL|oracle-timeout)\s+(\S+): (?:spark )?(\d+) rows"
+        r"(?: cks=\d+)? \(([\d.]+)s"
     )
     text = open(log).read().replace("\r", "\n")
     added = []
@@ -31,6 +32,7 @@ def main() -> None:
     qs = doc["queries"]
     doc["total_queries"] = len(qs)
     doc["ok"] = sum(1 for v in qs.values() if v["status"] == "ok")
+    doc["checksum"] = sum(1 for v in qs.values() if v["status"] == "checksum")
     doc["rows_only"] = sum(1 for v in qs.values() if v["status"] == "rows-only")
     doc["oracle_timeouts"] = sorted(
         k for k, v in qs.items() if v["status"] == "oracle-timeout"
