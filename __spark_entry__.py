@@ -11293,6 +11293,24 @@ ORDER BY q_permille
 """
 
 
+def decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus-scale decontamination (operators/curation.py::
+    decontaminate_bloom): the same 13-gram contamination flags as
+    decontaminate_docs, but the reference side reaches the train scan as
+    a CONSTANT-size Bloom filter (~2 KB) instead of a broadcast hash
+    table — the shape that survives when the "benchmark" is another
+    corpus. No false negatives; Bloom false positives die in the exact
+    verify join, so the output — and the oracle — are identical to the
+    exact operator's."""
+    from megalista_spark.operators.curation import decontaminate_bloom
+    from megalista_spark.operators.sampling import sample_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(sample_bucket(F.col("doc_id"), "bench") < 1000)
+    train = d.where(sample_bucket(F.col("doc_id"), "bench") >= 1000)
+    return decontaminate_bloom(train, bench, n=13).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -11324,6 +11342,7 @@ _GATE_ROTATION_FIRST = [
     "srm_audit_exp1",
     "winsorized_arm_lift",
     "quantile_treatment_effects",
+    "decontaminate_bloom_docs",
     "join_skew_audit_keys",
     "chi2_segment_priority",
     "shrunk_purchase_rates",
@@ -11642,6 +11661,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "srm_audit_exp1": srm_audit_exp1,
         "winsorized_arm_lift": winsorized_arm_lift,
         "quantile_treatment_effects": quantile_treatment_effects,
+        "decontaminate_bloom_docs": decontaminate_bloom_docs,
         "harmonic_centrality_customers": harmonic_centrality_customers,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "oov_rate_by_source": oov_rate_by_source,
@@ -11809,6 +11829,7 @@ def oracle_sql() -> dict[str, str]:
         "srm_audit_exp1": SRM_SQL,
         "winsorized_arm_lift": WINSORIZED_LIFT_SQL,
         "quantile_treatment_effects": QTE_SQL,
+        "decontaminate_bloom_docs": _decontaminate_sql(),
         "harmonic_centrality_customers": _harmonic_sql(),
         "dedup_keep_best_docs": DEDUP_KEEP_BEST_SQL,
         "oov_rate_by_source": OOV_RATE_SQL,

@@ -254,6 +254,7 @@ HEADLINE = [
     "srm_audit_exp1",
     "winsorized_arm_lift",
     "quantile_treatment_effects",
+    "decontaminate_bloom_docs",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -512,3 +512,82 @@ def apply_source_blocklist(
         F.col("source").alias(source_col)
     )
     return df.join(F.broadcast(blocked), source_col, "left_anti")
+
+def decontaminate_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = 16384,
+    k: int = 4,
+) -> DataFrame:
+    """``decontaminate`` with a BLOOM prefilter — byte-identical OUTPUT
+    (the probe has no false negatives, so every truly-shared shingle
+    survives; false positives die in the exact verify join), different
+    scale regime: the plain operator broadcasts the benchmark's distinct
+    shingle-hash TABLE, which works while benchmarks are MBs but not
+    when the "benchmark" is another CORPUS (cross-corpus contamination,
+    the vs-prior-training-set check) — there the hash table is GBs and
+    the broadcast dies. The Bloom filter is ≤ ceil(m/63) bit-words —
+    ~2 KB at the default geometry, CONSTANT in the reference-set size —
+    so the prefilter stays a map-side broadcast at any scale, and only
+    the (rare) surviving shingle hashes reach the exact shuffle join.
+
+    Same output contract as ``decontaminate``:
+    ``(doc_id, n_contaminated_shingles, contaminated)`` per train doc —
+    and therefore the same oracle.
+
+    Scale shape: benchmark → shingle hashes → Bloom (constant-size,
+    bit_or map-combined) broadcast; train shingles probe it at scan
+    speed; survivors (true hits + FP at the classic rate) join the
+    benchmark hash set EXACTLY — a shuffle join sized by the
+    contamination volume, not the corpus. Tune ``m`` upward for big
+    reference sets (FP rate (1−e^(−k·n/m))^k).
+    """
+    from megalista_spark.operators.dedup import (
+        _tokenized,
+        portable_hash64,
+        shingles_from_tokens,
+    )
+    from megalista_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    t_sh = (
+        _tokenized(train, text_col, id_col)
+        .select(
+            "id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("_sh")
+        )
+        .select("id", portable_hash64(F.col("_sh")).alias("_h"))
+    )
+    b_sh = (
+        _tokenized(benchmark, text_col, id_col)
+        .select(F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("_sh"))
+        .select(portable_hash64(F.col("_sh")).alias("_h"))
+        .distinct()
+    )
+    words = bloom_build(b_sh, "_h", m=m, k=k)
+    # candidate hashes: distinct train-side hashes possibly in the filter
+    cand = bloom_might_contain(
+        t_sh.select("_h"), "_h", words, m=m, k=k
+    ).select(F.col("key").alias("_h"))
+    # exact verify: candidates ∩ benchmark hashes (kills Bloom FPs);
+    # sized by contamination, not by either corpus
+    confirmed = cand.join(b_sh, "_h", "left_semi")
+    hits = (
+        t_sh.join(confirmed, "_h", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+    ids = train.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_contaminated_shingles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated_shingles"),
+            (F.coalesce(F.col("n_contaminated_shingles"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

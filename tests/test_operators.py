@@ -3056,3 +3056,27 @@ def test_best_mean_shift_keyless_guard(spark):
     df = spark.createDataFrame([(i, i) for i in range(50)], ["x", "y"])
     with pytest.raises(ValueError, match="single task"):
         best_mean_shift(df, "x", "y", max_global_rows=10)
+
+
+def test_decontaminate_bloom_identical_to_exact(spark):
+    from megalista_spark.operators.curation import decontaminate, decontaminate_bloom
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog near the river bank today")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "something about the quick brown fox jumps over the lazy dog near the river bank today indeed"),
+            (2, "completely unrelated content with no shared long n grams at all in it whatsoever friends"),
+            (3, "short doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {(r["doc_id"], r["n_contaminated_shingles"], r["contaminated"])
+             for r in decontaminate(train, bench, n=13).collect()}
+    bloom = {(r["doc_id"], r["n_contaminated_shingles"], r["contaminated"])
+             for r in decontaminate_bloom(train, bench, n=13).collect()}
+    assert exact == bloom
+    assert any(c for _, _, c in exact)      # doc 1 is contaminated
+    assert not all(c for _, _, c in exact)  # docs 2/3 are clean
