@@ -11311,6 +11311,37 @@ def decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_bloom(train, bench, n=13).orderBy("doc_id")
 
 
+def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the QUANTIZED index (IVF-PQ) vs exact brute-force
+    cosine (operators/similarity.py::topk_recall) — where recall
+    actually degrades: coarse pruning AND code quantization both lose
+    neighbors, and this audit prices that loss per query before the 32×
+    index-memory saving is accepted."""
+    from megalista_spark.operators.similarity import topk_recall
+
+    return topk_recall(
+        ann_cosine_topk(spark, sf_dir), ann_ivfpq_topk(spark, sf_dir)
+    )
+
+
+ANN_RECALL_IVFPQ_SQL = f"""
+WITH brute AS ({ANN_SQL}),
+pq AS ({_ivfpq_sql()}),
+base AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM brute GROUP BY query_id),
+hits AS (
+  SELECT b.query_id, count(*)::BIGINT AS n_hits
+  FROM brute b JOIN pq v
+    ON v.query_id = b.query_id AND v.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT base.query_id AS query_id, n_exact,
+       coalesce(n_hits, 0)::BIGINT AS n_hits,
+       1000000 * coalesce(n_hits, 0) // n_exact AS recall_ppm
+FROM base LEFT JOIN hits ON base.query_id = hits.query_id
+ORDER BY base.query_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -11343,6 +11374,7 @@ _GATE_ROTATION_FIRST = [
     "winsorized_arm_lift",
     "quantile_treatment_effects",
     "decontaminate_bloom_docs",
+    "ann_recall_ivfpq",
     "join_skew_audit_keys",
     "chi2_segment_priority",
     "shrunk_purchase_rates",
@@ -11662,6 +11694,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "winsorized_arm_lift": winsorized_arm_lift,
         "quantile_treatment_effects": quantile_treatment_effects,
         "decontaminate_bloom_docs": decontaminate_bloom_docs,
+        "ann_recall_ivfpq": ann_recall_ivfpq,
         "harmonic_centrality_customers": harmonic_centrality_customers,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "oov_rate_by_source": oov_rate_by_source,
@@ -11830,6 +11863,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorized_arm_lift": WINSORIZED_LIFT_SQL,
         "quantile_treatment_effects": QTE_SQL,
         "decontaminate_bloom_docs": _decontaminate_sql(),
+        "ann_recall_ivfpq": ANN_RECALL_IVFPQ_SQL,
         "harmonic_centrality_customers": _harmonic_sql(),
         "dedup_keep_best_docs": DEDUP_KEEP_BEST_SQL,
         "oov_rate_by_source": OOV_RATE_SQL,

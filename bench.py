@@ -255,6 +255,7 @@ HEADLINE = [
     "winsorized_arm_lift",
     "quantile_treatment_effects",
     "decontaminate_bloom_docs",
+    "ann_recall_ivfpq",
 ]
 
 # Excluded from HEADLINE on purpose:
