@@ -11342,6 +11342,66 @@ ORDER BY base.query_id
 """
 
 
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RECALL side of the LSH banding audit (operators/dedup.py::
+    lsh_candidate_recall, pairing lsh_precision_audit): the ppm fraction
+    of TRUE Jaccard ≥ 0.5 near-dup pairs the (16, 4) band collisions
+    actually surfaced — low recall is the silent corpus-poisoning
+    failure mode (real duplicates the banding never sees)."""
+    from megalista_spark.operators.dedup import lsh_candidate_recall
+
+    d = _t(spark, sf_dir, "documents")
+    return lsh_candidate_recall(d, num_hashes=16, bands=4, threshold=0.5)
+
+
+def _lsh_recall_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    from megalista_spark.operators.dedup import MINHASH_P, minhash_params
+
+    rows_per_band = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(h, x -> (x * {a} + {b}) % {MINHASH_P}))"
+        for a, b in minhash_params(num_hashes)
+    )
+    return _SHINGLE_CTE + f"""
+, hashed AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
+  FROM sh
+), sig AS MATERIALIZED (
+  SELECT doc_id, [{sig_items}] AS sig FROM hashed
+), banded AS MATERIALIZED (
+  SELECT doc_id AS id, b AS band_id,
+         md5(array_to_string(list_transform(sig[b*{rows_per_band}+1 : b*{rows_per_band}+{rows_per_band}],
+                                            v -> v::VARCHAR), ',')) AS band_hash
+  FROM sig CROSS JOIN range(0, {bands}) t(b)
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+), ex AS (
+  SELECT doc_id AS id, len(shingles) AS set_size,
+         unnest(list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS shingle
+  FROM sh
+), truth AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.id AS doc_a, b.id AS doc_b, a.set_size AS size_a,
+           b.set_size AS size_b, count(*)::BIGINT AS shared
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE shared / (size_a + size_b - shared) >= 0.5
+)
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true_pairs,
+       (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+       (SELECT count(*) FROM truth t
+         JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)::BIGINT AS n_caught,
+       CASE WHEN (SELECT count(*) FROM truth) > 0
+            THEN 1000000 * (SELECT count(*) FROM truth t
+                             JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+                 // (SELECT count(*) FROM truth)
+       END AS recall_ppm
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -11375,6 +11435,7 @@ _GATE_ROTATION_FIRST = [
     "quantile_treatment_effects",
     "decontaminate_bloom_docs",
     "ann_recall_ivfpq",
+    "lsh_recall_audit",
     "join_skew_audit_keys",
     "chi2_segment_priority",
     "shrunk_purchase_rates",
@@ -11695,6 +11756,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "quantile_treatment_effects": quantile_treatment_effects,
         "decontaminate_bloom_docs": decontaminate_bloom_docs,
         "ann_recall_ivfpq": ann_recall_ivfpq,
+        "lsh_recall_audit": lsh_recall_audit,
         "harmonic_centrality_customers": harmonic_centrality_customers,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "oov_rate_by_source": oov_rate_by_source,
@@ -11864,6 +11926,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_treatment_effects": QTE_SQL,
         "decontaminate_bloom_docs": _decontaminate_sql(),
         "ann_recall_ivfpq": ANN_RECALL_IVFPQ_SQL,
+        "lsh_recall_audit": _lsh_recall_sql(),
         "harmonic_centrality_customers": _harmonic_sql(),
         "dedup_keep_best_docs": DEDUP_KEEP_BEST_SQL,
         "oov_rate_by_source": OOV_RATE_SQL,

@@ -256,6 +256,7 @@ HEADLINE = [
     "quantile_treatment_effects",
     "decontaminate_bloom_docs",
     "ann_recall_ivfpq",
+    "lsh_recall_audit",
 ]
 
 # Excluded from HEADLINE on purpose:

@@ -1421,3 +1421,61 @@ def lsh_candidate_precision(
         )
         .orderBy("n_shared_bands")
     )
+
+def lsh_candidate_recall(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The RECALL side of the LSH parameter audit (precision is
+    ``lsh_candidate_precision``): of the TRUE near-duplicate pairs at
+    the target Jaccard threshold, what fraction did the band collisions
+    surface as candidates? Low recall means the banding is dropping real
+    duplicates — the silent corpus-poisoning failure — and the standard
+    fix is more bands (each with fewer rows).
+
+    Ground truth is the exact inverted-index Jaccard join
+    (``ngram_jaccard_pairs`` — the corpus-sized work); candidates come
+    from ``minhash_lsh_pairs``. Output is ONE row:
+    ``n_true_pairs, n_candidates, n_caught, recall_ppm`` — the measured
+    recall to weigh against the 1−(1−t^r)^b S-curve the banding was
+    chosen from.
+
+    Scale shape: both generators are the audited operators themselves;
+    the audit adds one left-semi join of the true-pair table against the
+    candidate table (both pair-sized, not corpus-sized) + two scalar
+    aggregates.
+    """
+    true_pairs = ngram_jaccard_pairs(
+        df, n=shingle_n, threshold=threshold, text_col=text_col, id_col=id_col
+    ).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    cand = minhash_lsh_pairs(
+        df, num_hashes, bands, shingle_n, text_col, id_col
+    ).select(
+        F.col("doc_a").alias("_ca"), F.col("doc_b").alias("_cb")
+    )
+    caught = true_pairs.join(
+        cand,
+        (F.col("doc_a") == F.col("_ca")) & (F.col("doc_b") == F.col("_cb")),
+        "left_semi",
+    )
+    t = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    g = caught.agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
+    return (
+        t.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_caught",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.expr("1000000 * n_caught div n_true_pairs"),
+            ).alias("recall_ppm"),
+        )
+    )

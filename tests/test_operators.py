@@ -3080,3 +3080,25 @@ def test_decontaminate_bloom_identical_to_exact(spark):
     assert exact == bloom
     assert any(c for _, _, c in exact)      # doc 1 is contaminated
     assert not all(c for _, _, c in exact)  # docs 2/3 are clean
+
+
+def test_lsh_candidate_recall_bruteforce(spark):
+    from megalista_spark.operators.dedup import (
+        lsh_candidate_recall,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    texts = [(i, "shared long base text for near duplicate documents variant "
+              + str(i % 2)) for i in range(6)]
+    texts += [(100 + i, f"other corpus entry number {i} " * 3) for i in range(3)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = lsh_candidate_recall(df, 16, 4, threshold=0.5).collect()[0]
+    truth = {(r["doc_a"], r["doc_b"])
+             for r in ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()}
+    cand = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(df, 16, 4).collect()}
+    assert got["n_true_pairs"] == len(truth)
+    assert got["n_candidates"] == len(cand)
+    assert got["n_caught"] == len(truth & cand)
+    if truth:
+        assert got["recall_ppm"] == 1_000_000 * len(truth & cand) // len(truth)
