@@ -11026,7 +11026,8 @@ FROM flags GROUP BY 1 ORDER BY 1
 def theil_sen_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type hourly trend (operators/timeseries.py::
     theil_sen_trend, Theil 1950/Sen 1968): the exact lower-median of all
-    pairwise slopes in integer ppm with explicit floor division — the
+    pairwise slopes in integer ppm with plain truncating division
+    (portable: Spark div and DuckDB // both truncate toward zero) — the
     outlier-immune twin of trend_hourly_by_type's least squares. The
     O(m²) pair work is per SERIES (720 hourly points), never per event;
     the cap guard makes that contract explicit."""

@@ -100,16 +100,35 @@ def _lloyd(
     for _ in range(iters):
         d = F.round(_sq_dist(F.col("v"), F.col("cv")), 6)
         d_micro = F.round(d * 1_000_000).cast("bigint")
-        key = F.when(
-            d_micro <= F.lit(d_bound),
-            d_micro * F.lit(1 << 20) + F.col("cid"),
-        ).otherwise(
-            F.raise_error(
-                F.lit(
-                    "_lloyd: squared distance exceeds the bigint argmin "
-                    "encoding headroom (d > ~4.4e6) - rescale the vectors"
-                )
-            ).cast("bigint")
+        # a NULL vector or a centroid/vector dimension mismatch makes
+        # d_micro NULL; without the explicit IS NULL branch such rows
+        # fell through the headroom WHEN into the misleading "rescale
+        # the vectors" error (the old window form silently tolerated
+        # them) — diagnose them by name instead
+        key = (
+            F.when(
+                d_micro.isNull(),
+                F.raise_error(
+                    F.lit(
+                        "_lloyd: NULL distance - a NULL or "
+                        "mismatched-dimension vector reached the "
+                        "assignment stage; filter NULL/ragged vectors "
+                        "before clustering"
+                    )
+                ).cast("bigint"),
+            )
+            .when(
+                d_micro <= F.lit(d_bound),
+                d_micro * F.lit(1 << 20) + F.col("cid"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "_lloyd: squared distance exceeds the bigint argmin "
+                        "encoding headroom (d > ~4.4e6) - rescale the vectors"
+                    )
+                ).cast("bigint")
+            )
         )
         best = (
             vecs.join(F.broadcast(centroids))

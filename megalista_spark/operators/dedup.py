@@ -1250,9 +1250,20 @@ def containment_minhash_estimate(
             ]
         ),
     )
-    sigs = toked.select(
-        F.col("id"), sig.alias("sig"), F.size(sh).cast("long").alias("set_size")
-    ).localCheckpoint(eager=True)
+    # docs with fewer than shingle_n tokens have an EMPTY shingle set:
+    # the fold would leave the init signature [MINHASH_P,...] intact, so
+    # every such doc would collide in every band and pair quadratically
+    # with containment size 0 (div-by-zero -> NULL, unfiltered at the
+    # default min_cont_ppm=0) — and the DuckDB oracle's NULL-signature
+    # rows never join, a latent cross-engine divergence. Drop them up
+    # front, matching the exact containment_pairs path.
+    sigs = (
+        toked.where(F.size(sh) >= 1)
+        .select(
+            F.col("id"), sig.alias("sig"), F.size(sh).cast("long").alias("set_size")
+        )
+        .localCheckpoint(eager=True)
+    )
 
     banded = sigs.select(
         "id",

@@ -585,30 +585,8 @@ def tfidf_cosine_pairs(
 
     from megalista_spark.operators.dedup import _ordered_pairs, _spread
 
-    toks = _word_tokens(text_col)
-    tf = (
-        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        # every downstream relation (df counts, the volume guard, the
-        # weighted index, norms, both pair paths) derives from tf — one
-        # tokenize+shuffle pass, then blocks
-        .localCheckpoint(eager=True)
-    )
-    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    cap = (
-        F.lit(max_term_df).cast("long")
-        if max_term_df is not None
-        else F.greatest(
-            F.lit(2).cast("long"),
-            F.floor(F.lit(max_term_df_frac) * F.col("n_docs")).cast("long"),
-        )
-    )
-    kept_terms = (
-        dfc.crossJoin(F.broadcast(n))
-        .where((F.col("df") > 1) & (F.col("df") <= cap))
-        .select("term", "df")
+    kept_terms, weighted_rel = _tfidf_weighted(
+        df, text_col, id_col, max_term_df, max_term_df_frac, idf_scale
     )
     # Refuse-to-melt guard (same design as the capped driver-GEMM in
     # similarity.py): candidate volume is EXACTLY Σ C(df,2) over kept
@@ -637,21 +615,7 @@ def tfidf_cosine_pairs(
         if on_excess == "raise":
             raise ValueError(msg)
         logging.getLogger(__name__).warning(msg)
-    weighted = (
-        tf.join(kept_terms, "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "term",
-            "id",
-            F.col("df"),
-            (
-                F.col("tf")
-                * F.round(
-                    F.lit(float(idf_scale)) * (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
-                ).cast("long")
-            ).alias("w"),
-        )
-    )
+    weighted = weighted_rel
     # norms over the SAME pruned weight relation the pairs use, so the
     # cosine is exactly the cosine of the pruned vectors (self-consistent)
     wd = F.col("w").cast("decimal(19,0)")

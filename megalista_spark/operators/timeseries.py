@@ -415,13 +415,33 @@ def theil_sen_trend(
     that contract explicit: any key past it raises with the remediation
     (aggregate to a coarser grain first); the cap also bounds the
     keyless path, whose single global series funnels its pairs through
-    one rank window. Plan: one per-key sorted collect_list (the series
-    fits by contract, materialized ONCE — the guard and the pair
-    explode share the checkpoint), one pair explode, one per-key rank
-    window for the order statistic — every stage keyed, so skew = the
-    largest single series, which the guard bounds.
+    one rank window. Plan: a count-only guard aggregate FIRST (so an
+    over-cap key raises before any array is ever built — collect_list
+    on a runaway series would OOM the task, not raise), then one
+    per-key sorted collect_list (the series fits by contract,
+    checkpointed once for the pair explode), one pair explode, one
+    per-key rank window for the order statistic — every stage keyed,
+    so skew = the largest single series, which the guard bounds.
     """
     keys = list(key_cols)
+    # guard FIRST with a cheap count-only aggregate: an over-cap key
+    # (especially the keyless single-series case) would otherwise OOM
+    # the task materializing the full sorted collect_list below before
+    # the intended ValueError ever fired
+    chk = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .agg(F.max("_m").alias("_mx"))
+        .collect()[0]["_mx"]
+        or 0
+    )
+    if chk > max_points_per_key:
+        raise ValueError(
+            f"theil_sen_trend: a key holds {chk} points (> "
+            f"max_points_per_key={max_points_per_key}); pairwise slopes "
+            "are O(m^2) per key - aggregate the series to a coarser "
+            "grain first, or raise the cap deliberately"
+        )
     sized = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_m"),
         F.array_sort(
@@ -433,14 +453,6 @@ def theil_sen_trend(
             )
         ).alias("_pts"),
     ).localCheckpoint(eager=True)
-    chk = sized.agg(F.max("_m").alias("_mx")).collect()[0]["_mx"] or 0
-    if chk > max_points_per_key:
-        raise ValueError(
-            f"theil_sen_trend: a key holds {chk} points (> "
-            f"max_points_per_key={max_points_per_key}); pairwise slopes "
-            "are O(m^2) per key - aggregate the series to a coarser "
-            "grain first, or raise the cap deliberately"
-        )
     pairs = (
         sized.where(F.size("_pts") >= 2)
         .select(

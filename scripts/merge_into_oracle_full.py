@@ -20,6 +20,13 @@ def main() -> None:
         r"(ok|rows-only|checksum|FAIL|oracle-timeout)\s+(\S+): (?:spark )?(\d+) rows"
         r"(?: cks=\d+)? \(([\d.]+)s"
     )
+    # FAIL lines that carry no row count: spark/oracle errors and
+    # checksum mismatches (compare_oracle.py:208,226,233,249,258).
+    # Without this second pattern such lines were silently dropped and
+    # a previously-'ok' entry stayed stale in the merged artifact.
+    fail_pat = re.compile(
+        r"FAIL\s+(\S+): (spark error|oracle error|checksum mismatch)"
+    )
     text = open(log).read().replace("\r", "\n")
     added = []
     for m in pat.finditer(text):
@@ -29,6 +36,26 @@ def main() -> None:
             "sec": float(m.group(4)),
         }
         added.append(m.group(2))
+    for m in fail_pat.finditer(text):
+        doc["queries"][m.group(1)] = {
+            "status": "FAIL",
+            "rows": 0,
+            "sec": 0.0,
+            "error": m.group(2),
+        }
+        added.append(m.group(1))
+    # every FAIL occurrence in the log must have been consumed by one of
+    # the two parsers — an unparsed FAIL means a format drift that would
+    # reintroduce the silent-drop bug
+    n_fail_lines = len(re.findall(r"^FAIL\s", text, re.MULTILINE))
+    n_fail_parsed = sum(
+        1 for q in added if doc["queries"][q]["status"] == "FAIL"
+    )
+    if n_fail_parsed < n_fail_lines:
+        raise SystemExit(
+            f"merge aborted: {n_fail_lines} FAIL lines in log but only "
+            f"{n_fail_parsed} parsed - compare_oracle output format drifted"
+        )
     qs = doc["queries"]
     doc["total_queries"] = len(qs)
     doc["ok"] = sum(1 for v in qs.values() if v["status"] == "ok")
