@@ -5595,13 +5595,32 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tfidf_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse term-vector cosine pairs (operators/text.py::
-    tfidf_cosine_pairs) — the inverted-index complement of embedding
-    near-dup: integer tf·idf weights (idf quantized ×1000) make dot
-    products and norms exact decimal sums, so the cosine itself
-    hash-matches the oracle. df=1 terms drop free; hot terms cap at a
-    FRACTION of the corpus (df ≤ 0.2·N) so the prune holds meaning at
-    every scale factor."""
+    """Sparse term-vector cosine pairs, SUB-QUADRATIC registered form
+    (operators/text.py::tfidf_cosine_pairs_prefix) — lossless AllPairs
+    prefix filtering: candidates come only from each doc's
+    descending-weight prefix (Cauchy-Schwarz bound), so the hot-term
+    quadratic candidate volume of the exact inverted-index form never
+    materializes, yet the OUTPUT is row-identical (the oracle below is
+    the exact quadratic SQL — the hash-match is the losslessness proof).
+    Integer tf·idf weights (idf quantized ×1000) make dot products,
+    norms AND the prefix predicate exact decimal sums. The exact form
+    stays registered as ``tfidf_cosine_dup_pairs_exact`` — it is the
+    ground truth the LSH recall audit needs."""
+    from megalista_spark.operators.text import tfidf_cosine_pairs_prefix
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs_prefix(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def tfidf_cosine_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inverted-index term-vector cosine pairs (operators/text.py::
+    tfidf_cosine_pairs) — the AUDIT/ground-truth sibling of the
+    registered prefix-filtered default: every shared kept term generates
+    a candidate (Σ C(df,2) volume — quadratic on clustered corpora, the
+    spillable-join machinery streams it), which is exactly what a recall
+    audit of any approximate pair generator needs to compare against.
+    df=1 terms drop free; hot terms cap at a FRACTION of the corpus
+    (df ≤ 0.2·N) so the prune holds meaning at every scale factor."""
     from megalista_spark.operators.text import tfidf_cosine_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -11534,6 +11553,7 @@ _GATE_ROTATION_FIRST = [
     "validate_orders_quality",
     "streaming_transactional_dedup",
     "tfidf_cosine_dup_pairs",
+    "tfidf_cosine_dup_pairs_exact",
     "corpus_frequency_scores",
     "weighted_sample_by_lang",
     "multimodal_media_dedup",
@@ -11673,6 +11693,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "validate_orders_quality": validate_orders_quality,
         "streaming_transactional_dedup": streaming_transactional_dedup,
         "tfidf_cosine_dup_pairs": tfidf_cosine_dup_pairs,
+        "tfidf_cosine_dup_pairs_exact": tfidf_cosine_dup_pairs_exact,
         "corpus_frequency_scores": corpus_frequency_scores,
         "weighted_sample_by_lang": weighted_sample_by_lang,
         "curation_cascade_stats": curation_cascade_stats,
@@ -12009,6 +12030,7 @@ def oracle_sql() -> dict[str, str]:
         "validate_orders_quality": VALIDATE_ORDERS_SQL,
         "streaming_transactional_dedup": STREAM_TXN_DEDUP_SQL,
         "tfidf_cosine_dup_pairs": _tfidf_cosine_sql(),
+        "tfidf_cosine_dup_pairs_exact": _tfidf_cosine_sql(),
         "corpus_frequency_scores": CORPUS_FREQ_SQL,
         "weighted_sample_by_lang": WEIGHTED_BY_LANG_SQL,
         "curation_cascade_stats": CASCADE_STATS_SQL,

@@ -528,6 +528,68 @@ def bpe_encode_token_stats(
     return out.drop("_g").orderBy("rank")
 
 
+def _tfidf_weighted(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_term_df: int | None,
+    max_term_df_frac: float,
+    idf_scale: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the tf-idf pair family: the kept-term table
+    (term, df) and the pruned integer-weighted inverted index
+    (term, id, df, w) with w = tf · round(idf_scale·(N+1)/(df+1)).
+
+    One (doc, term) shuffle for tf; the tf relation is checkpointed so
+    every downstream branch (df counts, volume guards, norms, both pair
+    paths) reads blocks instead of re-tokenizing. df=1 terms drop
+    (cannot form a pair — free, exact); hot stopword-class terms are
+    capped at ``max_term_df`` when given, else at
+    ``floor(max_term_df_frac · N)`` — a FRACTION, because an absolute
+    cap silently degrades as the corpus grows (at 10× the docs the same
+    cap=100 pruned every shared term of true duplicate pairs and the
+    operator returned nothing).
+    """
+    toks = _word_tokens(text_col)
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    cap = (
+        F.lit(max_term_df).cast("long")
+        if max_term_df is not None
+        else F.greatest(
+            F.lit(2).cast("long"),
+            F.floor(F.lit(max_term_df_frac) * F.col("n_docs")).cast("long"),
+        )
+    )
+    kept_terms = (
+        dfc.crossJoin(F.broadcast(n))
+        .where((F.col("df") > 1) & (F.col("df") <= cap))
+        .select("term", "df")
+    )
+    weighted = (
+        tf.join(kept_terms, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "id",
+            F.col("df"),
+            (
+                F.col("tf")
+                * F.round(
+                    F.lit(float(idf_scale)) * (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    return kept_terms, weighted
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -686,6 +748,124 @@ def tfidf_cosine_pairs(
         small_cand.unionByName(hot_cand)
         .groupBy("id_a", "id_b")
         .agg(F.sum("prod").alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm").alias("_na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm").alias("_nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot").cast("double") / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def tfidf_cosine_pairs_prefix(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_term_df: int | None = None,
+    max_term_df_frac: float = 0.2,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Sparse tf-idf cosine pairs via LOSSLESS prefix filtering — the
+    sub-quadratic registered form of ``tfidf_cosine_pairs`` (AllPairs /
+    PPJoin weighted-cosine prefix bound, Bayardo et al. 2007; public
+    method). Returns EXACTLY the same rows as the exact inverted-index
+    form: the prefix step only prunes candidate generation, never the
+    result.
+
+    The bound: order each document's terms by descending weight (ties by
+    term); let suffix_sq(r) = Σ_{rank ≥ r} w². If every shared term of a
+    pair lies past doc A's prefix boundary p (where suffix_sq(p+1) <
+    t'²·‖A‖²), then by Cauchy-Schwarz dot ≤ √suffix_sq·‖B‖ <
+    t'·‖A‖‖B‖ — the pair cannot reach the threshold. So every
+    qualifying pair shares ≥1 term inside the LOWER-id doc's prefix, and
+    candidates = prefix(id_a) ⋈ full-index(id_b) on term with
+    id_a < id_b is complete. t' = threshold − 1e-6 absorbs the final
+    6-dp half-up rounding, so the prune is conservative even for pairs
+    that round UP onto the threshold.
+
+    Exactness (the portability contract of the exact form, inherited):
+    weights are integers, suffix sums and the prefix comparison are
+    decimal(38,0) — suffix_sq·10¹² ≥ tppm'²·‖A‖² with tppm' =
+    round(t'·10⁶) — so Spark and a SQL oracle agree bit-for-bit on
+    WHICH terms are prefix terms; the verify stage reuses the exact
+    dot/norm decimal math. Headroom: suffix_sq·10¹² needs Σw² ≲ 10²⁶
+    per doc (w ∝ N·idf_scale ⇒ fine to ~10¹⁰ docs of 10³ terms).
+
+    Why this is the 100-TB shape while the exact form is the audit
+    form: the exact form's candidate volume is Σ C(df,2) over kept
+    terms — quadratic in cluster size on clustered corpora. Here a term
+    generates prefix_df(term)·df(term) candidates, and idf weighting
+    pushes exactly the hot (low-idf, low-weight) terms OUT of prefixes,
+    so the quadratic stopword-class blowup never enters candidate
+    generation. Rare terms dominate prefixes and their df is small by
+    definition. The verify join touches candidate pairs only.
+
+    Output: (id_a, id_b, cos_sim) with id_a < id_b — identical schema
+    and values to ``tfidf_cosine_pairs``.
+    """
+    from pyspark.sql import Window
+
+    kept_terms, weighted = _tfidf_weighted(
+        df, text_col, id_col, max_term_df, max_term_df_frac, idf_scale
+    )
+    weighted = weighted.localCheckpoint(eager=True)
+    wd = F.col("w").cast("decimal(19,0)")
+    w2 = (wd * wd).cast("decimal(38,0)")
+    # per-doc suffix-of-squares under descending-weight order: one
+    # doc-partitioned window (bounded state — a doc's own term count),
+    # then the exact decimal prefix predicate
+    dw = Window.partitionBy("id").orderBy(F.desc("w"), F.asc("term"))
+    suffix_sq = F.sum(w2).over(
+        dw.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    norm_sq = F.sum(w2).over(
+        dw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    tppm = int(round((float(threshold) - 1e-6) * 1_000_000))
+    prefix = (
+        weighted.select(
+            "term",
+            "id",
+            suffix_sq.alias("_ssq"),
+            norm_sq.alias("_nsq"),
+        )
+        .where(
+            F.col("_ssq") * F.lit(10**12).cast("decimal(38,0)")
+            >= F.lit(tppm * tppm).cast("decimal(38,0)") * F.col("_nsq")
+        )
+        .select("term", F.col("id").alias("id_a"))
+    )
+    full_b = weighted.select("term", F.col("id").alias("id_b"))
+    cands = (
+        prefix.join(full_b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify candidates ONLY, with the exact form's decimal dot/norm math
+    wa = weighted.select(
+        F.col("id").alias("id_a"), "term", wd.alias("_wa")
+    )
+    wb = weighted.select(
+        F.col("id").alias("_idb"), F.col("term").alias("_tb"), wd.alias("_wb")
+    )
+    dots = (
+        cands.join(wa, "id_a")
+        .join(wb, (F.col("id_b") == F.col("_idb")) & (F.col("term") == F.col("_tb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("dot"))
+    )
+    norms = weighted.groupBy("id").agg(
+        F.sqrt(F.sum(wd * wd).cast("double")).alias("norm")
     )
     na = norms.select(F.col("id").alias("id_a"), F.col("norm").alias("_na"))
     nb = norms.select(F.col("id").alias("id_b"), F.col("norm").alias("_nb"))

@@ -514,6 +514,35 @@ def test_tfidf_hot_term_join_path_matches_array_path(spark):
     )
 
 
+def test_tfidf_prefix_filter_is_lossless(spark):
+    # the sub-quadratic prefix-filtered form must be row-identical to the
+    # exact inverted-index form (the prefix step only prunes candidate
+    # GENERATION — Cauchy-Schwarz guarantees no qualifying pair is lost),
+    # across thresholds including ones where rounding lands pairs exactly
+    # on the boundary
+    from megalista_spark.operators.text import (
+        tfidf_cosine_pairs,
+        tfidf_cosine_pairs_prefix,
+    )
+
+    rows = [
+        (i, f"shared corpus words everywhere doc{i % 5} extra tail {i % 11}")
+        for i in range(40)
+    ] + [(100 + i, f"unique{i} singleton text piece{i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.3, 0.5, 0.9):
+        kw = dict(threshold=t, max_term_df_frac=1.0)
+        exact = sorted(map(tuple, tfidf_cosine_pairs(docs, **kw).collect()))
+        pref = sorted(map(tuple, tfidf_cosine_pairs_prefix(docs, **kw).collect()))
+        assert exact == pref
+    assert len(exact) >= 0  # 0.9 may legitimately be empty; lower t was not
+    # empty / single-doc inputs: typed-empty, no crash
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    one = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    assert tfidf_cosine_pairs_prefix(empty).count() == 0
+    assert tfidf_cosine_pairs_prefix(one).count() == 0
+
+
 def test_check_constraints_counts_violations(spark):
     from megalista_spark.operators.expectations import check_constraints
 

@@ -142,11 +142,18 @@ def test_partition_pruned_write_read_cycle(spark, tmp_path):
 
 
 def test_tfidf_pairs_no_python_term_joins_hashed(spark, entry):
-    # the sparse cosine pair plan must stay JVM-side (no row-at-a-time
-    # Python); document joins are equi hash joins on term/id (the only
+    # the sparse cosine pair plans must stay JVM-side (no row-at-a-time
+    # Python); document joins are equi joins on term/id (the only
     # nested-loop joins are crosses against ONE-ROW count aggregates —
-    # bounded by construction); never a CartesianProduct of data
+    # bounded by construction); never a CartesianProduct of data.
+    # Registered default = prefix-filtered form: candidate generation is
+    # an equi join of the prefix index against the full index on term.
     txt = plan_of(entry.tfidf_cosine_dup_pairs(spark, SF))
+    assert "BatchEvalPython" not in txt
+    assert "CartesianProduct" not in txt
+    assert "Join [term" in txt or "Join [id_a" in txt
+    # exact/audit sibling keeps the broadcast term-join shape
+    txt = plan_of(entry.tfidf_cosine_dup_pairs_exact(spark, SF))
     assert "BatchEvalPython" not in txt
     assert "CartesianProduct" not in txt
     assert "BroadcastHashJoin [term" in txt
