@@ -1233,6 +1233,59 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def ann_ivf_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with AUTO-SCALED cell count (operators/similarity.py::
+    ivf_cosine_topk with neither centroids nor num_centroids supplied):
+    k = max(2, ⌊√n⌋) trained centroids via the deterministic Lloyd's
+    path — the standard IVF sizing, making per-query scan cost
+    nprobe·√n rows (SUB-linear in the corpus) instead of the constant
+    fraction nprobe/k a pinned k degrades to as cells fatten at 100×
+    scale. Oracle-gated end to end: the SQL computes the same
+    √n via a scalar-subquery LIMIT and unrolls the same k-means."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_cosine_topk(emb, queries, k=10, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _ivf_auto_sql() -> str:
+    return f"""
+WITH {_kmeans_ctes("(SELECT greatest(2, floor(sqrt(count(*)))::BIGINT) FROM e)")},
+cent AS (SELECT cid AS centroid_id, cv FROM c2),
+corpus_scored AS (
+  SELECT e.vid AS neighbor_id, e.v AS cvec, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vid
+                            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS r
+  FROM e CROSS JOIN cent c
+), corpus_assigned AS (
+  SELECT neighbor_id, cvec, centroid_id AS bucket FROM corpus_scored WHERE r = 1
+), q AS (SELECT vid AS query_id, v AS qv FROM e WHERE vid < 5),
+q_scored AS (
+  SELECT q.query_id, q.qv, c.centroid_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS r
+  FROM q CROSS JOIN cent c
+), q_probes AS (
+  SELECT query_id, qv, centroid_id AS bucket FROM q_scored WHERE r <= 4
+), cand AS (
+  SELECT p.query_id, a.neighbor_id,
+         round(list_cosine_similarity(p.qv, a.cvec), 6) AS cos_sim
+  FROM q_probes p JOIN corpus_assigned a USING (bucket)
+  WHERE a.neighbor_id != p.query_id
+), rr AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank
+FROM rr WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (operators/similarity.py::ivfpq_topk): coarse cells +
     product-quantized integer residual codes + asymmetric-distance
@@ -4165,12 +4218,16 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Two unrolled Lloyd's iterations (k=8, 6dp re-sync at every boundary) —
 # shared by the k-means oracle and the trained-IVF oracle.
-_KMEANS_CTES = """e AS (
+def _kmeans_ctes(k_expr: str = "8") -> str:
+    """The unrolled 2-iteration Lloyd's CTE block, parameterized on the
+    init-centroid count (``k_expr`` may be a literal or a scalar
+    subquery — DuckDB accepts expressions in LIMIT)."""
+    return f"""e AS (
   SELECT vec_id AS vid, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
 ),
 c0 AS (
   SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, v AS cv
-  FROM (SELECT * FROM e ORDER BY vid LIMIT 8)
+  FROM (SELECT * FROM e ORDER BY vid LIMIT {k_expr})
 ),
 a1 AS (
   SELECT vid, v, cid FROM (
@@ -4202,6 +4259,9 @@ m2 AS (
   GROUP BY cid, pos
 ),
 c2 AS (SELECT cid, list(mval ORDER BY pos) AS cv FROM m2 GROUP BY cid)"""
+
+
+_KMEANS_CTES = _kmeans_ctes("8")
 
 KMEANS_SQL = f"""
 WITH {_KMEANS_CTES},
@@ -11438,6 +11498,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the whole roster — every name here is green in the local mirror
 # (scripts/compare_oracle.py) at sf0.01.
 _GATE_ROTATION_FIRST = [
+    "ann_ivf_auto_topk",
+    "tfidf_cosine_dup_pairs",
+    "tfidf_cosine_dup_pairs_exact",
     "ann_recall_audit",
     "auc_purchase_by_value",
     "gains_decile_purchases",
@@ -11552,8 +11615,6 @@ _GATE_ROTATION_FIRST = [
     "incremental_corpus_dedup",
     "validate_orders_quality",
     "streaming_transactional_dedup",
-    "tfidf_cosine_dup_pairs",
-    "tfidf_cosine_dup_pairs_exact",
     "corpus_frequency_scores",
     "weighted_sample_by_lang",
     "multimodal_media_dedup",
@@ -11666,6 +11727,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "dedup_simhash": dedup_simhash,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_auto_topk": ann_ivf_auto_topk,
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "ann_ivfpq_index_search": ann_ivfpq_index_search,
@@ -12001,6 +12063,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(32),
         "ann_cosine_topk": ANN_SQL,
         "ann_ivf_topk": IVF_SQL,
+        "ann_ivf_auto_topk": _ivf_auto_sql(),
         "ann_ivf_trained_topk": _ivf_trained_sql(),
         "ann_ivfpq_topk": _ivfpq_sql(),
         # the persisted-index search is bit-identical to the in-memory

@@ -103,31 +103,55 @@ def ivf_cosine_topk(
     df: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: DataFrame | None = None,
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """IVF-pruned approximate top-k.
 
     ``centroids`` (cid, vector) may come from ``clustering.kmeans_fit``-
-    style training; when omitted, the deterministic fallback is the
-    ``num_centroids`` corpus vectors with the lowest ids (fixed and
-    reproducible — the plan shape is identical either way). Every corpus
-    vector is assigned to its nearest centroid; each query probes its
-    ``nprobe`` nearest centroid buckets only.
+    style training. When ``num_centroids`` is given without
+    ``centroids``, the deterministic fallback is the ``num_centroids``
+    corpus vectors with the lowest ids (fixed and reproducible — the
+    plan shape is identical either way). When NEITHER is supplied, the
+    cell count auto-scales: num_centroids = max(2, ⌊√n⌋) trained with
+    ``kmeans_iters`` Lloyd's rounds (``clustering.kmeans_centroids``) —
+    the standard IVF sizing, so per-query scan cost is
+    nprobe·(n/√n) = nprobe·√n rows, SUB-linear in the corpus, instead of
+    the constant fraction nprobe/k a pinned k degrades to at 100× scale
+    (each fixed cell holds 100× the vectors). Every corpus vector is
+    assigned to its nearest centroid; each query probes its ``nprobe``
+    nearest centroid buckets only.
 
     At scale this is the standard two-level ANN plan: the centroid table
-    is tiny (broadcast), the corpus is scored against ≤ nprobe/num_centroids
-    of the data, and the only wide operation is the final per-query top-k.
+    is tiny (√n rows — broadcast to ~10⁵ cells at 10¹⁰ vectors), the
+    corpus is scored against nprobe cells per query, and the only wide
+    operation is the final per-query top-k.
     """
     if centroids is not None:
         cid_col, cvec_col = centroids.columns[:2]
         centroids = centroids.select(
             F.col(cid_col).alias("centroid_id"),
             F.col(cvec_col).alias("centroid_vec"),
+        )
+    elif num_centroids is None:
+        # auto-√n TRAINED cells (the scale default): one cheap scalar
+        # count, then the shared deterministic Lloyd's path
+        import math
+
+        from megalista_spark.operators.clustering import kmeans_centroids
+
+        n_rows = df.count()
+        auto_k = max(2, math.isqrt(n_rows))
+        centroids = kmeans_centroids(
+            df, k=auto_k, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+        ).select(
+            F.col("cid").alias("centroid_id"),
+            F.col("cv").alias("centroid_vec"),
         )
     else:
         centroids = (
@@ -406,9 +430,18 @@ def _pq_l2(a: Column, b: Column) -> Column:
     )
 
 
-def _pq_coarse(corpus_q: DataFrame, num_coarse: int) -> DataFrame:
+def _pq_coarse(corpus_q: DataFrame, num_coarse: int | None) -> DataFrame:
     """Deterministic coarse quantizer: the num_coarse lowest-id quantized
-    vectors, cell = rank by id."""
+    vectors, cell = rank by id. ``num_coarse=None`` auto-scales the cell
+    count to max(2, ⌊√n⌋) — the standard IVF sizing, keeping per-query
+    candidate volume at nprobe·√n rows (sub-linear) instead of the
+    constant fraction a pinned cell count degrades to as the corpus
+    grows. Cells stay lowest-id (not trained floats) so the family's
+    exact-bigint distance contract is preserved."""
+    if num_coarse is None:
+        import math
+
+        num_coarse = max(2, math.isqrt(corpus_q.count()))
     wq = Window.orderBy("id")
     return (
         corpus_q.orderBy("id")
@@ -454,7 +487,7 @@ def _pq_subspaces(res_df: DataFrame, key: str, m_subs: int, sub_d: int) -> DataF
 
 def ivfpq_train_codebooks(
     df: DataFrame,
-    num_coarse: int = 8,
+    num_coarse: int | None = 8,
     m_subs: int = 8,
     k_codes: int = 16,
     iters: int = 2,
@@ -638,7 +671,7 @@ def ivfpq_topk(
     df: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    num_coarse: int = 8,
+    num_coarse: int | None = 8,
     nprobe: int = 2,
     m_subs: int = 8,
     k_codes: int = 16,
@@ -795,7 +828,7 @@ def _pq_adc_search(
 def ivfpq_build_index(
     df: DataFrame,
     path: str,
-    num_coarse: int = 8,
+    num_coarse: int | None = 8,
     m_subs: int = 8,
     k_codes: int = 16,
     dim: int = 64,

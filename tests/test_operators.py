@@ -240,6 +240,31 @@ def test_ivf_with_trained_centroids(spark):
         assert [r["rank"] for r in sorted(recs, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
 
 
+def test_ivf_auto_scales_cells_to_sqrt_n(spark):
+    # neither centroids nor num_centroids supplied -> k = max(2, isqrt(n))
+    # TRAINED cells; results stay a valid exact-scored top-k, and the
+    # auto path must match an explicit kmeans_centroids(k=isqrt(n)) feed
+    import math
+
+    from megalista_spark.operators.clustering import kmeans_centroids
+    from megalista_spark.operators.similarity import ivf_cosine_topk, ivfpq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    q = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    auto = sorted(map(tuple, ivf_cosine_topk(emb, q, k=5, nprobe=2).collect()))
+    cents = kmeans_centroids(emb, k=max(2, math.isqrt(n)), iters=2)
+    explicit = sorted(
+        map(tuple, ivf_cosine_topk(emb, q, k=5, nprobe=2, centroids=cents).collect())
+    )
+    assert auto == explicit and len(auto) == 10
+    # the PQ family's coarse quantizer accepts the same auto sizing
+    pq = ivfpq_topk(emb, q, k=5, num_coarse=None, nprobe=2).collect()
+    assert len(pq) == 10 and all(r["neighbor_id"] != r["query_id"] for r in pq)
+
+
 def test_range_join_binned_matches_naive(spark):
     from megalista_spark.operators.rangejoin import range_join_binned
 
