@@ -5538,6 +5538,138 @@ ORDER BY media_id, frame_index
 """
 
 
+def multimodal_audio_windows_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path (operators/multimodal.py::
+    extract_audio_features with decode_stub=False): per doc, a 16-bit
+    PCM WAV is SYNTHESIZED from a deterministic integer sample formula
+    (s_i = ((id·31 + i·7) mod 2¹⁶) − 2¹⁵, n = 160 + 4·(id mod 50)) and
+    encoded by ``wav_pcm16_encode``; the kernel then decodes it with the
+    pure-Python RIFF/PCM parser and computes exact-integer mean-square
+    energy per quarter window. The oracle never sees the binary — it
+    replays the sample formula directly, so the hash-match PROVES
+    decode(encode(samples)) == samples end to end through real
+    container bytes."""
+    import pandas as pd
+
+    from megalista_spark.operators.multimodal import (
+        extract_audio_features,
+        wav_pcm16_encode,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": pdf["media_id"].map(
+                        lambda m: wav_pcm16_encode(
+                            [
+                                ((int(m) * 31 + i * 7) % 65536) - 32768
+                                for i in range(160 + 4 * (int(m) % 50))
+                            ]
+                        )
+                    ),
+                }
+            )
+
+    media = d.mapInPandas(enc, "media_id long, content binary")
+    return extract_audio_features(media, n_windows=4, decode_stub=False).orderBy(
+        "media_id", "window_index"
+    )
+
+
+AUDIO_WINDOWS_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, 160 + 4 * (doc_id % 50) AS n FROM documents
+),
+s AS (
+  SELECT media_id, n, i, ((media_id * 31 + i * 7) % 65536) - 32768 AS s
+  FROM m, unnest(range(0, n)) AS r(i)
+)
+SELECT media_id, (i // (n // 4))::INT AS window_index,
+       (((1000000 * sum(s * s)) // (count(*) * 1073741824)) / 1000000.0)::FLOAT AS energy
+FROM s
+GROUP BY media_id, (i // (n // 4))
+ORDER BY media_id, window_index
+"""
+
+
+def multimodal_image_features_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path (operators/multimodal.py::
+    extract_image_features with decode_stub=False): per doc, a 16×16
+    binary PPM (P6) is synthesized from the deterministic pixel formula
+    v(x,y,c) = (id + 3x + 7y + 11c) mod 256 and encoded by
+    ``ppm_p6_encode``; the kernel decodes it with the pure-Python netpbm
+    parser and computes per-channel integer-ppm means and maxes from the
+    actual raster. The oracle replays the pixel formula — the hash-match
+    proves the decoder inverts the container exactly (n_bytes also
+    checks the header layout: 13 header + 768 raster bytes)."""
+    import pandas as pd
+
+    from megalista_spark.operators.multimodal import (
+        extract_image_features,
+        ppm_p6_encode,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+
+    def enc(batches):
+        for pdf in batches:
+            def mk(m):
+                m = int(m)
+                rgb = bytes(
+                    (m + 3 * x + 7 * y + 11 * c) % 256
+                    for y in range(16)
+                    for x in range(16)
+                    for c in range(3)
+                )
+                return ppm_p6_encode(16, 16, rgb)
+
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": pdf["media_id"].map(mk)}
+            )
+
+    media = d.mapInPandas(enc, "media_id long, content binary")
+    feats = extract_image_features(media, dim=8, decode_stub=False)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.element_at("feature", 1).alias("mean_r"),
+        F.element_at("feature", 2).alias("mean_g"),
+        F.element_at("feature", 3).alias("mean_b"),
+        F.element_at("feature", 4).alias("max_r"),
+        F.element_at("feature", 5).alias("max_g"),
+        F.element_at("feature", 6).alias("max_b"),
+    ).orderBy("media_id")
+
+
+IMAGE_PIXELS_SQL = """
+WITH px AS (
+  SELECT doc_id AS media_id, c, ((doc_id + 3 * x + 7 * y + 11 * c) % 256) AS v
+  FROM documents,
+       unnest(range(0, 16)) AS rx(x),
+       unnest(range(0, 16)) AS ry(y),
+       unnest(range(0, 3)) AS rc(c)
+),
+agg AS (
+  SELECT media_id, c, sum(v) AS total, max(v) AS mx
+  FROM px GROUP BY media_id, c
+)
+SELECT media_id, 781::BIGINT AS n_bytes,
+       (((1000000 * max(CASE WHEN c = 0 THEN total END)) // 65280) / 1000000.0)::FLOAT AS mean_r,
+       (((1000000 * max(CASE WHEN c = 1 THEN total END)) // 65280) / 1000000.0)::FLOAT AS mean_g,
+       (((1000000 * max(CASE WHEN c = 2 THEN total END)) // 65280) / 1000000.0)::FLOAT AS mean_b,
+       (max(CASE WHEN c = 0 THEN mx END) / 255.0)::FLOAT AS max_r,
+       (max(CASE WHEN c = 1 THEN mx END) / 255.0)::FLOAT AS max_g,
+       (max(CASE WHEN c = 2 THEN mx END) / 255.0)::FLOAT AS max_b
+FROM agg
+GROUP BY media_id
+ORDER BY media_id
+"""
+
+
 def streaming_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``hopping_rollup_events`` — the same overlapping
     60/30 windows under readStream with watermarked state (one open-window
@@ -11501,6 +11633,8 @@ _GATE_ROTATION_FIRST = [
     "ann_ivf_auto_topk",
     "tfidf_cosine_dup_pairs",
     "tfidf_cosine_dup_pairs_exact",
+    "multimodal_audio_windows_decoded",
+    "multimodal_image_features_decoded",
     "ann_recall_audit",
     "auc_purchase_by_value",
     "gains_decile_purchases",
@@ -11806,6 +11940,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "multimodal_image_features": multimodal_image_features,
         "multimodal_media_dedup": multimodal_media_dedup,
         "multimodal_frame_samples": multimodal_frame_samples,
+        "multimodal_audio_windows_decoded": multimodal_audio_windows_decoded,
+        "multimodal_image_features_decoded": multimodal_image_features_decoded,
         "kmeans_embeddings": kmeans_embeddings,
         "semdedup_cluster_prune": semdedup_cluster_prune,
         "dsir_importance_topk": dsir_importance_topk,
@@ -11976,6 +12112,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_features": MULTIMODAL_SQL,
         "multimodal_media_dedup": MEDIA_DEDUP_SQL,
         "multimodal_frame_samples": FRAME_SAMPLES_SQL,
+        "multimodal_audio_windows_decoded": AUDIO_WINDOWS_SQL,
+        "multimodal_image_features_decoded": IMAGE_PIXELS_SQL,
         "kmeans_embeddings": KMEANS_SQL,
         "semdedup_cluster_prune": SEMDEDUP_SQL,
         "dsir_importance_topk": DSIR_SQL,

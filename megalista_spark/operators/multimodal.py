@@ -6,23 +6,122 @@ data). All heavy per-item work (decode, resize, feature extraction, frame
 sampling) runs as Arrow-batched ``mapInPandas`` — one Python worker per
 partition, zero JVM round-trips per row, linear scaling with partitions.
 
-The image/audio codec libraries are NOT present in this environment, so
-the decode kernels are stubbed: ``decode_stub=True`` (default) produces a
-deterministic fake decode (so the Spark-side plumbing — schemas, batching,
-partition flow — is fully testable); with ``decode_stub=False`` the
-kernels raise NotImplementedError where the real library call belongs
-(clearly marked below).
+Codec story: two container formats need NO external library and are
+implemented for real here — uncompressed PCM WAV (RIFF chunk walk,
+``wav_pcm16_decode``) and binary PPM / P6 (``ppm_p6_decode``). The
+``decode_stub=False`` paths of ``extract_audio_features`` and
+``extract_image_features`` decode these natively and compute features on
+the REAL samples/pixels. Compressed codecs (JPEG/MP3/H.264...) would
+need external libraries that are not in this environment, so those
+paths keep the documented behavior: ``decode_stub=True`` (default)
+produces a deterministic digest-derived fake (the Spark-side plumbing —
+schemas, batching, partition flow — is fully testable), and content a
+real kernel cannot parse raises with a clear message.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+# ------------------------------------------------- pure-Python codecs
+
+
+def wav_pcm16_encode(
+    samples: list[int], sample_rate: int = 16000, n_channels: int = 1
+) -> bytes:
+    """Minimal canonical RIFF/WAVE writer: 16-bit little-endian PCM,
+    one ``fmt `` chunk + one ``data`` chunk. The fixture-side half of
+    the codec (tests encode→decode round-trips through it)."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_pcm16_decode(content: bytes) -> tuple[int, int, list[int]]:
+    """Real RIFF/WAVE PCM decoder (no external library): walks the chunk
+    list, validates the ``fmt `` chunk (format tag 1 = integer PCM,
+    16-bit), and unpacks the ``data`` chunk to int16 samples. Returns
+    (sample_rate, n_channels, samples). Raises ValueError on anything
+    that is not uncompressed 16-bit PCM — honest failure, not a guess."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, end = 12, min(len(content), 8 + struct.unpack("<I", content[4:8])[0])
+    sample_rate = n_channels = bits = None
+    samples: list[int] | None = None
+    while pos + 8 <= end:
+        cid = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        chunk = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            tag, n_channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+            if tag != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV encoding (format tag {tag}, {bits}-bit); "
+                    "only uncompressed 16-bit PCM is decodable without codec libs"
+                )
+        elif cid == b"data":
+            n = size // 2
+            samples = list(struct.unpack(f"<{n}h", chunk[: n * 2]))
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return sample_rate, n_channels, samples
+
+
+def ppm_p6_encode(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal binary-PPM (P6, maxval 255) writer; ``rgb`` is
+    width·height·3 interleaved bytes."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    return f"P6\n{width} {height}\n255\n".encode() + rgb
+
+
+def ppm_p6_decode(content: bytes) -> tuple[int, int, bytes]:
+    """Real binary-PPM (P6) decoder (no external library): parses the
+    magic / dimensions / maxval header (whitespace + ``#`` comments per
+    the netpbm spec) and returns (width, height, rgb bytes). Raises
+    ValueError for non-P6 or truncated content."""
+    if content[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) image")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (need 255 / 8-bit)")
+    need = width * height * 3
+    rgb = content[pos : pos + need]
+    if len(rgb) != need:
+        raise ValueError("truncated PPM raster")
+    return width, height, rgb
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -60,10 +159,35 @@ def _fake_decode_features(content: bytes, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in digest[:dim]]
 
 
+def _ppm_pixel_features(content: bytes, dim: int) -> list[float]:
+    """REAL decode features for P6 images: per-channel mean (exact
+    integer-ppm arithmetic — engine-portable) and per-channel max /255,
+    then width and height — 8 values, sliced to ``dim``. Every number is
+    a ratio of exact integer aggregates, so a SQL oracle that replays the
+    pixel generator reproduces the floats bit-for-bit."""
+    width, height, rgb = ppm_p6_decode(content)
+    n_pix = width * height
+    feats: list[float] = []
+    for ch in range(3):
+        total = sum(rgb[ch::3])
+        feats.append(((1_000_000 * total) // (n_pix * 255)) / 1_000_000.0)
+    for ch in range(3):
+        feats.append(max(rgb[ch::3]) / 255.0)
+    feats.extend([float(width), float(height)])
+    return feats[:dim]
+
+
 def extract_image_features(
     df: DataFrame, dim: int = 8, decode_stub: bool = True
 ) -> DataFrame:
     """binary content → fixed-dim feature vector, Arrow-batched.
+
+    ``decode_stub=False`` REALLY decodes: binary-PPM (P6) content is
+    parsed by the pure-Python decoder above and the features are computed
+    from actual pixels (per-channel mean/max + dimensions). Formats that
+    need external codec libraries (JPEG/PNG...) raise ValueError from the
+    parser — honest failure. The default stub path derives features from
+    the content digest (plumbing-only mode).
 
     Plan shape at 100 TB: pure mapInPandas over the scan — no shuffle; the
     binary column is the read bottleneck, so partition sizing
@@ -72,11 +196,12 @@ def extract_image_features(
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = (
+            (lambda b: _fake_decode_features(b, dim))
+            if decode_stub
+            else (lambda b: _ppm_pixel_features(b, dim))
+        )
         for pdf in batches:
-            if not decode_stub:
-                # Real implementation goes here:
-                #   from PIL import Image; img = Image.open(io.BytesIO(b))
-                raise NotImplementedError("image codec not available in this environment")
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -85,7 +210,7 @@ def extract_image_features(
                         lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                     ),
                     "feature": pdf["content"].map(
-                        lambda b: _fake_decode_features(b, dim) if b is not None else None
+                        lambda b: decode(b) if b is not None else None
                     ),
                 }
             )
@@ -211,25 +336,44 @@ def extract_audio_features(
     df: DataFrame, n_windows: int = 4, decode_stub: bool = True
 ) -> DataFrame:
     """audio binary → per-window energy rows (one row per analysis
-    window). Stub computes mean byte value over equal content slices — a
-    real kernel would decode PCM and compute RMS/spectral features per
-    hop. Output rows = input rows × n_windows, generated inside the
-    kernel like the frame sampler."""
+    window). ``decode_stub=False`` REALLY decodes: uncompressed 16-bit
+    PCM WAV content goes through the pure-Python RIFF decoder and energy
+    is the mean-square of the actual samples per equal window —
+    ``(10⁶·Σs²) // (n·2¹⁵·2¹⁵) / 10⁶`` (exact integer arithmetic up to
+    the final division, so a SQL oracle that replays the sample
+    generator reproduces every float). Compressed codecs raise
+    ValueError from the parser. The default stub computes mean byte
+    value over equal content slices (plumbing-only mode). Output rows =
+    input rows × n_windows, generated inside the kernel like the frame
+    sampler."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError("audio codec not available in this environment")
             ids, idxs, energies = [], [], []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None or len(content) == 0:
                     continue
-                step = max(len(content) // n_windows, 1)
-                for i in range(n_windows):
-                    chunk = content[i * step : (i + 1) * step] or content[-step:]
-                    ids.append(media_id)
-                    idxs.append(i)
-                    energies.append(sum(chunk) / (255.0 * len(chunk)))
+                if decode_stub:
+                    step = max(len(content) // n_windows, 1)
+                    for i in range(n_windows):
+                        chunk = content[i * step : (i + 1) * step] or content[-step:]
+                        ids.append(media_id)
+                        idxs.append(i)
+                        energies.append(sum(chunk) / (255.0 * len(chunk)))
+                else:
+                    _, _, samples = wav_pcm16_decode(content)
+                    if not samples:
+                        continue
+                    step = max(len(samples) // n_windows, 1)
+                    for i in range(n_windows):
+                        win = samples[i * step : (i + 1) * step] or samples[-step:]
+                        ss = sum(s * s for s in win)
+                        ids.append(media_id)
+                        idxs.append(i)
+                        energies.append(
+                            ((1_000_000 * ss) // (len(win) * (1 << 30)))
+                            / 1_000_000.0
+                        )
             yield pd.DataFrame(
                 {"media_id": ids, "window_index": idxs, "energy": energies}
             )

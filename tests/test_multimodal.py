@@ -54,6 +54,80 @@ def test_resize_images(spark):
     assert out[4]["resized_sha256"] is None  # null content passes through
 
 
+def test_wav_pcm16_codec_roundtrip():
+    import pytest
+
+    from megalista_spark.operators.multimodal import (
+        wav_pcm16_decode,
+        wav_pcm16_encode,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321]
+    rate, chans, back = wav_pcm16_decode(wav_pcm16_encode(samples, 8000))
+    assert (rate, chans, back) == (8000, 1, samples)
+    # odd-length data chunk padding: decoder walks word-aligned chunks
+    rate2, _, back2 = wav_pcm16_decode(wav_pcm16_encode([7], 44100))
+    assert rate2 == 44100 and back2 == [7]
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_pcm16_decode(b"not audio at all")
+    # a non-PCM format tag must fail honestly, not decode garbage
+    blob = bytearray(wav_pcm16_encode([1, 2], 8000))
+    blob[20] = 3  # format tag 3 = IEEE float
+    with pytest.raises(ValueError, match="format tag 3"):
+        wav_pcm16_decode(bytes(blob))
+
+
+def test_ppm_p6_codec_roundtrip():
+    import pytest
+
+    from megalista_spark.operators.multimodal import ppm_p6_decode, ppm_p6_encode
+
+    rgb = bytes(range(2 * 3 * 3))  # 2x3 image
+    assert ppm_p6_decode(ppm_p6_encode(2, 3, rgb)) == (2, 3, rgb)
+    # netpbm comments in the header are legal and must be skipped
+    with_comment = b"P6\n# a comment\n2 3\n255\n" + rgb
+    assert ppm_p6_decode(with_comment) == (2, 3, rgb)
+    with pytest.raises(ValueError, match="P6"):
+        ppm_p6_decode(b"P3\n1 1\n255\n0 0 0")
+    with pytest.raises(ValueError, match="truncated"):
+        ppm_p6_decode(b"P6\n2 3\n255\n" + rgb[:-1])
+
+
+def test_real_decode_feature_paths(spark):
+    # decode_stub=False on real container bytes: features come from the
+    # ACTUAL samples/pixels, matching a direct computation on the inputs
+    from megalista_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        ppm_p6_encode,
+        wav_pcm16_encode,
+    )
+
+    samples = [100] * 8 + [-200] * 8  # two distinct half-windows
+    wav = wav_pcm16_encode(samples, 16000)
+    adf = spark.createDataFrame([(1, wav)], "media_id long, content binary")
+    import numpy as np
+
+    f32 = lambda x: float(np.float32(x))  # noqa: E731 — schema emits float32
+    e = {
+        r["window_index"]: r["energy"]
+        for r in extract_audio_features(adf, n_windows=2, decode_stub=False).collect()
+    }
+    assert e[0] == f32(((1_000_000 * 8 * 100 * 100) // (8 * (1 << 30))) / 1_000_000.0)
+    assert e[1] == f32(((1_000_000 * 8 * 200 * 200) // (8 * (1 << 30))) / 1_000_000.0)
+
+    rgb = bytes([10, 20, 30] * 4)  # 2x2 uniform image
+    idf = spark.createDataFrame(
+        [(1, ppm_p6_encode(2, 2, rgb))], "media_id long, content binary"
+    )
+    row = extract_image_features(idf, decode_stub=False).collect()[0]
+    f = row["feature"]
+    assert f[0] == f32(((1_000_000 * 40) // (4 * 255)) / 1_000_000.0)  # mean R
+    assert (f[3], f[4], f[5]) == (f32(10 / 255.0), f32(20 / 255.0), f32(30 / 255.0))
+    assert (f[6], f[7]) == (2.0, 2.0)
+    assert row["n_bytes"] == len(ppm_p6_encode(2, 2, rgb))
+
+
 def test_extract_audio_features(spark):
     from megalista_spark.operators.multimodal import extract_audio_features
 
