@@ -280,6 +280,25 @@ HEADLINE = [
 #       steady-state cost is already benched via near_dup_groups_star.
 
 
+# Queries that run in their OWN subprocess even in the default shared-
+# session bench (BASELINE.md round-7 adjudication, deferred twice, done
+# round 9): the multi-stage shuffle-heavy graph family reproduces
+# within-session spreads up to 4.6× on this host (session-depth JIT/GC +
+# steal stalls), so every round re-flagged them as phantom regressions.
+# Fresh-JVM timing is the mode BASELINE.md's A/B used to clear them; the
+# JSON notes which names ran fresh ("fresh_queries"). Disable with
+# SPARK_GRAFT_BENCH_NOFRESH=1 (for strict comparability with ≤r8 totals).
+FRESH_QUERIES = {
+    "personalized_pagerank_weighted",
+    "personalized_pagerank_supply",
+    "pagerank_weighted_supply",
+    "copurchase_assortativity",
+    "contrastive_training_pairs",
+    "link_prediction_ra",
+    "global_clustering_coefficient",
+}
+
+
 def _selected_names() -> list[str]:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     exclude = set(
@@ -292,18 +311,21 @@ def _selected_names() -> list[str]:
     return names
 
 
-def _fresh_mode(sf_dir: str, names: list[str]) -> None:
+def _run_in_subprocesses(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
     """One subprocess per query: each runs this script with
-    SPARK_GRAFT_BENCH_ONLY=<name> and FRESH unset, and we keep its cold
-    time. Slow (session startup per query) but immune to session-depth
-    JIT/GC drift — the cross-round comparison mode."""
+    SPARK_GRAFT_BENCH_ONLY=<name> and FRESH/NOFRESH unset, and we keep
+    its cold+warm times. Slow (session startup per query) but immune to
+    session-depth JIT/GC drift — the cross-round comparison mode."""
     import subprocess
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in names:
         env = dict(os.environ)
         env["SPARK_GRAFT_BENCH_ONLY"] = name
+        env["SPARK_GRAFT_BENCH_CHILD"] = "1"  # child must not re-spawn
         env.pop("SPARK_GRAFT_BENCH_FRESH", None)
+        env.pop("SPARK_GRAFT_BENCH_NOFRESH", None)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -312,9 +334,17 @@ def _fresh_mode(sf_dir: str, names: list[str]) -> None:
         )
         try:
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][0]
-            timings[name] = json.loads(line)["queries"][name]
+            parsed = json.loads(line)
+            timings[name] = parsed["queries"][name]
+            warm[name] = parsed.get("queries_warm", {}).get(name, -1.0)
         except Exception:
             timings[name] = -1.0
+            warm[name] = -1.0
+    return timings, warm
+
+
+def _fresh_mode(sf_dir: str, names: list[str]) -> None:
+    timings, _ = _run_in_subprocesses(names)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -335,6 +365,15 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_FRESH") == "1":
         _fresh_mode(sf_dir, names)
         return
+    # route the adjudicated noise-prone graph family through per-query
+    # subprocesses AFTER the shared session finishes (never two JVMs at
+    # once); skipped when this IS such a subprocess (BENCH_CHILD set)
+    fresh_subset: list[str] = []
+    if not os.environ.get("SPARK_GRAFT_BENCH_CHILD") and os.environ.get(
+        "SPARK_GRAFT_BENCH_NOFRESH"
+    ) != "1":
+        fresh_subset = [n for n in names if n in FRESH_QUERIES]
+        names = [n for n in names if n not in FRESH_QUERIES]
     spec = importlib.util.spec_from_file_location("spark_entry", f"{REPO}/__spark_entry__.py")
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
@@ -377,7 +416,18 @@ def main() -> None:
         # later small queries' times creep up (~0.3-0.6s each, measured);
         # clearing OUTSIDE the timed window keeps every query self-paid
         spark.catalog.clearCache()
-    total = round(sum(timings.values()), 3)
+    if fresh_subset:
+        # shared JVM down first, then one subprocess per noise-prone query
+        spark.stop()
+        print(
+            f"[bench] fresh-session subset: {len(fresh_subset)} queries",
+            file=sys.stderr,
+            flush=True,
+        )
+        ft, fw = _run_in_subprocesses(fresh_subset)
+        timings.update(ft)
+        warm.update(fw)
+    total = round(sum(v for v in timings.values() if v > 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
@@ -387,8 +437,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "warm_total": round(sum(warm.values()), 3),
+                "warm_total": round(sum(v for v in warm.values() if v > 0), 3),
                 "queries_warm": warm,
+                "fresh_queries": sorted(fresh_subset),
                 "sf": sf_val,
             }
         )
@@ -403,14 +454,14 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "warm_total": round(sum(warm.values()), 3),
+                "warm_total": round(sum(v for v in warm.values() if v > 0), 3),
                 "n_queries": len(timings),
                 "sf": sf_val,
             }
         )
     )
     sys.stdout.flush()
-    spark.stop()
+    spark.stop()  # no-op if the fresh-subset path already stopped it
 
 
 if __name__ == "__main__":
