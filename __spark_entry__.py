@@ -11614,6 +11614,88 @@ SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true_pairs,
 """
 
 
+def lsh_banding_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured (bands, rows/band) S-curve sweep (operators/dedup.py::
+    lsh_banding_curve): every banding of the same 16-hash signature gets
+    measured recall AND precision against exact ground truth, next to
+    the theoretical 1−(1−t^r)^b collision probability — banding chosen
+    from evidence, not the formula. One corpus signing + one exact
+    ground-truth pass shared across all four geometries."""
+    from megalista_spark.operators.dedup import lsh_banding_curve
+
+    d = _t(spark, sf_dir, "documents")
+    return lsh_banding_curve(
+        d, num_hashes=16, bands_options=(2, 4, 8, 16), threshold=0.5
+    ).orderBy("bands")
+
+
+def _lsh_curve_sql(
+    num_hashes: int = 16,
+    bands_options: tuple[int, ...] = (2, 4, 8, 16),
+    threshold: float = 0.5,
+) -> str:
+    from megalista_spark.operators.dedup import MINHASH_P, minhash_params
+
+    sig_items = ", ".join(
+        f"list_min(list_transform(h, x -> (x * {a} + {b}) % {MINHASH_P}))"
+        for a, b in minhash_params(num_hashes)
+    )
+    per_band_ctes, selects = [], []
+    for bands in bands_options:
+        r = num_hashes // bands
+        theory_ppm = round(1_000_000 * (1.0 - (1.0 - threshold**r) ** bands))
+        per_band_ctes.append(f"""
+banded_{bands} AS (
+  SELECT doc_id AS id, b AS band_id,
+         md5(array_to_string(list_transform(sig[b*{r}+1 : b*{r}+{r}],
+                                            v -> v::VARCHAR), ',')) AS band_hash
+  FROM sig CROSS JOIN range(0, {bands}) t(b)
+), cand_{bands} AS MATERIALIZED (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM banded_{bands} a
+  JOIN banded_{bands} b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+)""")
+        selects.append(f"""
+SELECT {bands}::BIGINT AS bands, {r}::BIGINT AS rows_per_band,
+       (SELECT count(*) FROM truth)::BIGINT AS n_true_pairs,
+       (SELECT count(*) FROM cand_{bands})::BIGINT AS n_candidates,
+       (SELECT count(*) FROM truth t
+         JOIN cand_{bands} c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)::BIGINT AS n_caught,
+       CASE WHEN (SELECT count(*) FROM truth) > 0
+            THEN 1000000 * (SELECT count(*) FROM truth t
+                             JOIN cand_{bands} c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+                 // (SELECT count(*) FROM truth)
+       END AS recall_ppm,
+       CASE WHEN (SELECT count(*) FROM cand_{bands}) > 0
+            THEN 1000000 * (SELECT count(*) FROM truth t
+                             JOIN cand_{bands} c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+                 // (SELECT count(*) FROM cand_{bands})
+       END AS precision_ppm,
+       {theory_ppm}::BIGINT AS theory_ppm""")
+    return _SHINGLE_CTE + f"""
+, hashed AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
+  FROM sh
+), sig AS MATERIALIZED (
+  SELECT doc_id, [{sig_items}] AS sig FROM hashed
+), ex AS (
+  SELECT doc_id AS id, len(shingles) AS set_size,
+         unnest(list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS shingle
+  FROM sh
+), truth AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.id AS doc_a, b.id AS doc_b, a.set_size AS size_a,
+           b.set_size AS size_b, count(*)::BIGINT AS shared
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE shared / (size_a + size_b - shared) >= {threshold}
+), {", ".join(per_band_ctes)}
+{" UNION ALL ".join(selects)}
+ORDER BY bands
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -11635,6 +11717,7 @@ _GATE_ROTATION_FIRST = [
     "tfidf_cosine_dup_pairs_exact",
     "multimodal_audio_windows_decoded",
     "multimodal_image_features_decoded",
+    "lsh_banding_curve_audit",
     "ann_recall_audit",
     "auc_purchase_by_value",
     "gains_decile_purchases",
@@ -11977,6 +12060,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "decontaminate_bloom_docs": decontaminate_bloom_docs,
         "ann_recall_ivfpq": ann_recall_ivfpq,
         "lsh_recall_audit": lsh_recall_audit,
+        "lsh_banding_curve_audit": lsh_banding_curve_audit,
         "harmonic_centrality_customers": harmonic_centrality_customers,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "oov_rate_by_source": oov_rate_by_source,
@@ -12149,6 +12233,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom_docs": _decontaminate_sql(),
         "ann_recall_ivfpq": ANN_RECALL_IVFPQ_SQL,
         "lsh_recall_audit": _lsh_recall_sql(),
+        "lsh_banding_curve_audit": _lsh_curve_sql(),
         "harmonic_centrality_customers": _harmonic_sql(),
         "dedup_keep_best_docs": DEDUP_KEEP_BEST_SQL,
         "oov_rate_by_source": OOV_RATE_SQL,

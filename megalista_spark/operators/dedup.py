@@ -398,8 +398,18 @@ def minhash_lsh_pairs(
     inside a bucket, never across the full corpus. Output:
     (doc_a, doc_b, n_shared_bands).
     """
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col)
+    return _band_candidate_pairs(sigs, num_hashes, bands, id_col)
+
+
+def _band_candidate_pairs(
+    sigs: DataFrame, num_hashes: int, bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band a (id, sig) signature table into candidate pairs — the back
+    half of ``minhash_lsh_pairs``, factored out so sweeps over banding
+    geometries (``lsh_banding_curve``) sign the corpus ONCE and re-band
+    the same signature relation per geometry."""
+    rows_per_band = num_hashes // bands
     banded = sigs.select(
         F.col(id_col).alias("id"),
         F.explode_outer(
@@ -1490,3 +1500,84 @@ def lsh_candidate_recall(
             ).alias("recall_ppm"),
         )
     )
+
+
+def lsh_banding_curve(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands_options: tuple[int, ...] = (2, 4, 8, 16),
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full (bands, rows/band) S-CURVE SWEEP the single-geometry
+    audits point at: one row per banding of the same ``num_hashes``
+    signature, with MEASURED recall and precision against exact ground
+    truth next to the THEORETICAL collision probability
+    1 − (1 − t^r)^b at the target threshold — so a user picks banding
+    from measured recall on their corpus instead of the formula alone.
+
+    Cost discipline: the corpus is shingled/signed ONCE
+    (``minhash_signatures``, checkpointed) and ground truth is computed
+    ONCE (the exact inverted-index Jaccard join — the corpus-sized
+    work); each geometry then re-bands the SAME signature relation
+    (len(bands_options) band-bucket groupings over id+hash rows) and
+    adds two pair-sized joins. Sweeping b geometries costs b bandings,
+    not b corpus passes.
+
+    ``theory_ppm`` is the closed-form S-curve value, fixed by
+    (b, r, t) alone — a plan-time constant, emitted as a literal.
+    Output, one row per geometry: (bands, rows_per_band, n_true_pairs,
+    n_candidates, n_caught, recall_ppm, precision_ppm, theory_ppm).
+    """
+    sigs = minhash_signatures(
+        df, num_hashes, shingle_n, text_col, id_col
+    ).localCheckpoint(eager=True)
+    true_pairs = ngram_jaccard_pairs(
+        df, n=shingle_n, threshold=threshold, text_col=text_col, id_col=id_col
+    ).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    out = None
+    for bands in bands_options:
+        if num_hashes % bands:
+            raise ValueError(
+                f"lsh_banding_curve: bands={bands} does not divide "
+                f"num_hashes={num_hashes}"
+            )
+        r = num_hashes // bands
+        theory_ppm = round(1_000_000 * (1.0 - (1.0 - threshold**r) ** bands))
+        cand = _band_candidate_pairs(sigs, num_hashes, bands, id_col).select(
+            F.col("doc_a").alias("_ca"), F.col("doc_b").alias("_cb")
+        )
+        caught = true_pairs.join(
+            cand,
+            (F.col("doc_a") == F.col("_ca")) & (F.col("doc_b") == F.col("_cb")),
+            "left_semi",
+        )
+        t = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+        c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        g = caught.agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
+        # precision needs true-positives among candidates: candidates are
+        # a superset sweep, so TP = caught (true pairs ARE verified ≥ t)
+        row = (
+            t.crossJoin(F.broadcast(c))
+            .crossJoin(F.broadcast(g))
+            .select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                "n_true_pairs",
+                "n_candidates",
+                "n_caught",
+                F.when(
+                    F.col("n_true_pairs") > 0,
+                    F.expr("1000000 * n_caught div n_true_pairs"),
+                ).alias("recall_ppm"),
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.expr("1000000 * n_caught div n_candidates"),
+                ).alias("precision_ppm"),
+                F.lit(theory_ppm).cast("long").alias("theory_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
