@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+_D38 = "decimal(38,0)"
+
 # A "BPE-ish" token: runs of letters, runs of digits, or single
 # non-alphanumeric-non-space characters. Deliberately simple enough to be
 # reproduced in any regex engine (RE2/Java/PCRE agree on this pattern).
@@ -781,33 +783,48 @@ def tfidf_cosine_pairs_prefix(
     form: the prefix step only prunes candidate generation, never the
     result.
 
-    The bound: order each document's terms by descending weight (ties by
-    term); let suffix_sq(r) = Σ_{rank ≥ r} w². If every shared term of a
-    pair lies past doc A's prefix boundary p (where suffix_sq(p+1) <
-    t'²·‖A‖²), then by Cauchy-Schwarz dot ≤ √suffix_sq·‖B‖ <
-    t'·‖A‖‖B‖ — the pair cannot reach the threshold. So every
-    qualifying pair shares ≥1 term inside the LOWER-id doc's prefix, and
-    candidates = prefix(id_a) ⋈ full-index(id_b) on term with
-    id_a < id_b is complete. t' = threshold − 1e-6 absorbs the final
-    6-dp half-up rounding, so the prune is conservative even for pairs
-    that round UP onto the threshold.
+    TWO lossless prunes, both from the same per-doc suffix-norm table
+    under ONE GLOBAL term order (ascending df, ties by term — every
+    doc's term list is this global order restricted to the doc):
+
+    1. PREFIX FILTER (candidate generation). Let suffix_sq(r) =
+       Σ_{rank ≥ r} w² within a doc. If every shared term of a pair
+       lies past doc A's prefix boundary p (where suffix_sq(p+1) <
+       t'²·‖A‖²), then by Cauchy-Schwarz dot ≤ √suffix_sq·‖B‖ <
+       t'·‖A‖‖B‖ — the pair cannot reach the threshold. So every
+       qualifying pair shares ≥1 term inside the LOWER-id doc's prefix,
+       and candidates = prefix(id_a) ⋈ full-index(id_b) on term with
+       id_a < id_b is complete (Bayardo's All-Pairs generation).
+
+    2. POSITIONAL FILTER (candidate pruning, PPJoin's idea adapted).
+       For a candidate pair, let τ be its globally-FIRST visible shared
+       term. Because per-doc order preserves the global order, no
+       shared term precedes τ in either doc (a globally-earlier shared
+       term in A would sit at a lower rank than τ, hence inside the
+       prefix, hence be visible — contradiction). So ALL shared terms
+       live in both suffixes at τ and
+       dot ≤ √(ssq_A(τ))·√(ssq_B(τ)): a pair whose τ-row bound is
+       below t' is provably under threshold and never reaches the
+       verify join. This is the filter that matters on clustered
+       corpora: incidental single-rare-term collisions carry tiny
+       suffix mass and die here (measured at sf1: 37.2M raw candidates
+       → the verify join sees only the survivors).
+
+    t' = threshold − 1e-6 absorbs the final 6-dp half-up rounding, so
+    both prunes stay conservative even for pairs that round UP onto the
+    threshold; the positional comparison runs in double with a 1e-9
+    conservative slack (doubles are 1e-16-accurate — the slack keeps
+    the prune lossless, and engine agreement is NOT required for an
+    internal prune: the verify stage recomputes exact dots for every
+    survivor).
 
     Exactness (the portability contract of the exact form, inherited):
     weights are integers, suffix sums and the prefix comparison are
     decimal(38,0) — suffix_sq·10¹² ≥ tppm'²·‖A‖² with tppm' =
-    round(t'·10⁶) — so Spark and a SQL oracle agree bit-for-bit on
-    WHICH terms are prefix terms; the verify stage reuses the exact
-    dot/norm decimal math. Headroom: suffix_sq·10¹² needs Σw² ≲ 10²⁶
-    per doc (w ∝ N·idf_scale ⇒ fine to ~10¹⁰ docs of 10³ terms).
-
-    Why this is the 100-TB shape while the exact form is the audit
-    form: the exact form's candidate volume is Σ C(df,2) over kept
-    terms — quadratic in cluster size on clustered corpora. Here a term
-    generates prefix_df(term)·df(term) candidates, and idf weighting
-    pushes exactly the hot (low-idf, low-weight) terms OUT of prefixes,
-    so the quadratic stopword-class blowup never enters candidate
-    generation. Rare terms dominate prefixes and their df is small by
-    definition. The verify join touches candidate pairs only.
+    round(t'·10⁶); the verify stage reuses the exact dot/norm decimal
+    math, so the output hash-matches the exact form bit-for-bit.
+    Headroom: suffix_sq·10¹² needs Σw² ≲ 10²⁶ per doc (w ∝ N·idf_scale
+    ⇒ fine to ~10¹⁰ docs of 10³ terms).
 
     Output: (id_a, id_b, cos_sim) with id_a < id_b — identical schema
     and values to ``tfidf_cosine_pairs``.
@@ -817,66 +834,102 @@ def tfidf_cosine_pairs_prefix(
     kept_terms, weighted = _tfidf_weighted(
         df, text_col, id_col, max_term_df, max_term_df_frac, idf_scale
     )
-    weighted = weighted.localCheckpoint(eager=True)
     wd = F.col("w").cast("decimal(19,0)")
     w2 = (wd * wd).cast("decimal(38,0)")
-    # per-doc suffix-of-squares under descending-weight order: one
-    # doc-partitioned window (bounded state — a doc's own term count),
-    # then the exact decimal prefix predicate
-    dw = Window.partitionBy("id").orderBy(F.desc("w"), F.asc("term"))
-    suffix_sq = F.sum(w2).over(
-        dw.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    norm_sq = F.sum(w2).over(
-        dw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
+    # per-doc suffix-of-squares under the GLOBAL (df, term) order: one
+    # doc-partitioned window (bounded state — a doc's own term count);
+    # ranked ONCE, shared by both prune stages and both verify sides
+    dw = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("term"))
+    ranked = weighted.select(
+        "term",
+        "id",
+        "df",
+        "w",
+        F.sum(w2)
+        .over(dw.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .alias("_ssq"),
+        F.sum(w2)
+        .over(dw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("_nsq"),
+    ).localCheckpoint(eager=True)
     tppm = int(round((float(threshold) - 1e-6) * 1_000_000))
-    prefix = (
-        weighted.select(
-            "term",
-            "id",
-            suffix_sq.alias("_ssq"),
-            norm_sq.alias("_nsq"),
-        )
-        .where(
-            F.col("_ssq") * F.lit(10**12).cast("decimal(38,0)")
-            >= F.lit(tppm * tppm).cast("decimal(38,0)") * F.col("_nsq")
-        )
-        .select("term", F.col("id").alias("id_a"))
+    prefix = ranked.where(
+        F.col("_ssq") * F.lit(10**12).cast("decimal(38,0)")
+        >= F.lit(tppm * tppm).cast("decimal(38,0)") * F.col("_nsq")
+    ).select(
+        "term",
+        "df",
+        F.col("id").alias("id_a"),
+        F.col("_ssq").cast("double").alias("_sa"),
+        F.col("_nsq").cast("double").alias("_na2"),
     )
-    full_b = weighted.select("term", F.col("id").alias("id_b"))
+    full_b = ranked.select(
+        "term",
+        F.col("id").alias("id_b"),
+        F.col("_ssq").cast("double").alias("_sb"),
+        F.col("_nsq").cast("double").alias("_nb2"),
+    )
+    # positional filter at the globally-first visible shared term τ:
+    # lexicographic MIN over (df, term) carries that row's suffix
+    # bounds; the double comparison keeps a 1e-9 conservative slack
+    t2 = (tppm / 1_000_000.0) ** 2
     cands = (
         prefix.join(full_b, "term")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    # verify candidates ONLY, with the exact form's decimal dot/norm math
-    wa = weighted.select(
-        F.col("id").alias("id_a"), "term", wd.alias("_wa")
-    )
-    wb = weighted.select(
-        F.col("id").alias("_idb"), F.col("term").alias("_tb"), wd.alias("_wb")
-    )
-    dots = (
-        cands.join(wa, "id_a")
-        .join(wb, (F.col("id_b") == F.col("_idb")) & (F.col("term") == F.col("_tb")))
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("dot"))
+        .agg(
+            F.min(
+                F.struct("df", "term", "_sa", "_sb", "_na2", "_nb2")
+            ).alias("_tau")
+        )
+        .where(
+            F.col("_tau._sa") * F.col("_tau._sb")
+            >= F.lit(t2 * (1.0 - 1e-9)) * F.col("_tau._na2") * F.col("_tau._nb2")
+        )
+        .select("id_a", "id_b")
     )
-    norms = weighted.groupBy("id").agg(
-        F.sqrt(F.sum(wd * wd).cast("double")).alias("norm")
+    # verify survivors ONLY, with the exact form's decimal dot/norm math
+    # but WITHOUT re-exploding pairs into posting rows (a survivor×terms
+    # join shuffles |pairs|·|doc| rows — measured 4× the whole operator
+    # at sf1): each doc collapses to ONE (term → w) map row + its norm,
+    # the pair table joins the two doc rows by id (broadcast when the
+    # doc-map relation is small, plain hash join at corpus scale), and
+    # the dot is a JVM-side fold over A's entries with map lookups into
+    # B — exact decimal sums, zero extra shuffle, order-independent.
+    docvecs = ranked.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "w"))).alias("_tw"),
+        F.sqrt(F.sum(wd * wd).cast("double")).alias("norm"),
     )
-    na = norms.select(F.col("id").alias("id_a"), F.col("norm").alias("_na"))
-    nb = norms.select(F.col("id").alias("id_b"), F.col("norm").alias("_nb"))
+    a_side = docvecs.select(
+        F.col("id").alias("id_a"), F.col("_tw").alias("_twa"), F.col("norm").alias("_na")
+    )
+    b_side = docvecs.select(
+        F.col("id").alias("id_b"), F.col("_tw").alias("_twb"), F.col("norm").alias("_nb")
+    )
+    # one key-merge per pair (map_zip_with), not one O(|map|) lookup per
+    # term: products land in a merged map, the fold sums its values
+    dot = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "_twa",
+                "_twb",
+                lambda _, a, b: (
+                    F.coalesce(a, F.lit(0)).cast("decimal(19,0)")
+                    * F.coalesce(b, F.lit(0)).cast("decimal(19,0)")
+                ),
+            )
+        ),
+        F.lit(0).cast(_D38),
+        lambda acc, v: acc + v.cast(_D38),
+    )
     return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
+        cands.join(a_side, "id_a")
+        .join(b_side, "id_b")
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.col("dot").cast("double") / (F.col("_na") * F.col("_nb")), 6
+                dot.cast("double") / (F.col("_na") * F.col("_nb")), 6
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
