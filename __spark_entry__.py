@@ -1252,8 +1252,25 @@ def ann_ivf_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_auto_sql() -> str:
+    # mirror the engine's bounded-sample training: k = max(2, ⌊√n⌋),
+    # train_cap = max(4096, 32·k), sample = md5-bucket filter on
+    # 'ivftrain|id' — identical rows to the Spark-side portable_hash64
+    # sampler (a no-op below the cap, e.g. at the sf0.01 gate)
+    k_expr = "(SELECT greatest(2, floor(sqrt(count(*)))::BIGINT) FROM e)"
+    train_cte = """
+kn AS (
+  SELECT count(*)::BIGINT AS n,
+         greatest(4096, 32 * greatest(2, floor(sqrt(count(*)))::BIGINT)) AS cap
+  FROM e
+),
+tr AS MATERIALIZED (
+  SELECT e.vid, e.v FROM e, kn
+  WHERE kn.n <= kn.cap
+     OR ('0x' || substr(md5('ivftrain|' || e.vid::VARCHAR), 1, 15))::BIGINT
+        % 10000 < least(10000, (kn.cap * 10000 + kn.n - 1) // kn.n)
+),"""
     return f"""
-WITH {_kmeans_ctes("(SELECT greatest(2, floor(sqrt(count(*)))::BIGINT) FROM e)")},
+WITH {_kmeans_ctes(k_expr, train="tr", extra=train_cte)},
 cent AS (SELECT cid AS centroid_id, cv FROM c2),
 corpus_scored AS (
   SELECT e.vid AS neighbor_id, e.v AS cvec, c.centroid_id,
@@ -4218,16 +4235,20 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Two unrolled Lloyd's iterations (k=8, 6dp re-sync at every boundary) —
 # shared by the k-means oracle and the trained-IVF oracle.
-def _kmeans_ctes(k_expr: str = "8") -> str:
+def _kmeans_ctes(k_expr: str = "8", train: str = "e", extra: str = "") -> str:
     """The unrolled 2-iteration Lloyd's CTE block, parameterized on the
     init-centroid count (``k_expr`` may be a literal or a scalar
-    subquery — DuckDB accepts expressions in LIMIT)."""
+    subquery — DuckDB accepts expressions in LIMIT) and on the relation
+    the Lloyd rounds read (``train`` — pass a sampled CTE name, defined
+    via ``extra``, to mirror the engine's bounded-sample training; init
+    and assignment rounds see only that relation, exactly like
+    ``kmeans_centroids(sample)``)."""
     return f"""e AS (
   SELECT vec_id AS vid, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-),
+),{extra}
 c0 AS (
   SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, v AS cv
-  FROM (SELECT * FROM e ORDER BY vid LIMIT {k_expr})
+  FROM (SELECT * FROM {train} ORDER BY vid LIMIT {k_expr})
 ),
 a1 AS (
   SELECT vid, v, cid FROM (
@@ -4235,7 +4256,7 @@ a1 AS (
       PARTITION BY vid
       ORDER BY round(list_sum(list_transform(list_zip(v, cv), p -> (p[1]-p[2])*(p[1]-p[2]))), 6), cid
     ) AS rk
-    FROM e CROSS JOIN c0
+    FROM {train} CROSS JOIN c0
   ) WHERE rk = 1
 ),
 m1 AS (
@@ -4250,7 +4271,7 @@ a2 AS (
       PARTITION BY vid
       ORDER BY round(list_sum(list_transform(list_zip(v, cv), p -> (p[1]-p[2])*(p[1]-p[2]))), 6), cid
     ) AS rk
-    FROM e CROSS JOIN c1
+    FROM {train} CROSS JOIN c1
   ) WHERE rk = 1
 ),
 m2 AS (

@@ -257,6 +257,11 @@ HEADLINE = [
     "decontaminate_bloom_docs",
     "ann_recall_ivfpq",
     "lsh_recall_audit",
+    "ann_ivf_auto_topk",
+    "tfidf_cosine_dup_pairs_exact",
+    "multimodal_audio_windows_decoded",
+    "multimodal_image_features_decoded",
+    "lsh_banding_curve_audit",
 ]
 
 # Excluded from HEADLINE on purpose:
