@@ -316,11 +316,16 @@ def _selected_names() -> list[str]:
     return names
 
 
-def _run_in_subprocesses(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+def _run_in_subprocesses(
+    names: list[str], skip_warm: bool = False
+) -> tuple[dict[str, float], dict[str, float]]:
     """One subprocess per query: each runs this script with
     SPARK_GRAFT_BENCH_ONLY=<name> and FRESH/NOFRESH unset, and we keep
     its cold+warm times. Slow (session startup per query) but immune to
-    session-depth JIT/GC drift — the cross-round comparison mode."""
+    session-depth JIT/GC drift — the cross-round comparison mode.
+    ``skip_warm`` tells children to skip the second (warm) pass — the
+    whole-roster FRESH mode only records cold times, and the warm pass
+    would double a multi-hour sf1 run for numbers it discards."""
     import subprocess
 
     timings: dict[str, float] = {}
@@ -329,6 +334,8 @@ def _run_in_subprocesses(names: list[str]) -> tuple[dict[str, float], dict[str, 
         env = dict(os.environ)
         env["SPARK_GRAFT_BENCH_ONLY"] = name
         env["SPARK_GRAFT_BENCH_CHILD"] = "1"  # child must not re-spawn
+        if skip_warm:
+            env["SPARK_GRAFT_BENCH_NOWARM"] = "1"
         env.pop("SPARK_GRAFT_BENCH_FRESH", None)
         env.pop("SPARK_GRAFT_BENCH_NOFRESH", None)
         proc = subprocess.run(
@@ -349,7 +356,7 @@ def _run_in_subprocesses(names: list[str]) -> tuple[dict[str, float], dict[str, 
 
 
 def _fresh_mode(sf_dir: str, names: list[str]) -> None:
-    timings, _ = _run_in_subprocesses(names)
+    timings, _ = _run_in_subprocesses(names, skip_warm=True)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -413,6 +420,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        if os.environ.get("SPARK_GRAFT_BENCH_NOWARM") == "1":
+            spark.catalog.clearCache()
+            continue
         t1 = time.perf_counter()
         fn(spark, sf_dir).count()
         warm[name] = round(time.perf_counter() - t1, 3)
