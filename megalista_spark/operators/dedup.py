@@ -403,12 +403,28 @@ def minhash_lsh_pairs(
 
 
 def _band_candidate_pairs(
-    sigs: DataFrame, num_hashes: int, bands: int, id_col: str = "doc_id"
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    id_col: str = "doc_id",
+    array_bucket_max: int = 1_000,
 ) -> DataFrame:
     """Band a (id, sig) signature table into candidate pairs — the back
     half of ``minhash_lsh_pairs``, factored out so sweeps over banding
     geometries (``lsh_banding_curve``) sign the corpus ONCE and re-band
-    the same signature relation per geometry."""
+    the same signature relation per geometry.
+
+    Size-routed bucket execution (the ``simhash_near_pairs`` discipline
+    — aggressive bandings like rows/band=1 make clustered corpora's
+    buckets quadratically hot, and the one-array-row-per-bucket
+    emission materializes a multi-GB row that kills the JVM):
+
+      * bucket ≤ ``array_bucket_max`` members → shuffle-free local
+        array pair emission (the normal tiny-bucket regime);
+      * hotter buckets → a SALTED within-bucket self-join whose matched
+        groups live in Spark's spillable join buffers — quadratic
+        candidate volume streams through disk instead of crashing.
+    """
     rows_per_band = num_hashes // bands
     banded = sigs.select(
         F.col(id_col).alias("id"),
@@ -430,17 +446,54 @@ def _band_candidate_pairs(
             )
         ).alias("band"),
     ).select("id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    # three downstream references (size annotation, small path, hot path)
+    # — checkpoint so each reads blocks instead of re-running the
+    # signature fold over the corpus
+    banded = banded.localCheckpoint(eager=True)
+    bw = Window.partitionBy("band_id", "band_hash")
+    ann = banded.select(
+        "id", "band_id", "band_hash", F.count(F.lit(1)).over(bw).alias("_bn")
+    )
 
-    buckets = (
-        banded.groupBy("band_id", "band_hash")
+    small_buckets = (
+        ann.where(F.col("_bn") <= array_bucket_max)
+        .groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
     # spread before exploding: AQE coalesces the tiny bucket table to ~1
     # partition, which would serialize the b² pair emission
+    small = _spread(small_buckets).select(
+        F.explode(_ordered_pairs(F.col("ids"))).alias("p")
+    ).select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+    # hot buckets: salted spillable self-join (simhash_near_pairs:652-690
+    # rationale — output-volume skew, not input-byte skew, so AQE can't
+    # split it; the salt does)
+    par = sigs.sparkSession.sparkContext.defaultParallelism
+    salt = max(2, min(par, 16))
+    hot = ann.where(F.col("_bn") > array_bucket_max).select(
+        "band_id", "band_hash", "id"
+    )
+    hot_a = hot.withColumn("_salt", F.pmod(F.hash("id"), F.lit(salt)))
+    hot_b = hot.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    hot_pairs = (
+        hot_a.alias("a").repartition(par, "band_id", "band_hash", "_salt")
+        .join(
+            hot_b.alias("b").repartition(par, "band_id", "band_hash", "_salt"),
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a._salt") == F.col("b._salt"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+    )
     return (
-        _spread(buckets).select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
-        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        small.unionByName(hot_pairs)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
