@@ -258,6 +258,7 @@ HEADLINE = [
     "ann_recall_ivfpq",
     "lsh_recall_audit",
     "ann_ivf_auto_topk",
+    "ann_recall_auto",
     "tfidf_cosine_dup_pairs_exact",
     "multimodal_audio_windows_decoded",
     "multimodal_image_features_decoded",
