@@ -1187,7 +1187,7 @@ cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
 corpus_scored AS (
   SELECT e.vec_id AS neighbor_id, e.v AS cvec, c.centroid_id,
          row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS r
+                            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id) AS r
   FROM e CROSS JOIN cent c
 ), corpus_assigned AS (
   SELECT neighbor_id, cvec, centroid_id AS bucket FROM corpus_scored WHERE r = 1
@@ -1195,7 +1195,7 @@ corpus_scored AS (
 q_scored AS (
   SELECT q.query_id, q.qv, c.centroid_id,
          row_number() OVER (PARTITION BY q.query_id
-                            ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS r
+                            ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.centroid_id) AS r
   FROM q CROSS JOIN cent c
 ), q_probes AS (
   SELECT query_id, qv, centroid_id AS bucket FROM q_scored WHERE r <= 4
@@ -1235,7 +1235,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_ivf_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with AUTO-SCALED cell count (operators/similarity.py::
-    ivf_cosine_topk with neither centroids nor num_centroids supplied):
+    ivf_cosine_topk with the explicit num_centroids=None opt-in):
     k = max(2, ⌊√n⌋) trained centroids via the deterministic Lloyd's
     path — the standard IVF sizing, making per-query scan cost
     nprobe·√n rows (SUB-linear in the corpus) instead of the constant
@@ -1246,9 +1246,9 @@ def ann_ivf_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_cosine_topk(emb, queries, k=10, nprobe=4).orderBy(
-        "query_id", "rank"
-    )
+    return ivf_cosine_topk(
+        emb, queries, k=10, num_centroids=None, nprobe=4
+    ).orderBy("query_id", "rank")
 
 
 def _ivf_auto_sql() -> str:
@@ -1275,7 +1275,7 @@ cent AS (SELECT cid AS centroid_id, cv FROM c2),
 corpus_scored AS (
   SELECT e.vid AS neighbor_id, e.v AS cvec, c.centroid_id,
          row_number() OVER (PARTITION BY e.vid
-                            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS r
+                            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id) AS r
   FROM e CROSS JOIN cent c
 ), corpus_assigned AS (
   SELECT neighbor_id, cvec, centroid_id AS bucket FROM corpus_scored WHERE r = 1
@@ -1283,7 +1283,7 @@ corpus_scored AS (
 q_scored AS (
   SELECT q.query_id, q.qv, c.centroid_id,
          row_number() OVER (PARTITION BY q.query_id
-                            ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS r
+                            ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.centroid_id) AS r
   FROM q CROSS JOIN cent c
 ), q_probes AS (
   SELECT query_id, qv, centroid_id AS bucket FROM q_scored WHERE r <= 4
@@ -1603,7 +1603,7 @@ cent AS (SELECT cid AS centroid_id, cv FROM c2),
 corpus_scored AS (
   SELECT e.vid AS neighbor_id, e.v AS cvec, c.centroid_id,
          row_number() OVER (PARTITION BY e.vid
-                            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS r
+                            ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id) AS r
   FROM e CROSS JOIN cent c
 ), corpus_assigned AS (
   SELECT neighbor_id, cvec, centroid_id AS bucket FROM corpus_scored WHERE r = 1
@@ -1611,7 +1611,7 @@ corpus_scored AS (
 q_scored AS (
   SELECT q.query_id, q.qv, c.centroid_id,
          row_number() OVER (PARTITION BY q.query_id
-                            ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS r
+                            ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.centroid_id) AS r
   FROM q CROSS JOIN cent c
 ), q_probes AS (
   SELECT query_id, qv, centroid_id AS bucket FROM q_scored WHERE r <= 3

@@ -351,8 +351,18 @@ def _run_in_subprocesses(
             timings[name] = parsed["queries"][name]
             warm[name] = parsed.get("queries_warm", {}).get(name, -1.0)
         except Exception:
+            # a crashed child must be VISIBLE, not just a smaller total:
+            # -1.0 marks it failed (totals skip it; the emitted JSON lists
+            # it under "failed_queries") and its stderr tail goes to our
+            # stderr so the cause survives the run
             timings[name] = -1.0
             warm[name] = -1.0
+            tail = "\n".join(proc.stderr.splitlines()[-15:])
+            print(
+                f"[bench] CHILD FAILED: {name} (rc={proc.returncode})\n{tail}",
+                file=sys.stderr,
+                flush=True,
+            )
     return timings, warm
 
 
@@ -366,6 +376,7 @@ def _fresh_mode(sf_dir: str, names: list[str]) -> None:
                 "value": round(sum(v for v in timings.values() if v > 0), 3),
                 "unit": "sec",
                 "queries": timings,
+                "failed_queries": sorted(n for n, v in timings.items() if v <= 0),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -453,6 +464,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "failed_queries": sorted(n for n, v in timings.items() if v <= 0),
                 "warm_total": round(sum(v for v in warm.values() if v > 0), 3),
                 "queries_warm": warm,
                 "fresh_queries": sorted(fresh_subset),

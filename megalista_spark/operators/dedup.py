@@ -1583,54 +1583,74 @@ def lsh_banding_curve(
     (b, r, t) alone — a plan-time constant, emitted as a literal.
     Output, one row per geometry: (bands, rows_per_band, n_true_pairs,
     n_candidates, n_caught, recall_ppm, precision_ppm, theory_ppm).
+
+    Memory discipline: geometries execute SEQUENTIALLY — each geometry's
+    candidate relation is reduced to two scalar counts (one pass: left
+    join against the ground-truth pairs, counting rows and matches) in
+    its own job before the next geometry starts, so peak memory is ONE
+    geometry's quadratic stage, never the sum of all of them. The old
+    unioned-lazy form ran every geometry's candidate join concurrently
+    under local[32] and needed a 48g driver at sf1; this form holds the
+    default heap. The output is assembled from the collected scalars
+    (≤ len(bands_options) rows — driver-side by construction).
     """
+    out_schema = (
+        "bands long, rows_per_band long, n_true_pairs long, "
+        "n_candidates long, n_caught long, recall_ppm long, "
+        "precision_ppm long, theory_ppm long"
+    )
+    # validate EVERY geometry before any corpus-sized work: a bad bands
+    # value at position k must not waste the signature/ground-truth
+    # checkpoints or the k-1 geometries before it
+    if not bands_options:
+        return df.sparkSession.createDataFrame([], out_schema)
+    for bands in bands_options:
+        if bands <= 0 or num_hashes % bands:
+            raise ValueError(
+                f"lsh_banding_curve: bands={bands} does not divide "
+                f"num_hashes={num_hashes}"
+            )
     sigs = minhash_signatures(
         df, num_hashes, shingle_n, text_col, id_col
     ).localCheckpoint(eager=True)
     true_pairs = ngram_jaccard_pairs(
         df, n=shingle_n, threshold=threshold, text_col=text_col, id_col=id_col
     ).select("doc_a", "doc_b").localCheckpoint(eager=True)
-    out = None
+    n_true = true_pairs.count()
+    tp = true_pairs.select(
+        F.col("doc_a").alias("_ca"),
+        F.col("doc_b").alias("_cb"),
+        F.lit(1).alias("_tp"),
+    )
+    rows = []
     for bands in bands_options:
-        if num_hashes % bands:
-            raise ValueError(
-                f"lsh_banding_curve: bands={bands} does not divide "
-                f"num_hashes={num_hashes}"
-            )
         r = num_hashes // bands
         theory_ppm = round(1_000_000 * (1.0 - (1.0 - threshold**r) ** bands))
         cand = _band_candidate_pairs(sigs, num_hashes, bands, id_col).select(
             F.col("doc_a").alias("_ca"), F.col("doc_b").alias("_cb")
         )
-        caught = true_pairs.join(
-            cand,
-            (F.col("doc_a") == F.col("_ca")) & (F.col("doc_b") == F.col("_cb")),
-            "left_semi",
+        # candidates are distinct pairs (grouped emission), ground truth
+        # is distinct, so the left join is 1-1: count(*) = n_candidates,
+        # count(_tp) = |candidates ∩ true| = n_caught (true positives —
+        # true pairs ARE verified ≥ t, so TP = caught)
+        n_cand, n_caught = (
+            cand.join(tp, ["_ca", "_cb"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.count("_tp").cast("long").alias("n_caught"),
+            )
+            .collect()[0]
         )
-        t = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
-        c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-        g = caught.agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
-        # precision needs true-positives among candidates: candidates are
-        # a superset sweep, so TP = caught (true pairs ARE verified ≥ t)
-        row = (
-            t.crossJoin(F.broadcast(c))
-            .crossJoin(F.broadcast(g))
-            .select(
-                F.lit(bands).cast("long").alias("bands"),
-                F.lit(r).cast("long").alias("rows_per_band"),
-                "n_true_pairs",
-                "n_candidates",
-                "n_caught",
-                F.when(
-                    F.col("n_true_pairs") > 0,
-                    F.expr("1000000 * n_caught div n_true_pairs"),
-                ).alias("recall_ppm"),
-                F.when(
-                    F.col("n_candidates") > 0,
-                    F.expr("1000000 * n_caught div n_candidates"),
-                ).alias("precision_ppm"),
-                F.lit(theory_ppm).cast("long").alias("theory_ppm"),
+        rows.append(
+            (
+                bands,
+                r,
+                n_true,
+                n_cand,
+                n_caught,
+                1_000_000 * n_caught // n_true if n_true > 0 else None,
+                1_000_000 * n_caught // n_cand if n_cand > 0 else None,
+                theory_ppm,
             )
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    return df.sparkSession.createDataFrame(rows, out_schema)

@@ -99,38 +99,21 @@ def cosine_topk(
     )
 
 
-def ivf_cosine_topk(
+def _resolve_ivf_centroids(
     df: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    num_centroids: int | None = None,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    centroids: DataFrame | None = None,
-    kmeans_iters: int = 2,
+    num_centroids: "int | None",
+    centroids: "DataFrame | None",
+    kmeans_iters: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """IVF-pruned approximate top-k.
-
-    ``centroids`` (cid, vector) may come from ``clustering.kmeans_fit``-
-    style training. When ``num_centroids`` is given without
-    ``centroids``, the deterministic fallback is the ``num_centroids``
-    corpus vectors with the lowest ids (fixed and reproducible — the
-    plan shape is identical either way). When NEITHER is supplied, the
-    cell count auto-scales: num_centroids = max(2, ⌊√n⌋) trained with
-    ``kmeans_iters`` Lloyd's rounds (``clustering.kmeans_centroids``) —
-    the standard IVF sizing, so per-query scan cost is
-    nprobe·(n/√n) = nprobe·√n rows, SUB-linear in the corpus, instead of
-    the constant fraction nprobe/k a pinned k degrades to at 100× scale
-    (each fixed cell holds 100× the vectors). Every corpus vector is
-    assigned to its nearest centroid; each query probes its ``nprobe``
-    nearest centroid buckets only.
-
-    At scale this is the standard two-level ANN plan: the centroid table
-    is tiny (√n rows — broadcast to ~10⁵ cells at 10¹⁰ vectors), the
-    corpus is scored against nprobe cells per query, and the only wide
-    operation is the final per-query top-k.
+    """Shared centroid-resolution for the IVF family → (centroid_id,
+    centroid_vec). Three tiers: explicit ``centroids`` relation >
+    deterministic lowest-id-``num_centroids`` fallback > (num_centroids
+    is None, the EXPLICIT auto opt-in) max(2, ⌊√n⌋) trained cells via a
+    bounded deterministic hash sample. The auto tier runs one eager
+    ``count()`` plus a sampled k-means fit at call time — opt-in cost,
+    never paid on the default path.
     """
     if centroids is not None:
         cid_col, cvec_col = centroids.columns[:2]
@@ -139,7 +122,7 @@ def ivf_cosine_topk(
             F.col(cvec_col).alias("centroid_vec"),
         )
     elif num_centroids is None:
-        # auto-√n TRAINED cells (the scale default): one cheap scalar
+        # auto-√n TRAINED cells (explicit opt-in): one cheap scalar
         # count, then the shared deterministic Lloyd's path — trained on
         # a bounded deterministic hash sample (max(4096, 32·k) rows, the
         # ivfpq_train_codebooks discipline; FAISS likewise trains IVF on
@@ -183,7 +166,103 @@ def ivf_cosine_topk(
                 F.col(vec_col).alias("centroid_vec"),
             )
         )
+    return centroids
 
+
+def _ivf_nearest(
+    df_in: DataFrame,
+    ucent: DataFrame,
+    in_id: str,
+    in_vec: str,
+    out: str,
+    probes: int,
+) -> DataFrame:
+    """Assign each row of ``df_in`` to its ``probes`` nearest centroids
+    (``ucent``: centroid_id, unit-normalized _ucv — broadcast). Vectors
+    are unit-normalized once per ROW before the broadcast expansion, so
+    the n·k hot loop is ONE dot fold per pair instead of dot + two norm
+    folds (argmax of cosine == argmax of unit-dot). The similarity is
+    rounded to 6dp BEFORE the ordering — the same fixed-precision
+    boundary discipline as the Lloyd's distances — so a SQL oracle
+    ordering by round(cosine, 6) reproduces near-tie assignments
+    bit-for-bit instead of racing unrounded FP tails."""
+    u = df_in.select(
+        df_in[in_id], df_in[in_vec], unit_expr(F.col(in_vec)).alias("_uv")
+    )
+    scored = u.join(F.broadcast(ucent)).select(
+        u[in_id],
+        u[in_vec],
+        F.col("centroid_id"),
+        F.round(_dot(F.col("_uv"), F.col("_ucv")), 6).alias("_csim"),
+    )
+    if probes == 1:
+        # the n-row assignment side: lexicographic-min struct under a
+        # HASH aggregate (map-side combined — the n·k expansion
+        # collapses to one struct per vector per task before the
+        # shuffle) replaces a full sort of n·k rows; (-csim, cid)
+        # ordering == ORDER BY csim DESC, cid ASC
+        return (
+            scored.groupBy(in_id)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_csim")).alias("_nc"),
+                        F.col("centroid_id").alias("_cid"),
+                    )
+                ).alias("_b")
+            )
+            .select(in_id, F.col("_b._cid").alias(out))
+            .join(df_in, in_id)
+            .select(in_id, in_vec, out)
+        )
+    w = Window.partitionBy(in_id).orderBy(F.desc("_csim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= probes)
+        .select(u[in_id], u[in_vec], F.col("centroid_id").alias(out))
+    )
+
+
+def ivf_cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: "int | None" = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: "DataFrame | None" = None,
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """IVF-pruned approximate top-k.
+
+    ``centroids`` (cid, vector) may come from ``clustering.kmeans_fit``-
+    style training. With the DEFAULT ``num_centroids=16`` (and no
+    ``centroids``), the cells are the deterministic 16 lowest-id corpus
+    vectors — fixed, reproducible, and fully lazy (no job runs until the
+    plan executes). Passing ``num_centroids=None`` is the EXPLICIT
+    auto-scaling opt-in: cell count = max(2, ⌊√n⌋) trained with
+    ``kmeans_iters`` Lloyd's rounds on a bounded deterministic hash
+    sample — the standard IVF sizing, so per-query scan cost is
+    nprobe·(n/√n) = nprobe·√n rows, SUB-linear in the corpus, instead of
+    the constant fraction a pinned k degrades to at 100× scale. The auto
+    tier runs one eager ``count()`` and the k-means fit at CALL time —
+    opt-in cost, documented, never paid by default. Every corpus vector
+    is assigned to its nearest centroid; each query probes its
+    ``nprobe`` nearest centroid buckets only.
+
+    At scale this is the standard two-level ANN plan: the centroid table
+    is tiny (√n rows — broadcast to ~10⁵ cells at 10¹⁰ vectors), the
+    corpus is scored against nprobe cells per query, and the only wide
+    operation is the final per-query top-k. For repeated query batches
+    use the persisted lifecycle (``ivf_build_index`` /
+    ``ivf_search_index``) so the n·k assignment is paid once, not per
+    call.
+    """
+    centroids = _resolve_ivf_centroids(
+        df, num_centroids, centroids, kmeans_iters, id_col, vec_col
+    )
     # centroids unit-normalized ONCE (k rows), not once per (vector,
     # centroid) pair inside the n·k assignment loop
     ucent = centroids.select(
@@ -191,45 +270,7 @@ def ivf_cosine_topk(
     )
 
     def nearest(df_in: DataFrame, in_id: str, in_vec: str, out: str, probes: int) -> DataFrame:
-        # vectors likewise unit-normalized once per ROW before the
-        # broadcast expansion, so the n·k hot loop is ONE dot fold per
-        # pair instead of dot + two norm folds (argmax of cosine ==
-        # argmax of unit-dot, mathematically identical ordering)
-        u = df_in.select(
-            df_in[in_id], df_in[in_vec], unit_expr(F.col(in_vec)).alias("_uv")
-        )
-        scored = u.join(F.broadcast(ucent)).select(
-            u[in_id],
-            u[in_vec],
-            F.col("centroid_id"),
-            _dot(F.col("_uv"), F.col("_ucv")).alias("_csim"),
-        )
-        if probes == 1:
-            # the n-row assignment side: lexicographic-min struct under a
-            # HASH aggregate (map-side combined — the n·k expansion
-            # collapses to one struct per vector per task before the
-            # shuffle) replaces a full sort of n·k rows; (-csim, cid)
-            # ordering == ORDER BY csim DESC, cid ASC
-            return (
-                scored.groupBy(in_id)
-                .agg(
-                    F.min(
-                        F.struct(
-                            (-F.col("_csim")).alias("_nc"),
-                            F.col("centroid_id").alias("_cid"),
-                        )
-                    ).alias("_b")
-                )
-                .select(in_id, F.col("_b._cid").alias(out))
-                .join(df_in, in_id)
-                .select(in_id, in_vec, out)
-            )
-        w = Window.partitionBy(in_id).orderBy(F.desc("_csim"), F.asc("centroid_id"))
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") <= probes)
-            .select(u[in_id], u[in_vec], F.col("centroid_id").alias(out))
-        )
+        return _ivf_nearest(df_in, ucent, in_id, in_vec, out, probes)
 
     corpus_assigned = nearest(
         df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
