@@ -1303,6 +1303,38 @@ ORDER BY query_id, rank
 """
 
 
+def ann_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED plain-IVF lifecycle (operators/similarity.py::
+    ivf_build_index / ivf_search_index): build the raw-vector index —
+    auto-√n trained centroid table + corpus vectors PARTITIONED by
+    nearest cell — then search it. The build pays the one-time n·√n
+    assignment; every search afterwards touches only the broadcast
+    centroid table and the nprobe probed cells' parquet files (the
+    probed bucket ids are collected — bounded by nprobe·|queries| —
+    and applied as a static isin filter, so the pruning happens at
+    file-listing time). Results are bit-identical to ann_ivf_auto_topk
+    (same auto geometry, same 6dp rounding discipline), so this query
+    shares its oracle SQL — the oracle replays the persisted
+    assignment."""
+    import tempfile
+
+    from megalista_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{tempfile.gettempdir()}/megalista_ivf_index_{sf_tag}"
+    ivf_build_index(emb, path, num_centroids=None)
+    return ivf_search_index(spark, path, queries, k=10, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (operators/similarity.py::ivfpq_topk): coarse cells +
     product-quantized integer residual codes + asymmetric-distance
@@ -11875,6 +11907,7 @@ _GATE_ROTATION_FIRST = [
     "decay_attribution_credits",
     "last_touch_attribution_credits",
     "conversion_paths_topk",
+    "ann_ivf_index_search",
     "ann_ivfpq_index_search",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
@@ -12001,6 +12034,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "ann_ivf_auto_topk": ann_ivf_auto_topk,
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "ann_ivfpq_topk": ann_ivfpq_topk,
+        "ann_ivf_index_search": ann_ivf_index_search,
         "ann_ivfpq_index_search": ann_ivfpq_index_search,
         "ann_ivfpq_trained_topk": ann_ivfpq_trained_topk,
         "grouped_zscore_by_lang": grouped_zscore_by_lang,
@@ -12347,6 +12381,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": _ivfpq_sql(),
         # the persisted-index search is bit-identical to the in-memory
         # ivfpq_topk with the same geometry — same oracle
+        "ann_ivf_index_search": _ivf_auto_sql(),
         "ann_ivfpq_index_search": _ivfpq_sql(),
         "ann_ivfpq_trained_topk": _ivfpq_trained_sql(),
         "grouped_zscore_by_lang": GROUPED_ZSCORE_SQL,

@@ -1333,6 +1333,170 @@ def ivfpq_compact_index(spark, path: str) -> int:
     return n_cells
 
 
+# ------------------------------------------- plain-IVF persisted index
+#
+# The raw-vector sibling of the IVF-PQ trio: same build-once/search-many
+# lifecycle, but the cells store the ORIGINAL embeddings, so search
+# returns exact cosine scores over the probed cells (bit-identical to
+# ``ivf_cosine_topk`` with the same centroids) instead of ADC estimates.
+# This is the shape a repeated-query-batch user actually runs: the
+# n·k cell assignment (plus the sampled k-means fit on the auto tier) is
+# paid ONCE at build; every search afterwards touches only the broadcast
+# centroid table and the nprobe probed cell partitions.
+
+
+def ivf_build_index(
+    df: DataFrame,
+    path: str,
+    num_centroids: "int | None" = None,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "DataFrame | None" = None,
+) -> None:
+    """Persist a searchable plain-IVF index: ``centroids/`` (the tiny
+    cell table) and ``cells/`` (every corpus vector, PARTITIONED by its
+    nearest cell), plus a one-row ``meta/``. Default ``num_centroids=
+    None`` = the auto-√n trained tier (``_resolve_ivf_centroids``) —
+    build is exactly where that one-time n·√n cost belongs; pass an int
+    or a ``centroids`` relation to pin the geometry.
+
+    ``cells/`` partitioning makes a search's nprobe pruning FILE-level
+    partition pruning: only the probed cells' parquet files are ever
+    opened, so per-query scan cost is nprobe·(n/cells) rows no matter
+    how big the corpus grows.
+    """
+    spark = df.sparkSession
+    cents = _resolve_ivf_centroids(
+        df, num_centroids, centroids, kmeans_iters, id_col, vec_col
+    )
+    ucent = cents.select(
+        "centroid_id", unit_expr(F.col("centroid_vec")).alias("_ucv")
+    )
+    assigned = _ivf_nearest(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        ucent,
+        "id",
+        "vec",
+        "bucket",
+        1,
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/cells"
+    )
+    n_cells = cents.count()
+    spark.createDataFrame(
+        [(n_cells,)], "num_cells int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted plain-IVF index (``ivf_build_index``): assign
+    each query to its ``nprobe`` nearest cells against the broadcast
+    centroid table, then score exact cosine over ONLY those cells'
+    vectors — bit-identical to ``ivf_cosine_topk`` with the same
+    centroids, without re-running the corpus assignment.
+
+    The probed cell ids are collected to the driver first (bounded:
+    ≤ nprobe·|queries| ints — the query batch is small by construction)
+    and applied as a STATIC ``isin`` filter, so Spark prunes the
+    un-probed ``bucket=`` partitions at file-listing time instead of
+    scanning the whole cells table into a runtime join.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    ucent = cents.select(
+        "centroid_id", unit_expr(F.col("centroid_vec")).alias("_ucv")
+    )
+    query_probes = _ivf_nearest(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        ucent,
+        "query_id",
+        "q_vec",
+        "bucket",
+        nprobe,
+    ).localCheckpoint(eager=True)
+    buckets = [r[0] for r in query_probes.select("bucket").distinct().collect()]
+    cells = spark.read.parquet(f"{path}/cells").where(
+        F.col("bucket").isin(buckets)
+    )
+    candidates = cells.join(F.broadcast(query_probes), on="bucket").where(
+        F.col("id") != F.col("query_id")
+    )
+    scored = candidates.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(cosine_expr(F.col("q_vec"), F.col("vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def ivf_append_to_index(
+    df_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance for the plain-IVF index: assign ONLY the
+    new vectors against the index's frozen centroid table and append
+    them into their cell partitions. Cost ∝ increment, never ∝ index
+    size. With the geometry frozen, build(base) + append(increment) is
+    bit-identical to build(base ∪ increment) whenever the build's
+    deterministic centroid choice would pick the same rows (e.g. the
+    lowest-id fallback with all increment ids higher) — property-tested,
+    the same contract as ``ivfpq_append_to_index``."""
+    spark = df_new.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    ucent = cents.select(
+        "centroid_id", unit_expr(F.col("centroid_vec")).alias("_ucv")
+    )
+    assigned = _ivf_nearest(
+        df_new.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        ucent,
+        "id",
+        "vec",
+        "bucket",
+        1,
+    )
+    assigned.write.mode("append").partitionBy("bucket").parquet(f"{path}/cells")
+
+
+def ivf_compact_index(spark, path: str) -> int:
+    """Rewrite ``cells/`` to one file per cell partition after a run of
+    appends — content-identical (search results bit-equal before and
+    after), same discipline as ``ivfpq_compact_index``. Returns the
+    number of cell partitions rewritten."""
+    cells = spark.read.parquet(f"{path}/cells").localCheckpoint(eager=True)
+    n_cells = cells.select("bucket").distinct().count()
+    (
+        cells.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/cells")
+    )
+    return n_cells
+
+
 def rrf_fuse(
     rankings: "list[DataFrame]",
     key_col: str = "query_id",

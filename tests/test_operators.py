@@ -3164,3 +3164,86 @@ def test_lsh_candidate_recall_bruteforce(spark):
     assert got["n_caught"] == len(truth & cand)
     if truth:
         assert got["recall_ppm"] == 1_000_000 * len(truth & cand) // len(truth)
+
+
+def test_ivf_index_roundtrip_equals_direct(spark, tmp_path):
+    # plain-IVF lifecycle: build → persist → search must equal
+    # ivf_cosine_topk with the same (auto-trained) centroids bit-for-bit,
+    # and the persisted cells must be bucket-partitioned so nprobe
+    # pruning is file-level partition pruning
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from megalista_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_cosine_topk,
+        ivf_search_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F2.col("vec_id") < 3).select(
+        F2.col("vec_id").alias("query_id"), "embedding"
+    )
+    direct = ivf_cosine_topk(
+        emb, queries, k=5, num_centroids=None, nprobe=2
+    ).collect()
+    path = str(tmp_path / "ivf_index")
+    ivf_build_index(emb, path, num_centroids=None)
+    loaded = ivf_search_index(spark, path, queries, k=5, nprobe=2).collect()
+    tup = lambda rs: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in rs
+    )
+    assert tup(direct) == tup(loaded)
+    assert any(d.startswith("bucket=") for d in os.listdir(f"{path}/cells"))
+
+
+def test_ivf_index_append_and_compact(spark, tmp_path):
+    # frozen geometry: build(base) + append(increment) == build(full)
+    # when the deterministic lowest-id centroids live in the base; and
+    # compaction is content-identical with one file per cell
+    import glob
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from megalista_spark.operators.similarity import (
+        ivf_append_to_index,
+        ivf_build_index,
+        ivf_compact_index,
+        ivf_search_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(F2.col("vec_id") < 400)
+    inc = emb.where(F2.col("vec_id") >= 400)
+    queries = emb.where(F2.col("vec_id") < 3).select(
+        F2.col("vec_id").alias("query_id"), "embedding"
+    )
+    p_inc = str(tmp_path / "idx_incremental")
+    p_full = str(tmp_path / "idx_full")
+    ivf_build_index(base, p_inc, num_centroids=16)
+    ivf_append_to_index(inc, p_inc)
+    ivf_build_index(emb, p_full, num_centroids=16)
+
+    def res(p):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+            for r in ivf_search_index(spark, p, queries, k=10, nprobe=2).collect()
+        )
+
+    assert res(p_inc) == res(p_full)
+
+    def files_per_cell(p):
+        cells = glob.glob(os.path.join(p, "cells", "bucket=*"))
+        return {
+            os.path.basename(c): len(glob.glob(os.path.join(c, "*.parquet")))
+            for c in cells
+        }
+
+    before = res(p_inc)
+    assert max(files_per_cell(p_inc).values()) > 1  # append left small files
+    n = ivf_compact_index(spark, p_inc)
+    assert n >= 1
+    assert max(files_per_cell(p_inc).values()) == 1
+    assert res(p_inc) == before
