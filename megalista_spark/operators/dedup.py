@@ -226,26 +226,76 @@ def ngram_jaccard_pairs(
         )
     )
 
+    # Size-routed bucket execution (the _band_candidate_pairs /
+    # simhash_near_pairs discipline): the one-array-row-per-bucket pair
+    # emission materializes the FULL b² struct array as a single column
+    # value before exploding — a 4k-member stopword shingle is ~8M pair
+    # structs in one value, and 32 concurrent tasks of those OOM an 8g
+    # heap (observed at sf1). Small buckets keep the cheap local array
+    # emission; hot buckets route through a SALTED within-bucket
+    # self-join whose matched groups live in Spark's spillable join
+    # buffers, so quadratic candidate volume streams through disk. The
+    # window annotation shares the groupBy's hash-partitioning on
+    # shingle (one shuffle, reused exchange), so the benign-corpus plan
+    # gains only a per-partition count pass, never a second corpus scan.
+    array_bucket_max = 1_000
+    bw = Window.partitionBy("shingle")
+    ann = shingled.select(
+        "id", "set_size", "shingle", F.count(F.lit(1)).over(bw).alias("_bn")
+    )
+    if max_shingle_df is not None:
+        ann = ann.where(F.col("_bn") <= max_shingle_df)
+
     members = F.array_sort(
         F.collect_list(F.struct(F.col("id"), F.col("set_size")))
     ).alias("ms")
-    buckets = (
-        shingled.groupBy("shingle").agg(members).where(F.size("ms") > 1)
+    small_buckets = (
+        ann.where((F.col("_bn") > 1) & (F.col("_bn") <= array_bucket_max))
+        .groupBy("shingle")
+        .agg(members)
     )
-    if max_shingle_df is not None:
-        buckets = buckets.where(F.size("ms") <= max_shingle_df)
-
     # bucket rows are few and small but EXPLODE to b² pairs — AQE
     # coalesces the tiny post-groupBy shuffle to ~1 partition, which would
     # serialize the pair emission; spread buckets across cores first
-    pairs = (
-        _spread(buckets).select(F.explode(_ordered_pairs(F.col("ms"))).alias("p"))
-        .groupBy(
+    small = (
+        _spread(small_buckets)
+        .select(F.explode(_ordered_pairs(F.col("ms"))).alias("p"))
+        .select(
             F.col("p.a.id").alias("doc_a"),
             F.col("p.b.id").alias("doc_b"),
             F.col("p.a.set_size").alias("size_a"),
             F.col("p.b.set_size").alias("size_b"),
         )
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    salt = max(2, min(par, 16))
+    hot = ann.where(F.col("_bn") > array_bucket_max).select(
+        "shingle", "id", "set_size"
+    )
+    hot_a = hot.withColumn("_salt", F.pmod(F.hash("id"), F.lit(salt)))
+    hot_b = hot.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    hot_pairs = (
+        hot_a.alias("a").repartition(par, "shingle", "_salt")
+        .join(
+            hot_b.alias("b").repartition(par, "shingle", "_salt"),
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a._salt") == F.col("b._salt"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+    )
+    pairs = (
+        small.unionByName(hot_pairs)
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     jac = F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared"))
@@ -1318,14 +1368,18 @@ def containment_minhash_estimate(
     # every such doc would collide in every band and pair quadratically
     # with containment size 0 (div-by-zero -> NULL, unfiltered at the
     # default min_cont_ppm=0) — and the DuckDB oracle's NULL-signature
-    # rows never join, a latent cross-engine divergence. Drop them up
-    # front, matching the exact containment_pairs path.
+    # rows never join, a latent cross-engine divergence. Drop them via
+    # set_size AFTER the checkpoint: a pre-select `where(size(sh) >= 1)`
+    # evaluated the whole shingle-construction expression a THIRD time
+    # per row (filters share no subexpressions with the projection —
+    # measured 2.5× on the sf0.1 constant); filtering the materialized
+    # set_size column costs nothing and is semantically identical.
     sigs = (
-        toked.where(F.size(sh) >= 1)
-        .select(
+        toked.select(
             F.col("id"), sig.alias("sig"), F.size(sh).cast("long").alias("set_size")
         )
         .localCheckpoint(eager=True)
+        .where(F.col("set_size") >= 1)
     )
 
     banded = sigs.select(

@@ -647,7 +647,7 @@ def tfidf_cosine_pairs(
     """
     import logging
 
-    from megalista_spark.operators.dedup import _ordered_pairs, _spread
+    from megalista_spark.operators.dedup import _spread
 
     kept_terms, weighted_rel = _tfidf_weighted(
         df, text_col, id_col, max_term_df, max_term_df_frac, idf_scale
@@ -698,16 +698,31 @@ def tfidf_cosine_pairs(
     # spread before exploding: the bucket table is tiny so AQE coalesces
     # it to 1-2 partitions, serializing the pair emission (measured at
     # sf1: the small-path explode ran minutes on 2 tasks); the explicit
-    # round-robin repartition parallelizes it and is AQE-exempt
-    small_cand = _spread(small_buckets).select(
-        F.explode(_ordered_pairs(F.col("ms"))).alias("p")
-    ).select(
-        F.col("p.a.id").alias("id_a"),
-        F.col("p.b.id").alias("id_b"),
-        (
-            F.col("p.a.w").cast("decimal(19,0)")
-            * F.col("p.b.w").cast("decimal(19,0)")
-        ).alias("prod"),
+    # round-robin repartition parallelizes it and is AQE-exempt.
+    # Pairs are generated by CHAINED explodes (posexplode the sorted
+    # posting list → explode the prefix before each element), which
+    # STREAMS the C(b,2) pairs row-by-row through whole-stage codegen —
+    # the earlier single-explode form first materialized the full pair
+    # array as ONE column value (C(1000,2) ≈ 500k structs ≈ tens of MB
+    # per mid-df term), and 32 concurrent tasks of those next to the
+    # partial-agg hash maps OOMed an 8g heap at sf1's 1.6B-candidate
+    # corpus. Sorted input keeps a < b without a comparison.
+    small_cand = (
+        _spread(small_buckets)
+        .select(F.col("ms"), F.posexplode("ms").alias("_i", "_b"))
+        .where(F.col("_i") >= 1)
+        .select(
+            F.col("_b"),
+            F.explode(F.slice(F.col("ms"), F.lit(1), F.col("_i"))).alias("_a"),
+        )
+        .select(
+            F.col("_a.id").alias("id_a"),
+            F.col("_b.id").alias("id_b"),
+            (
+                F.col("_a.w").cast("decimal(19,0)")
+                * F.col("_b.w").cast("decimal(19,0)")
+            ).alias("prod"),
+        )
     )
     # Salted hot self-join: a single hot term's quadratic output would
     # otherwise land in ONE task (term-hash skew — measured: a straggler
