@@ -5723,6 +5723,82 @@ ORDER BY media_id
 """
 
 
+def multimodal_bmp_features_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode path (operators/multimodal.py::bmp24_decode via
+    extract_image_features decode_stub=False): per doc, a 15×9 24-bit
+    BMP is synthesized from the deterministic pixel formula
+    v(x,y,c) = (id + 5x + 13y + 17c) mod 256 and encoded by
+    ``bmp24_encode`` — 15·3 = 45-byte rows padded to 48, stored
+    bottom-up in BGR, so the decoder must invert the padding, row
+    order, AND channel swap to recover the pixels. The oracle replays
+    the pixel formula directly; the hash-match proves
+    decode(encode(pixels)) == pixels through real container bytes
+    (n_bytes = 54-byte headers + 9·48 raster = 486 also pins the
+    header layout)."""
+    import pandas as pd
+
+    from megalista_spark.operators.multimodal import (
+        bmp24_encode,
+        extract_image_features,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+
+    def enc(batches):
+        for pdf in batches:
+            def mk(m):
+                m = int(m)
+                rgb = bytes(
+                    (m + 5 * x + 13 * y + 17 * c) % 256
+                    for y in range(9)
+                    for x in range(15)
+                    for c in range(3)
+                )
+                return bmp24_encode(15, 9, rgb)
+
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": pdf["media_id"].map(mk)}
+            )
+
+    media = d.mapInPandas(enc, "media_id long, content binary")
+    feats = extract_image_features(media, dim=8, decode_stub=False)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.element_at("feature", 1).alias("mean_r"),
+        F.element_at("feature", 2).alias("mean_g"),
+        F.element_at("feature", 3).alias("mean_b"),
+        F.element_at("feature", 4).alias("max_r"),
+        F.element_at("feature", 5).alias("max_g"),
+        F.element_at("feature", 6).alias("max_b"),
+    ).orderBy("media_id")
+
+
+BMP_PIXELS_SQL = """
+WITH px AS (
+  SELECT doc_id AS media_id, c, ((doc_id + 5 * x + 13 * y + 17 * c) % 256) AS v
+  FROM documents,
+       unnest(range(0, 15)) AS rx(x),
+       unnest(range(0, 9)) AS ry(y),
+       unnest(range(0, 3)) AS rc(c)
+),
+agg AS (
+  SELECT media_id, c, sum(v) AS total, max(v) AS mx
+  FROM px GROUP BY media_id, c
+)
+SELECT media_id, 486::BIGINT AS n_bytes,
+       (((1000000 * max(CASE WHEN c = 0 THEN total END)) // 34425) / 1000000.0)::FLOAT AS mean_r,
+       (((1000000 * max(CASE WHEN c = 1 THEN total END)) // 34425) / 1000000.0)::FLOAT AS mean_g,
+       (((1000000 * max(CASE WHEN c = 2 THEN total END)) // 34425) / 1000000.0)::FLOAT AS mean_b,
+       (max(CASE WHEN c = 0 THEN mx END) / 255.0)::FLOAT AS max_r,
+       (max(CASE WHEN c = 1 THEN mx END) / 255.0)::FLOAT AS max_g,
+       (max(CASE WHEN c = 2 THEN mx END) / 255.0)::FLOAT AS max_b
+FROM agg
+GROUP BY media_id
+ORDER BY media_id
+"""
+
+
 def streaming_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``hopping_rollup_events`` — the same overlapping
     60/30 windows under readStream with watermarked state (one open-window
@@ -11802,6 +11878,7 @@ _GATE_ROTATION_FIRST = [
     "tfidf_cosine_dup_pairs_exact",
     "multimodal_audio_windows_decoded",
     "multimodal_image_features_decoded",
+    "multimodal_bmp_features_decoded",
     "lsh_banding_curve_audit",
     "ann_recall_auto",
     "ann_recall_audit",
@@ -12113,6 +12190,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "multimodal_frame_samples": multimodal_frame_samples,
         "multimodal_audio_windows_decoded": multimodal_audio_windows_decoded,
         "multimodal_image_features_decoded": multimodal_image_features_decoded,
+        "multimodal_bmp_features_decoded": multimodal_bmp_features_decoded,
         "kmeans_embeddings": kmeans_embeddings,
         "semdedup_cluster_prune": semdedup_cluster_prune,
         "dsir_importance_topk": dsir_importance_topk,
@@ -12287,6 +12365,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_samples": FRAME_SAMPLES_SQL,
         "multimodal_audio_windows_decoded": AUDIO_WINDOWS_SQL,
         "multimodal_image_features_decoded": IMAGE_PIXELS_SQL,
+        "multimodal_bmp_features_decoded": BMP_PIXELS_SQL,
         "kmeans_embeddings": KMEANS_SQL,
         "semdedup_cluster_prune": SEMDEDUP_SQL,
         "dsir_importance_topk": DSIR_SQL,

@@ -6,12 +6,13 @@ data). All heavy per-item work (decode, resize, feature extraction, frame
 sampling) runs as Arrow-batched ``mapInPandas`` — one Python worker per
 partition, zero JVM round-trips per row, linear scaling with partitions.
 
-Codec story: two container formats need NO external library and are
+Codec story: three container formats need NO external library and are
 implemented for real here — uncompressed PCM WAV (RIFF chunk walk,
-``wav_pcm16_decode``) and binary PPM / P6 (``ppm_p6_decode``). The
-``decode_stub=False`` paths of ``extract_audio_features`` and
-``extract_image_features`` decode these natively and compute features on
-the REAL samples/pixels. Compressed codecs (JPEG/MP3/H.264...) would
+``wav_pcm16_decode``), binary PPM / P6 (``ppm_p6_decode``), and 24-bit
+uncompressed BMP (``bmp24_decode`` — second header layout, BGR order,
+bottom-up rows, 4-byte row padding). The ``decode_stub=False`` paths of
+``extract_audio_features`` and ``extract_image_features`` decode these
+natively and compute features on the REAL samples/pixels. Compressed codecs (JPEG/MP3/H.264...) would
 need external libraries that are not in this environment, so those
 paths keep the documented behavior: ``decode_stub=True`` (default)
 produces a deterministic digest-derived fake (the Spark-side plumbing —
@@ -123,6 +124,73 @@ def ppm_p6_decode(content: bytes) -> tuple[int, int, bytes]:
         raise ValueError("truncated PPM raster")
     return width, height, rgb
 
+def bmp24_encode(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal canonical BMP writer: 24-bit uncompressed BI_RGB,
+    BITMAPINFOHEADER, bottom-up rows, BGR byte order, rows padded to
+    4-byte boundaries — the parts of the format a decoder must actually
+    get right. ``rgb`` is top-down width·height·3 interleaved RGB."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    row_size = (width * 3 + 3) & ~3
+    pad = b"\x00" * (row_size - width * 3)
+    raster = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        for x in range(width):
+            i = (y * width + x) * 3
+            raster += bytes((rgb[i + 2], rgb[i + 1], rgb[i]))  # BGR
+        raster += pad
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster),
+        2835, 2835, 0, 0,
+    )
+    return header + info + bytes(raster)
+
+
+def bmp24_decode(content: bytes) -> tuple[int, int, bytes]:
+    """Real BMP decoder (no external library): validates the ``BM`` file
+    header, reads the pixel-array offset, parses BITMAPINFOHEADER
+    (planes=1, 24bpp, BI_RGB only — anything else raises, honest
+    failure), and unpacks the padded BGR raster back to top-down
+    interleaved RGB. Handles both bottom-up (positive height, the
+    canonical form) and top-down (negative height) storage. Returns
+    (width, height, rgb bytes); decode(encode(x)) == x including the
+    row-padding and channel-swap paths."""
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM file header)")
+    (off,) = struct.unpack("<I", content[10:14])
+    hdr_size, w, h, planes, bpp, comp = struct.unpack("<IiiHHI", content[14:34])
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size} (need >= 40)")
+    if planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError(
+            f"unsupported BMP encoding (planes={planes}, {bpp}bpp, "
+            f"compression={comp}); only uncompressed 24-bit BI_RGB is "
+            "decodable without codec libs"
+        )
+    top_down = h < 0
+    height = -h if top_down else h
+    if w <= 0 or height <= 0:
+        raise ValueError("invalid BMP dimensions")
+    row_size = (w * 3 + 3) & ~3
+    need = row_size * height
+    raster = content[off : off + need]
+    if len(raster) != need:
+        raise ValueError("truncated BMP raster")
+    out = bytearray(w * height * 3)
+    for ry in range(height):
+        y = ry if top_down else height - 1 - ry
+        base = ry * row_size
+        for x in range(w):
+            b, g, r = raster[base + 3 * x : base + 3 * x + 3]
+            j = (y * w + x) * 3
+            out[j] = r
+            out[j + 1] = g
+            out[j + 2] = b
+    return w, height, bytes(out)
+
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -159,13 +227,23 @@ def _fake_decode_features(content: bytes, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in digest[:dim]]
 
 
-def _ppm_pixel_features(content: bytes, dim: int) -> list[float]:
-    """REAL decode features for P6 images: per-channel mean (exact
-    integer-ppm arithmetic — engine-portable) and per-channel max /255,
-    then width and height — 8 values, sliced to ``dim``. Every number is
-    a ratio of exact integer aggregates, so a SQL oracle that replays the
-    pixel generator reproduces the floats bit-for-bit."""
-    width, height, rgb = ppm_p6_decode(content)
+def _image_pixel_features(content: bytes, dim: int) -> list[float]:
+    """REAL decode features for the library-free image containers
+    (binary PPM/P6 and 24-bit BMP, sniffed by magic): per-channel mean
+    (exact integer-ppm arithmetic — engine-portable) and per-channel
+    max /255, then width and height — 8 values, sliced to ``dim``.
+    Every number is a ratio of exact integer aggregates, so a SQL
+    oracle that replays the pixel generator reproduces the floats
+    bit-for-bit."""
+    if content[:2] == b"P6":
+        width, height, rgb = ppm_p6_decode(content)
+    elif content[:2] == b"BM":
+        width, height, rgb = bmp24_decode(content)
+    else:
+        raise ValueError(
+            "unsupported image container (only binary PPM/P6 and 24-bit "
+            "BMP are decodable without codec libs)"
+        )
     n_pix = width * height
     feats: list[float] = []
     for ch in range(3):
@@ -182,11 +260,11 @@ def extract_image_features(
 ) -> DataFrame:
     """binary content → fixed-dim feature vector, Arrow-batched.
 
-    ``decode_stub=False`` REALLY decodes: binary-PPM (P6) content is
-    parsed by the pure-Python decoder above and the features are computed
-    from actual pixels (per-channel mean/max + dimensions). Formats that
-    need external codec libraries (JPEG/PNG...) raise ValueError from the
-    parser — honest failure. The default stub path derives features from
+    ``decode_stub=False`` REALLY decodes: binary-PPM (P6) and 24-bit BMP
+    content (sniffed by magic) are parsed by the pure-Python decoders
+    above and the features are computed from actual pixels (per-channel
+    mean/max + dimensions). Formats that need external codec libraries
+    (JPEG/PNG...) raise ValueError from the parser — honest failure. The default stub path derives features from
     the content digest (plumbing-only mode).
 
     Plan shape at 100 TB: pure mapInPandas over the scan — no shuffle; the
@@ -199,7 +277,7 @@ def extract_image_features(
         decode = (
             (lambda b: _fake_decode_features(b, dim))
             if decode_stub
-            else (lambda b: _ppm_pixel_features(b, dim))
+            else (lambda b: _image_pixel_features(b, dim))
         )
         for pdf in batches:
             out = pd.DataFrame(

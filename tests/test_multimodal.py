@@ -143,3 +143,60 @@ def test_extract_audio_features(spark):
     e1 = [r["energy"] for r in sorted(by_media[1], key=lambda r: r["window_index"])]
     e2 = [r["energy"] for r in sorted(by_media[2], key=lambda r: r["window_index"])]
     assert e1 == e2
+
+
+def test_bmp24_codec_roundtrip():
+    import struct
+
+    import pytest
+
+    from megalista_spark.operators.multimodal import bmp24_decode, bmp24_encode
+
+    # 3x2: 9-byte rows padded to 12 — the padding path must be exercised
+    rgb = bytes(range(3 * 2 * 3))
+    blob = bmp24_encode(3, 2, rgb)
+    assert len(blob) == 54 + 12 * 2  # headers + padded raster
+    assert bmp24_decode(blob) == (3, 2, rgb)
+    # 4x2: zero padding (row = 12 bytes already aligned)
+    rgb2 = bytes((i * 7) % 256 for i in range(4 * 2 * 3))
+    assert bmp24_decode(bmp24_encode(4, 2, rgb2)) == (4, 2, rgb2)
+    # top-down storage (negative height) is legal BMP and must decode to
+    # the same top-down RGB: flip the encoded raster rows + flip the sign
+    blob3 = bytearray(bmp24_encode(3, 2, rgb))
+    row = 12
+    blob3[54 : 54 + row], blob3[54 + row : 54 + 2 * row] = (
+        blob3[54 + row : 54 + 2 * row],
+        blob3[54 : 54 + row],
+    )
+    blob3[22:26] = struct.pack("<i", -2)
+    assert bmp24_decode(bytes(blob3)) == (3, 2, rgb)
+    with pytest.raises(ValueError, match="BM"):
+        bmp24_decode(b"P6\n1 1\n255\n" + bytes(3))
+    with pytest.raises(ValueError, match="unsupported BMP encoding"):
+        bad = bytearray(bmp24_encode(3, 2, rgb))
+        bad[28:30] = struct.pack("<H", 8)  # 8bpp palette image
+        bmp24_decode(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        bmp24_decode(bmp24_encode(3, 2, rgb)[:-1])
+
+
+def test_image_features_decode_bmp(spark):
+    # decode_stub=False sniffs BMP by magic and computes features from the
+    # real raster — cross-checked against the PPM encoding of the SAME
+    # pixels (the features must be container-independent)
+    from megalista_spark.operators.multimodal import (
+        bmp24_encode,
+        extract_image_features,
+        ppm_p6_encode,
+    )
+
+    rgb = bytes((5 * i + 3) % 256 for i in range(5 * 4 * 3))
+    df = spark.createDataFrame(
+        [(1, bmp24_encode(5, 4, rgb)), (2, ppm_p6_encode(5, 4, rgb))],
+        "media_id long, content binary",
+    )
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in extract_image_features(df, dim=8, decode_stub=False).collect()
+    }
+    assert feats[1] == feats[2]
