@@ -1251,11 +1251,15 @@ def ann_ivf_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _ivf_auto_sql() -> str:
-    # mirror the engine's bounded-sample training: k = max(2, ⌊√n⌋),
-    # train_cap = max(4096, 32·k), sample = md5-bucket filter on
-    # 'ivftrain|id' — identical rows to the Spark-side portable_hash64
-    # sampler (a no-op below the cap, e.g. at the sf0.01 gate)
+def _ivf_auto_assign_ctes() -> str:
+    """Shared oracle prefix for the auto-√n IVF family: mirrors the
+    engine's bounded-sample training — k = max(2, ⌊√n⌋), train_cap =
+    max(4096, 32·k), sample = md5-bucket filter on 'ivftrain|id'
+    (identical rows to the Spark-side portable_hash64 sampler; a no-op
+    below the cap, e.g. at the sf0.01 gate) — then the full-corpus
+    nearest-cell assignment, ending at ``corpus_assigned(neighbor_id,
+    cvec, bucket)``. Reused by the ANN search oracles AND the
+    index-backed SemDeDup oracle (same persisted assignment)."""
     k_expr = "(SELECT greatest(2, floor(sqrt(count(*)))::BIGINT) FROM e)"
     train_cte = """
 kn AS (
@@ -1279,7 +1283,12 @@ corpus_scored AS (
   FROM e CROSS JOIN cent c
 ), corpus_assigned AS (
   SELECT neighbor_id, cvec, centroid_id AS bucket FROM corpus_scored WHERE r = 1
-), q AS (SELECT vid AS query_id, v AS qv FROM e WHERE vid < 5),
+)"""
+
+
+def _ivf_auto_sql() -> str:
+    return f"""
+{_ivf_auto_assign_ctes()}, q AS (SELECT vid AS query_id, v AS qv FROM e WHERE vid < 5),
 q_scored AS (
   SELECT q.query_id, q.qv, c.centroid_id,
          row_number() OVER (PARTITION BY q.query_id
@@ -1333,6 +1342,46 @@ def ann_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search_index(spark, path, queries, k=10, nprobe=4).orderBy(
         "query_id", "rank"
     )
+
+
+def semdedup_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the SHARED persisted IVF index
+    (operators/dedup.py::semdedup_from_index): one auto-√n k-means fit
+    feeds BOTH ANN search (ann_ivf_index_search) and semantic dedup —
+    the index's cells are the clustering, so dedup pays zero training
+    and zero assignment. In-cell cosine ≥ 0.45 to a lower-id vector
+    drops the vector (keep-lowest-id); output is the per-cell report.
+    The oracle replays the identical sampled k-means + rounded
+    assignment (the shared _ivf_auto_assign_ctes prefix), proving the
+    persisted cells carry exactly the assignment the SQL derives."""
+    import tempfile
+
+    from megalista_spark.operators.dedup import semdedup_from_index
+    from megalista_spark.operators.similarity import ivf_build_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{tempfile.gettempdir()}/megalista_ivf_index_{sf_tag}"
+    ivf_build_index(emb, path, num_centroids=None)
+    return semdedup_from_index(spark, path, threshold=0.45)
+
+
+def _semdedup_index_sql(threshold: float = 0.45) -> str:
+    return f"""
+{_ivf_auto_assign_ctes()}, dropped AS (
+  SELECT DISTINCT a.bucket, b.neighbor_id AS vid
+  FROM corpus_assigned a JOIN corpus_assigned b
+    ON a.bucket = b.bucket AND a.neighbor_id < b.neighbor_id
+  WHERE round(list_cosine_similarity(a.cvec, b.cvec), 6) >= {threshold}
+)
+SELECT c.bucket AS cid, count(*)::BIGINT AS n_members,
+       count(d.vid)::BIGINT AS n_dropped,
+       (count(*) - count(d.vid))::BIGINT AS n_survivors
+FROM corpus_assigned c
+LEFT JOIN dropped d ON d.bucket = c.bucket AND d.vid = c.neighbor_id
+GROUP BY c.bucket
+ORDER BY cid
+"""
 
 
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11985,6 +12034,7 @@ _GATE_ROTATION_FIRST = [
     "last_touch_attribution_credits",
     "conversion_paths_topk",
     "ann_ivf_index_search",
+    "semdedup_index_prune",
     "ann_ivfpq_index_search",
     "ann_ivfpq_topk",
     "ann_ivfpq_trained_topk",
@@ -12112,6 +12162,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[SparkSession, str], 
         "ann_ivf_trained_topk": ann_ivf_trained_topk,
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "ann_ivf_index_search": ann_ivf_index_search,
+        "semdedup_index_prune": semdedup_index_prune,
         "ann_ivfpq_index_search": ann_ivfpq_index_search,
         "ann_ivfpq_trained_topk": ann_ivfpq_trained_topk,
         "grouped_zscore_by_lang": grouped_zscore_by_lang,
@@ -12461,6 +12512,7 @@ def oracle_sql() -> dict[str, str]:
         # the persisted-index search is bit-identical to the in-memory
         # ivfpq_topk with the same geometry — same oracle
         "ann_ivf_index_search": _ivf_auto_sql(),
+        "semdedup_index_prune": _semdedup_index_sql(),
         "ann_ivfpq_index_search": _ivfpq_sql(),
         "ann_ivfpq_trained_topk": _ivfpq_trained_sql(),
         "grouped_zscore_by_lang": GROUPED_ZSCORE_SQL,

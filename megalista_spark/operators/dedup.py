@@ -1164,6 +1164,62 @@ def semdedup_prune(
     return out
 
 
+def semdedup_from_index(
+    spark,
+    path: str,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup over a PERSISTED plain-IVF index
+    (``similarity.ivf_build_index``): the index's cells ARE the k-means
+    clustering SemDeDup needs, so semantic dedup costs zero training and
+    zero assignment — both were paid once at index build, shared with
+    ANN search over the same embedding table (the two families
+    previously trained separate fits over identical data). Reads the
+    cell-partitioned vectors, compares vectors only WITHIN a cell, and
+    drops every vector whose within-cell cosine (rounded 6dp) to a
+    lower-id vector reaches ``threshold`` — the same deterministic
+    keep-lowest-id rule as ``semdedup_prune``. Returns the same
+    per-cluster report (cid, n_members, n_dropped, n_survivors).
+
+    Scale: in-cell pair work is Σ|cell|² ≈ n·√n under the build's
+    auto-√n sizing; the join shuffles on the cell id only, and the scan
+    reads the already-partitioned cells. Incremental corpora compose:
+    ``ivf_append_to_index`` then re-run this — no retraining.
+    """
+    from megalista_spark.operators.similarity import cosine_expr
+
+    cells = spark.read.parquet(f"{path}/cells").select(
+        F.col("bucket").alias("cid"), F.col("id").alias("vid"), F.col("vec")
+    )
+    a = cells.select("cid", F.col("vid").alias("id_a"), F.col("vec").alias("_va"))
+    b = cells.select("cid", F.col("vid").alias("id_b"), F.col("vec").alias("_vb"))
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select("cid", F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    return (
+        cells.select("cid", "vid")
+        .join(dropped.withColumn("_drop", F.lit(1)), ["cid", "vid"], "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum(F.coalesce("_drop", F.lit(0))).cast("bigint").alias("n_dropped"),
+        )
+        .select(
+            "cid",
+            "n_members",
+            "n_dropped",
+            (F.col("n_members") - F.col("n_dropped")).cast("bigint").alias(
+                "n_survivors"
+            ),
+        )
+        .orderBy("cid")
+    )
+
+
 def keep_best(
     df: DataFrame,
     group_col: str,

@@ -761,11 +761,20 @@ def tfidf_cosine_pairs(
             ).alias("prod"),
         )
     )
-    dots = (
-        small_cand.unionByName(hot_cand)
-        .groupBy("id_a", "id_b")
-        .agg(F.sum("prod").alias("dot"))
-    )
+    # Size the pair aggregation from the KNOWN candidate volume: the
+    # session's shuffle-partition default (~cores) gives each reducer
+    # est_pairs/32 hash-map entries — at sf1's 1.6B candidates that is
+    # 50M entries per reducer and 32 concurrent reducers OOM an 8g heap
+    # before the sort-fallback can spill. est_pairs is already computed
+    # (the advisory guard), so an explicit hash repartition on the group
+    # key caps each reducer at ~2M entries; the groupBy reuses that
+    # partitioning (no second exchange), and the explicit count is
+    # AQE-coalesce-exempt. Benign corpora keep the untouched plan.
+    unioned = small_cand.unionByName(hot_cand)
+    if est_pairs > 50_000_000:
+        agg_parts = int(min(4096, max(par, est_pairs // 2_000_000)))
+        unioned = unioned.repartition(agg_parts, "id_a", "id_b")
+    dots = unioned.groupBy("id_a", "id_b").agg(F.sum("prod").alias("dot"))
     na = norms.select(F.col("id").alias("id_a"), F.col("norm").alias("_na"))
     nb = norms.select(F.col("id").alias("id_b"), F.col("norm").alias("_nb"))
     return (

@@ -3247,3 +3247,40 @@ def test_ivf_index_append_and_compact(spark, tmp_path):
     assert n >= 1
     assert max(files_per_cell(p_inc).values()) == 1
     assert res(p_inc) == before
+
+
+def test_semdedup_from_index_shares_ivf_cells(spark, tmp_path):
+    # one index build feeds both ANN search and semantic dedup: the
+    # per-cell report must account for every corpus vector, and appending
+    # an exact duplicate of an existing vector (higher id) must show up
+    # as one more member AND one more drop in that vector's cell
+    from pyspark.sql import functions as F2
+
+    from megalista_spark.operators.dedup import semdedup_from_index
+    from megalista_spark.operators.similarity import (
+        ivf_append_to_index,
+        ivf_build_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    p = str(tmp_path / "shared_idx")
+    ivf_build_index(emb, p, num_centroids=8)
+    rep = semdedup_from_index(spark, p, threshold=0.45)
+    rows = rep.collect()
+    assert sum(r["n_members"] for r in rows) == n
+    assert all(
+        r["n_members"] == r["n_dropped"] + r["n_survivors"] for r in rows
+    )
+    base_drops = {r["cid"]: r["n_dropped"] for r in rows}
+    # duplicate vector 0 under a new highest id → same cell, cosine 1.0
+    dup = emb.where(F2.col("vec_id") == 0).select(
+        (F2.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    ivf_append_to_index(dup, p)
+    rows2 = semdedup_from_index(spark, p, threshold=0.45).collect()
+    assert sum(r["n_members"] for r in rows2) == n + 1
+    changed = [
+        r for r in rows2 if r["n_dropped"] == base_drops.get(r["cid"], 0) + 1
+    ]
+    assert len(changed) == 1  # exactly the duplicated vector's cell
