@@ -262,6 +262,7 @@ HEADLINE = [
     "tfidf_cosine_dup_pairs_exact",
     "multimodal_audio_windows_decoded",
     "multimodal_image_features_decoded",
+    "multimodal_bmp_features_decoded",
     "lsh_banding_curve_audit",
 ]
 
@@ -274,12 +275,14 @@ HEADLINE = [
 #       side effect; timing is dominated by the one-off table write, and
 #       repeated bench runs would measure overwrite I/O, not the join plan
 #       (the zero-Exchange plan itself is asserted in tests/test_plans.py).
-#   ann_ivfpq_index_search / ann_ivf_index_search — write the index
-#       artifact as a side effect; timing would be dominated by the build's
-#       parquet writes. The PQ search path's plan cost is benched via
-#       ann_ivfpq_topk (bit-identical dataflow over loaded relations); the
-#       plain-IVF build-once/search-many split is measured explicitly in
-#       SCALE.md (sf1 build vs search-only timings).
+#   ann_ivfpq_index_search / ann_ivf_index_search / semdedup_index_prune —
+#       write the index artifact as a side effect; timing would be
+#       dominated by the build's parquet writes. The PQ search path's plan
+#       cost is benched via ann_ivfpq_topk (bit-identical dataflow over
+#       loaded relations); the plain-IVF build-once/search-many split is
+#       measured explicitly in SCALE.md (sf1 build vs search-only
+#       timings); the shared-index SemDeDup kernel's steady-state cost is
+#       benched via semdedup_cluster_prune (same in-cell pair join).
 #   customer_entity_resolution — the synthetic Customer#... names form ONE
 #       fully connected 15k-node component (every name is a digit-chain
 #       neighbor), the worst case the query exists to stress: ~18s of star

@@ -24,6 +24,8 @@ BENCH_EXCLUSIONS_PREFIX = ("streaming_",)
 BENCH_EXCLUSIONS = {
     "bucketed_colocated_join",
     "ann_ivfpq_index_search",
+    "ann_ivf_index_search",
+    "semdedup_index_prune",
     "customer_entity_resolution",
 }
 
