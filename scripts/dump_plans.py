@@ -106,6 +106,16 @@ FLAGSHIPS = [
         "as a map_zip_with fold — no |pairs|x|terms| posting re-explode "
         "anywhere, no CartesianProduct, no Python.",
     ),
+    (
+        "ann_ivf_index_search",
+        "The persisted plain-IVF lifecycle's search plan: the cells scan "
+        "carries `PartitionFilters: [bucket IN (...)]` — nprobe pruning "
+        "happens at FILE-LISTING time (the un-probed cells' parquet is "
+        "never opened); the query probes arrive via BroadcastExchange; "
+        "ReadSchema shows only (id, vec); the per-query top-k is the "
+        "standard window over the probed candidates. The n-by-k corpus "
+        "assignment appears NOWHERE — it was paid once at build.",
+    ),
 ]
 
 

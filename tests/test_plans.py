@@ -399,3 +399,31 @@ def test_embedding_quality_single_aggregate(spark, entry):
     assert "Window" not in txt
     assert "Join" not in txt
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_ivf_index_search_prunes_cell_partitions(spark, tmp_path):
+    # the persisted plain-IVF search must reach the cells scan with a
+    # PartitionFilter on bucket (file-level nprobe pruning), never a
+    # full-table scan + runtime join filter
+    from pyspark.sql import functions as F
+
+    from megalista_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_plan_idx")
+    ivf_build_index(emb, path, num_centroids=8)
+    res = ivf_search_index(spark, path, queries, k=5, nprobe=2)
+    txt = formatted(res)
+    assert "PartitionFilters" in txt
+    import re
+
+    pf_line = txt.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    assert re.search(r"bucket#\d+ IN \(", pf_line), pf_line
+    # and no Python evaluation anywhere in the search plan
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
