@@ -117,10 +117,19 @@ def test_scale_md_names_every_superlinear_sf1_query():
         import pytest
 
         pytest.skip("no BENCH_sf1.json recorded yet")
-    rounds = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
-    assert rounds, "no sf0.1 round bench to compare against"
     sf1 = json.load(open(sf1_path))
-    base = json.load(open(rounds[-1]))
+    # prefer the committed fresh-protocol sf0.1 artifact (same measurement
+    # mode as BENCH_sf1 — ratios are true fresh-vs-fresh); fall back to the
+    # latest shared-session round bench only if it doesn't exist
+    sf01_path = os.path.join(REPO, "BENCH_sf0.1.json")
+    if os.path.exists(sf01_path) and "fresh" in str(
+        json.load(open(sf01_path)).get("protocol", "")
+    ):
+        base = json.load(open(sf01_path))
+    else:
+        rounds = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+        assert rounds, "no sf0.1 round bench to compare against"
+        base = json.load(open(rounds[-1]))
     if "queries" not in base and "parsed" in base:
         base = base["parsed"]
     q1, q0 = sf1.get("queries", {}), base.get("queries", {})
