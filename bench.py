@@ -324,7 +324,7 @@ def _selected_names() -> list[str]:
 
 def _run_in_subprocesses(
     names: list[str], skip_warm: bool = False
-) -> tuple[dict[str, float], dict[str, float]]:
+) -> "tuple[dict[str, float | None], dict[str, float | None], set[str]]":
     """One subprocess per query: each runs this script with
     SPARK_GRAFT_BENCH_ONLY=<name> and FRESH/NOFRESH unset, and we keep
     its cold+warm times. Slow (session startup per query) but immune to
@@ -334,8 +334,9 @@ def _run_in_subprocesses(
     would double a multi-hour sf1 run for numbers it discards."""
     import subprocess
 
-    timings: dict[str, float] = {}
-    warm: dict[str, float] = {}
+    timings: "dict[str, float | None]" = {}
+    warm: "dict[str, float | None]" = {}
+    failed: set[str] = set()
     for name in names:
         env = dict(os.environ)
         env["SPARK_GRAFT_BENCH_ONLY"] = name
@@ -354,34 +355,38 @@ def _run_in_subprocesses(
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][0]
             parsed = json.loads(line)
             timings[name] = parsed["queries"][name]
-            warm[name] = parsed.get("queries_warm", {}).get(name, -1.0)
+            warm[name] = parsed.get("queries_warm", {}).get(name)
         except Exception:
             # a crashed child must be VISIBLE, not just a smaller total:
-            # -1.0 marks it failed (totals skip it; the emitted JSON lists
-            # it under "failed_queries") and its stderr tail goes to our
-            # stderr so the cause survives the run
-            timings[name] = -1.0
-            warm[name] = -1.0
+            # None (JSON null) marks it failed — a DISTINCT sentinel, so a
+            # legitimate timing that rounds to 0.0 is never misreported as
+            # a failure — and its stderr tail goes to our stderr so the
+            # cause survives the run
+            timings[name] = None
+            warm[name] = None
+            failed.add(name)
             tail = "\n".join(proc.stderr.splitlines()[-15:])
             print(
                 f"[bench] CHILD FAILED: {name} (rc={proc.returncode})\n{tail}",
                 file=sys.stderr,
                 flush=True,
             )
-    return timings, warm
+    return timings, warm, failed
 
 
 def _fresh_mode(sf_dir: str, names: list[str]) -> None:
-    timings, _ = _run_in_subprocesses(names, skip_warm=True)
+    timings, _, failed = _run_in_subprocesses(names, skip_warm=True)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_fresh",
-                "value": round(sum(v for v in timings.values() if v > 0), 3),
+                "value": round(
+                    sum(v for v in timings.values() if v is not None), 3
+                ),
                 "unit": "sec",
                 "queries": timings,
-                "failed_queries": sorted(n for n, v in timings.items() if v <= 0),
+                "failed_queries": sorted(failed),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -456,10 +461,12 @@ def main() -> None:
             file=sys.stderr,
             flush=True,
         )
-        ft, fw = _run_in_subprocesses(fresh_subset)
+        ft, fw, failed = _run_in_subprocesses(fresh_subset)
         timings.update(ft)
         warm.update(fw)
-    total = round(sum(v for v in timings.values() if v > 0), 3)
+    else:
+        failed = set()
+    total = round(sum(v for v in timings.values() if v is not None), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
@@ -469,8 +476,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "failed_queries": sorted(n for n, v in timings.items() if v <= 0),
-                "warm_total": round(sum(v for v in warm.values() if v > 0), 3),
+                "failed_queries": sorted(failed),
+                "warm_total": round(
+                    sum(v for v in warm.values() if v is not None), 3
+                ),
                 "queries_warm": warm,
                 "fresh_queries": sorted(fresh_subset),
                 "sf": sf_val,
@@ -487,7 +496,9 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "warm_total": round(sum(v for v in warm.values() if v > 0), 3),
+                "warm_total": round(
+                    sum(v for v in warm.values() if v is not None), 3
+                ),
                 "n_queries": len(timings),
                 "sf": sf_val,
             }

@@ -17,8 +17,14 @@ from megalista_spark.session import get_spark
 from megalista_spark.sinks.transports import MockTransport
 
 
-def main() -> None:
-    spark = get_spark(app_name="example_etl")
+def main(spark=None) -> "tuple[list[dict], list[dict]]":
+    """Run the two-pass demo. ``spark=None`` (script use) owns its own
+    session; an injected session (the pytest smoke test) is left
+    running. Returns (run1_summary, run2_summary) so the caller can
+    assert the idempotency property (run 2 uploads 0 rows)."""
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(app_name="example_etl")
     workdir = tempfile.mkdtemp(prefix="megalista_example_")
     src = f"{workdir}/conversions"
 
@@ -71,7 +77,9 @@ def main() -> None:
     r2 = run_from_config(spark, cfg_path, lambda e: MockTransport())
     print(json.dumps(r2.summary(), indent=2))
     print("exit code:", r2.exit_code)
-    spark.stop()
+    if owns_session:
+        spark.stop()
+    return r1.summary(), r2.summary()
 
 
 if __name__ == "__main__":

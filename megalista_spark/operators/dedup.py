@@ -257,14 +257,26 @@ def ngram_jaccard_pairs(
     # bucket rows are few and small but EXPLODE to b² pairs — AQE
     # coalesces the tiny post-groupBy shuffle to ~1 partition, which would
     # serialize the pair emission; spread buckets across cores first
+    # chained posexplode → explode(slice) STREAMS the C(b,2) pairs
+    # row-by-row through whole-stage codegen (the tfidf_cosine_pairs
+    # discipline) instead of materializing the full pair array as ONE
+    # column value — at the 1000-member cap that array is ~500k structs
+    # (tens of MB) per bucket row, and 32 concurrent tasks of those next
+    # to the shared-count agg hash maps are the 8g-heap OOM shape.
+    # Sorted members keep a < b without a comparison.
     small = (
         _spread(small_buckets)
-        .select(F.explode(_ordered_pairs(F.col("ms"))).alias("p"))
+        .select(F.col("ms"), F.posexplode("ms").alias("_i", "_b"))
+        .where(F.col("_i") >= 1)
         .select(
-            F.col("p.a.id").alias("doc_a"),
-            F.col("p.b.id").alias("doc_b"),
-            F.col("p.a.set_size").alias("size_a"),
-            F.col("p.b.set_size").alias("size_b"),
+            F.col("_b"),
+            F.explode(F.slice(F.col("ms"), F.lit(1), F.col("_i"))).alias("_a"),
+        )
+        .select(
+            F.col("_a.id").alias("doc_a"),
+            F.col("_b.id").alias("doc_b"),
+            F.col("_a.set_size").alias("size_a"),
+            F.col("_b.set_size").alias("size_b"),
         )
     )
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -1168,6 +1180,7 @@ def semdedup_from_index(
     spark,
     path: str,
     threshold: float = 0.45,
+    hot_cell_min: int = 4_000,
 ) -> DataFrame:
     """SemDeDup over a PERSISTED plain-IVF index
     (``similarity.ivf_build_index``): the index's cells ARE the k-means
@@ -1185,21 +1198,64 @@ def semdedup_from_index(
     auto-√n sizing; the join shuffles on the cell id only, and the scan
     reads the already-partitioned cells. Incremental corpora compose:
     ``ivf_append_to_index`` then re-run this — no retraining.
-    """
-    from megalista_spark.operators.similarity import cosine_expr
 
-    cells = spark.read.parquet(f"{path}/cells").select(
+    Skew guard: unlike ``semdedup_prune``'s balanced √n clustering, the
+    index's trained cells carry NO balance target
+    (``_resolve_ivf_centroids``), so a pathological corpus can
+    concentrate mass in one cell — and a join on ``cid`` alone lands
+    that cell's quadratic pair work on ONE task. Cells above
+    ``hot_cell_min`` members route through a SALTED within-cell
+    self-join (side A salted by id, side B replicated to every salt —
+    each pair meets exactly once, in salt(id_a)), splitting the hot
+    cell's work across the cluster; small cells keep the plain
+    cid-keyed join. Same discipline as ``_band_candidate_pairs`` /
+    ``tfidf_cosine_pairs``; output is identical either way.
+    """
+    from megalista_spark.operators.similarity import _ivf_cells_dir, cosine_expr
+
+    cells = spark.read.parquet(_ivf_cells_dir(spark, path)).select(
         F.col("bucket").alias("cid"), F.col("id").alias("vid"), F.col("vec")
     )
-    a = cells.select("cid", F.col("vid").alias("id_a"), F.col("vec").alias("_va"))
-    b = cells.select("cid", F.col("vid").alias("id_b"), F.col("vec").alias("_vb"))
-    dropped = (
+    # per-cell counts: k-ish rows (≈ num_cells), broadcast to annotate
+    counts = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("_cn"))
+    ann = cells.join(F.broadcast(counts), "cid")
+    small = ann.where(F.col("_cn") <= hot_cell_min)
+    a = small.select("cid", F.col("vid").alias("id_a"), F.col("vec").alias("_va"))
+    b = small.select("cid", F.col("vid").alias("id_b"), F.col("vec").alias("_vb"))
+    small_dropped = (
         a.join(b, "cid")
         .where(F.col("id_a") < F.col("id_b"))
         .where(F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6) >= threshold)
         .select("cid", F.col("id_b").alias("vid"))
-        .distinct()
     )
+    par = spark.sparkContext.defaultParallelism
+    salt = max(2, min(par, 16))
+    hot = ann.where(F.col("_cn") > hot_cell_min).select("cid", "vid", "vec")
+    # salt from murmur3 of the id (physical routing only): side A carries
+    # one salt, side B is replicated to all salts, so pair (a,b) meets
+    # exactly once — in salt(a). Explicit partition count keeps the
+    # exchange AQE-coalesce-exempt.
+    hot_a = hot.withColumn("_salt", F.pmod(F.hash("vid"), F.lit(salt)))
+    hot_b = hot.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    hot_dropped = (
+        hot_a.alias("a")
+        .repartition(par, "cid", "_salt")
+        .join(
+            hot_b.alias("b").repartition(par, "cid", "_salt"),
+            on=[
+                F.col("a.cid") == F.col("b.cid"),
+                F.col("a._salt") == F.col("b._salt"),
+                F.col("a.vid") < F.col("b.vid"),
+            ],
+        )
+        .where(
+            F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6) >= threshold
+        )
+        .select(F.col("a.cid").alias("cid"), F.col("b.vid").alias("vid"))
+    )
+    dropped = small_dropped.unionByName(hot_dropped).distinct()
     return (
         cells.select("cid", "vid")
         .join(dropped.withColumn("_drop", F.lit(1)), ["cid", "vid"], "left")

@@ -169,6 +169,13 @@ def bmp24_decode(content: bytes) -> tuple[int, int, bytes]:
             f"compression={comp}); only uncompressed 24-bit BI_RGB is "
             "decodable without codec libs"
         )
+    if off < 14 + hdr_size or off > len(content):
+        # an offset inside the headers (or past EOF) would silently
+        # decode header bytes as pixels instead of failing
+        raise ValueError(
+            f"BMP pixel-array offset {off} out of range "
+            f"(headers end at {14 + hdr_size}, file is {len(content)} bytes)"
+        )
     top_down = h < 0
     height = -h if top_down else h
     if w <= 0 or height <= 0:

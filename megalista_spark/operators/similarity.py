@@ -983,8 +983,8 @@ def ivfpq_build_index(
     codebook.write.mode("overwrite").parquet(f"{path}/codebooks")
     codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     spark.createDataFrame(
-        [(num_coarse, m_subs, dim, scale)],
-        "num_coarse int, m_subs int, dim int, scale long",
+        [(num_coarse, m_subs, dim, scale, "codes")],
+        "num_coarse int, m_subs int, dim int, scale long, codes_dir string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -1005,7 +1005,7 @@ def ivfpq_search_index(
     meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
     coarse = spark.read.parquet(f"{path}/coarse")
     codebook = spark.read.parquet(f"{path}/codebooks")
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = spark.read.parquet(f"{path}/{meta.get('codes_dir') or 'codes'}")
     return _pq_adc_search(
         codes, coarse, codebook, queries, k, nprobe,
         meta["m_subs"], meta["dim"], meta["scale"], query_id_col, vec_col,
@@ -1303,7 +1303,9 @@ def ivfpq_append_to_index(
         .agg(F.min("_dc").alias("_best"))
         .select("id", "cell", "m", F.col("_best.c").alias("code"))
     )
-    codes.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+    codes.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/{meta.get('codes_dir') or 'codes'}"
+    )
 
 
 def ivfpq_compact_index(spark, path: str) -> int:
@@ -1316,20 +1318,38 @@ def ivfpq_compact_index(spark, path: str) -> int:
     search results before and after are bit-equal (property-tested).
     Returns the number of cell partitions rewritten.
 
-    The rewrite materializes the full code relation BEFORE overwriting
-    (localCheckpoint — the same read-then-overwrite discipline as the
-    streaming accumulators), then writes with one shuffle partitioned by
-    cell so each partition lands as a single file. Coarse/codebooks/meta
-    are immutable after build and never touched.
+    Version-dir + pointer-swap (the ``ivf_compact_index`` discipline):
+    the compacted codes stream into ``codes_v{N+1}/`` with one shuffle
+    partitioned by cell (each partition lands as a single file), the
+    ``meta/`` pointer flips, the old directory drops. No
+    read-then-overwrite of the same path, so no whole-relation
+    localCheckpoint — compact streams at any index size. Coarse and
+    codebooks are immutable after build and never touched.
     """
-    codes = spark.read.parquet(f"{path}/codes").localCheckpoint(eager=True)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    cur = meta.get("codes_dir") or "codes"
+    nxt = _next_version_name(cur, "codes")
+    codes = spark.read.parquet(f"{path}/{cur}")
     n_cells = codes.select("cell").distinct().count()
     (
         codes.repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{path}/codes")
+        .parquet(f"{path}/{nxt}")
     )
+    spark.createDataFrame(
+        [
+            (
+                meta.get("num_coarse"),
+                meta.get("m_subs"),
+                meta.get("dim"),
+                meta.get("scale"),
+                nxt,
+            )
+        ],
+        "num_coarse int, m_subs int, dim int, scale long, codes_dir string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _fs_delete(spark, f"{path}/{cur}")
     return n_cells
 
 
@@ -1343,6 +1363,40 @@ def ivfpq_compact_index(spark, path: str) -> int:
 # n·k cell assignment (plus the sampled k-means fit on the auto tier) is
 # paid ONCE at build; every search afterwards touches only the broadcast
 # centroid table and the nprobe probed cell partitions.
+
+
+def _index_subdir(spark, path: str, key: str, default: str) -> str:
+    """Resolve an index's current data subdirectory via the ``meta/``
+    pointer column (``cells_dir`` / ``codes_dir``). Indexes built before
+    the versioned-compaction scheme (or whose meta predates the column)
+    resolve to the original fixed name — full backward compatibility."""
+    meta = spark.read.parquet(f"{path}/meta")
+    if key in meta.columns:
+        v = meta.select(key).limit(1).collect()[0][0]
+        if v:
+            return f"{path}/{v}"
+    return f"{path}/{default}"
+
+
+def _ivf_cells_dir(spark, path: str) -> str:
+    return _index_subdir(spark, path, "cells_dir", "cells")
+
+
+def _next_version_name(current: str, base: str) -> str:
+    """cells → cells_v2 → cells_v3 → … (same for codes)."""
+    if current == base:
+        return f"{base}_v2"
+    return f"{base}_v{int(current.rsplit('_v', 1)[1]) + 1}"
+
+
+def _fs_delete(spark, path_str: str) -> None:
+    """Recursive delete through the session's Hadoop FileSystem (works
+    for local paths and any object store the session is configured
+    for)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def ivf_build_index(
@@ -1387,7 +1441,7 @@ def ivf_build_index(
     )
     n_cells = cents.count()
     spark.createDataFrame(
-        [(n_cells,)], "num_cells int"
+        [(n_cells, "cells")], "num_cells int, cells_dir string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -1427,7 +1481,7 @@ def ivf_search_index(
         nprobe,
     ).localCheckpoint(eager=True)
     buckets = [r[0] for r in query_probes.select("bucket").distinct().collect()]
-    cells = spark.read.parquet(f"{path}/cells").where(
+    cells = spark.read.parquet(_ivf_cells_dir(spark, path)).where(
         F.col("bucket").isin(buckets)
     )
     candidates = cells.join(F.broadcast(query_probes), on="bucket").where(
@@ -1478,22 +1532,39 @@ def ivf_append_to_index(
         "bucket",
         1,
     )
-    assigned.write.mode("append").partitionBy("bucket").parquet(f"{path}/cells")
+    assigned.write.mode("append").partitionBy("bucket").parquet(
+        _ivf_cells_dir(spark, path)
+    )
 
 
 def ivf_compact_index(spark, path: str) -> int:
-    """Rewrite ``cells/`` to one file per cell partition after a run of
-    appends — content-identical (search results bit-equal before and
+    """Rewrite the cell table to one file per cell partition after a run
+    of appends — content-identical (search results bit-equal before and
     after), same discipline as ``ivfpq_compact_index``. Returns the
-    number of cell partitions rewritten."""
-    cells = spark.read.parquet(f"{path}/cells").localCheckpoint(eager=True)
+    number of cell partitions rewritten.
+
+    Version-dir + pointer-swap: the compacted table streams into a NEW
+    ``cells_v{N+1}/`` directory, then the ``meta/`` pointer flips, then
+    the old directory drops — never read-then-overwrite of the same
+    path, so the corpus is never cached/checkpointed executor-side (at
+    100 TB "compact" must stream, not buffer). A crash between write and
+    flip leaves only an orphan directory; readers keep the old version
+    until the flip commits."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    cur = meta.get("cells_dir") or "cells"
+    nxt = _next_version_name(cur, "cells")
+    cells = spark.read.parquet(f"{path}/{cur}")
     n_cells = cells.select("bucket").distinct().count()
     (
         cells.repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(f"{path}/cells")
+        .parquet(f"{path}/{nxt}")
     )
+    spark.createDataFrame(
+        [(meta.get("num_cells"), nxt)], "num_cells int, cells_dir string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _fs_delete(spark, f"{path}/{cur}")
     return n_cells
 
 

@@ -178,6 +178,16 @@ def test_bmp24_codec_roundtrip():
         bmp24_decode(bytes(bad))
     with pytest.raises(ValueError, match="truncated"):
         bmp24_decode(bmp24_encode(3, 2, rgb)[:-1])
+    # pixel-array offset pointing INTO the headers must raise, not
+    # silently decode header bytes as pixels
+    with pytest.raises(ValueError, match="offset"):
+        bad = bytearray(bmp24_encode(3, 2, rgb))
+        bad[10:14] = struct.pack("<I", 40)  # inside BITMAPINFOHEADER
+        bmp24_decode(bytes(bad))
+    with pytest.raises(ValueError, match="offset"):
+        bad = bytearray(bmp24_encode(3, 2, rgb))
+        bad[10:14] = struct.pack("<I", len(bad) + 1)  # past EOF
+        bmp24_decode(bytes(bad))
 
 
 def test_image_features_decode_bmp(spark):

@@ -2469,7 +2469,10 @@ def test_ivfpq_compact_preserves_search_and_merges_files(spark, tmp_path):
         )
 
     def files_per_cell():
-        cells = glob.glob(os.path.join(p, "codes", "cell=*"))
+        from megalista_spark.operators.similarity import _index_subdir
+
+        codes_dir = _index_subdir(spark, p, "codes_dir", "codes")
+        cells = glob.glob(os.path.join(codes_dir, "cell=*"))
         return {
             os.path.basename(c): len(glob.glob(os.path.join(c, "*.parquet")))
             for c in cells
@@ -2482,6 +2485,16 @@ def test_ivfpq_compact_preserves_search_and_merges_files(spark, tmp_path):
     after_files = files_per_cell()
     assert max(after_files.values()) == 1  # one file per cell
     assert res() == before  # content-identical
+    # version-dir + pointer-swap: compact wrote codes_v2 and dropped the
+    # original directory — never read-then-overwrite of one path, so no
+    # whole-relation localCheckpoint is needed to survive the rewrite
+    assert os.path.isdir(os.path.join(p, "codes_v2"))
+    assert not os.path.exists(os.path.join(p, "codes"))
+    # a second compact advances the version again
+    ivfpq_compact_index(spark, p)
+    assert os.path.isdir(os.path.join(p, "codes_v3"))
+    assert not os.path.exists(os.path.join(p, "codes_v2"))
+    assert res() == before
 
 
 def test_kcore_peels_tendrils_keeps_core(spark):
@@ -3235,7 +3248,9 @@ def test_ivf_index_append_and_compact(spark, tmp_path):
     assert res(p_inc) == res(p_full)
 
     def files_per_cell(p):
-        cells = glob.glob(os.path.join(p, "cells", "bucket=*"))
+        from megalista_spark.operators.similarity import _ivf_cells_dir
+
+        cells = glob.glob(os.path.join(_ivf_cells_dir(spark, p), "bucket=*"))
         return {
             os.path.basename(c): len(glob.glob(os.path.join(c, "*.parquet")))
             for c in cells
@@ -3246,6 +3261,13 @@ def test_ivf_index_append_and_compact(spark, tmp_path):
     n = ivf_compact_index(spark, p_inc)
     assert n >= 1
     assert max(files_per_cell(p_inc).values()) == 1
+    assert res(p_inc) == before
+    # version-dir + pointer-swap: cells_v2 now holds the data, the
+    # original directory is gone, and search/append keep following the
+    # meta pointer (append-after-compact lands in the new version)
+    assert os.path.isdir(os.path.join(p_inc, "cells_v2"))
+    assert not os.path.exists(os.path.join(p_inc, "cells"))
+    ivf_append_to_index(emb.where(F2.col("vec_id") < 0), p_inc)  # no-op rows
     assert res(p_inc) == before
 
 
@@ -3284,3 +3306,58 @@ def test_semdedup_from_index_shares_ivf_cells(spark, tmp_path):
         r for r in rows2 if r["n_dropped"] == base_drops.get(r["cid"], 0) + 1
     ]
     assert len(changed) == 1  # exactly the duplicated vector's cell
+
+
+def test_semdedup_from_index_hot_cell_skew_guard(spark, tmp_path):
+    # adversarial skew: ≥90% of vectors land in ONE trained cell (a
+    # tight cluster around one direction plus a few outliers). The
+    # index's cells carry no balance target, so without routing that
+    # cell's quadratic pair work is one task; the salted hot path must
+    # split it WITHOUT changing the report. Force routing with a tiny
+    # hot_cell_min and compare against the plain path on the same index.
+    from pyspark.sql import functions as F2
+
+    from megalista_spark.operators.dedup import semdedup_from_index
+    from megalista_spark.operators.similarity import ivf_build_index
+
+    # 200 vectors; ids 0-3 are the 4 axis anchors (the deterministic
+    # lowest-id centroid choice picks exactly them), ids 4-189 sit near
+    # axis 0 (→ the hot cell, 187/200 members), ids 190-199 near the
+    # other axes
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    for i in range(4, 190):
+        rows.append((i, [1.0, 0.0001 * i, 0.0, 0.0]))
+    for j in range(10):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[1 + (j % 3)] = 1.0
+        v[0] = 0.001 * j
+        rows.append((190 + j, v))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    p = str(tmp_path / "skew_idx")
+    ivf_build_index(emb, p, num_centroids=4)
+    plain = sorted(
+        map(tuple, semdedup_from_index(spark, p, threshold=0.9).collect())
+    )
+    # the dominant cell really is hot (skew exists in the fixture)
+    assert max(r[1] for r in plain) >= 0.9 * 200
+    routed = sorted(
+        map(
+            tuple,
+            semdedup_from_index(
+                spark, p, threshold=0.9, hot_cell_min=50
+            ).collect(),
+        )
+    )
+    assert routed == plain
+    # the hot path is really in the routed plan (salted self-join)
+    plan = semdedup_from_index(
+        spark, p, threshold=0.9, hot_cell_min=50
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
