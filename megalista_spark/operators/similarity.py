@@ -185,7 +185,18 @@ def _ivf_nearest(
     rounded to 6dp BEFORE the ordering — the same fixed-precision
     boundary discipline as the Lloyd's distances — so a SQL oracle
     ordering by round(cosine, 6) reproduces near-tie assignments
-    bit-for-bit instead of racing unrounded FP tails."""
+    bit-for-bit instead of racing unrounded FP tails.
+
+    Known residual risk (documented, accepted): the two engines round
+    DIFFERENT expressions — Spark rounds dot(unit(v), unit(c)), the
+    DuckDB oracles round list_cosine_similarity(v, c). The values are
+    mathematically equal but their FP evaluation orders differ by
+    ~1e-12, so a similarity sitting within ~5e-7 of a 6dp rounding
+    boundary could round differently per engine and flip a NEAR-TIE
+    cell assignment. Empirically absent across every full-roster sweep
+    (246/246 hash-match at sf0.01 and the sf1 value sweeps); removing
+    the class entirely would require computing cosine identically on
+    both sides, at the cost of the one-fold unit-dot hot loop."""
     u = df_in.select(
         df_in[in_id], df_in[in_vec], unit_expr(F.col(in_vec)).alias("_uv")
     )
