@@ -2490,8 +2490,26 @@ def test_ivfpq_compact_preserves_search_and_merges_files(spark, tmp_path):
     # whole-relation localCheckpoint is needed to survive the rewrite
     assert os.path.isdir(os.path.join(p, "codes_v2"))
     assert not os.path.exists(os.path.join(p, "codes"))
-    # a second compact advances the version again
-    ivfpq_compact_index(spark, p)
+    # a second compact advances the version again — and the versioned
+    # rewrite must need NO corpus-wide cache/checkpoint (the old
+    # read-then-overwrite form localCheckpointed the entire codes
+    # relation into executor storage): forbid all three during the call
+    import pyspark.sql as _ps
+
+    def _boom(self, *a, **k):
+        raise AssertionError("compact must stream — no cache/checkpoint")
+
+    saved = {
+        n: getattr(_ps.DataFrame, n)
+        for n in ("localCheckpoint", "checkpoint", "cache", "persist")
+    }
+    try:
+        for n in saved:
+            setattr(_ps.DataFrame, n, _boom)
+        ivfpq_compact_index(spark, p)
+    finally:
+        for n, f in saved.items():
+            setattr(_ps.DataFrame, n, f)
     assert os.path.isdir(os.path.join(p, "codes_v3"))
     assert not os.path.exists(os.path.join(p, "codes_v2"))
     assert res() == before
@@ -3258,7 +3276,24 @@ def test_ivf_index_append_and_compact(spark, tmp_path):
 
     before = res(p_inc)
     assert max(files_per_cell(p_inc).values()) > 1  # append left small files
-    n = ivf_compact_index(spark, p_inc)
+    # compact must stream — no corpus-wide cache/checkpoint anywhere in
+    # the versioned rewrite (the old form localCheckpointed all cells)
+    import pyspark.sql as _ps
+
+    def _boom(self, *a, **k):
+        raise AssertionError("compact must stream — no cache/checkpoint")
+
+    saved = {
+        nm: getattr(_ps.DataFrame, nm)
+        for nm in ("localCheckpoint", "checkpoint", "cache", "persist")
+    }
+    try:
+        for nm in saved:
+            setattr(_ps.DataFrame, nm, _boom)
+        n = ivf_compact_index(spark, p_inc)
+    finally:
+        for nm, f in saved.items():
+            setattr(_ps.DataFrame, nm, f)
     assert n >= 1
     assert max(files_per_cell(p_inc).values()) == 1
     assert res(p_inc) == before
