@@ -990,8 +990,10 @@ def ivfpq_build_index(
         .agg(F.min("_dc").alias("_best"))
         .select("id", "cell", "m", F.col("_best.c").alias("code"))
     )
-    coarse.write.mode("overwrite").parquet(f"{path}/coarse")
-    codebook.write.mode("overwrite").parquet(f"{path}/codebooks")
+    # coarse (C rows) and codebooks (M·K rows) are tiny control tables —
+    # one file each keeps every search's broadcast load to one open
+    coarse.coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+    codebook.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     spark.createDataFrame(
         [(num_coarse, m_subs, dim, scale, "codes")],
@@ -1446,7 +1448,9 @@ def ivf_build_index(
         "bucket",
         1,
     )
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    # the centroid table is k ≈ √n rows — one file, so every search's
+    # broadcast load is one open instead of one per shuffle partition
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{path}/cells"
     )
