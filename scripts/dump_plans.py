@@ -116,6 +116,27 @@ FLAGSHIPS = [
         "standard window over the probed candidates. The n-by-k corpus "
         "assignment appears NOWHERE — it was paid once at build.",
     ),
+    (
+        "semdedup_index_prune",
+        "SemDeDup over the persisted index with the round-11 skew guard: "
+        "the k-row per-cell counts arrive via BroadcastExchange onto the "
+        "cells scan; cells at or under hot_cell_min pair through the plain "
+        "cid-keyed join, cells above it through the SALTED within-cell "
+        "self-join (_salt in the exchange keys) so one overloaded cell's "
+        "quadratic pair work splits across the cluster instead of landing "
+        "on a single task. Same output either way (union + distinct).",
+    ),
+    (
+        "dedup_ngram_jaccard",
+        "Inverted-index exact Jaccard with the round-11 streamed "
+        "small-bucket emission: pairs leave the bucket via chained "
+        "Generate nodes (posexplode then explode(slice)) inside "
+        "WholeStageCodegen — the full C(b,2) pair array never "
+        "materializes as one column value; buckets above the cap route "
+        "through the salted self-join. One shingle exchange feeds both "
+        "paths (the window count annotation reuses the groupBy "
+        "partitioning).",
+    ),
 ]
 
 
