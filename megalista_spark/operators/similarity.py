@@ -953,8 +953,14 @@ def ivfpq_build_index(
     ``codes/`` is written partitioned by ``cell`` so a search's nprobe
     pruning becomes PARTITION pruning at the file level — only the
     probed cells' files are ever opened.
+
+    Build means a FRESH index: any previous index at ``path`` —
+    including versioned ``codes_vN`` directories and meta versions a
+    compacted predecessor left behind — is deleted first, so a rebuild
+    never strands stale full copies of the corpus on disk.
     """
     spark = df.sparkSession
+    _fs_delete(spark, path)
     corpus_q = df.select(
         F.col(id_col).alias("id"), _pq_quant(F.col(vec_col), scale).alias("qv")
     )
@@ -995,10 +1001,12 @@ def ivfpq_build_index(
     coarse.coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
     codebook.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
-    spark.createDataFrame(
+    _write_index_meta(
+        spark,
+        path,
         [(num_coarse, m_subs, dim, scale, "codes")],
         "num_coarse int, m_subs int, dim int, scale long, codes_dir string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    )
 
 
 def ivfpq_search_index(
@@ -1015,7 +1023,7 @@ def ivfpq_search_index(
     cells of ``codes/`` (cell partition pruning), and scores by ADC —
     bit-identical results to ``ivfpq_topk`` on the original vectors with
     the same geometry, without ever reading an embedding."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    meta = _read_index_meta(spark, path)
     coarse = spark.read.parquet(f"{path}/coarse")
     codebook = spark.read.parquet(f"{path}/codebooks")
     codes = spark.read.parquet(f"{path}/{meta.get('codes_dir') or 'codes'}")
@@ -1293,7 +1301,7 @@ def ivfpq_append_to_index(
     rows (e.g. the increment's ids are all higher) — property-tested.
     """
     spark = df_new.sparkSession
-    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    meta = _read_index_meta(spark, path)
     coarse = spark.read.parquet(f"{path}/coarse")
     codebook = spark.read.parquet(f"{path}/codebooks")
     m_subs, dim, scale = meta["m_subs"], meta["dim"], meta["scale"]
@@ -1333,13 +1341,20 @@ def ivfpq_compact_index(spark, path: str) -> int:
 
     Version-dir + pointer-swap (the ``ivf_compact_index`` discipline):
     the compacted codes stream into ``codes_v{N+1}/`` with one shuffle
-    partitioned by cell (each partition lands as a single file), the
-    ``meta/`` pointer flips, the old directory drops. No
-    read-then-overwrite of the same path, so no whole-relation
-    localCheckpoint — compact streams at any index size. Coarse and
-    codebooks are immutable after build and never touched.
+    partitioned by cell (each partition lands as a single file), then
+    the meta pointer commits via a crash-atomic ``meta_v{N+1}`` rename
+    — a crash anywhere mid-compact leaves the previous commit fully
+    readable (data dir AND pointer intact). The superseded directories
+    are NOT deleted here: deletion is deferred to the next compact's
+    entry GC (or an explicit ``ivfpq_gc_index``), so a reader that
+    resolved the old pointer just before the flip finishes its scan.
+    Single writer per index path by contract. No read-then-overwrite of
+    the same path, so no whole-relation localCheckpoint — compact
+    streams at any index size. Coarse and codebooks are immutable after
+    build and never touched.
     """
-    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    ivfpq_gc_index(spark, path)
+    meta = _read_index_meta(spark, path)
     cur = meta.get("codes_dir") or "codes"
     nxt = _next_version_name(cur, "codes")
     codes = spark.read.parquet(f"{path}/{cur}")
@@ -1350,7 +1365,9 @@ def ivfpq_compact_index(spark, path: str) -> int:
         .partitionBy("cell")
         .parquet(f"{path}/{nxt}")
     )
-    spark.createDataFrame(
+    _write_index_meta(
+        spark,
+        path,
         [
             (
                 meta.get("num_coarse"),
@@ -1361,8 +1378,7 @@ def ivfpq_compact_index(spark, path: str) -> int:
             )
         ],
         "num_coarse int, m_subs int, dim int, scale long, codes_dir string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
-    _fs_delete(spark, f"{path}/{cur}")
+    )
     return n_cells
 
 
@@ -1379,15 +1395,14 @@ def ivfpq_compact_index(spark, path: str) -> int:
 
 
 def _index_subdir(spark, path: str, key: str, default: str) -> str:
-    """Resolve an index's current data subdirectory via the ``meta/``
-    pointer column (``cells_dir`` / ``codes_dir``). Indexes built before
-    the versioned-compaction scheme (or whose meta predates the column)
-    resolve to the original fixed name — full backward compatibility."""
-    meta = spark.read.parquet(f"{path}/meta")
-    if key in meta.columns:
-        v = meta.select(key).limit(1).collect()[0][0]
-        if v:
-            return f"{path}/{v}"
+    """Resolve an index's current data subdirectory via the committed
+    meta pointer column (``cells_dir`` / ``codes_dir``). Indexes built
+    before the versioned-compaction scheme (or whose meta predates the
+    column) resolve to the original fixed name — full backward
+    compatibility."""
+    v = _read_index_meta(spark, path).get(key)
+    if v:
+        return f"{path}/{v}"
     return f"{path}/{default}"
 
 
@@ -1402,14 +1417,148 @@ def _next_version_name(current: str, base: str) -> str:
     return f"{base}_v{int(current.rsplit('_v', 1)[1]) + 1}"
 
 
-def _fs_delete(spark, path_str: str) -> None:
-    """Recursive delete through the session's Hadoop FileSystem (works
-    for local paths and any object store the session is configured
-    for)."""
+def _hadoop_fs(spark, path_str: str):
+    """(FileSystem, Path) through the session's Hadoop conf — works for
+    local paths and any object store the session is configured for."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path_str)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _fs_delete(spark, path_str: str) -> None:
+    """Recursive delete (no-op when the path does not exist)."""
+    fs, hpath = _hadoop_fs(spark, path_str)
     fs.delete(hpath, True)
+
+
+def _fs_exists(spark, path_str: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path_str)
+    return bool(fs.exists(hpath))
+
+
+def _fs_rename(spark, src: str, dst: str) -> bool:
+    """Directory rename — the index's atomic commit primitive (atomic on
+    local FS and HDFS; object stores without atomic rename need the
+    documented single-writer discipline anyway)."""
+    fs, hsrc = _hadoop_fs(spark, src)
+    jvm = spark._jvm
+    return bool(fs.rename(hsrc, jvm.org.apache.hadoop.fs.Path(dst)))
+
+
+def _fs_list_names(spark, path_str: str) -> "list[str]":
+    """Child entry basenames of a directory ([] when it doesn't exist)."""
+    fs, hpath = _hadoop_fs(spark, path_str)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
+# ------------------------------- crash-atomic index meta (single writer)
+#
+# The meta pointer is the index's commit record: whichever data
+# directory it names IS the index. It must never be overwritten in
+# place (Spark's overwrite mode deletes the old directory before the
+# new file lands — a crash mid-write would leave the index with no
+# readable pointer at all). Instead meta is VERSIONED like the data
+# dirs: each commit streams into ``_meta_tmp`` and then renames it to
+# ``meta_v{N+1}`` — one atomic directory rename is the commit point.
+# Readers resolve the highest committed ``meta_v{N}`` (the legacy
+# un-versioned ``meta/`` counts as version 0, so pre-scheme indexes
+# keep reading). Superseded meta versions and data directories are NOT
+# deleted at commit time — a reader that resolved the old pointer
+# before the flip keeps a readable snapshot — but are garbage-collected
+# at the START of the next compact (or explicitly via
+# ``ivf_gc_index`` / ``ivfpq_gc_index``). The whole scheme assumes a
+# SINGLE WRITER per index path and readers that do not span two
+# consecutive compactions; concurrent writers are not coordinated.
+
+_META_TMP = "_meta_tmp"
+
+
+def _latest_meta_dir(spark, path: str) -> "tuple[str | None, int]":
+    """(meta subdir name, version) of the highest committed meta; the
+    legacy ``meta/`` is version 0; (None, -1) when no meta exists."""
+    best, bestv = None, -1
+    for nm in _fs_list_names(spark, path):
+        if nm == "meta":
+            v = 0
+        elif nm.startswith("meta_v"):
+            try:
+                v = int(nm[len("meta_v"):])
+            except ValueError:
+                continue
+        else:
+            continue
+        if v > bestv:
+            best, bestv = nm, v
+    return best, bestv
+
+
+def _read_index_meta(spark, path: str) -> dict:
+    """One-row meta of the index at ``path`` as a dict, resolved through
+    the highest committed meta version."""
+    nm, _ = _latest_meta_dir(spark, path)
+    if nm is None:
+        raise FileNotFoundError(f"no committed index meta under {path}")
+    return spark.read.parquet(f"{path}/{nm}").collect()[0].asDict()
+
+
+def _write_index_meta(spark, path: str, rows: list, schema: str) -> None:
+    """Commit a new meta version crash-atomically: write the one-row
+    parquet into ``_meta_tmp`` and rename it to ``meta_v{N+1}``. A crash
+    before the rename leaves only a tmp directory (GC'd later); the
+    previously committed meta stays the readable pointer throughout."""
+    _, cur = _latest_meta_dir(spark, path)
+    tmp = f"{path}/{_META_TMP}"
+    _fs_delete(spark, tmp)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    dst = f"{path}/meta_v{max(cur, 0) + 1}"
+    if not _fs_rename(spark, tmp, dst):
+        raise IOError(
+            f"index meta commit failed: rename {tmp} -> {dst} (concurrent "
+            "writer? the index lifecycle is single-writer by contract)"
+        )
+
+
+def _gc_index(spark, path: str, base: str) -> "list[str]":
+    """Remove everything the current commit does not reference: data
+    directories (``{base}``/``{base}_vN``) other than the one the meta
+    pointer names, superseded meta versions, and any ``_meta_tmp`` left
+    by a crashed commit. Returns the removed entry names. Call only when
+    no reader is mid-scan on a pre-flip snapshot (see the single-writer
+    note above); compaction calls it on entry, so orphans survive
+    exactly one generation by default."""
+    key = "cells_dir" if base == "cells" else "codes_dir"
+    meta_nm, _ = _latest_meta_dir(spark, path)
+    if meta_nm is None:
+        return []
+    live = _read_index_meta(spark, path).get(key) or base
+    removed = []
+    for nm in _fs_list_names(spark, path):
+        stale_data = (
+            nm == base or nm.startswith(f"{base}_v")
+        ) and nm != live
+        stale_meta = nm != meta_nm and (
+            nm == "meta" or nm.startswith("meta_v")
+        )
+        if stale_data or stale_meta or nm == _META_TMP:
+            _fs_delete(spark, f"{path}/{nm}")
+            removed.append(nm)
+    return sorted(removed)
+
+
+def ivf_gc_index(spark, path: str) -> "list[str]":
+    """Reclaim a plain-IVF index's orphan directories (superseded data/
+    meta versions, crashed-commit tmp dirs). Safe whenever no reader is
+    still scanning a pre-compaction snapshot."""
+    return _gc_index(spark, path, "cells")
+
+
+def ivfpq_gc_index(spark, path: str) -> "list[str]":
+    """IVF-PQ twin of ``ivf_gc_index``."""
+    return _gc_index(spark, path, "codes")
 
 
 def ivf_build_index(
@@ -1432,8 +1581,14 @@ def ivf_build_index(
     partition pruning: only the probed cells' parquet files are ever
     opened, so per-query scan cost is nprobe·(n/cells) rows no matter
     how big the corpus grows.
+
+    Build means a FRESH index: any previous index at ``path`` —
+    including versioned ``cells_vN`` directories and meta versions a
+    compacted predecessor left behind — is deleted first, so a rebuild
+    never strands stale full copies of the corpus on disk.
     """
     spark = df.sparkSession
+    _fs_delete(spark, path)
     cents = _resolve_ivf_centroids(
         df, num_centroids, centroids, kmeans_iters, id_col, vec_col
     )
@@ -1455,9 +1610,9 @@ def ivf_build_index(
         f"{path}/cells"
     )
     n_cells = cents.count()
-    spark.createDataFrame(
-        [(n_cells, "cells")], "num_cells int, cells_dir string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _write_index_meta(
+        spark, path, [(n_cells, "cells")], "num_cells int, cells_dir string"
+    )
 
 
 def ivf_search_index(
@@ -1559,13 +1714,18 @@ def ivf_compact_index(spark, path: str) -> int:
     number of cell partitions rewritten.
 
     Version-dir + pointer-swap: the compacted table streams into a NEW
-    ``cells_v{N+1}/`` directory, then the ``meta/`` pointer flips, then
-    the old directory drops — never read-then-overwrite of the same
-    path, so the corpus is never cached/checkpointed executor-side (at
-    100 TB "compact" must stream, not buffer). A crash between write and
-    flip leaves only an orphan directory; readers keep the old version
-    until the flip commits."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    ``cells_v{N+1}/`` directory, then the meta pointer commits via a
+    crash-atomic ``meta_v{N+1}`` rename — never read-then-overwrite of
+    the same path, so the corpus is never cached/checkpointed
+    executor-side (at 100 TB "compact" must stream, not buffer). A
+    crash anywhere mid-compact leaves the previous commit fully
+    readable (data dir AND pointer intact); the superseded directories
+    are deleted by the NEXT compact's entry GC (or an explicit
+    ``ivf_gc_index``), so a reader that resolved the old pointer just
+    before the flip finishes its scan. Single writer per index path by
+    contract."""
+    ivf_gc_index(spark, path)
+    meta = _read_index_meta(spark, path)
     cur = meta.get("cells_dir") or "cells"
     nxt = _next_version_name(cur, "cells")
     cells = spark.read.parquet(f"{path}/{cur}")
@@ -1576,10 +1736,12 @@ def ivf_compact_index(spark, path: str) -> int:
         .partitionBy("bucket")
         .parquet(f"{path}/{nxt}")
     )
-    spark.createDataFrame(
-        [(meta.get("num_cells"), nxt)], "num_cells int, cells_dir string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
-    _fs_delete(spark, f"{path}/{cur}")
+    _write_index_meta(
+        spark,
+        path,
+        [(meta.get("num_cells"), nxt)],
+        "num_cells int, cells_dir string",
+    )
     return n_cells
 
 

@@ -2485,11 +2485,18 @@ def test_ivfpq_compact_preserves_search_and_merges_files(spark, tmp_path):
     after_files = files_per_cell()
     assert max(after_files.values()) == 1  # one file per cell
     assert res() == before  # content-identical
-    # version-dir + pointer-swap: compact wrote codes_v2 and dropped the
-    # original directory — never read-then-overwrite of one path, so no
-    # whole-relation localCheckpoint is needed to survive the rewrite
+    # version-dir + pointer-swap: compact wrote codes_v2 and committed a
+    # versioned meta — the superseded codes/ directory is NOT deleted at
+    # commit time (a reader that resolved the old pointer finishes its
+    # scan); explicit GC (or the next compact's entry GC) reclaims it
     assert os.path.isdir(os.path.join(p, "codes_v2"))
+    assert os.path.isdir(os.path.join(p, "codes"))  # deferred deletion
+    from megalista_spark.operators.similarity import ivfpq_gc_index
+
+    removed = ivfpq_gc_index(spark, p)
+    assert "codes" in removed
     assert not os.path.exists(os.path.join(p, "codes"))
+    assert res() == before
     # a second compact advances the version again — and the versioned
     # rewrite must need NO corpus-wide cache/checkpoint (the old
     # read-then-overwrite form localCheckpointed the entire codes
@@ -2511,6 +2518,10 @@ def test_ivfpq_compact_preserves_search_and_merges_files(spark, tmp_path):
         for n, f in saved.items():
             setattr(_ps.DataFrame, n, f)
     assert os.path.isdir(os.path.join(p, "codes_v3"))
+    assert os.path.isdir(os.path.join(p, "codes_v2"))  # one orphan generation
+    assert res() == before
+    # the NEXT compact's entry GC reclaims the deferred generation
+    ivfpq_compact_index(spark, p)
     assert not os.path.exists(os.path.join(p, "codes_v2"))
     assert res() == before
 
@@ -3297,10 +3308,17 @@ def test_ivf_index_append_and_compact(spark, tmp_path):
     assert n >= 1
     assert max(files_per_cell(p_inc).values()) == 1
     assert res(p_inc) == before
-    # version-dir + pointer-swap: cells_v2 now holds the data, the
-    # original directory is gone, and search/append keep following the
-    # meta pointer (append-after-compact lands in the new version)
+    # version-dir + pointer-swap: cells_v2 now holds the data; the
+    # superseded cells/ stays behind as one orphan generation (deferred
+    # deletion — in-flight readers of the old snapshot finish) until an
+    # explicit GC; search/append keep following the meta pointer
+    # (append-after-compact lands in the new version)
     assert os.path.isdir(os.path.join(p_inc, "cells_v2"))
+    assert os.path.isdir(os.path.join(p_inc, "cells"))
+    from megalista_spark.operators.similarity import ivf_gc_index
+
+    removed = ivf_gc_index(spark, p_inc)
+    assert "cells" in removed
     assert not os.path.exists(os.path.join(p_inc, "cells"))
     ivf_append_to_index(emb.where(F2.col("vec_id") < 0), p_inc)  # no-op rows
     assert res(p_inc) == before
