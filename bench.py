@@ -1,10 +1,22 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "controls": {name: sec}, "sf": ...}.
 
 Each query is executed to completion (count() materializes the full plan;
 results are small aggregates so the action cost is the query itself).
+
+Host-noise controls: ``controls`` repeats the CONTROL_QUERIES timings
+(a fixed, rarely-touched trio) so cross-round artifacts carry an
+in-protocol drift baseline — rounds 10→11 moved the sf0.1 total ±9-13%
+purely on untouched queries (same-day VM drift, BASELINE.md round-7
+adjudication). scripts/bench_diff.py divides per-query ratios by the
+control drift, so code regressions separate from host drift without a
+manual A/B.
+
+A query whose child subprocess crashes is OMITTED from the timing maps
+entirely and named in ``failed_queries`` — downstream consumers compare
+and divide timing values, so a null/negative sentinel would poison them.
 
 Extra env knobs (adjudication modes; the driver's default run uses none):
   SPARK_GRAFT_BENCH_ONLY=a,b,c  — bench only these HEADLINE names.
@@ -309,6 +321,46 @@ FRESH_QUERIES = {
     "global_clustering_coefficient",
 }
 
+# In-protocol host-noise controls: fixed, stable, long-untouched queries
+# spanning the three dominant cost shapes (scan+agg, multi-join,
+# window). Their timings are repeated under "controls" in every emitted
+# artifact; bench_diff normalizes per-query ratios by their drift.
+# Changing this tuple breaks cross-round normalization — don't, unless a
+# member's implementation changes (then note it in BASELINE.md).
+CONTROL_QUERIES = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "running_total_per_customer",
+)
+
+
+def _payload(
+    metric: str,
+    timings: "dict[str, float]",
+    warm: "dict[str, float]",
+    failed: "set[str]",
+    fresh_subset: "list[str]",
+    sf_val,
+) -> dict:
+    """Assemble the bench JSON contract. Failed queries must already be
+    absent from ``timings``/``warm`` (named only in failed_queries);
+    controls are extracted from the cold map."""
+    out = {
+        "metric": metric,
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "failed_queries": sorted(failed),
+        "controls": {n: timings[n] for n in CONTROL_QUERIES if n in timings},
+        "sf": sf_val,
+    }
+    if warm:
+        out["warm_total"] = round(sum(warm.values()), 3)
+        out["queries_warm"] = warm
+    if fresh_subset:
+        out["fresh_queries"] = sorted(fresh_subset)
+    return out
+
 
 def _selected_names() -> list[str]:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
@@ -324,7 +376,7 @@ def _selected_names() -> list[str]:
 
 def _run_in_subprocesses(
     names: list[str], skip_warm: bool = False
-) -> "tuple[dict[str, float | None], dict[str, float | None], set[str]]":
+) -> "tuple[dict[str, float], dict[str, float], set[str]]":
     """One subprocess per query: each runs this script with
     SPARK_GRAFT_BENCH_ONLY=<name> and FRESH/NOFRESH unset, and we keep
     its cold+warm times. Slow (session startup per query) but immune to
@@ -334,8 +386,8 @@ def _run_in_subprocesses(
     would double a multi-hour sf1 run for numbers it discards."""
     import subprocess
 
-    timings: "dict[str, float | None]" = {}
-    warm: "dict[str, float | None]" = {}
+    timings: "dict[str, float]" = {}
+    warm: "dict[str, float]" = {}
     failed: set[str] = set()
     for name in names:
         env = dict(os.environ)
@@ -355,15 +407,17 @@ def _run_in_subprocesses(
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][0]
             parsed = json.loads(line)
             timings[name] = parsed["queries"][name]
-            warm[name] = parsed.get("queries_warm", {}).get(name)
+            w = parsed.get("queries_warm", {}).get(name)
+            if w is not None:
+                warm[name] = w
         except Exception:
-            # a crashed child must be VISIBLE, not just a smaller total:
-            # None (JSON null) marks it failed — a DISTINCT sentinel, so a
-            # legitimate timing that rounds to 0.0 is never misreported as
-            # a failure — and its stderr tail goes to our stderr so the
-            # cause survives the run
-            timings[name] = None
-            warm[name] = None
+            # a crashed child must be VISIBLE, not just a smaller total —
+            # but as a NAME in failed_queries, never as a sentinel value
+            # in the timing maps: downstream consumers (bench_diff,
+            # bench_trend, docs-freshness gates) compare and divide these
+            # values, and a null would TypeError them. Its stderr tail
+            # goes to our stderr so the cause survives the run.
+            timings.pop(name, None)
             failed.add(name)
             tail = "\n".join(proc.stderr.splitlines()[-15:])
             print(
@@ -377,18 +431,12 @@ def _run_in_subprocesses(
 def _fresh_mode(sf_dir: str, names: list[str]) -> None:
     timings, _, failed = _run_in_subprocesses(names, skip_warm=True)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
-            {
-                "metric": "headline_queries_total_fresh",
-                "value": round(
-                    sum(v for v in timings.values() if v is not None), 3
-                ),
-                "unit": "sec",
-                "queries": timings,
-                "failed_queries": sorted(failed),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            _payload(
+                "headline_queries_total_fresh", timings, {}, failed, [], sf_val
+            )
         )
     )
 
@@ -466,26 +514,12 @@ def main() -> None:
         warm.update(fw)
     else:
         failed = set()
-    total = round(sum(v for v in timings.values() if v is not None), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "failed_queries": sorted(failed),
-                "warm_total": round(
-                    sum(v for v in warm.values() if v is not None), 3
-                ),
-                "queries_warm": warm,
-                "fresh_queries": sorted(fresh_subset),
-                "sf": sf_val,
-            }
-        )
+    out = _payload(
+        "headline_queries_total", timings, warm, failed, fresh_subset, sf_val
     )
+    print(json.dumps(out))
     # The per-query map above is ~6 KB on one line; a tail-windowed capture
     # can truncate its head and leave the driver with unparseable JSON
     # (BENCH_r02 recorded "parsed": null that way). Emit a compact summary
@@ -494,12 +528,11 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": total,
+                "value": out["value"],
                 "unit": "sec",
-                "warm_total": round(
-                    sum(v for v in warm.values() if v is not None), 3
-                ),
+                "warm_total": out.get("warm_total", 0.0),
                 "n_queries": len(timings),
+                "controls": out["controls"],
                 "sf": sf_val,
             }
         )
