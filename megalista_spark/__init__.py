@@ -18,4 +18,28 @@ Everything relational is expressed through the DataFrame API so Catalyst
 handles pruning, pushdown, and join strategy selection.
 """
 
-__version__ = "0.1.0"
+def _detect_version() -> str:
+    """One source of truth for the package version: a repo checkout reads
+    pyproject.toml (so dev trees can never drift from the release file);
+    an installed wheel/sdist — which doesn't ship pyproject.toml — reads
+    its own dist metadata. The string literal below is only the
+    last-resort fallback for exotic vendored copies."""
+    import pathlib
+
+    pyproject = pathlib.Path(__file__).resolve().parent.parent / "pyproject.toml"
+    try:
+        if pyproject.is_file():
+            import tomllib
+
+            return tomllib.loads(pyproject.read_text())["project"]["version"]
+    except Exception:
+        pass
+    try:
+        from importlib.metadata import version
+
+        return version("megalista-spark")
+    except Exception:
+        return "0.0.0+unknown"
+
+
+__version__ = _detect_version()
