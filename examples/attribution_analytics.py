@@ -23,9 +23,15 @@ from megalista_spark.operators.attribution import markov_removal_attribution
 from megalista_spark.session import get_spark
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = get_spark(app_name="attribution_demo")
+def main(spark=None, sf_dir=None) -> dict:
+    """Run the attribution demo. ``spark=None`` (script use) owns its
+    own session; an injected session (the pytest smoke test) is left
+    running. Returns the headline figures for assertions."""
+    owns_session = spark is None
+    if sf_dir is None:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    if owns_session:
+        spark = get_spark(app_name="attribution_demo")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(e.dtypes).get("ts")
     if ts_type == "bigint":
@@ -48,25 +54,36 @@ def main() -> None:
         purchases, clicks, key="user_id", left_ts="p_ts", right_ts="c_ts",
         value_cols=["click_id"],
     )
+    out = {
+        "n_purchases": lt.count(),
+        "n_last_touch_attributed": lt.where(
+            F.col("click_id_asof").isNotNull()
+        ).count(),
+    }
     print("last-touch attributed purchases:",
-          lt.where(F.col("click_id_asof").isNotNull()).count(), "/", lt.count())
+          out["n_last_touch_attributed"], "/", out["n_purchases"])
 
     # 2. MARKOV removal effects: which channel's disappearance costs the
     #    most conversions (integer micro-units, deterministic)
-    markov_removal_attribution(e, iters=16).orderBy(
+    markov = markov_removal_attribution(e, iters=16).orderBy(
         F.desc("removal_effect_micro")
-    ).show()
+    )
+    out["markov"] = [r.asDict() for r in markov.collect()]
+    markov.show()
 
     # 3. RFM segmentation: quintile scores per purchasing user — the
     #    audience-building input to a customer-match upload
     from megalista_spark.operators.attribution import rfm_scores
 
     rfm = rfm_scores(purchases.select("user_id", F.col("p_ts").alias("ts"), "value"))
+    out["n_rfm_users"] = rfm.count()
     rfm.groupBy("r_score", "f_score").count().orderBy(
         "r_score", "f_score"
     ).show(10)
 
-    spark.stop()
+    if owns_session:
+        spark.stop()
+    return out
 
 
 if __name__ == "__main__":

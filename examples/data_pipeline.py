@@ -20,23 +20,34 @@ from megalista_spark.operators.text import document_fingerprint, quality_score
 from megalista_spark.session import get_spark
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark(app_name="example_pipeline")
+def main(spark=None, sf_dir=None) -> dict:
+    """Run the corpus-construction demo. ``spark=None`` (script use)
+    owns its own session; an injected session (the pytest smoke test)
+    is left running. Returns the stage counts so the caller can assert
+    the funnel invariants."""
+    owns_session = spark is None
+    if sf_dir is None:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if owns_session:
+        spark = get_spark(app_name="example_pipeline")
+    out: dict = {"sf_dir": sf_dir}
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
     # 0. deterministic intake sample — reproducible under any partitioning
     intake = hash_sample(docs, 0.9, "doc_id", salt="intake")
-    print(f"intake sample: {docs.count()} -> {intake.count()} docs")
+    out["n_docs"], out["n_intake"] = docs.count(), intake.count()
+    print(f"intake sample: {out['n_docs']} -> {out['n_intake']} docs")
 
     # 1. exact dedup — survivors only
     survivors = exact_dedup(intake)
-    print(f"exact dedup: -> {survivors.count()} unique texts")
+    out["n_unique"] = survivors.count()
+    print(f"exact dedup: -> {out['n_unique']} unique texts")
 
     # 2. near-dup candidates via MinHash LSH
     near = minhash_lsh_pairs(intake, num_hashes=16, bands=4)
-    print(f"minhash-lsh candidate near-dup pairs: {near.count()}")
+    out["n_near_pairs"] = near.count()
+    print(f"minhash-lsh candidate near-dup pairs: {out['n_near_pairs']}")
 
     # 3. formatting-robust fingerprint dedup
     fp = document_fingerprint(intake).groupBy("fingerprint").count().where("count > 1")
@@ -47,7 +58,8 @@ def main() -> None:
     kept = intake.join(
         q.where(F.col("passes_quality")).select("doc_id"), "doc_id"
     )
-    print(f"quality gate: {q.count()} -> {kept.count()} pass")
+    out["n_quality_pass"] = kept.count()
+    print(f"quality gate: {q.count()} -> {out['n_quality_pass']} pass")
 
     # 5. language rebalance: downsample dominant en, keep the rest
     en = intake.where(F.col("lang") == "en")
@@ -61,9 +73,11 @@ def main() -> None:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     topk = cosine_topk_gemm(emb, queries, k=5)
+    out["n_topk_rows"] = topk.count()
     topk.show(15, truncate=False)
     cents = kmeans_centroids(emb, k=8, iters=2)
     ivf = ivf_cosine_topk(emb, queries, k=5, nprobe=3, centroids=cents)
+    out["n_ivf_rows"] = ivf.count()
     ivf.show(15, truncate=False)
 
     # 7. intake health checks: per-column profile + key-skew diagnostic
@@ -82,7 +96,8 @@ def main() -> None:
     from megalista_spark.operators.packing import pack_sequences
 
     packed = pack_sequences(kept.select("doc_id", "text"), budget=512)
-    print(f"packed sequences: {packed.count()}")
+    out["n_packed"] = packed.count()
+    print(f"packed sequences: {out['n_packed']}")
 
     # 10. contract gate before anything ships: declarative expectations
     from megalista_spark.operators.expectations import check_constraints
@@ -100,10 +115,10 @@ def main() -> None:
     from megalista_spark.operators.text import build_vocab
 
     cleaned = dedup_repeated_spans(docs, n=13)
-    print(
-        "span-dedup tokens removed:",
-        cleaned.agg(F.sum("n_tokens_removed")).collect()[0][0],
-    )
+    out["span_tokens_removed"] = cleaned.agg(
+        F.sum("n_tokens_removed")
+    ).collect()[0][0]
+    print("span-dedup tokens removed:", out["span_tokens_removed"])
     build_vocab(cleaned.select(
         F.col("doc_id"), F.col("clean_text").alias("text")
     ), max_terms=10).show()
@@ -117,8 +132,8 @@ def main() -> None:
     groups = star_contraction_components(
         pairs, emb.select(F.col("vec_id").alias("id"))
     )
-    print("non-singleton groups:",
-          groups.where(~F.col("is_canonical")).count())
+    out["n_grouped_dups"] = groups.where(~F.col("is_canonical")).count()
+    print("non-singleton groups:", out["n_grouped_dups"])
 
     # 13. production-style funnel: rule cascade → domain blocklist →
     #     per-source token budget, with EVERY stage count collected by
@@ -148,7 +163,9 @@ def main() -> None:
     f3 = budget_fill(f2, group_col="source", weight_col="n_chars",
                      budget=3000, order_col="n_chars")
     final = f3.count()  # the one action — all taps collect here
-    print("funnel:", observed_counts(reg), "-> budget_filled:", final)
+    out["funnel"] = observed_counts(reg)
+    out["n_budget_filled"] = final
+    print("funnel:", out["funnel"], "-> budget_filled:", final)
 
     # 14. gapless hourly series from the event log (densify + ffill)
     from megalista_spark.operators.timeseries import densify_ffill
@@ -160,7 +177,9 @@ def main() -> None:
     ).agg(F.count(F.lit(1)).alias("n_events"))
     densify_ffill(hourly, "event_type", "hour_sec", 3600,
                   zero_cols=["n_events"]).where(~F.col("is_observed")).show(5)
-    spark.stop()
+    if owns_session:
+        spark.stop()
+    return out
 
 
 if __name__ == "__main__":

@@ -23,22 +23,32 @@ from megalista_spark.operators.text import bpe_train_merges, build_vocab
 from megalista_spark.session import get_spark
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = get_spark(app_name="tokenizer_training_demo")
+def main(spark=None, sf_dir=None) -> dict:
+    """Run the tokenizer-training demo. ``spark=None`` (script use) owns
+    its own session; an injected session (the pytest smoke test) is left
+    running. Returns the trained artifacts for assertions."""
+    owns_session = spark is None
+    if sf_dir is None:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    if owns_session:
+        spark = get_spark(app_name="tokenizer_training_demo")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     print("== corpus language mix (heavy hitters >= 20% via CMS) ==")
-    cms_heavy_hitters(
+    hh = cms_heavy_hitters(
         docs.select("doc_id", "lang"), "lang", phi_permille=200
-    ).orderBy("key").show()
+    ).orderBy("key")
+    res = {"heavy_hitters": [r.asDict() for r in hh.collect()]}
+    hh.show()
 
     print("== top-15 vocabulary (tf desc, deterministic ids) ==")
     vocab = build_vocab(docs, max_terms=15)
+    res["n_vocab"] = vocab.count()
     vocab.show()
 
     print("== first 5 BPE merges (count desc, pair-asc tiebreak) ==")
     merges = bpe_train_merges(docs, merges=5)
+    res["merges"] = [r.asDict() for r in merges.collect()]
     merges.show(truncate=False)
 
     print("== per-language tokenizers (grouped training, one dataflow) ==")
@@ -59,8 +69,11 @@ def main() -> None:
                 i += 1
         syms = out
     print(f"tokenize({word!r}) after 5 merges -> {syms}")
+    res["word"], res["tokenized"] = word, syms
 
-    spark.stop()
+    if owns_session:
+        spark.stop()
+    return res
 
 
 if __name__ == "__main__":
