@@ -417,6 +417,15 @@ def embedding_lsh_near_dup_pairs(
     bucket is large (compute remains O(|bucket|²) — tune n_planes/bands up
     if buckets run hot, see skew.py for the diagnosis query).
 
+    GEOMETRY MUST SCALE WITH n: a fixed ``n_planes`` fixes the bucket
+    count (2^(n_planes/bands) per band), so once n >> buckets the
+    candidate volume grows ~n²/buckets regardless of duplicate density
+    (measured, scripts/fixed_density_lsh.py: 100× candidates for a 10×
+    step at 16 buckets/band; +8 planes → 64 buckets cut them 3.7× with
+    the planted near-dups intact). Pick n_planes so 2^(n_planes/bands)
+    grows with corpus size — the same lesson as the ANN family's
+    auto-√n centroid tier.
+
     Measured crossover vs ``embedding_near_dup_pairs_blocked`` (sf0.01,
     500 vecs × 64 dims, local[32]): this path 3.0s cold / 1.4s warm vs
     blocked 4.7s / 1.4s — the kernel rewrite removed the ~30s plan
