@@ -118,13 +118,18 @@ FLAGSHIPS = [
     ),
     (
         "semdedup_index_prune",
-        "SemDeDup over the persisted index with the round-11 skew guard: "
-        "the k-row per-cell counts arrive via BroadcastExchange onto the "
-        "cells scan; cells at or under hot_cell_min pair through the plain "
-        "cid-keyed join, cells above it through the SALTED within-cell "
-        "self-join (_salt in the exchange keys) so one overloaded cell's "
-        "quadratic pair work splits across the cluster instead of landing "
-        "on a single task. Same output either way (union + distinct).",
+        "SemDeDup over the persisted index with the round-12 work-REDUCING "
+        "skew guard: the k-row per-cell counts arrive via BroadcastExchange "
+        "onto the cells scan; cells at or under hot_cell_min pair through "
+        "the plain cid-keyed join, cells above it through the secondary-"
+        "quantizer route — ~sqrt(|c|) sampled sub-centroids broadcast onto "
+        "the members, a map-side max-struct aggregate picks each member's "
+        "nearest (the ACOS chain computes its angle), and exact spherical "
+        "triangle-inequality bounds prune sub-cell pairs and member pairs "
+        "before the cosine filter, so a mega-cell's comparisons DROP "
+        "(Theta(c^2) -> O(c^1.5)+near-pairs) and the surviving join runs "
+        "on (cid, sub-cell) keys. Lossless; same output either way "
+        "(union + distinct).",
     ),
     (
         "dedup_ngram_jaccard",

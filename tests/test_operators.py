@@ -3324,6 +3324,51 @@ def test_ivf_index_append_and_compact(spark, tmp_path):
     assert res(p_inc) == before
 
 
+def test_ivf_build_index_balanced_target(spark, tmp_path):
+    # target_cell_size builds k = ceil(n / max(target, sqrt(n))) TRAINED
+    # cells — expected cell size pinned under corpus growth (the skew
+    # remedy at the geometry level; semdedup_from_index's exact hot-cell
+    # guard handles residual trained-clustering skew)
+    import math
+
+    from pyspark.sql import functions as F2
+
+    from megalista_spark.operators.dedup import semdedup_from_index
+    from megalista_spark.operators.similarity import (
+        _ivf_cells_dir,
+        _read_index_meta,
+        ivf_build_index,
+        ivf_search_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    p = str(tmp_path / "balanced_idx")
+    ivf_build_index(emb, p, target_cell_size=10)
+    expected_k = max(2, -(-n // max(10, math.isqrt(n))))
+    meta = _read_index_meta(spark, p)
+    assert meta["num_cells"] == expected_k
+    sizes = [
+        r[0]
+        for r in spark.read.parquet(_ivf_cells_dir(spark, p))
+        .groupBy("bucket")
+        .count()
+        .select("count")
+        .collect()
+    ]
+    assert sum(sizes) == n
+    # trained balance is statistical, not a hard cap — but the clamp
+    # keeps the MEAN at the effective target by construction
+    assert sum(sizes) / len(sizes) <= max(10, math.isqrt(n)) + 1
+    queries = emb.where(F2.col("vec_id") < 3).select(
+        F2.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_search_index(spark, p, queries, k=5, nprobe=2)
+    assert got.count() == 15
+    rep = semdedup_from_index(spark, p, threshold=0.45).collect()
+    assert sum(r["n_members"] for r in rep) == n
+
+
 def test_semdedup_from_index_shares_ivf_cells(spark, tmp_path):
     # one index build feeds both ANN search and semantic dedup: the
     # per-cell report must account for every corpus vector, and appending
