@@ -18,6 +18,21 @@ Everything relational is expressed through the DataFrame API so Catalyst
 handles pruning, pushdown, and join strategy selection.
 """
 
+def _pyproject_version(text: str) -> "str | None":
+    """Parse [project] name/version out of pyproject.toml text. Uses a
+    line regex, not tomllib (3.11+ only, while requires-python is
+    >=3.10). Returns None unless the file really is THIS package's
+    (a vendored copy inside another repo must not report the host
+    project's version)."""
+    import re
+
+    name = re.search(r'^name\s*=\s*["\']([^"\']+)["\']', text, re.M)
+    ver = re.search(r'^version\s*=\s*["\']([^"\']+)["\']', text, re.M)
+    if name and ver and name.group(1) == "megalista-spark":
+        return ver.group(1)
+    return None
+
+
 def _detect_version() -> str:
     """One source of truth for the package version: a repo checkout reads
     pyproject.toml (so dev trees can never drift from the release file);
@@ -29,9 +44,9 @@ def _detect_version() -> str:
     pyproject = pathlib.Path(__file__).resolve().parent.parent / "pyproject.toml"
     try:
         if pyproject.is_file():
-            import tomllib
-
-            return tomllib.loads(pyproject.read_text())["project"]["version"]
+            got = _pyproject_version(pyproject.read_text())
+            if got:
+                return got
     except Exception:
         pass
     try:

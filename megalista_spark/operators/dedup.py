@@ -1312,10 +1312,22 @@ def _hot_cell_candidate_pairs(
         F.col("vec").alias("_vb"),
         F.col("_alpha").alias("_ab"),
     )
-    return (
+    # explicit partition counts keep BOTH expanding joins AQE-coalesce-
+    # exempt (the r11 salted-join discipline): AQE sizes partitions by
+    # shuffle INPUT bytes — a few-hundred-row pair table and a 20k-row
+    # member side coalesce to ONE partition, and the join's output
+    # explosion then runs as a single task (observed: a 20k-vector
+    # 4-hot-cell corpus pinned one core for 13+ minutes). The join keys
+    # carry ≈√|c| sub-cells per hot cell, so the explicit exchange
+    # spreads the expansion across the cluster.
+    par = hot.sparkSession.sparkContext.defaultParallelism
+    expanded = (
         kept_pq.join(a, ["cid", "_p"])
         .where(F.col("_ang_pq") <= F.lit(theta) + F.col("_aa") + F.col("_rq"))
-        .join(b, ["cid", "_q"])
+    )
+    return (
+        expanded.repartition(par, "cid", "_q")
+        .join(b.repartition(par, "cid", "_q"), ["cid", "_q"])
         .where(F.col("_ang_pq") <= F.lit(theta) + F.col("_aa") + F.col("_ab"))
         .where((F.col("_p") < F.col("_q")) | (F.col("id_a") < F.col("id_b")))
         .select("cid", "id_a", "id_b", "_va", "_vb")

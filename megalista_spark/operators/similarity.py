@@ -124,6 +124,11 @@ def _resolve_ivf_centroids(
     in-cell work (``semdedup_from_index``) keep their own exact hot-cell
     guard for the residual.
     """
+    if target_cell_size is not None and num_centroids is not None:
+        raise ValueError(
+            "pass target_cell_size OR num_centroids, not both — they pin "
+            "the geometry in conflicting ways"
+        )
     if centroids is not None:
         cid_col, cvec_col = centroids.columns[:2]
         centroids = centroids.select(
@@ -1007,15 +1012,21 @@ def ivfpq_build_index(
 
     Build means a FRESH index: any previous index at ``path`` —
     including versioned ``codes_vN`` directories and meta versions a
-    compacted predecessor left behind — is deleted first, so a rebuild
-    never strands stale full copies of the corpus on disk.
+    compacted predecessor left behind — is replaced, so a rebuild never
+    strands stale full copies of the corpus on disk. Failure contract:
+    the coarse cells and codebooks (where bad inputs surface) are
+    MATERIALIZED before anything on disk is touched, so a compute-phase
+    failure leaves the previous index fully readable; a crash during
+    the write phase leaves a partial index (rebuild to recover) — build
+    is the one non-crash-atomic verb, the maintained path is
+    append/compact.
     """
     spark = df.sparkSession
-    _fs_delete(spark, path)
     corpus_q = df.select(
         F.col(id_col).alias("id"), _pq_quant(F.col(vec_col), scale).alias("qv")
     )
-    coarse = _pq_coarse(corpus_q, num_coarse)
+    # C rows; forces the coarse fit pre-delete (failure contract above)
+    coarse = _pq_coarse(corpus_q, num_coarse).localCheckpoint(eager=True)
     sub_d = dim // m_subs
     corpus_res = _pq_assign(corpus_q, coarse, "id", 1)
     corpus_sub = _pq_subspaces(corpus_res, "id", m_subs, sub_d)
@@ -1034,6 +1045,10 @@ def ivfpq_build_index(
             m_subs,
             sub_d,
         ).select("m", "code_id", F.col("sub").alias("csub"))
+    # M·K rows; forces the codebook derivation pre-delete, then the old
+    # index (incl. versioned orphans) can be replaced
+    codebook = codebook.localCheckpoint(eager=True)
+    _fs_delete(spark, path)
     enc = corpus_sub.join(F.broadcast(codebook), "m").select(
         "id",
         "cell",
@@ -1642,15 +1657,21 @@ def ivf_build_index(
 
     Build means a FRESH index: any previous index at ``path`` —
     including versioned ``cells_vN`` directories and meta versions a
-    compacted predecessor left behind — is deleted first, so a rebuild
-    never strands stale full copies of the corpus on disk.
+    compacted predecessor left behind — is replaced, so a rebuild never
+    strands stale full copies of the corpus on disk. Failure contract:
+    the centroid resolution (the eager count / trained fit — where bad
+    inputs surface) is MATERIALIZED before anything on disk is touched,
+    so a compute-phase failure leaves the previous index fully
+    readable; a crash during the write phase leaves a partial index
+    (rebuild to recover) — build is the one non-crash-atomic verb, the
+    maintained path is append/compact.
     """
     spark = df.sparkSession
-    _fs_delete(spark, path)
     cents = _resolve_ivf_centroids(
         df, num_centroids, centroids, kmeans_iters, id_col, vec_col,
         target_cell_size,
-    )
+    ).localCheckpoint(eager=True)  # k rows; forces compute pre-delete
+    _fs_delete(spark, path)
     ucent = cents.select(
         "centroid_id", unit_expr(F.col("centroid_vec")).alias("_ucv")
     )

@@ -146,12 +146,17 @@ def control_drift(old: dict, new: dict) -> "float | None":
         q = run.get("queries", {})
         return {n: q[n] for n in CONTROL_FALLBACK if n in q}
 
+    def usable(v) -> bool:
+        # symmetric filter on BOTH sides: numeric and positive (a 0.0 or
+        # null control is an artifact defect, not a drift signal)
+        return isinstance(v, (int, float)) and v > 0
+
     co, cn = controls(old), controls(new)
-    shared = [n for n in co if n in cn and co[n] and cn[n] is not None]
+    shared = [n for n in co if n in cn and usable(co[n]) and usable(cn[n])]
     if len(shared) < 2:
         return None
     so, sn = sum(co[n] for n in shared), sum(cn[n] for n in shared)
-    return (sn / so) if so else None
+    return sn / so
 
 
 def main() -> None:

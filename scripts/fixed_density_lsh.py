@@ -103,15 +103,10 @@ def main() -> None:
     from megalista_spark.session import get_spark
 
     spark = get_spark(app_name="fixed_density_lsh")
+    base = measure(spark, 2_000, 16, 4)  # shared baseline (deterministic)
     res = {
-        "fixed_geometry": [
-            measure(spark, 2_000, 16, 4),
-            measure(spark, 20_000, 16, 4),
-        ],
-        "scaled_geometry": [
-            measure(spark, 2_000, 16, 4),
-            measure(spark, 20_000, 24, 4),
-        ],
+        "fixed_geometry": [base, measure(spark, 20_000, 16, 4)],
+        "scaled_geometry": [base, measure(spark, 20_000, 24, 4)],
     }
     for k, (a, b) in list(res.items()):
         res[f"{k}_ratios"] = {

@@ -113,3 +113,13 @@ def test_control_drift_falls_back_to_queries_and_handles_absence():
     assert abs(bench_diff.control_drift(old, new) - 0.5) < 1e-9
     # fewer than two shared controls -> None (no normalization)
     assert bench_diff.control_drift({"queries": {}}, new) is None
+    # degenerate control values (0.0, null) are excluded SYMMETRICALLY —
+    # a 0.0 on either side must not deflate the drift sum
+    old_z = {"controls": {"q1_pricing_summary": 2.0,
+                          "q3_shipping_priority": 0.0,
+                          "running_total_per_customer": 2.0}}
+    new_z = {"controls": {"q1_pricing_summary": 1.0,
+                          "q3_shipping_priority": 1.0,
+                          "running_total_per_customer": None}}
+    # only q1 is usable on both sides -> under the 2-control minimum
+    assert bench_diff.control_drift(old_z, new_z) is None

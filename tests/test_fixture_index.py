@@ -113,6 +113,27 @@ def test_ivfpq_fixture_layout_is_crash_atomic_versioned():
     )
 
 
+def test_legacy_fixture_rebuild_is_guarded():
+    # scripts/build_fixture_index.py must refuse to regenerate the
+    # legacy-layout plain-IVF fixture by accident: current code writes
+    # the versioned layout, which would silently destroy the
+    # backward-compat evidence this module gates
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "bfi",
+        os.path.join(
+            os.path.dirname(__file__), "..", "scripts", "build_fixture_index.py"
+        ),
+    )
+    bfi = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bfi)
+    assert _os.environ.get("SPARK_GRAFT_REPLACE_LEGACY_FIXTURE") != "1"
+    with pytest.raises(SystemExit, match="LEGACY"):
+        bfi.build_ivf(None)
+
+
 @pytest.mark.parametrize("family", ["ivf", "ivfpq"])
 def test_fixture_index_search_time_within_budget(spark, family):
     rec = _recorded(family)

@@ -161,6 +161,30 @@ def test_rebuild_over_compacted_path_strands_no_orphans(
     assert res(spark, p) == res(spark, p2)
 
 
+@pytest.mark.parametrize("family", ["ivf", "ivfpq"])
+def test_build_compute_failure_leaves_old_index_readable(
+    spark, tmp_path, family
+):
+    # the build failure contract: bad inputs surface during the
+    # MATERIALIZED compute phase (centroid/coarse/codebook fit), before
+    # the old index is touched on disk — a failed rebuild must not
+    # destroy a working index
+    setup, res, base = FAMILIES[family]
+    p = str(tmp_path / f"{family}_idx")
+    setup(spark, p)
+    before = res(spark, p)
+    bad = spark.range(10).select(
+        F.col("id").alias("vec_id")
+    )  # no embedding column: fails at analysis inside the compute phase
+    with pytest.raises(Exception):
+        if family == "ivf":
+            sim.ivf_build_index(bad, p, num_centroids=4)
+        else:
+            sim.ivfpq_build_index(bad, p, num_coarse=4, m_subs=8)
+    assert os.path.isdir(os.path.join(p, base))
+    assert res(spark, p) == before
+
+
 def test_legacy_unversioned_meta_reads_and_migrates(spark, tmp_path):
     # indexes written before the versioned-meta scheme carry a plain
     # meta/ directory (the committed sf0.1 fixture is one): they must

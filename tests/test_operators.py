@@ -3344,6 +3344,10 @@ def test_ivf_build_index_balanced_target(spark, tmp_path):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     n = emb.count()
     p = str(tmp_path / "balanced_idx")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        ivf_build_index(emb, p, num_centroids=8, target_cell_size=10)
     ivf_build_index(emb, p, target_cell_size=10)
     expected_k = max(2, -(-n // max(10, math.isqrt(n))))
     meta = _read_index_meta(spark, p)
