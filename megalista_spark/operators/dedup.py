@@ -1113,7 +1113,7 @@ def semdedup_prune(
     from pyspark import StorageLevel
 
     from megalista_spark.operators.clustering import _lloyd
-    from megalista_spark.operators.similarity import cosine_expr
+    from megalista_spark.operators.similarity import _dot, unit_expr
 
     if target_cluster_size is not None:
         import math
@@ -1130,20 +1130,25 @@ def semdedup_prune(
         target = max(int(target_cluster_size), math.isqrt(n_vecs))
         k = max(1, -(-n_vecs // target))
     assigned, _ = _lloyd(embeddings, k, iters, id_col, vec_col)
+    # normalize ONCE per member before the persist: the O(n·c) pair
+    # stage below then verifies with a single dot fold per pair instead
+    # of cosine_expr's five array passes (unit_expr's contract,
+    # similarity.py:53)
+    assigned = assigned.withColumn("_uv", unit_expr(F.col("v")))
     # three consumers (both pair sides + the stats base): persist so the
     # assignment window runs once, not per branch
     if materialize:
         assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     a = assigned.select(
-        "cid", F.col("vid").alias("id_a"), F.col("v").alias("_va")
+        "cid", F.col("vid").alias("id_a"), F.col("_uv").alias("_va")
     )
     b = assigned.select(
-        "cid", F.col("vid").alias("id_b"), F.col("v").alias("_vb")
+        "cid", F.col("vid").alias("id_b"), F.col("_uv").alias("_vb")
     )
     dropped = (
         a.join(b, "cid")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .where(F.round(_dot(F.col("_va"), F.col("_vb")), 6) >= threshold)
         .select("cid", F.col("id_b").alias("vid"))
         .distinct()
     )
@@ -1182,7 +1187,11 @@ def _hot_cell_candidate_pairs(
     """Work-REDUCING exact pair generation for hot IVF cells.
 
     Input: hot-cell members ``(cid, vid, vec, _cn)``. Output: candidate
-    pairs ``(cid, id_a, id_b, _va, _vb)`` — a SUPERSET of every
+    pairs ``(cid, id_a, id_b, _va, _vb)`` where ``_va``/``_vb`` are the
+    UNIT vectors (normalized once per member, reused from sub-cell
+    assignment) — the caller verifies with a single ``_dot`` fold, not
+    ``cosine_expr`` (which would re-derive both norms per pair inside
+    the O(|c|²) stage). The pair set is a SUPERSET of every
     within-cell pair whose cosine can reach ``threshold``, so the
     caller's exact cosine filter yields results identical to the
     all-pairs form (the pruning is lossless by the spherical triangle
@@ -1271,7 +1280,7 @@ def _hot_cell_candidate_pairs(
         "vid",
         (-F.col("_b.ns")).cast("int").alias("sc"),
         _ang(F.col("_b.c")).alias("_alpha"),
-    ).join(memb.select("cid", "vid", "vec"), ["cid", "vid"])
+    ).join(memb.select("cid", "vid", "_uv"), ["cid", "vid"])
     # 3. sub-cell radii and the loose pair-level bound (tiny tables)
     stats = (
         assigned.groupBy("cid", "sc")
@@ -1298,18 +1307,22 @@ def _hot_cell_candidate_pairs(
         .select("cid", "_p", "_q", "_ang_pq", "_rq")
     )
     # 4. expand to member pairs with the tight per-member bound
+    # _va/_vb are the UNIT vectors (already computed once per member for
+    # sub-cell assignment): the O(|c|²) verification downstream collapses
+    # to a single dot fold per pair — norms must never be recomputed
+    # inside the pair stage (unit_expr's contract, similarity.py:53)
     a = assigned.select(
         "cid",
         F.col("sc").alias("_p"),
         F.col("vid").alias("id_a"),
-        F.col("vec").alias("_va"),
+        F.col("_uv").alias("_va"),
         F.col("_alpha").alias("_aa"),
     )
     b = assigned.select(
         "cid",
         F.col("sc").alias("_q"),
         F.col("vid").alias("id_b"),
-        F.col("vec").alias("_vb"),
+        F.col("_uv").alias("_vb"),
         F.col("_alpha").alias("_ab"),
     )
     # explicit partition counts keep BOTH expanding joins AQE-coalesce-
@@ -1371,7 +1384,11 @@ def semdedup_from_index(
     (triangle inequality on the sphere), so output is identical to the
     plain cid-keyed join small cells keep.
     """
-    from megalista_spark.operators.similarity import _ivf_cells_dir, cosine_expr
+    from megalista_spark.operators.similarity import (
+        _dot,
+        _ivf_cells_dir,
+        unit_expr,
+    )
 
     cells = spark.read.parquet(_ivf_cells_dir(spark, path)).select(
         F.col("bucket").alias("cid"), F.col("id").alias("vid"), F.col("vec")
@@ -1380,20 +1397,25 @@ def semdedup_from_index(
     counts = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("_cn"))
     ann = cells.join(F.broadcast(counts), "cid")
     small = ann.where(F.col("_cn") <= hot_cell_min)
-    a = small.select("cid", F.col("vid").alias("id_a"), F.col("vec").alias("_va"))
-    b = small.select("cid", F.col("vid").alias("id_b"), F.col("vec").alias("_vb"))
+    # normalize ONCE per member (O(n)) so the O(|c|²) pair stage is a
+    # single dot fold per pair — never cosine_expr's five array passes
+    # (unit_expr's contract, similarity.py:53)
+    a = small.select(
+        "cid", F.col("vid").alias("id_a"), unit_expr(F.col("vec")).alias("_va")
+    )
+    b = small.select(
+        "cid", F.col("vid").alias("id_b"), unit_expr(F.col("vec")).alias("_vb")
+    )
     small_dropped = (
         a.join(b, "cid")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .where(F.round(_dot(F.col("_va"), F.col("_vb")), 6) >= threshold)
         .select("cid", F.col("id_b").alias("vid"))
     )
     hot = ann.where(F.col("_cn") > hot_cell_min)
     hot_dropped = (
         _hot_cell_candidate_pairs(hot, threshold)
-        .where(
-            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6) >= threshold
-        )
+        .where(F.round(_dot(F.col("_va"), F.col("_vb")), 6) >= threshold)
         .select("cid", F.greatest("id_a", "id_b").alias("vid"))
     )
     dropped = small_dropped.unionByName(hot_dropped).distinct()
