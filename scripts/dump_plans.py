@@ -128,8 +128,12 @@ FLAGSHIPS = [
         "triangle-inequality bounds prune sub-cell pairs and member pairs "
         "before the cosine filter, so a mega-cell's comparisons DROP "
         "(Theta(c^2) -> O(c^1.5)+near-pairs) and the surviving join runs "
-        "on (cid, sub-cell) keys. Lossless; same output either way "
-        "(union + distinct).",
+        "on (cid, sub-cell) keys, explicitly repartitioned so AQE cannot "
+        "coalesce the expanding join to one task. Members are "
+        "L2-normalized ONCE in the pre-join projections (one TRANSFORM "
+        "per row), so the per-pair filter is a single AGGREGATE dot fold "
+        "— no norm recomputation inside the O(c^2) stage. Lossless; same "
+        "output either way (union + distinct).",
     ),
     (
         "dedup_ngram_jaccard",
