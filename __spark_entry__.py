@@ -2133,9 +2133,7 @@ def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.selectExpr("cust AS src", "supp AS dst").union(
-        pairs.selectExpr("supp AS src", "cust AS dst")
-    )
+    edges = _bidir_edges(pairs)
     return pagerank(edges, iterations=3).orderBy("node")
 
 
@@ -2157,9 +2155,7 @@ def pagerank_weighted_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("o_orderkey").alias("w"))
     )
-    edges = pairs.selectExpr("cust AS src", "supp AS dst", "w").union(
-        pairs.selectExpr("supp AS src", "cust AS dst", "w")
-    )
+    edges = _bidir_edges(pairs, weighted=True)
     return pagerank(edges, iterations=3, weight_col="w").orderBy("node")
 
 
@@ -2419,6 +2415,33 @@ def _copurchase_pairs(
     return _copurchase_pairs_from(_t(spark, sf_dir, "lineitem"), cap)
 
 
+def _bidir_edges(pairs: DataFrame, weighted: bool = False) -> DataFrame:
+    """Both directed edges of each bipartite (cust, supp[, w]) pair in
+    ONE pass: explode a 2-struct array, instead of the union-of-two-
+    selects form whose two branches each re-run the pair relation's
+    final aggregate (the exchange below it is reused, the aggregate is
+    not) — the same lesson as ``operators/dedup.symmetric_edges``.
+    Emits (src, dst[, w]) with both ids as BIGINT, exactly the schema
+    the union form produced via type coercion."""
+    c = F.col("cust").cast("long")
+    s = F.col("supp").cast("long")
+    if weighted:
+        arr = F.array(
+            F.struct(c.alias("src"), s.alias("dst"), F.col("w").alias("w")),
+            F.struct(s.alias("src"), c.alias("dst"), F.col("w").alias("w")),
+        )
+        out = ["src", "dst", "w"]
+    else:
+        arr = F.array(
+            F.struct(c.alias("src"), s.alias("dst")),
+            F.struct(s.alias("src"), c.alias("dst")),
+        )
+        out = ["src", "dst"]
+    return pairs.select(F.explode(arr).alias("_e")).select(
+        *[F.col(f"_e.{name}").alias(name) for name in out]
+    )
+
+
 def _copurchase_pairs_sql_ctes(cap: int = COPURCHASE_BASKET_CAP) -> str:
     """The oracle twin of ``_copurchase_pairs``: sibling CTEs ending in
     ``prs`` (id_a, id_b) — splice into a WITH clause."""
@@ -2450,7 +2473,9 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_pairs(spark, sf_dir).selectExpr(
         "id_a AS src", "id_b AS dst"
     )
-    return triangle_count(edges)
+    # _copurchase_pairs already emits DISTINCT id_a < id_b pairs — skip
+    # the kernel's defensive canonicalize+distinct (one shuffle saved)
+    return triangle_count(edges, assume_canonical=True)
 
 
 def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8028,9 +8053,7 @@ def khop_supply_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.selectExpr("cust AS src", "supp AS dst").union(
-        pairs.selectExpr("supp AS src", "cust AS dst")
-    )
+    edges = _bidir_edges(pairs)
     seeds = (
         _t(spark, sf_dir, "customer")
         .where(F.col("c_custkey") <= 3)
@@ -8091,9 +8114,7 @@ def sssp_supply_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1000) - F.least(F.col("cnt"), F.lit(999))).alias("w"),
         )
     )
-    edges = pairs.selectExpr("cust AS src", "supp AS dst", "w").union(
-        pairs.selectExpr("supp AS src", "cust AS dst", "w")
-    )
+    edges = _bidir_edges(pairs, weighted=True)
     seeds = (
         _t(spark, sf_dir, "customer")
         .where(F.col("c_custkey") <= 3)
@@ -8319,24 +8340,22 @@ def contrastive_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", F.lit(1).alias("label")
     )
     h = portable_hash64(F.concat(F.lit("ctrneg|"), F.col("doc_id").cast("string")))
-    ranked = d.select(
-        F.col("doc_id"),
-        F.pmod(h, F.lit(64)).alias("bkt"),
-        h.alias("hh"),
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("bkt").orderBy("hh", "doc_id")
-        ),
-    )
-    r2 = ranked.select(
-        F.col("bkt").alias("bkt2"),
-        F.col("rn").alias("rn2"),
-        F.col("doc_id").alias("id2"),
+    win = Window.partitionBy("bkt").orderBy("hh", "doc_id")
+    # consecutive odd-even rank pairing via lead() over the SAME window
+    # that ranks — the former rank-vs-rank+1 self-join evaluated the
+    # window chain twice and paid an extra join; one window pass emits
+    # the identical pairs (odd rn paired with its successor, if any)
+    ranked = (
+        d.select(
+            F.col("doc_id"),
+            F.pmod(h, F.lit(64)).alias("bkt"),
+            h.alias("hh"),
+        )
+        .withColumn("rn", F.row_number().over(win))
+        .withColumn("id2", F.lead("doc_id").over(win))
     )
     neg_raw = (
-        ranked.where(F.col("rn") % 2 == 1)
-        .join(r2, (F.col("bkt") == F.col("bkt2")) & (F.col("rn2") == F.col("rn") + 1))
+        ranked.where((F.col("rn") % 2 == 1) & F.col("id2").isNotNull())
         .select(
             F.least("doc_id", "id2").alias("doc_a"),
             F.greatest("doc_id", "id2").alias("doc_b"),
@@ -8613,9 +8632,7 @@ def personalized_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.selectExpr("cust AS src", "supp AS dst").union(
-        pairs.selectExpr("supp AS src", "cust AS dst")
-    )
+    edges = _bidir_edges(pairs)
     seeds = (
         _t(spark, sf_dir, "customer")
         .where(F.col("c_custkey") <= 3)
@@ -9224,7 +9241,9 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from megalista_spark.operators.graph import kcore_peel
 
     pairs = _copurchase_pairs(spark, sf_dir)
-    return kcore_peel(pairs, k=3, rounds=3).orderBy("node")
+    # _copurchase_pairs emits DISTINCT id_a < id_b pairs, so the peel
+    # kernel can skip its defensive self-loop filter + distinct
+    return kcore_peel(pairs, k=3, rounds=3, assume_canonical=True).orderBy("node")
 
 
 def _kcore_sql(k: int = 3, rounds: int = 3) -> str:
@@ -9263,7 +9282,9 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from megalista_spark.operators.graph import degree_assortativity
 
     pairs = _copurchase_pairs(spark, sf_dir)
-    return degree_assortativity(pairs)
+    # DISTINCT id_a < id_b by construction — skip the kernel's defensive
+    # self-loop filter + distinct
+    return degree_assortativity(pairs, assume_canonical=True)
 
 
 ASSORTATIVITY_SQL = "WITH " + _copurchase_pairs_sql_ctes() + """,
@@ -9314,9 +9335,7 @@ def personalized_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
-    edges = pairs.selectExpr("cust AS src", "supp AS dst", "w").union(
-        pairs.selectExpr("supp AS src", "cust AS dst", "w")
-    )
+    edges = _bidir_edges(pairs, weighted=True)
     seeds = (
         _t(spark, sf_dir, "customer")
         .where(F.col("c_custkey") <= 3)
@@ -9399,7 +9418,10 @@ def global_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame
     from megalista_spark.operators.graph import clustering_stats
 
     pairs = _copurchase_pairs(spark, sf_dir)
-    return clustering_stats(pairs.selectExpr("id_a AS src", "id_b AS dst"))
+    # pairs are already DISTINCT with id_a < id_b (see triangle twin)
+    return clustering_stats(
+        pairs.selectExpr("id_a AS src", "id_b AS dst"), assume_canonical=True
+    )
 
 
 def _clustering_sql() -> str:
@@ -9534,7 +9556,10 @@ def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     from megalista_spark.operators.dedup import symmetric_edges
 
     pairs = _copurchase_pairs(spark, sf_dir)
-    sym = symmetric_edges(pairs).distinct().localCheckpoint(eager=True)
+    # pairs are DISTINCT with id_a < id_b, so the two exploded directions
+    # are disjoint and already unique — the defensive .distinct() that
+    # used to sit here re-shuffled the whole edge set for nothing
+    sym = symmetric_edges(pairs).localCheckpoint(eager=True)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     seeds = sym.select("src").distinct().orderBy("src").limit(3)
     e1 = sym.join(seeds.withColumnRenamed("src", "seed"), sym["src"] == F.col("seed"))
@@ -10590,9 +10615,7 @@ def harmonic_centrality_customers(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.lit(1000) - F.least(F.col("cnt"), F.lit(999))).alias("w"),
         )
     )
-    edges = pairs.selectExpr("cust AS src", "supp AS dst", "w").union(
-        pairs.selectExpr("supp AS src", "cust AS dst", "w")
-    )
+    edges = _bidir_edges(pairs, weighted=True)
     seeds = (
         _t(spark, sf_dir, "customer")
         .where(F.col("c_custkey") <= 20)

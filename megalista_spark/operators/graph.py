@@ -103,15 +103,23 @@ def pagerank(
     base_u = scale // n  # teleport share per node, exact in both engines
 
     ranks = nodes.select("node", F.lit(base_u).cast("long").alias("rank_u"))
-    prev = None
+    round_caches = []
     for _ in range(iterations):
         ranks = ranks.persist()
-        # dangling mass: rank held by nodes with no out-edges (scalar —
-        # the only node-state that touches the driver)
+        round_caches.append(ranks)
+        # dangling mass: rank held by nodes with no out-edges. Kept as a
+        # 1-row DataFrame attached via broadcast cross join instead of a
+        # per-iteration driver .first() — the whole recurrence then
+        # materializes in ONE job at the end (no driver barrier per
+        # round), with the identical integer arithmetic (`div` on
+        # non-negative longs == the Python // the scalar form used)
         dangling = (
             ranks.join(deg, ranks["node"] == deg["_src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank_u"), F.lit(0)).cast("long"))
-            .first()[0]
+            .agg(
+                F.coalesce(F.sum("rank_u"), F.lit(0))
+                .cast("long")
+                .alias("_dang")
+            )
         )
         contrib = (
             e.join(deg, "_src")
@@ -124,19 +132,20 @@ def pagerank(
             .agg(F.sum("_share").cast("long").alias("_inflow"))
         )
         teleport_u = (100 - damping_pct) * base_u // 100
-        dangling_share = dangling // n
-        new = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(teleport_u)
-                + F.expr(
-                    f"{damping_pct} * (coalesce(_inflow, 0L) + {dangling_share}L) div 100"
-                )
-            ).cast("long").alias("rank_u"),
+        new = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(dangling)  # 1-row broadcast scalar
+            .select(
+                "node",
+                (
+                    F.lit(teleport_u)
+                    + F.expr(
+                        f"{damping_pct} * (coalesce(_inflow, 0L)"
+                        f" + (_dang div {n}L)) div 100"
+                    )
+                ).cast("long").alias("rank_u"),
+            )
         )
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
         ranks = new
     out = ranks.select(
         "node",
@@ -147,9 +156,8 @@ def pagerank(
     # release every persisted intermediate — a long-lived session running
     # hundreds of queries must not accumulate e/deg/nodes blocks per call
     out = out.localCheckpoint(eager=True)
-    for cached in (e, deg, nodes, prev):
-        if cached is not None:
-            cached.unpersist()
+    for cached in (e, deg, nodes, *round_caches):
+        cached.unpersist()
     return out
 
 
@@ -220,13 +228,20 @@ def personalized_pagerank(
         F.when(F.col("_is_seed"), F.lit(base_u)).otherwise(F.lit(0))
         .cast("long").alias("rank_u"),
     )
-    prev = None
+    round_caches = []
     for _ in range(iterations):
         ranks = ranks.persist()
+        round_caches.append(ranks)
+        # dangling mass as a 1-row broadcast scalar (see pagerank): one
+        # job at the end instead of a driver .first() per round; `div`
+        # on non-negative longs matches the scalar // it replaces
         dangling = (
             ranks.join(deg, ranks["node"] == deg["_src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank_u"), F.lit(0)).cast("long"))
-            .first()[0]
+            .agg(
+                F.coalesce(F.sum("rank_u"), F.lit(0))
+                .cast("long")
+                .alias("_dang")
+            )
         )
         contrib = (
             e.join(deg, "_src")
@@ -238,39 +253,44 @@ def personalized_pagerank(
             .groupBy("node")
             .agg(F.sum("_share").cast("long").alias("_inflow"))
         )
-        dangling_share = dangling // ns
-        new = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.when(F.col("_is_seed"), F.lit(teleport_u)).otherwise(F.lit(0))
-                + F.expr(
-                    f"{damping_pct} * (coalesce(_inflow, 0L)"
-                    f" + (CASE WHEN _is_seed THEN {dangling_share}L ELSE 0L END))"
-                    " div 100"
-                )
-            ).cast("long").alias("rank_u"),
+        new = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(dangling)  # 1-row broadcast scalar
+            .select(
+                "node",
+                (
+                    F.when(F.col("_is_seed"), F.lit(teleport_u)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"{damping_pct} * (coalesce(_inflow, 0L)"
+                        f" + (CASE WHEN _is_seed THEN _dang div {ns}L ELSE 0L END))"
+                        " div 100"
+                    )
+                ).cast("long").alias("rank_u"),
+            )
         )
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
         ranks = new
     out = ranks.select(
         "node",
         "rank_u",
         F.round(F.col("rank_u") / F.lit(float(scale)), 6).alias("rank"),
     ).localCheckpoint(eager=True)
-    for cached in (e, deg, s, nodes, prev):
-        if cached is not None:
-            cached.unpersist()
+    for cached in (e, deg, s, nodes, *round_caches):
+        cached.unpersist()
     return out
 
 
 def _triangle_kernel(
-    edges: DataFrame, src: str, dst: str
+    edges: DataFrame, src: str, dst: str, assume_canonical: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared core of triangle_count/clustering_stats: returns
     (deg, PERSISTED oriented edges, lazy 1-row triangle count). The
     caller owns unpersisting ``oriented`` after materializing.
+
+    ``assume_canonical=True`` declares the input already a DISTINCT
+    simple-graph pair list with src < dst (e.g. ``_copurchase_pairs``
+    output) and skips the defensive least/greatest + distinct — one
+    full shuffle+dedup of the edge set saved; results are identical
+    whenever the contract holds.
 
     The compact-forward / degree-orientation algorithm: orient every edge
     from its lower-ranked endpoint to its higher-ranked one, where rank is
@@ -287,14 +307,17 @@ def _triangle_kernel(
     """
     from pyspark import StorageLevel
 
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
+    if assume_canonical:
+        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("u"),
+                F.greatest(F.col(src), F.col(dst)).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
         )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -308,11 +331,15 @@ def _triangle_kernel(
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # hash-partition the oriented edges on the wedge-join key BEFORE
+    # persisting: both sides of the wedge self-join then read the SAME
+    # co-partitioned cache — the join needs no Exchange at all, where the
+    # unpartitioned cache paid two full shuffles of the oriented set
     oriented = ranked.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).repartition("a").persist(StorageLevel.MEMORY_AND_DISK)
     o1 = oriented.select(F.col("a"), F.col("b").alias("w1"), F.col("db").alias("d1"))
     o2 = oriented.select(F.col("a"), F.col("b").alias("w2"), F.col("db").alias("d2"))
     wedges = o1.join(o2, "a").where(
@@ -326,19 +353,28 @@ def _triangle_kernel(
     return deg, oriented, tri
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
+) -> DataFrame:
     """One-row DataFrame: (triangle_count bigint) — exact triangle count
     of the undirected simple graph induced by ``edges``. See
-    :func:`_triangle_kernel` for the algorithm and shuffle story.
+    :func:`_triangle_kernel` for the algorithm, the shuffle story, and
+    the ``assume_canonical`` contract.
     """
-    _, oriented, tri = _triangle_kernel(edges, src, dst)
+    _, oriented, tri = _triangle_kernel(edges, src, dst, assume_canonical)
     out = tri.localCheckpoint(eager=True)  # 1 row; frees the persisted edges
     oriented.unpersist()
     return out
 
 
 def clustering_stats(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """One-row (triangle_count, n_wedges, clustering_coefficient) — the
     global clustering coefficient 3·triangles / wedges in ONE pass over
@@ -354,7 +390,7 @@ def clustering_stats(
     cross-join driver-side-free and the whole thing materializes in a
     single job before the persisted edges are released.
     """
-    deg, oriented, tri = _triangle_kernel(edges, src, dst)
+    deg, oriented, tri = _triangle_kernel(edges, src, dst, assume_canonical)
     wedges = deg.agg(
         F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("n_wedges")
     )
@@ -518,6 +554,7 @@ def label_propagation_communities(
     from megalista_spark.operators.dedup import symmetric_edges
 
     sym = symmetric_edges(pairs, pair_cols).persist()
+    caches = [sym]
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     for _ in range(iters):
         votes = (
@@ -538,10 +575,18 @@ def label_propagation_communities(
                 "id",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
-    sym.unpersist()
-    return labels.select("id", F.col("label").alias("community"))
+        caches.append(labels)
+    # rounds persist lazily (each is read by the next round's vote join
+    # AND its label carry-forward); ONE job materializes the whole
+    # propagation instead of a driver barrier per round
+    out = labels.select("id", F.col("label").alias("community")).localCheckpoint(
+        eager=True
+    )
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def k_hop_reach(
@@ -576,22 +621,27 @@ def k_hop_reach(
     bounded set by contract — the operator broadcasts them only
     implicitly via the first join's build side when Spark sees fit.
     """
-    # materialize the deduped edge list ONCE, hash-partitioned on the join
+    # persist the deduped edge list ONCE, hash-partitioned on the join
     # key — otherwise every hop re-executes the upstream edge-building
     # lineage (the same lesson as pagerank's persisted co-partitioned
-    # edges), and each hop's join reuses the partitioning
+    # edges), and each hop's join reuses the partitioning. Rounds are
+    # persisted (each is read twice: next frontier + the min merge) but
+    # NOT eagerly actioned — the whole bounded-hop expansion runs as ONE
+    # job at the final materialization instead of a driver barrier per
+    # hop; caches populate mid-job and are released after.
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
         .repartition("u")
-        .localCheckpoint(eager=True)
+        .persist()
     )
     visited = (
         seeds.select(F.col(seed_col).alias("seed"))
         .distinct()
         .select("seed", F.col("seed").alias("node"), F.lit(0).alias("min_hop"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    caches = [e, visited]
     frontier = visited
     for h in range(1, hops + 1):
         grown = (
@@ -602,11 +652,15 @@ def k_hop_reach(
             visited.unionByName(grown)
             .groupBy("seed", "node")
             .agg(F.min("min_hop").alias("min_hop"))
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        caches.append(merged)
         frontier = merged.where(F.col("min_hop") == h)
         visited = merged
-    return visited
+    out = visited.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def bounded_sssp(
@@ -636,7 +690,9 @@ def bounded_sssp(
     changed-set computation per round). Rounds are localCheckpointed.
     Fixed ``rounds`` → SQL-oracle unrollable.
     """
-    # materialized once, partitioned on the relax-join key (see k_hop_reach)
+    # persisted once, partitioned on the relax-join key; rounds persist
+    # lazily and the whole relaxation materializes in ONE job at the end
+    # (no per-round driver barrier — see k_hop_reach)
     e = (
         edges.select(
             F.col(src).alias("u"),
@@ -646,14 +702,15 @@ def bounded_sssp(
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
         .repartition("u")
-        .localCheckpoint(eager=True)
+        .persist()
     )
     dists = (
         seeds.select(F.col(seed_col).alias("seed"))
         .distinct()
         .select("seed", F.col("seed").alias("node"), F.lit(0).cast("bigint").alias("dist"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    caches = [e, dists]
     for _ in range(rounds):
         relaxed = (
             dists.join(e, dists["node"] == e["u"])
@@ -663,9 +720,13 @@ def bounded_sssp(
             dists.unionByName(relaxed)
             .groupBy("seed", "node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .persist()
         )
-    return dists
+        caches.append(dists)
+    out = dists.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def kcore_peel(
@@ -673,6 +734,7 @@ def kcore_peel(
     k: int = 2,
     rounds: int = 3,
     pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Bounded-round k-core peeling (Seidman 1983; public method) over an
     undirected pair list: (node, degree) for every node still alive
@@ -696,14 +758,17 @@ def kcore_peel(
     # loops re-enter via the reversed direction and inflate degrees);
     # symmetric_edges explodes both directions in ONE pass so the pair
     # lineage — often an expensive self-join — is not evaluated twice
-    sym = (
-        symmetric_edges(
-            edges.where(F.col(a) != F.col(b)), pair_cols
-        )
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # assume_canonical: the caller guarantees a DISTINCT a < b simple
+    # pair list (no self-loops), so both exploded directions are already
+    # unique — skip the defensive filter + distinct (one shuffle saved)
+    base = edges if assume_canonical else edges.where(F.col(a) != F.col(b))
+    sym = symmetric_edges(base, pair_cols).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
+    if not assume_canonical:
+        sym = sym.distinct()
+    sym = sym.persist()
+    caches = [sym]
     alive = sym
     for _ in range(rounds):
         deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -711,18 +776,25 @@ def kcore_peel(
         alive = (
             alive.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .persist()
         )
-    return (
+        caches.append(alive)
+    # one job materializes every peel round (no per-round driver barrier)
+    out = (
         alive.groupBy("u")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
         .select(F.col("u").alias("node"), "degree")
+        .localCheckpoint(eager=True)
     )
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def degree_assortativity(
     edges: DataFrame,
     pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Degree assortativity coefficient (Newman 2002; public method) of
     an undirected graph: one row (n_edges, r) where r is the Pearson
@@ -749,12 +821,15 @@ def degree_assortativity(
     # self-loops filtered BEFORE the one-pass symmetrize (see kcore_peel);
     # sym is materialized because deg + the edge tagging traverse it three
     # times and its lineage is typically the query's dominant self-join
-    sym = (
-        symmetric_edges(edges.where(F.col(a) != F.col(b)), pair_cols)
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # assume_canonical: caller-guaranteed DISTINCT a < b pairs — skip the
+    # defensive self-loop filter + distinct (see kcore_peel)
+    base = edges if assume_canonical else edges.where(F.col(a) != F.col(b))
+    sym = symmetric_edges(base, pair_cols).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
+    if not assume_canonical:
+        sym = sym.distinct()
+    sym = sym.localCheckpoint(eager=True)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     du = deg.select(F.col("u"), F.col("d").alias("dx"))
     dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dy"))
