@@ -103,23 +103,20 @@ def pagerank(
     base_u = scale // n  # teleport share per node, exact in both engines
 
     ranks = nodes.select("node", F.lit(base_u).cast("long").alias("rank_u"))
-    round_caches = []
+    prev = None
     for _ in range(iterations):
         ranks = ranks.persist()
-        round_caches.append(ranks)
-        # dangling mass: rank held by nodes with no out-edges. Kept as a
-        # 1-row DataFrame attached via broadcast cross join instead of a
-        # per-iteration driver .first() — the whole recurrence then
-        # materializes in ONE job at the end (no driver barrier per
-        # round), with the identical integer arithmetic (`div` on
-        # non-negative longs == the Python // the scalar form used)
+        # dangling mass: rank held by nodes with no out-edges (scalar —
+        # the only node-state that touches the driver). This per-round
+        # action is deliberate: it eagerly materializes the ranks cache
+        # before the two downstream consumers (this aggregate + the
+        # contribution join) read it — a lazy single-job formulation was
+        # MEASURED SLOWER here (r12 A/B) because concurrent stages
+        # recompute partitions whose cache blocks are not populated yet.
         dangling = (
             ranks.join(deg, ranks["node"] == deg["_src"], "left_anti")
-            .agg(
-                F.coalesce(F.sum("rank_u"), F.lit(0))
-                .cast("long")
-                .alias("_dang")
-            )
+            .agg(F.coalesce(F.sum("rank_u"), F.lit(0)).cast("long"))
+            .first()[0]
         )
         contrib = (
             e.join(deg, "_src")
@@ -132,20 +129,19 @@ def pagerank(
             .agg(F.sum("_share").cast("long").alias("_inflow"))
         )
         teleport_u = (100 - damping_pct) * base_u // 100
-        new = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(dangling)  # 1-row broadcast scalar
-            .select(
-                "node",
-                (
-                    F.lit(teleport_u)
-                    + F.expr(
-                        f"{damping_pct} * (coalesce(_inflow, 0L)"
-                        f" + (_dang div {n}L)) div 100"
-                    )
-                ).cast("long").alias("rank_u"),
-            )
+        dangling_share = dangling // n
+        new = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport_u)
+                + F.expr(
+                    f"{damping_pct} * (coalesce(_inflow, 0L) + {dangling_share}L) div 100"
+                )
+            ).cast("long").alias("rank_u"),
         )
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
         ranks = new
     out = ranks.select(
         "node",
@@ -156,8 +152,9 @@ def pagerank(
     # release every persisted intermediate — a long-lived session running
     # hundreds of queries must not accumulate e/deg/nodes blocks per call
     out = out.localCheckpoint(eager=True)
-    for cached in (e, deg, nodes, *round_caches):
-        cached.unpersist()
+    for cached in (e, deg, nodes, prev):
+        if cached is not None:
+            cached.unpersist()
     return out
 
 
@@ -228,20 +225,15 @@ def personalized_pagerank(
         F.when(F.col("_is_seed"), F.lit(base_u)).otherwise(F.lit(0))
         .cast("long").alias("rank_u"),
     )
-    round_caches = []
+    prev = None
     for _ in range(iterations):
         ranks = ranks.persist()
-        round_caches.append(ranks)
-        # dangling mass as a 1-row broadcast scalar (see pagerank): one
-        # job at the end instead of a driver .first() per round; `div`
-        # on non-negative longs matches the scalar // it replaces
+        # per-round scalar action on purpose — eagerly materializes the
+        # ranks cache before its two consumers read it (see pagerank)
         dangling = (
             ranks.join(deg, ranks["node"] == deg["_src"], "left_anti")
-            .agg(
-                F.coalesce(F.sum("rank_u"), F.lit(0))
-                .cast("long")
-                .alias("_dang")
-            )
+            .agg(F.coalesce(F.sum("rank_u"), F.lit(0)).cast("long"))
+            .first()[0]
         )
         contrib = (
             e.join(deg, "_src")
@@ -253,29 +245,30 @@ def personalized_pagerank(
             .groupBy("node")
             .agg(F.sum("_share").cast("long").alias("_inflow"))
         )
-        new = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(dangling)  # 1-row broadcast scalar
-            .select(
-                "node",
-                (
-                    F.when(F.col("_is_seed"), F.lit(teleport_u)).otherwise(F.lit(0))
-                    + F.expr(
-                        f"{damping_pct} * (coalesce(_inflow, 0L)"
-                        f" + (CASE WHEN _is_seed THEN _dang div {ns}L ELSE 0L END))"
-                        " div 100"
-                    )
-                ).cast("long").alias("rank_u"),
-            )
+        dangling_share = dangling // ns
+        new = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.when(F.col("_is_seed"), F.lit(teleport_u)).otherwise(F.lit(0))
+                + F.expr(
+                    f"{damping_pct} * (coalesce(_inflow, 0L)"
+                    f" + (CASE WHEN _is_seed THEN {dangling_share}L ELSE 0L END))"
+                    " div 100"
+                )
+            ).cast("long").alias("rank_u"),
         )
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
         ranks = new
     out = ranks.select(
         "node",
         "rank_u",
         F.round(F.col("rank_u") / F.lit(float(scale)), 6).alias("rank"),
     ).localCheckpoint(eager=True)
-    for cached in (e, deg, s, nodes, *round_caches):
-        cached.unpersist()
+    for cached in (e, deg, s, nodes, prev):
+        if cached is not None:
+            cached.unpersist()
     return out
 
 
@@ -308,7 +301,13 @@ def _triangle_kernel(
     from pyspark import StorageLevel
 
     if assume_canonical:
-        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        # e is read three times below (degree union twice + edge tagging);
+        # without the distinct there is no Exchange for ReusedExchange to
+        # share, so materialize the (often expensive) pair lineage ONCE —
+        # otherwise skipping the distinct would re-run pair generation 3×
+        e = edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).localCheckpoint(eager=True)
     else:
         e = (
             edges.select(
@@ -554,7 +553,6 @@ def label_propagation_communities(
     from megalista_spark.operators.dedup import symmetric_edges
 
     sym = symmetric_edges(pairs, pair_cols).persist()
-    caches = [sym]
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     for _ in range(iters):
         votes = (
@@ -569,24 +567,19 @@ def label_propagation_communities(
             .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("_b"))
             .select(F.col("src"), (-F.col("_b.nl")).alias("new_label"))
         )
+        # eager per-round checkpoint on purpose: labels is read twice next
+        # round, and the lazy persist-only form was MEASURED SLOWER
+        # (r12 A/B — concurrent stages recompute not-yet-cached partitions)
         labels = (
             labels.join(best, labels["id"] == best["src"], "left")
             .select(
                 "id",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        caches.append(labels)
-    # rounds persist lazily (each is read by the next round's vote join
-    # AND its label carry-forward); ONE job materializes the whole
-    # propagation instead of a driver barrier per round
-    out = labels.select("id", F.col("label").alias("community")).localCheckpoint(
-        eager=True
-    )
-    for c in caches:
-        c.unpersist()
-    return out
+    sym.unpersist()
+    return labels.select("id", F.col("label").alias("community"))
 
 
 def k_hop_reach(
@@ -621,27 +614,26 @@ def k_hop_reach(
     bounded set by contract — the operator broadcasts them only
     implicitly via the first join's build side when Spark sees fit.
     """
-    # persist the deduped edge list ONCE, hash-partitioned on the join
+    # materialize the deduped edge list ONCE, hash-partitioned on the join
     # key — otherwise every hop re-executes the upstream edge-building
     # lineage (the same lesson as pagerank's persisted co-partitioned
-    # edges), and each hop's join reuses the partitioning. Rounds are
-    # persisted (each is read twice: next frontier + the min merge) but
-    # NOT eagerly actioned — the whole bounded-hop expansion runs as ONE
-    # job at the final materialization instead of a driver barrier per
-    # hop; caches populate mid-job and are released after.
+    # edges), and each hop's join reuses the partitioning. Each round is
+    # EAGERLY checkpointed on purpose: ``merged`` is read twice (next
+    # frontier + the min merge), and a lazy persist-only formulation was
+    # MEASURED SLOWER (r12 A/B) — concurrent stages of the single final
+    # job recompute partitions whose cache blocks are not populated yet.
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
         .repartition("u")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     visited = (
         seeds.select(F.col(seed_col).alias("seed"))
         .distinct()
         .select("seed", F.col("seed").alias("node"), F.lit(0).alias("min_hop"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    caches = [e, visited]
     frontier = visited
     for h in range(1, hops + 1):
         grown = (
@@ -652,15 +644,11 @@ def k_hop_reach(
             visited.unionByName(grown)
             .groupBy("seed", "node")
             .agg(F.min("min_hop").alias("min_hop"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        caches.append(merged)
         frontier = merged.where(F.col("min_hop") == h)
         visited = merged
-    out = visited.localCheckpoint(eager=True)
-    for c in caches:
-        c.unpersist()
-    return out
+    return visited
 
 
 def bounded_sssp(
@@ -690,9 +678,11 @@ def bounded_sssp(
     changed-set computation per round). Rounds are localCheckpointed.
     Fixed ``rounds`` → SQL-oracle unrollable.
     """
-    # persisted once, partitioned on the relax-join key; rounds persist
-    # lazily and the whole relaxation materializes in ONE job at the end
-    # (no per-round driver barrier — see k_hop_reach)
+    # materialized once, partitioned on the relax-join key; each round is
+    # EAGERLY checkpointed on purpose — the lazy persist-only form was
+    # MEASURED ~2× SLOWER (r12 A/B): ``dists`` is read twice per round
+    # and concurrent stages of a single final job recompute partitions
+    # whose cache blocks are not populated yet (see k_hop_reach)
     e = (
         edges.select(
             F.col(src).alias("u"),
@@ -702,15 +692,14 @@ def bounded_sssp(
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
         .repartition("u")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     dists = (
         seeds.select(F.col(seed_col).alias("seed"))
         .distinct()
         .select("seed", F.col("seed").alias("node"), F.lit(0).cast("bigint").alias("dist"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    caches = [e, dists]
     for _ in range(rounds):
         relaxed = (
             dists.join(e, dists["node"] == e["u"])
@@ -720,13 +709,9 @@ def bounded_sssp(
             dists.unionByName(relaxed)
             .groupBy("seed", "node")
             .agg(F.min("dist").alias("dist"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        caches.append(dists)
-    out = dists.localCheckpoint(eager=True)
-    for c in caches:
-        c.unpersist()
-    return out
+    return dists
 
 
 def kcore_peel(
@@ -767,8 +752,11 @@ def kcore_peel(
     )
     if not assume_canonical:
         sym = sym.distinct()
-    sym = sym.persist()
-    caches = [sym]
+    # rounds stay EAGERLY checkpointed: ``alive`` is read twice per round
+    # (degree aggregate + the semi-join left side) and the lazy
+    # persist-only form was MEASURED SLOWER (r12 A/B — concurrent stages
+    # recompute not-yet-cached partitions)
+    sym = sym.localCheckpoint(eager=True)
     alive = sym
     for _ in range(rounds):
         deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -776,19 +764,13 @@ def kcore_peel(
         alive = (
             alive.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        caches.append(alive)
-    # one job materializes every peel round (no per-round driver barrier)
-    out = (
+    return (
         alive.groupBy("u")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
         .select(F.col("u").alias("node"), "degree")
-        .localCheckpoint(eager=True)
     )
-    for c in caches:
-        c.unpersist()
-    return out
 
 
 def degree_assortativity(
