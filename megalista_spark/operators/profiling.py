@@ -192,9 +192,7 @@ def profile_columns(
                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
             ).alias(f"__nulls_{c}")
         )
-        if distinct_mode == "exact":
-            aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
-        elif distinct_mode == "approx":
+        if distinct_mode == "approx":
             aggs.append(F.approx_count_distinct(F.col(c), rsd).alias(f"__dist_{c}"))
         aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
         aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
@@ -206,7 +204,7 @@ def profile_columns(
             F.col(f"__nulls_{c}").cast("bigint").alias("n_nulls"),
             (
                 F.col(f"__dist_{c}").cast("bigint")
-                if distinct_mode != "portable"
+                if distinct_mode == "approx"
                 else F.lit(None).cast("bigint")
             ).alias("n_distinct"),
             F.col(f"__min_{c}").alias("min_value"),
@@ -215,9 +213,30 @@ def profile_columns(
         for c in cols
     ]
     base = stats.select(F.inline(F.array(*rows)))
-    if distinct_mode != "portable":
+    if distinct_mode == "approx":
         return base
-    est = _portable_distinct_estimates(df.select(*cols), cols)
+    if distinct_mode == "exact":
+        # One column-pruned distinct branch per column instead of a
+        # single multi-countDistinct aggregate: Spark plans the latter
+        # via Expand — every input row replicates ×#cols and EVERY
+        # column's full value set crosses one shuffle. Per-column
+        # ``distinct`` branches get map-side partial aggregation (only
+        # per-partition-distinct values shuffle, a huge cut for
+        # low-cardinality columns), and the branches parallelize as
+        # independent stages. Identical counts (countDistinct and
+        # DISTINCT share null-excluding value equality).
+        est = None
+        for c in cols:
+            b = (
+                df.select(F.col(c).alias("_v"))
+                .where(F.col("_v").isNotNull())
+                .distinct()
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
+                .select(F.lit(c).alias("column_name"), "n_distinct")
+            )
+            est = b if est is None else est.unionByName(b)
+    else:
+        est = _portable_distinct_estimates(df.select(*cols), cols)
     return (
         base.drop("n_distinct")
         .join(F.broadcast(est), "column_name", "left")

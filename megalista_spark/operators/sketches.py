@@ -812,27 +812,56 @@ def exact_quantile_select(
             ),
         )
     )
-    out = None
-    for q in q_permilles:
-        k = F.greatest(F.lit(1), F.ceil(F.col("_n") * q / 1000)).alias("_k")
-        kf = bounds.select(k)
-        tgt = (
-            cum.crossJoin(F.broadcast(kf))
-            .where(F.col("_cum") >= F.col("_k"))
-            .orderBy("_b")
-            .limit(1)
-            .select("_b", (F.col("_cum") - F.col("_c")).alias("_before"), "_k")
-        )
-        hit = (
-            binned.join(F.broadcast(tgt), "_b")
-            .withColumn(
-                "_rn",
-                F.row_number().over(Window.partitionBy("_b").orderBy("_x")),
+    # ALL requested ranks resolve in ONE plan: a per-quantile loop of
+    # broadcast(limit(1)) branches used to schedule ~7 driver jobs PER
+    # quantile (75 jobs for decile binning — measured r12); instead the
+    # (q, k) table rides one explode, every quantile's target bin is an
+    # argmin over the ≤bins-row cumulative table, and one broadcast join
+    # ranks only the hit bins. Same selection contract, same values.
+    ks = bounds.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("_q"),
+                        F.greatest(
+                            F.lit(1), F.ceil(F.col("_n") * q / 1000)
+                        ).alias("_k"),
+                    )
+                    for q in q_permilles
+                ]
             )
-            .where(F.col("_rn") == F.col("_k") - F.col("_before"))
-            .select(F.lit(q).alias("q_permille"), F.col("_x").alias("value"))
+        ).alias("_qk")
+    ).select(F.col("_qk._q").alias("_q"), F.col("_qk._k").alias("_k"))
+    # first bin with cum >= k, carrying that bin's rank offset: min on
+    # (_b, _before) structs is lexicographic, so it picks the lowest bin
+    tgt = (
+        cum.crossJoin(F.broadcast(ks))
+        .where(F.col("_cum") >= F.col("_k"))
+        .groupBy("_q", "_k")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("_b"), (F.col("_cum") - F.col("_c")).alias("_before")
+                )
+            ).alias("_t")
         )
-        out = hit if out is None else out.unionByName(hit)
+        .select(
+            "_q",
+            "_k",
+            F.col("_t._b").alias("_b"),
+            F.col("_t._before").alias("_before"),
+        )
+    )
+    out = (
+        binned.join(F.broadcast(tgt), "_b")
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_q").orderBy("_x")),
+        )
+        .where(F.col("_rn") == F.col("_k") - F.col("_before"))
+        .select(F.col("_q").alias("q_permille"), F.col("_x").alias("value"))
+    )
     # ≤ len(q_permilles) rows: eager-materialize, then free the shared
     # persisted frames so repeated calls in one session don't accumulate
     # (value, bin) blocks in executor storage

@@ -882,8 +882,12 @@ def test_profile_modes_agree_and_approx_has_no_expand(spark):
             assert abs(est - e.n_distinct) <= max(3, 0.15 * e.n_distinct)
     plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+    # r12: exact mode no longer pays the Expand multi-distinct blowup
+    # either — each column's distinct count is its own column-pruned
+    # branch with map-side partial aggregation (only per-partition
+    # distinct values shuffle), so NO mode replicates input rows
     exact_plan = profile_columns(df, distinct_mode="exact")._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" in exact_plan  # the blowup approx mode exists to avoid
+    assert "Expand" not in exact_plan
 
 
 def test_cms_overestimate_guarantee_and_merge(spark):
