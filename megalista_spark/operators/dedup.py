@@ -1861,17 +1861,26 @@ def lsh_candidate_recall(
     ).select(
         F.col("doc_a").alias("_ca"), F.col("doc_b").alias("_cb")
     )
-    caught = true_pairs.join(
-        cand,
-        (F.col("doc_a") == F.col("_ca")) & (F.col("doc_b") == F.col("_cb")),
-        "left_semi",
+    # ONE pair-sized pass instead of three (semi-join + two separate
+    # counts): candidates are distinct (grouped emission) and ground
+    # truth is distinct, so the left join is 1-1 — count(*) is
+    # n_candidates and count(_tp) is n_caught, the same fold the
+    # banding-curve sweep uses. Identical output.
+    tp = true_pairs.select(
+        F.col("doc_a").alias("_ca"),
+        F.col("doc_b").alias("_cb"),
+        F.lit(1).alias("_tp"),
+    )
+    cg = (
+        cand.join(tp, ["_ca", "_cb"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.count("_tp").cast("long").alias("n_caught"),
+        )
     )
     t = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
-    c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-    g = caught.agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
     return (
-        t.crossJoin(F.broadcast(c))
-        .crossJoin(F.broadcast(g))
+        t.crossJoin(F.broadcast(cg))
         .select(
             "n_true_pairs",
             "n_candidates",

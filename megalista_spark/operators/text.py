@@ -1512,12 +1512,22 @@ def hashed_ngram_importance(
     """
     from megalista_spark.operators.dedup import portable_hash32
 
-    toks = _word_tokens(text_col)
-    base = df.select(
+    src = df.select(
         F.col(id_col).alias("id"),
         F.col(target_col).cast("boolean").alias("_is_target"),
-        toks.alias("_t"),
+        F.col(text_col).alias("_text"),
     )
+    # a single-row-group local file scans as ONE task, and both gram
+    # passes (tokenize + explode + md5 bucket hash, the operator's
+    # dominant compute) would pipeline onto that one core before their
+    # first exchange — measured 9 tasks total for this operator. Spread
+    # the raw rows only when the input arrives under-split; at cluster
+    # scale inputs are multi-split and this costs nothing.
+    sc = df.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+    toks = _word_tokens("_text")
+    base = src.select("id", "_is_target", toks.alias("_t"))
     bigrams = F.expr(
         "transform(slice(_t, 1, greatest(size(_t) - 1, 0)), "
         "(x, i) -> concat(x, ' ', _t[i + 1]))"
