@@ -11642,7 +11642,13 @@ def winsorized_arm_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from megalista_spark.operators.stats import winsorized_stats
 
     arms = _exp1_user_revenue(spark, sf_dir)
-    w = winsorized_stats(arms, "split", "rev_cents", 5, 95, decimals=0)
+    # w is TWO rows read twice (control + treatment filters); without the
+    # eager materialization the whole winsorize pipeline — rank window,
+    # boundary broadcast, clip aggregate, and the arms lineage under it —
+    # re-ran once per filter branch (measured r12: 342-line doubled plan)
+    w = winsorized_stats(arms, "split", "rev_cents", 5, 95, decimals=0).localCheckpoint(
+        eager=True
+    )
     c = w.where(F.col("split") == "control").select(
         F.col("n_values").alias("n_control"),
         F.col("winsorized_mean_cents").alias("control_mean_cents"),
@@ -11694,7 +11700,11 @@ def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort), joined on the permille."""
     from megalista_spark.operators.sketches import exact_quantile_select
 
-    arms = _exp1_user_revenue(spark, sf_dir)
+    # materialize the user-grain arms ONCE (the oracle's MATERIALIZED
+    # arms CTE): each arm's exact_quantile_select evaluates its input
+    # twice (bounds + bin pass), so the lazy form re-ran the events
+    # scan + user aggregate + hash split four times (measured r12)
+    arms = _exp1_user_revenue(spark, sf_dir).localCheckpoint(eager=True)
     qs = (250, 500, 750)
     qc = exact_quantile_select(
         arms.where(F.col("split") == "control"), "rev_cents", q_permilles=qs

@@ -161,6 +161,15 @@ def rfm_scores(
     from megalista_spark.operators.sketches import binned_quantiles
 
     ref = purchases.agg(F.max(F.col(ts_col)).alias("_ref"))
+    # the per-user stats relation is read ~7 times by ONE plan (each
+    # metric's binned_quantiles evaluates it for bounds AND bin counts,
+    # plus the final projection) and Spark re-runs the final aggregate
+    # for every appearance (only the exchange below it is reused — the
+    # _bidir_edges lesson): unchecked, the rfm plan carried 140
+    # HashAggregate / 122 Exchange / 40 scan nodes (measured r12).
+    # Materialize the user-grain stats ONCE — the SQL oracle's
+    # MATERIALIZED stats CTE, and the same eager-checkpoint discipline
+    # as the iterative graph kernels.
     stats = (
         purchases.crossJoin(F.broadcast(ref))
         .groupBy(F.col(user_col).alias("user"))
@@ -171,6 +180,7 @@ def rfm_scores(
             F.count(F.lit(1)).cast("long").alias("frequency"),
             F.round(F.sum(F.col(value_col)), 6).alias("monetary"),
         )
+        .localCheckpoint(eager=True)
     )
 
     def edges(col: str) -> DataFrame:
