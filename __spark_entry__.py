@@ -4911,6 +4911,11 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined forward — equi-joins on user_id, no window over the full
     stream, so each stage shuffles only (user, ts) pairs."""
     e = _events(spark, sf_dir)
+    # v and c are each read twice (next stage + own count); per-stage
+    # eager materialization was TRIED (r12) and measured WORSE at bench
+    # scale — the duplicated stage chains sit above runtime-reused
+    # exchanges, so the lazy re-run is shuffle-read-cheap while the
+    # checkpoints add barrier jobs
     v = (
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -7739,10 +7744,10 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every stage is the real operator (curation.py / text.py /
     sampling.py), so this query is also an integration test that the
-    operators compose. The funnel output re-aggregates each stage
-    prefix; production would `observe()` counters on one pass or persist
-    stage outputs — the recomputation here is the price of a single
-    self-contained DataFrame with a SQL twin.
+    operators compose. Stage outputs are eagerly materialized so the
+    funnel counts read each stage once instead of re-running the whole
+    prefix per level (r12: the lazy form planned 16 scan nodes); this is
+    the persist-stage-outputs shape production would use.
     """
     from megalista_spark.operators.curation import (
         apply_source_blocklist,
@@ -7758,16 +7763,24 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _, cond in rules[1:]:
         fails = fails | cond
 
-    s1 = cascade_keep(d, rules)
+    # each stage output is read by BOTH the next stage and its own
+    # funnel-count row, so the lazy form re-ran the whole prefix of the
+    # cascade once per stage (16 scan nodes in one plan — measured r12).
+    # Per-stage eager materialization is exactly the "production would
+    # persist stage outputs" remedy the old comment deferred; the funnel
+    # is now linear in stages.
+    s1 = cascade_keep(d, rules).localCheckpoint(eager=True)
     stats = source_quality_stats(d, ~fails, min_pass_permyriad=5000)
-    s2 = apply_source_blocklist(s1, stats)
+    s2 = apply_source_blocklist(s1, stats).localCheckpoint(eager=True)
     fp = document_fingerprint(s2)
     keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    s3 = s2.join(keep.select("doc_id"), "doc_id", "left_semi")
+    s3 = s2.join(keep.select("doc_id"), "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
     s4 = budget_fill(
         s3, group_col="source", weight_col="n_chars", budget=3000,
         order_col="n_chars", id_col="doc_id",
-    )
+    ).localCheckpoint(eager=True)
     s5 = hash_split(s4, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).where(
         F.col("split") == "train"
     )
@@ -8811,6 +8824,10 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from megalista_spark.operators.bitmaps import bitmap_build, bitmap_cardinality
 
     e = _events(spark, sf_dir).select("event_type", "user_id")
+    # bm is read four times, but bitmap_build's partial bit_or bounds the
+    # shuffle and the exchange is runtime-reused across all consumers —
+    # eager materialization was TRIED (r12) and measured slightly worse
+    # (barrier jobs for free recompute); the lazy form stays
     bm = bitmap_build(e, "user_id", ["event_type"])
     card = bitmap_cardinality(bm, ["event_type"])
     a = bm.select(

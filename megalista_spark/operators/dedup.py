@@ -352,6 +352,13 @@ def setsim_prefix_pairs(
     """
     from pyspark.sql import Window
 
+    # toks feeds five consumers under differently-keyed exchanges, so
+    # tokenization does re-run — but an eager materialization of the
+    # exploded token relation was TRIED (r12) and measured ~15-20% WORSE
+    # at bench scale: writing + re-reading the exploded rows from cache
+    # costs more than re-running the map-side tokenize. The lazy form
+    # stays (the oracle's MATERIALIZED toks is a DuckDB memory knob, not
+    # a performance statement about Spark).
     toks = (
         _tokenized(df, text_col, id_col)
         .select("id", F.explode(F.array_distinct(F.col("_toks"))).alias("tok"))
@@ -366,7 +373,14 @@ def setsim_prefix_pairs(
         .withColumn("rnk", F.row_number().over(w))
     )
     prefix_len = F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
-    prefix = ranked.where(F.col("rnk") <= prefix_len).select("tok", "id", "set_size")
+    # both sides of the candidate self-join read prefix; materialized so
+    # the rank window (df join + per-doc sort) runs once, not twice —
+    # at t=0.9 prefix is ~2 tokens per doc, far smaller than toks
+    prefix = (
+        ranked.where(F.col("rnk") <= prefix_len)
+        .select("tok", "id", "set_size")
+        .localCheckpoint(eager=True)
+    )
 
     pb = prefix.select(
         F.col("tok"),

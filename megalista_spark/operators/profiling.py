@@ -276,8 +276,16 @@ def join_skew_audit(df: DataFrame, key_col: str, salt_threshold_ratio: int = 10)
     """
     from pyspark.sql.window import Window as _W
 
-    counts = df.groupBy(F.col(key_col).alias("_key")).agg(
-        F.count(F.lit(1)).cast("long").alias("_freq")
+    # the key-count table feeds FIVE consumers (histogram, totals ×3
+    # appearances, top-key probe); left lazy each one re-runs the
+    # corpus-sized groupBy — and two of them sit under independent
+    # broadcast jobs that would race a lazy cache (the r12 §1 hazard).
+    # Materialize it once; the docstring's scale note already budgets
+    # for the count table being billions of rows.
+    counts = (
+        df.groupBy(F.col(key_col).alias("_key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_freq"))
+        .localCheckpoint(eager=True)
     )
     hist = counts.groupBy("_freq").agg(F.count(F.lit(1)).cast("long").alias("_nk"))
     w = _W.orderBy("_freq").rowsBetween(_W.unboundedPreceding, 0)

@@ -336,6 +336,11 @@ def windowed_funnel(
     typed = events.select(
         F.col(user_col).alias("u"), sec.alias("t"), F.col(type_col).alias("et")
     )
+    # each stage's chain table is read twice (own level count + next
+    # stage's probe), but the duplicated work sits above runtime-reused
+    # exchanges — per-stage eager materialization was TRIED (r12) and
+    # measured slightly WORSE at bench scale (stages/tasks up, wall up);
+    # the lazy form stays
     chains = (
         typed.where(F.col("et") == steps[0])
         .select("u", F.col("t").alias("t1"))
@@ -495,6 +500,11 @@ def sequential_pattern_support(
         F.col(ts_col).cast("long").alias("_t"),
         F.col(type_col).alias("_e"),
     )
+    # fl is read by five consumers, but its partial aggregation bounds
+    # the shuffle and the (u, e) exchange is runtime-reused across them —
+    # an eager materialization was TRIED (r12) and measured ~15% WORSE
+    # at bench scale (cache write/read + barrier outweigh the duplicated
+    # final aggregates); the lazy form stays
     fl = ev.groupBy("_u", "_e").agg(
         F.min("_t").alias("_first"), F.max("_t").alias("_last")
     )

@@ -50,6 +50,11 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     then broadcast joins of the marginal sums (R and C rows) onto the
     R·C cell table. Nothing beyond the first aggregate touches raw rows.
     """
+    # cells feeds four consumers, but its map-side partial aggregation
+    # bounds the shuffle at R·C rows per map task and the exchange is
+    # runtime-reused across all of them — an eager materialization was
+    # TRIED (r12) and measured flat-to-worse (it only adds a barrier job;
+    # the duplicated final aggregate over the tiny shuffle is free)
     cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("_o"))
     # NULL is a legitimate category level: groupBy keys NULLs together,
     # so the marginal joins must be null-safe or NULL cells silently
@@ -563,6 +568,10 @@ def srm_check(
         [(str(k), int(v)) for k, v in sorted(expected_ppm.items())],
         f"arm string, expected_ppm long",
     )
+    # counts is read twice (total + design join) but its partial
+    # aggregation bounds the shuffle at |arms| rows per map task and the
+    # exchange is runtime-reused — an eager materialization was TRIED
+    # (r12) and measured flat (barrier cost ≈ the duplicate final agg)
     counts = (
         df.select(F.col(arm_col).cast("string").alias("arm"))
         .groupBy("arm")
