@@ -3,6 +3,16 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "controls": {name: sec}, "sf": ...}.
 
+Output framing (r13): the full payload line above is printed FIRST and is
+unchanged; a compact summary (no queries map) follows; then the per-query
+cold map is re-emitted as small self-contained chunk lines printed LAST
+(see _print_chunked) so a tail-windowed capture retains per-query data —
+the driver keeps only ~2000 chars of stdout, and PERF r11/r12 lost ALL
+per-query comparisons because the only line surviving that window was the
+compact summary. Purely additive: every previously-emitted line and every
+number is unchanged; chunk lines repeat the same totals and slices of the
+same queries map.
+
 Each query is executed to completion (count() materializes the full plan;
 results are small aggregates so the action cost is the query itself).
 
@@ -362,6 +372,52 @@ def _payload(
     return out
 
 
+def _print_chunked(out: dict) -> None:
+    """Emit the per-query cold map AGAIN as small self-contained JSON
+    lines, printed LAST (r13, VERDICT item 1): the driver retains only a
+    ~2000-char stdout tail, so the ~6 KB single-line payload above never
+    reaches it whole — PERF r11/r12 had ``per_query: {}`` for exactly
+    this reason. Each chunk line repeats the FULL summary contract
+    (metric/value/unit/warm_total/n_queries/controls/sf) plus a slice of
+    ``queries``, so whichever single line a tail-windowed parser keeps,
+    it gets correct totals and some per-query data. Slices are ordered
+    by ASCENDING cold time, so the last chunk — the line most likely to
+    survive the tail window intact — carries the most expensive queries
+    (the highest-signal subset for perf comparison). Purely additive:
+    the two lines above are unchanged, and chunk values are the same
+    numbers as the full payload's ``queries`` map."""
+    base = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "warm_total": out.get("warm_total", 0.0),
+        "n_queries": len(out["queries"]),
+        "controls": out["controls"],
+        "sf": out["sf"],
+    }
+    names = sorted(out["queries"], key=lambda n: out["queries"][n])
+    # ~450 bytes of queries-payload per line → ~650-700-byte lines: a
+    # 2000-char tail window then always retains ≥2 complete chunk lines
+    # (typically 3, ~45 queries). Larger chunks maximize per-line data
+    # but a ~1.6 KB line leaves room for only ONE survivor.
+    budget = 450
+    slices: "list[dict[str, float]]" = [{}]
+    used = 0
+    for n in names:
+        entry = len(n) + len(repr(out["queries"][n])) + 6
+        if slices[-1] and used + entry > budget:
+            slices.append({})
+            used = 0
+        slices[-1][n] = out["queries"][n]
+        used += entry
+    for i, sl in enumerate(slices):
+        line = dict(base)
+        line["chunk"] = i
+        line["n_chunks"] = len(slices)
+        line["queries"] = sl
+        print(json.dumps(line))
+
+
 def _selected_names() -> list[str]:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     exclude = set(
@@ -432,13 +488,11 @@ def _fresh_mode(sf_dir: str, names: list[str]) -> None:
     timings, _, failed = _run_in_subprocesses(names, skip_warm=True)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    print(
-        json.dumps(
-            _payload(
-                "headline_queries_total_fresh", timings, {}, failed, [], sf_val
-            )
-        )
+    out = _payload(
+        "headline_queries_total_fresh", timings, {}, failed, [], sf_val
     )
+    print(json.dumps(out))
+    _print_chunked(out)
 
 
 def main() -> None:
@@ -537,6 +591,9 @@ def main() -> None:
             }
         )
     )
+    # per-query map in tail-survivable chunks, printed LAST (see
+    # _print_chunked): restores driver-visible per-query data
+    _print_chunked(out)
     sys.stdout.flush()
     spark.stop()  # no-op if the fresh-subset path already stopped it
 

@@ -1936,14 +1936,24 @@ def lsh_banding_curve(
     Output, one row per geometry: (bands, rows_per_band, n_true_pairs,
     n_candidates, n_caught, recall_ppm, precision_ppm, theory_ppm).
 
-    Memory discipline: geometries execute SEQUENTIALLY — each geometry's
-    candidate relation is reduced to two scalar counts (one pass: left
-    join against the ground-truth pairs, counting rows and matches) in
-    its own job before the next geometry starts, so peak memory is ONE
-    geometry's quadratic stage, never the sum of all of them. The old
-    unioned-lazy form ran every geometry's candidate join concurrently
-    under local[32] and needed a 48g driver at sf1; this form holds the
-    default heap. The output is assembled from the collected scalars
+    Memory discipline: geometries execute in BOUNDED-CONCURRENCY batches
+    of TWO, pairing the heaviest remaining geometry with the lightest
+    (candidate volume grows with the band count — more bands means fewer
+    rows per band and more collisions), each batch a barrier before the
+    next starts. Peak memory is therefore ≈ the single heaviest
+    geometry's quadratic stage plus the LIGHTEST one's — within noise of
+    the fully-sequential form's peak — while the light geometry's tail
+    back-fills the cores the heavy one leaves idle (r13; guide §2.6
+    driver-thread overlap). The old unioned-lazy form ran every
+    geometry's candidate join concurrently under local[32] and needed a
+    48g driver at sf1; sequential held the default heap; largest+smallest
+    pairing keeps that property. Each geometry still reduces to two
+    scalar counts in its own job (one pass: left join against the
+    ground-truth pairs, counting rows and matches). The corpus-sized
+    inputs — the signature table and the exact ground truth — are
+    independent dataflows and build concurrently too (two driver
+    threads), so the exact-Jaccard join no longer serializes behind the
+    signature pass. The output is assembled from the collected scalars
     (≤ len(bands_options) rows — driver-side by construction).
     """
     out_schema = (
@@ -1962,47 +1972,91 @@ def lsh_banding_curve(
                 f"lsh_banding_curve: bands={bands} does not divide "
                 f"num_hashes={num_hashes}"
             )
-    sigs = minhash_signatures(
-        df, num_hashes, shingle_n, text_col, id_col
-    ).localCheckpoint(eager=True)
-    true_pairs = ngram_jaccard_pairs(
-        df, n=shingle_n, threshold=threshold, text_col=text_col, id_col=id_col
-    ).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    from concurrent.futures import ThreadPoolExecutor
+
+    sc = df.sparkSession.sparkContext
+
+    def _build_sigs() -> DataFrame:
+        sc.setJobDescription("lsh_banding_curve: minhash signatures")
+        try:
+            return minhash_signatures(
+                df, num_hashes, shingle_n, text_col, id_col
+            ).localCheckpoint(eager=True)
+        finally:
+            sc.setJobDescription(None)
+
+    def _build_truth() -> DataFrame:
+        sc.setJobDescription("lsh_banding_curve: exact ground truth")
+        try:
+            return ngram_jaccard_pairs(
+                df, n=shingle_n, threshold=threshold,
+                text_col=text_col, id_col=id_col,
+            ).select("doc_a", "doc_b").localCheckpoint(eager=True)
+        finally:
+            sc.setJobDescription(None)
+
+    # the two corpus-sized inputs are independent — overlap their
+    # checkpoint builds (guide §2.6; job descriptions are thread-local)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_sigs = pool.submit(_build_sigs)
+        f_true = pool.submit(_build_truth)
+        sigs = f_sigs.result()
+        true_pairs = f_true.result()
     n_true = true_pairs.count()
     tp = true_pairs.select(
         F.col("doc_a").alias("_ca"),
         F.col("doc_b").alias("_cb"),
         F.lit(1).alias("_tp"),
     )
-    rows = []
-    for bands in bands_options:
+
+    def _fold(bands: int) -> tuple:
         r = num_hashes // bands
         theory_ppm = round(1_000_000 * (1.0 - (1.0 - threshold**r) ** bands))
-        cand = _band_candidate_pairs(sigs, num_hashes, bands, id_col).select(
-            F.col("doc_a").alias("_ca"), F.col("doc_b").alias("_cb")
-        )
-        # candidates are distinct pairs (grouped emission), ground truth
-        # is distinct, so the left join is 1-1: count(*) = n_candidates,
-        # count(_tp) = |candidates ∩ true| = n_caught (true positives —
-        # true pairs ARE verified ≥ t, so TP = caught)
-        n_cand, n_caught = (
-            cand.join(tp, ["_ca", "_cb"], "left")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_candidates"),
-                F.count("_tp").cast("long").alias("n_caught"),
+        sc.setJobDescription(f"lsh_banding_curve: fold bands={bands}")
+        try:
+            cand = _band_candidate_pairs(sigs, num_hashes, bands, id_col).select(
+                F.col("doc_a").alias("_ca"), F.col("doc_b").alias("_cb")
             )
-            .collect()[0]
-        )
-        rows.append(
-            (
-                bands,
-                r,
-                n_true,
-                n_cand,
-                n_caught,
-                1_000_000 * n_caught // n_true if n_true > 0 else None,
-                1_000_000 * n_caught // n_cand if n_cand > 0 else None,
-                theory_ppm,
+            # candidates are distinct pairs (grouped emission), ground
+            # truth is distinct, so the left join is 1-1: count(*) =
+            # n_candidates, count(_tp) = |candidates ∩ true| = n_caught
+            # (true positives — true pairs ARE verified ≥ t)
+            n_cand, n_caught = (
+                cand.join(tp, ["_ca", "_cb"], "left")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                    F.count("_tp").cast("long").alias("n_caught"),
+                )
+                .collect()[0]
             )
+        finally:
+            sc.setJobDescription(None)
+        return (
+            bands,
+            r,
+            n_true,
+            n_cand,
+            n_caught,
+            1_000_000 * n_caught // n_true if n_true > 0 else None,
+            1_000_000 * n_caught // n_cand if n_cand > 0 else None,
+            theory_ppm,
         )
+
+    # deterministic largest+smallest batches of two (memory discipline
+    # above); results keyed by position so the output rows stay in
+    # bands_options order
+    order = sorted(range(len(bands_options)), key=lambda i: -bands_options[i])
+    batches = []
+    lo, hi = 0, len(order) - 1
+    while lo <= hi:
+        batches.append([order[lo]] if lo == hi else [order[lo], order[hi]])
+        lo, hi = lo + 1, hi - 1
+    results: dict[int, tuple] = {}
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for batch in batches:
+            for i, row in zip(
+                batch, pool.map(lambda i: _fold(bands_options[i]), batch)
+            ):
+                results[i] = row
+    rows = [results[i] for i in range(len(bands_options))]
     return df.sparkSession.createDataFrame(rows, out_schema)

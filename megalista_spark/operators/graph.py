@@ -276,8 +276,12 @@ def _triangle_kernel(
     edges: DataFrame, src: str, dst: str, assume_canonical: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared core of triangle_count/clustering_stats: returns
-    (deg, PERSISTED oriented edges, lazy 1-row triangle count). The
-    caller owns unpersisting ``oriented`` after materializing.
+    (deg, PERSISTED canonical edges or None, PERSISTED oriented edges,
+    lazy 1-row triangle count). The caller owns unpersisting ``e`` (when
+    not None) and ``oriented`` after materializing — r13: the canonical
+    path previously localCheckpointed the edge list with no release
+    handle, so repeated calls in one session accumulated executor
+    storage blocks until GC.
 
     ``assume_canonical=True`` declares the input already a DISTINCT
     simple-graph pair list with src < dst (e.g. ``_copurchase_pairs``
@@ -304,11 +308,17 @@ def _triangle_kernel(
         # e is read three times below (degree union twice + edge tagging);
         # without the distinct there is no Exchange for ReusedExchange to
         # share, so materialize the (often expensive) pair lineage ONCE —
-        # otherwise skipping the distinct would re-run pair generation 3×
-        e = edges.select(
+        # otherwise skipping the distinct would re-run pair generation 3×.
+        # persist+count (not localCheckpoint): same eager one-job
+        # materialization, but releasable by the caller — localCheckpoint
+        # blocks have no public unpersist handle in PySpark
+        e_handle = edges.select(
             F.col(src).alias("u"), F.col(dst).alias("v")
-        ).localCheckpoint(eager=True)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        e_handle.count()
+        e = e_handle
     else:
+        e_handle = None
         e = (
             edges.select(
                 F.least(F.col(src), F.col(dst)).alias("u"),
@@ -349,7 +359,7 @@ def _triangle_kernel(
     tri = wedges.join(closing, ["w1", "w2"], "left_semi").agg(
         F.count(F.lit(1)).cast("bigint").alias("triangle_count")
     )
-    return deg, oriented, tri
+    return deg, e_handle, oriented, tri
 
 
 def triangle_count(
@@ -363,9 +373,11 @@ def triangle_count(
     :func:`_triangle_kernel` for the algorithm, the shuffle story, and
     the ``assume_canonical`` contract.
     """
-    _, oriented, tri = _triangle_kernel(edges, src, dst, assume_canonical)
+    _, e, oriented, tri = _triangle_kernel(edges, src, dst, assume_canonical)
     out = tri.localCheckpoint(eager=True)  # 1 row; frees the persisted edges
     oriented.unpersist()
+    if e is not None:
+        e.unpersist()
     return out
 
 
@@ -389,7 +401,7 @@ def clustering_stats(
     cross-join driver-side-free and the whole thing materializes in a
     single job before the persisted edges are released.
     """
-    deg, oriented, tri = _triangle_kernel(edges, src, dst, assume_canonical)
+    deg, e, oriented, tri = _triangle_kernel(edges, src, dst, assume_canonical)
     wedges = deg.agg(
         F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("n_wedges")
     )
@@ -405,6 +417,8 @@ def clustering_stats(
         .localCheckpoint(eager=True)
     )
     oriented.unpersist()
+    if e is not None:
+        e.unpersist()
     return out
 
 
@@ -672,11 +686,18 @@ def bounded_sssp(
       candidate(v) = dist(u) + w(u,v)    (dists ⋈ edges on u — ONE shuffle)
       dist'(v)     = min(dist(v), min candidate(v))
 
-    State is (seed, node, dist) — O(reached × seeds); the full dist table
-    relaxes each round (simple and predictable; a delta-only frontier
-    variant saves work when distances settle early, at the cost of a
-    changed-set computation per round). Rounds are localCheckpointed.
-    Fixed ``rounds`` → SQL-oracle unrollable.
+    State is (seed, node, dist) — O(reached × seeds). Relaxation is
+    DELTA-FRONTIER (r13): only rows whose dist changed in the previous
+    round re-relax. Exactly equivalent to relaxing the full table —
+    an unchanged (seed, u, dist) row already contributed dist+w(u,v)
+    to every neighbor in the round after it last changed, and merged
+    distances never increase (dists rides every union), so that bound
+    is permanently reflected; re-relaxing it can add nothing new.
+    Settled regions (the bulk of a graph after a few rounds) therefore
+    stop paying the relax join — the per-round shuffle shrinks from
+    |dists ⋈ edges| to |changed ⋈ edges| — at the cost of one
+    O(reached) changed-set join per round. Rounds are
+    localCheckpointed. Fixed ``rounds`` → SQL-oracle unrollable.
     """
     # materialized once, partitioned on the relax-join key; each round is
     # EAGERLY checkpointed on purpose — the lazy persist-only form was
@@ -700,17 +721,32 @@ def bounded_sssp(
         .select("seed", F.col("seed").alias("node"), F.lit(0).cast("bigint").alias("dist"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
+    frontier = dists
+    for rnd in range(rounds):
         relaxed = (
-            dists.join(e, dists["node"] == e["u"])
+            frontier.join(e, frontier["node"] == e["u"])
             .select("seed", F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
         )
-        dists = (
+        merged = (
             dists.unionByName(relaxed)
             .groupBy("seed", "node")
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
+        if rnd < rounds - 1:
+            # next frontier = rows first reached or improved this round
+            # (distances only decrease). Lazy is safe here: both sides
+            # are eager checkpoints and the frontier has ONE consumer
+            # (next round's relax join inside the next checkpoint job).
+            prev = dists.select(
+                "seed", "node", F.col("dist").alias("_prev")
+            )
+            frontier = (
+                merged.join(prev, ["seed", "node"], "left")
+                .where(F.col("_prev").isNull() | (F.col("dist") < F.col("_prev")))
+                .select("seed", "node", "dist")
+            )
+        dists = merged
     return dists
 
 

@@ -225,6 +225,13 @@ def profile_columns(
         # low-cardinality columns), and the branches parallelize as
         # independent stages. Identical counts (countDistinct and
         # DISTINCT share null-excluding value equality).
+        #
+        # Contract: exact mode evaluates df's lineage once per column —
+        # the win assumes df is a (column-prunable) scan, where each
+        # branch reads ONE column's pages. Profiling a computed/joined
+        # relation whose lineage is expensive should persist it first
+        # (caller's choice — persisting here would materialize all
+        # columns and defeat the per-column pruning for the scan case).
         est = None
         for c in cols:
             b = (
@@ -280,13 +287,20 @@ def join_skew_audit(df: DataFrame, key_col: str, salt_threshold_ratio: int = 10)
     # appearances, top-key probe); left lazy each one re-runs the
     # corpus-sized groupBy — and two of them sit under independent
     # broadcast jobs that would race a lazy cache (the r12 §1 hazard).
-    # Materialize it once; the docstring's scale note already budgets
-    # for the count table being billions of rows.
-    counts = (
-        df.groupBy(F.col(key_col).alias("_key"))
-        .agg(F.count(F.lit(1)).cast("long").alias("_freq"))
-        .localCheckpoint(eager=True)
-    )
+    # Materialize it once — but via DISK_ONLY persist + count, NOT
+    # localCheckpoint (r13): this table is billions of rows at the scale
+    # the docstring budgets, and a checkpoint truncates lineage, so one
+    # executor loss would abort the whole audit instead of recomputing
+    # the lost partitions; persist keeps the lineage (recoverable) and
+    # DISK_ONLY keeps a corpus-sized table out of execution memory. The
+    # eager count() closes the lazy-cache race the same way the
+    # checkpoint did. Freed below once the 1-row result materializes.
+    from pyspark import StorageLevel
+
+    counts = df.groupBy(F.col(key_col).alias("_key")).agg(
+        F.count(F.lit(1)).cast("long").alias("_freq")
+    ).persist(StorageLevel.DISK_ONLY)
+    counts.count()
     hist = counts.groupBy("_freq").agg(F.count(F.lit(1)).cast("long").alias("_nk"))
     w = _W.orderBy("_freq").rowsBetween(_W.unboundedPreceding, 0)
     cum = hist.withColumn("_cum", F.sum("_nk").over(w))
@@ -316,7 +330,7 @@ def join_skew_audit(df: DataFrame, key_col: str, salt_threshold_ratio: int = 10)
         .where(F.col("_freq") == F.col("max_freq"))
         .agg(F.min(F.col("_key").cast("string")).alias("top_key"))
     )
-    return (
+    out = (
         totals.crossJoin(F.broadcast(pct))
         .crossJoin(F.broadcast(top))
         .select(
@@ -338,6 +352,12 @@ def join_skew_audit(df: DataFrame, key_col: str, salt_threshold_ratio: int = 10)
             F.col("skew_ratio_ppm") > F.lit(int(salt_threshold_ratio) * 1_000_000),
         )
     )
+    # materialize the ONE output row, then release the corpus-sized
+    # count table — a long-lived session must not hold billions of
+    # cached rows per audit call
+    out = out.localCheckpoint(eager=True)
+    counts.unpersist()
+    return out
 
 
 # Benford first-digit expectation, ppm of log10(1 + 1/d) — public constants

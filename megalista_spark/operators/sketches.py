@@ -775,8 +775,18 @@ def exact_quantile_select(
     The ties contract is exact: row_number among equal values is
     partition-order-dependent, but the VALUE at any rank inside a run
     of ties is the tie value itself, so the output is deterministic.
+
+    Output has ONE row per DISTINCT requested permille (duplicates in
+    ``q_permilles`` are deduplicated at entry — the single-plan rank
+    table groups by permille, so a duplicate could never produce a
+    second row anyway; stating it at the boundary makes the contract
+    explicit).
     """
     from pyspark.sql import Window
+
+    # dedupe, order-preserving: the output is sorted by q_permille, so
+    # set semantics are what any caller observes regardless of order
+    q_permilles = tuple(dict.fromkeys(q_permilles))
 
     x = F.col(col)
     # persist the shared frames: bounds is 1 row; binned is (value, bin)
