@@ -53,15 +53,29 @@ def _lloyd(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    # the assignment stage is O(n·k·dim) compute ON THE INPUT PARTITIONS;
-    # a small-file local corpus (one parquet file → 1-4 partitions) would
-    # serialize it onto a few cores while 28 idle (measured: k=782 at sf1
-    # pinned ONE core for minutes). At cluster scale inputs carry many
-    # partitions and this is a no-op.
+    # Scale-adaptive width, keyed layout (r13). Two prior failure modes:
+    # a small-file local corpus (one parquet file → 1-4 partitions)
+    # serialized the O(n·k·dim) assignment onto a few cores while 28
+    # idled (measured: k=782 at sf1 pinned ONE core for minutes), while
+    # blanket repartition(defaultParallelism) made every TINY fit (train
+    # samples are capped at max(4096, 32k) rows) pay ~16 sequential AQE
+    # stage-jobs of 33 tasks each per call — pure scheduler overhead
+    # (measured: the whole ann_ivf_auto fit at sf0.1 is 2000 rows yet
+    # cost ~3-5 s). Width now derives from the actual assignment work:
+    # the zip_with/aggregate distance is a CodegenFallback expression
+    # (measured ~19 µs per (row, centroid) pair at dim=64 — it
+    # materializes a per-pair array), so ~25k pairs ≈ 0.5 s per task,
+    # and local fits collapse to a few partitions while cluster-scale
+    # fits still fan out to every core. Partitioning HASH-BY-vid (not round-robin) lets the
+    # per-iteration groupBy("vid") argmin and the vid join-back reuse
+    # the cached layout — zero corpus-sized Exchange per iteration
+    # (guide §2.4: two operations keyed the same way share one
+    # exchange). The exact count() here is column-pruned (a parquet
+    # row-count scan) and doubles as the width oracle.
     sc = df.sparkSession.sparkContext
-    if vecs.rdd.getNumPartitions() < sc.defaultParallelism:
-        vecs = vecs.repartition(sc.defaultParallelism)
-    vecs = vecs.persist()
+    n_train = vecs.count()
+    parts = min(sc.defaultParallelism, max(1, -(-n_train * k // 25_000)))
+    vecs = vecs.repartition(parts, "vid").persist()
     w_init = Window.orderBy("vid")
     centroids = (
         vecs.orderBy("vid")

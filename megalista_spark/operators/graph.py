@@ -727,26 +727,32 @@ def bounded_sssp(
             frontier.join(e, frontier["node"] == e["u"])
             .select("seed", F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
         )
+        # the changed-set rides the SAME union/aggregate the merge
+        # already pays: old rows carry their dist as _prev, relaxed
+        # candidates carry NULL, and min(_prev) (nulls ignored) is
+        # therefore the node's previous distance — NULL iff first
+        # reached this round. A first join-based frontier was measured
+        # SLOWER at sf0.1 (r13 alternating A/B: 1.37×/1.79× cold/warm —
+        # two extra stage waves per round dwarfed the relax saving);
+        # this form adds only one bigint agg column to the existing
+        # shuffle.
         merged = (
-            dists.unionByName(relaxed)
+            dists.select("seed", "node", "dist", F.col("dist").alias("_prev"))
+            .unionByName(
+                relaxed.select(
+                    "seed", "node", "dist",
+                    F.lit(None).cast("bigint").alias("_prev"),
+                )
+            )
             .groupBy("seed", "node")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min("dist").alias("dist"), F.min("_prev").alias("_prev"))
             .localCheckpoint(eager=True)
         )
         if rnd < rounds - 1:
-            # next frontier = rows first reached or improved this round
-            # (distances only decrease). Lazy is safe here: both sides
-            # are eager checkpoints and the frontier has ONE consumer
-            # (next round's relax join inside the next checkpoint job).
-            prev = dists.select(
-                "seed", "node", F.col("dist").alias("_prev")
-            )
-            frontier = (
-                merged.join(prev, ["seed", "node"], "left")
-                .where(F.col("_prev").isNull() | (F.col("dist") < F.col("_prev")))
-                .select("seed", "node", "dist")
-            )
-        dists = merged
+            frontier = merged.where(
+                F.col("_prev").isNull() | (F.col("dist") < F.col("_prev"))
+            ).select("seed", "node", "dist")
+        dists = merged.select("seed", "node", "dist")
     return dists
 
 

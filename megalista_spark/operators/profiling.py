@@ -283,30 +283,36 @@ def join_skew_audit(df: DataFrame, key_col: str, salt_threshold_ratio: int = 10)
     """
     from pyspark.sql.window import Window as _W
 
-    # the key-count table feeds FIVE consumers (histogram, totals ×3
-    # appearances, top-key probe); left lazy each one re-runs the
-    # corpus-sized groupBy — and two of them sit under independent
-    # broadcast jobs that would race a lazy cache (the r12 §1 hazard).
-    # Materialize it once — but via DISK_ONLY persist + count, NOT
-    # localCheckpoint (r13): this table is billions of rows at the scale
-    # the docstring budgets, and a checkpoint truncates lineage, so one
-    # executor loss would abort the whole audit instead of recomputing
-    # the lost partitions; persist keeps the lineage (recoverable) and
-    # DISK_ONLY keeps a corpus-sized table out of execution memory. The
-    # eager count() closes the lazy-cache race the same way the
-    # checkpoint did. Freed below once the 1-row result materializes.
-    from pyspark import StorageLevel
-
-    counts = df.groupBy(F.col(key_col).alias("_key")).agg(
-        F.count(F.lit(1)).cast("long").alias("_freq")
-    ).persist(StorageLevel.DISK_ONLY)
-    counts.count()
-    hist = counts.groupBy("_freq").agg(F.count(F.lit(1)).cast("long").alias("_nk"))
+    # r12 materialized the per-key count table (five consumers, two under
+    # independent broadcast jobs that race a lazy cache). But that table
+    # is billions of rows at the scale the docstring budgets — a
+    # localCheckpoint of it truncates lineage (one executor loss aborts
+    # the audit) and persist variants measured 1.15-1.4× slower at sf0.1
+    # (r13 alternating A/Bs: columnar cache encode/decode + the extra
+    # materialization job). r13 restructure: the count table now has
+    # exactly ONE consumer — the bounded frequency histogram, which
+    # additionally carries each frequency's minimum key — so the
+    # corpus-sized relation is never materialized anywhere and every
+    # other output derives from the ≤O(distinct-freq)-row checkpoint:
+    #   n_keys   = Σ _nk          n_rows = Σ _freq·_nk
+    #   max_freq = max(_freq)     top_key = _minkey at max_freq
+    # (identical values: min over string-cast keys at the hottest
+    # frequency is what the old top-key probe computed).
+    hist = (
+        df.groupBy(F.col(key_col).alias("_key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_freq"))
+        .groupBy("_freq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nk"),
+            F.min(F.col("_key").cast("string")).alias("_minkey"),
+        )
+        .localCheckpoint(eager=True)  # bounded rows — no durability cost
+    )
     w = _W.orderBy("_freq").rowsBetween(_W.unboundedPreceding, 0)
     cum = hist.withColumn("_cum", F.sum("_nk").over(w))
-    totals = counts.agg(
-        F.count(F.lit(1)).cast("long").alias("n_keys"),
-        F.sum("_freq").cast("long").alias("n_rows"),
+    totals = hist.agg(
+        F.sum("_nk").cast("long").alias("n_keys"),
+        F.sum(F.col("_freq") * F.col("_nk")).cast("long").alias("n_rows"),
         F.max("_freq").cast("long").alias("max_freq"),
     )
     # smallest freq whose cumulative key count reaches ceil(p·n_keys)
@@ -326,11 +332,11 @@ def join_skew_audit(df: DataFrame, key_col: str, salt_threshold_ratio: int = 10)
         )
     )
     top = (
-        counts.crossJoin(F.broadcast(totals.select("max_freq")))
+        hist.crossJoin(F.broadcast(totals.select("max_freq")))
         .where(F.col("_freq") == F.col("max_freq"))
-        .agg(F.min(F.col("_key").cast("string")).alias("top_key"))
+        .agg(F.min("_minkey").alias("top_key"))
     )
-    out = (
+    return (
         totals.crossJoin(F.broadcast(pct))
         .crossJoin(F.broadcast(top))
         .select(
@@ -352,12 +358,6 @@ def join_skew_audit(df: DataFrame, key_col: str, salt_threshold_ratio: int = 10)
             F.col("skew_ratio_ppm") > F.lit(int(salt_threshold_ratio) * 1_000_000),
         )
     )
-    # materialize the ONE output row, then release the corpus-sized
-    # count table — a long-lived session must not hold billions of
-    # cached rows per audit call
-    out = out.localCheckpoint(eager=True)
-    counts.unpersist()
-    return out
 
 
 # Benford first-digit expectation, ppm of log10(1 + 1/d) — public constants

@@ -80,7 +80,15 @@ def cosine_topk(
     c = df.select(
         F.col(id_col).alias("neighbor_id"),
         unit_expr(F.col(vec_col)).alias("c_vec"),
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    # spread the n·|q| scoring only when the corpus arrives under-split
+    # (a single-row-group local file scans as ONE task); at cluster
+    # scale inputs are multi-split and this costs nothing — the
+    # unconditional repartition this replaces paid a full corpus
+    # exchange (vectors included) even on well-split inputs (r13, §2.4)
+    sc = df.sparkSession.sparkContext
+    if c.rdd.getNumPartitions() < sc.defaultParallelism:
+        c = c.repartition(sc.defaultParallelism)
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -247,6 +255,18 @@ def _ivf_nearest(
     u = df_in.select(
         df_in[in_id], df_in[in_vec], unit_expr(F.col(in_vec)).alias("_uv")
     )
+    if probes == 1:
+        # corpus-side n·k assignment: the zip_with/aggregate unit-dot is
+        # a CodegenFallback expression (~19 µs/pair at dim=64), and a
+        # single-row-group local file scans as ONE task — the whole
+        # assignment would pipeline onto one core before its first
+        # exchange (measured: the 2000-row sf0.1 corpus pinned ~2 s on
+        # one task). Spread only when under-split; multi-split
+        # cluster-scale inputs pay nothing (r13, §2.5/§6 input
+        # parallelism; the query side stays as-is — it is tiny).
+        sc = df_in.sparkSession.sparkContext
+        if u.rdd.getNumPartitions() < sc.defaultParallelism:
+            u = u.repartition(sc.defaultParallelism)
     scored = u.join(F.broadcast(ucent)).select(
         u[in_id],
         u[in_vec],
