@@ -887,7 +887,15 @@ def min_label_groups(
     ``graph.star_contraction_components``; near-dup components are
     shallow by construction.
     """
+    # eager count, not lazy persist (r13): the pair relation upstream is
+    # the pipeline's expensive pass (e.g. the blocked all-pairs GEMM),
+    # and round 1's checkpoint job plus the AQE broadcast-build of the
+    # neighbor aggregate are INDEPENDENT jobs that race an unpopulated
+    # cache — measured at sf0.1: the GEMM lineage re-ran twice more as
+    # 1-task broadcast builds (~4.5 s each) before the cache filled.
+    # The count materializes the cache once, then every round reads it.
     sym = symmetric_edges(pairs, pair_cols).persist()
+    sym.count()
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     for _ in range(iters):
         nb_min = (
@@ -945,6 +953,7 @@ def min_label_groups_fixpoint(
     (id, group_label, is_canonical) for every node in ``nodes``.
     """
     sym = symmetric_edges(pairs, pair_cols).persist()
+    sym.count()  # close the lazy-cache race (see min_label_groups, r13)
     # localCheckpoint, not persist: each round's plan references the prior
     # labels TWICE (the neighbor aggregate and the join back), so lineage
     # DOUBLES per round — at 20+ rounds the 2^k-node logical plan OOMs the

@@ -113,6 +113,13 @@ def pagerank(
         # contribution join) read it — a lazy single-job formulation was
         # MEASURED SLOWER here (r12 A/B) because concurrent stages
         # recompute partitions whose cache blocks are not populated yet.
+        # r13 also tried folding this scalar into the plan (per-round
+        # eager localCheckpoint + crossJoin(broadcast(1-row dangling
+        # agg)), zero driver round-trips): 4-round alternating A/B was
+        # WORSE (pagerank_supply_graph cold ~13.4 -> ~19.0 s in 3/4
+        # rounds; /tmp/r13_ab_pr2.out) — the per-round checkpoint writes
+        # every rank block where persist+first() only touches the agg,
+        # and the broadcast adds an AQE exchange per round. Reverted.
         dangling = (
             ranks.join(deg, ranks["node"] == deg["_src"], "left_anti")
             .agg(F.coalesce(F.sum("rank_u"), F.lit(0)).cast("long"))
@@ -228,7 +235,9 @@ def personalized_pagerank(
     prev = None
     for _ in range(iterations):
         ranks = ranks.persist()
-        # per-round scalar action on purpose — eagerly materializes the
+        # per-round scalar action on purpose (and the r13 broadcast-
+        # dangling fold was A/B-measured worse here too — see pagerank)
+        # — eagerly materializes the
         # ranks cache before its two consumers read it (see pagerank)
         dangling = (
             ranks.join(deg, ranks["node"] == deg["_src"], "left_anti")

@@ -15,6 +15,18 @@ os.environ["PYTHONPATH"] = (
 )
 
 
+def pytest_collection_modifyitems(config, items):
+    # "fast" marks the curated <5-min subset (tests/fast_suite.py) so a
+    # time-budgeted gate can run `-m fast` and still touch every operator
+    # family; base name match so parametrized variants ride along.
+    from fast_suite import FAST_TESTS
+
+    for item in items:
+        base = item.name.split("[", 1)[0]
+        if base in FAST_TESTS:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="megalista_spark_tests", shuffle_partitions=8)

@@ -123,3 +123,24 @@ def test_control_drift_falls_back_to_queries_and_handles_absence():
                           "running_total_per_customer": None}}
     # only q1 is usable on both sides -> under the 2-control minimum
     assert bench_diff.control_drift(old_z, new_z) is None
+
+
+def test_fast_suite_names_resolve():
+    # every fast_suite entry must match a real collected test — a stale
+    # name after a rename silently shrinks the -m fast gate's coverage
+    import ast
+
+    names = set()
+    tests_dir = os.path.join(REPO, "tests")
+    for fn in os.listdir(tests_dir):
+        if fn.startswith("test_") and fn.endswith(".py"):
+            tree = ast.parse(open(os.path.join(tests_dir, fn)).read())
+            names |= {
+                n.name
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+                and n.name.startswith("test_")
+            }
+    fast = _load(os.path.join(REPO, "tests", "fast_suite.py"), "fast_suite_mod")
+    stale = fast.FAST_TESTS - names
+    assert not stale, f"fast_suite entries match no test: {sorted(stale)}"
