@@ -9593,14 +9593,15 @@ def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
         )
     )
-    existing = sym.select(
-        F.col("src").alias("seed"), F.col("dst").alias("cand")
-    )
-    # the anti-join's right side is the CORPUS-SIZED edge set: force a
-    # sort-merge anti-join — at sf1 its on-disk estimate can sneak under
-    # the broadcast threshold while the in-memory hashed relation blows
-    # the (shared, local-mode) driver heap
-    cands = wedges.join(existing.hint("merge"), ["seed", "cand"], "left_anti")
+    # the anti-join only ever needs edges whose src IS one of the 3
+    # seeds — and that relation is exactly e1, already computed for the
+    # wedge expansion. The former right side was the CORPUS-SIZED edge
+    # set under a merge hint (a full sort+exchange of sym per run); the
+    # seed-bounded e1 is Σ deg(seed) rows at ANY scale, so AQE sizes the
+    # anti-join at runtime (broadcast when small, SMJ over the tiny
+    # relation otherwise) and the corpus never sorts.
+    existing = e1.select("seed", F.col("dst").alias("cand"))
+    cands = wedges.join(existing, ["seed", "cand"], "left_anti")
     w = Window.partitionBy("seed").orderBy(F.desc("ra_score"), F.asc("cand"))
     return (
         cands.withColumn("_rk", F.row_number().over(w))

@@ -64,6 +64,15 @@ def association_rules(
     heaps + a k-row driver merge, no global sort).
     """
     baskets = basket_arrays(transactions, basket_col, item_col, cap).persist()
+    # eager count (r13): n_baskets, item_supp and pair_supp project
+    # different columns off this cache, so their exchange/broadcast
+    # builds are distinct AQE jobs that race the unpopulated persist —
+    # jobdump showed the collect_set basket aggregate re-running 4× as
+    # concurrent ~5 s 35-task jobs under the final checkpoint action.
+    # Local wall is flat (idle cores absorb the overlap); the keep is
+    # strictly-less-work: 4× the corpus-sized basket build is 4× the
+    # CPU on the operator's dominant stage at 100 TB.
+    baskets.count()
     n_baskets = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
 
     item_supp = (

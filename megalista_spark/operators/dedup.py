@@ -894,12 +894,19 @@ def min_label_groups(
     # cache — measured at sf0.1: the GEMM lineage re-ran twice more as
     # 1-task broadcast builds (~4.5 s each) before the cache filled.
     # The count materializes the cache once, then every round reads it.
-    sym = symmetric_edges(pairs, pair_cols).persist()
+    # Pre-partitioned on the join key + per-round SHUFFLE-HASH with
+    # labels as build side (r13): from round 2 on labels is an RDD scan
+    # whose size the optimizer does not know, so it was broadcasting the
+    # EDGE SET — a single-task multi-second hash-relation build per
+    # round locally, and at 100 TB a driver-fatal plan. With the cache
+    # hash-partitioned on dst the shuffle-hash join reads it
+    # exchange-free every round; only the node-sized labels shuffles.
+    sym = symmetric_edges(pairs, pair_cols).repartition("dst").persist()
     sym.count()
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     for _ in range(iters):
         nb_min = (
-            sym.join(labels, sym["dst"] == labels["id"])
+            sym.join(labels.hint("shuffle_hash"), sym["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nb_min"))
         )
@@ -952,7 +959,10 @@ def min_label_groups_fixpoint(
     Output contract identical to ``min_label_groups``:
     (id, group_label, is_canonical) for every node in ``nodes``.
     """
-    sym = symmetric_edges(pairs, pair_cols).persist()
+    # same keyed layout + per-round shuffle-hash as min_label_groups
+    # (r13) — at up to max_iters rounds the per-round broadcast-the-
+    # edges hazard compounds; see the comment there
+    sym = symmetric_edges(pairs, pair_cols).repartition("dst").persist()
     sym.count()  # close the lazy-cache race (see min_label_groups, r13)
     # localCheckpoint, not persist: each round's plan references the prior
     # labels TWICE (the neighbor aggregate and the join back), so lineage
@@ -968,7 +978,7 @@ def min_label_groups_fixpoint(
     prev_sum = labels.agg(label_sum).collect()[0][0]
     for _ in range(max_iters):
         nb_min = (
-            sym.join(labels, sym["dst"] == labels["id"])
+            sym.join(labels.hint("shuffle_hash"), sym["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nb_min"))
         )
@@ -1159,9 +1169,16 @@ def semdedup_prune(
     # similarity.py:53)
     assigned = assigned.withColumn("_uv", unit_expr(F.col("v")))
     # three consumers (both pair sides + the stats base): persist so the
-    # assignment window runs once, not per branch
+    # assignment window runs once, not per branch. Eager count (r13):
+    # the three consumers project DIFFERENT columns (id_a/_va, id_b/_vb,
+    # cid/vid), so their exchanges are distinct and AQE's runtime
+    # exchange reuse cannot dedupe them — under one action they are
+    # independent stage jobs racing the unpopulated cache, and jobdump
+    # showed the assignment lineage re-running 3× (~0.87 s each at
+    # sf0.1) before the cache filled. The count materializes it once.
     if materialize:
         assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        assigned.count()
     a = assigned.select(
         "cid", F.col("vid").alias("id_a"), F.col("_uv").alias("_va")
     )

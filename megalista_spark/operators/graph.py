@@ -575,11 +575,24 @@ def label_propagation_communities(
     """
     from megalista_spark.operators.dedup import symmetric_edges
 
-    sym = symmetric_edges(pairs, pair_cols).persist()
+    # Pre-partition the edge cache on the vote-join key and force the
+    # per-round join to SHUFFLE-HASH with labels as build side (r13).
+    # Why: from round 2 on, labels is a checkpointed RDD scan whose size
+    # the optimizer does NOT know (defaultSizeInBytes = huge), so it
+    # was broadcasting the EDGE SET instead — a single-task multi-second
+    # hash-relation build per round locally (measured 2.3-2.6 s at
+    # sf0.1), and at 100 TB a driver-fatal plan (the edge relation can
+    # never broadcast). With the cache hash-partitioned on dst, the
+    # shuffle-hash join reads it exchange-free every round; only the
+    # node-sized labels relation shuffles per round, and the per-
+    # partition hash build is the node slice, not the edge set. The
+    # eager count closes the unpopulated-cache race (min_label lesson).
+    sym = symmetric_edges(pairs, pair_cols).repartition("dst").persist()
+    sym.count()
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     for _ in range(iters):
         votes = (
-            sym.join(labels, sym["dst"] == labels["id"])
+            sym.join(labels.hint("shuffle_hash"), sym["dst"] == labels["id"])
             .groupBy(F.col("src"), F.col("label"))
             .agg(F.count(F.lit(1)).alias("c"))
         )

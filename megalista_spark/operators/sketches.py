@@ -812,6 +812,14 @@ def exact_quantile_select(
         )
         .alias("_b"),
     ).persist()
+    # NOT eagerly counted (r13, tried + reverted): binned/bounds do race
+    # their consumers' independent AQE jobs like the min_label/semdedup
+    # caches do, but the duplicated lineage here is a column-pruned
+    # parquet scan — cheap by design — and the barrier count measured
+    # flat-to-slightly-worse in a same-JVM alternating A/B (decile 0.56×
+    # but QTE 1.05×/egq 1.33× on an unusable control window; quiet
+    # rounds leaned against). The eager count only pays when the cached
+    # lineage is an expensive COMPUTED relation.
     cum = (
         binned.groupBy("_b")
         .agg(F.count(F.lit(1)).alias("_c"))

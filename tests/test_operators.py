@@ -1634,6 +1634,32 @@ def test_quarantine_splits_with_first_reason(spark):
     assert valid.count() + quar.count() == df.count()
 
 
+def test_iterative_vote_join_never_broadcasts_edges(spark):
+    # Locks the r13 join-shape contract shared by the LPA and min-label
+    # kernels: from round 2 on, labels is a checkpointed RDD whose size
+    # the optimizer cannot know, and the per-round vote/neighbor join
+    # must NOT react by broadcasting the (corpus-sized at 100 TB) edge
+    # relation — the shuffle_hash hint with labels as build side is the
+    # committed plan. A silently misspelled hint would no-op back to the
+    # driver-fatal broadcast; this test reproduces the round-2 shape and
+    # asserts the physical join class.
+    from megalista_spark.operators.dedup import symmetric_edges
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], ["id_a", "id_b"]
+    )
+    sym = symmetric_edges(pairs, ("id_a", "id_b")).repartition("dst").persist()
+    sym.count()
+    labels = spark.createDataFrame(
+        [(i, i) for i in range(51)], ["id", "label"]
+    ).localCheckpoint(eager=True)
+    votes = sym.join(labels.hint("shuffle_hash"), sym["dst"] == labels["id"])
+    plan = votes._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    sym.unpersist()
+
+
 def test_label_propagation_two_cliques(spark):
     from megalista_spark.operators.graph import label_propagation_communities
 
