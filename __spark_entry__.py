@@ -2910,6 +2910,14 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from megalista_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
 
     d = _t(spark, sf_dir, "documents")
+    # NOT rewritten onto one persisted signature relation (r13, tried +
+    # reverted): sharing the fold via persist + _band_candidate_pairs
+    # (the containment_minhash_estimate shape) removes two of the three
+    # corpus signature folds, but those two run as CONCURRENT jobs on
+    # idle cores under the final action while the persist write
+    # serializes — 6-round alternating A/B measured cold WORSE in every
+    # paired round (~1.1-1.3x) for a ~0.95x warm wash. Same lesson as
+    # the reverted exact_quantile_select count and contrastive barrier.
     cand = minhash_lsh_pairs(d, num_hashes=16, bands=4)
     sigs = minhash_signatures(d, num_hashes=16)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
@@ -8349,6 +8357,13 @@ def contrastive_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from megalista_spark.operators.dedup import minhash_lsh_pairs, portable_hash64
 
     d = _t(spark, sf_dir, "documents")
+    # NOT persisted+counted (r13, tried + reverted): pos has two
+    # consumers (union branch + anti-join right side) and the r12 plan
+    # dump shows the pair-generation subtree twice — but both duplicates
+    # hang off the eagerly-checkpointed band table and run as CONCURRENT
+    # AQE jobs on idle cores, so a pos barrier only serializes them:
+    # 4-round alternating A/B measured 1.21x cold AND warm against.
+    # (The same §13 lesson as exact_quantile_select's reverted count.)
     pos = minhash_lsh_pairs(d, num_hashes=16, bands=4).select(
         "doc_a", "doc_b", F.lit(1).alias("label")
     )

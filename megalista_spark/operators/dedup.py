@@ -1802,23 +1802,51 @@ def lsh_candidate_precision(
     inherent verify cost, NOT corpus²) + one hash aggregate; final stats
     on the ≤ ``bands``-row table. Integer ppm.
     """
-    cand = minhash_lsh_pairs(
-        df, num_hashes, bands, shingle_n, text_col, id_col
-    ).localCheckpoint(eager=True)
-    shingled = (
-        _tokenized(df, text_col, id_col)
-        .select(
-            "id", shingles_from_tokens(F.col("_toks"), shingle_n).alias("shingles")
-        )
-        .select(
-            "id",
-            F.size("shingles").alias("set_size"),
-            F.explode_outer(
-                F.transform(F.col("shingles"), portable_hash64)
-            ).alias("shingle"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    sc = df.sparkSession.sparkContext
+
+    def _build_cand() -> DataFrame:
+        sc.setJobDescription("lsh_candidate_precision: band candidates")
+        try:
+            return minhash_lsh_pairs(
+                df, num_hashes, bands, shingle_n, text_col, id_col
+            ).localCheckpoint(eager=True)
+        finally:
+            sc.setJobDescription(None)
+
+    def _build_shingled() -> DataFrame:
+        sc.setJobDescription("lsh_candidate_precision: shingle postings")
+        try:
+            return (
+                _tokenized(df, text_col, id_col)
+                .select(
+                    "id",
+                    shingles_from_tokens(F.col("_toks"), shingle_n).alias(
+                        "shingles"
+                    ),
+                )
+                .select(
+                    "id",
+                    F.size("shingles").alias("set_size"),
+                    F.explode_outer(
+                        F.transform(F.col("shingles"), portable_hash64)
+                    ).alias("shingle"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            sc.setJobDescription(None)
+
+    # candidates and the shingle postings are independent corpus passes
+    # that were built sequentially — overlap them on two driver threads
+    # (the lsh_banding_curve idiom, guide §2.6); both checkpoints
+    # already existed, so this changes scheduling only
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cand = pool.submit(_build_cand)
+        f_shingled = pool.submit(_build_shingled)
+        cand = f_cand.result()
+        shingled = f_shingled.result()
     sa = shingled.select(
         F.col("id").alias("_ida"),
         F.col("set_size").alias("size_a"),
@@ -1893,14 +1921,42 @@ def lsh_candidate_recall(
     candidate table (both pair-sized, not corpus-sized) + two scalar
     aggregates.
     """
-    true_pairs = ngram_jaccard_pairs(
-        df, n=shingle_n, threshold=threshold, text_col=text_col, id_col=id_col
-    ).select("doc_a", "doc_b").localCheckpoint(eager=True)
-    cand = minhash_lsh_pairs(
-        df, num_hashes, bands, shingle_n, text_col, id_col
-    ).select(
-        F.col("doc_a").alias("_ca"), F.col("doc_b").alias("_cb")
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    sc = df.sparkSession.sparkContext
+
+    def _build_truth() -> DataFrame:
+        sc.setJobDescription("lsh_candidate_recall: exact ground truth")
+        try:
+            return ngram_jaccard_pairs(
+                df, n=shingle_n, threshold=threshold,
+                text_col=text_col, id_col=id_col,
+            ).select("doc_a", "doc_b").localCheckpoint(eager=True)
+        finally:
+            sc.setJobDescription(None)
+
+    def _build_cand() -> DataFrame:
+        sc.setJobDescription("lsh_candidate_recall: band candidates")
+        try:
+            return minhash_lsh_pairs(
+                df, num_hashes, bands, shingle_n, text_col, id_col
+            ).select(
+                F.col("doc_a").alias("_ca"), F.col("doc_b").alias("_cb")
+            ).localCheckpoint(eager=True)
+        finally:
+            sc.setJobDescription(None)
+
+    # the two generators are independent dataflows — overlap their
+    # builds on two driver threads (the lsh_banding_curve idiom, guide
+    # §2.6), so the exact-Jaccard ground truth no longer serializes
+    # ahead of the signature/banding pass; candidates are materialized
+    # (pair-sized, the banding-curve durability class) so the overlap
+    # covers their build, not just their plan
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_true = pool.submit(_build_truth)
+        f_cand = pool.submit(_build_cand)
+        true_pairs = f_true.result()
+        cand = f_cand.result()
     # ONE pair-sized pass instead of three (semi-join + two separate
     # counts): candidates are distinct (grouped emission) and ground
     # truth is distinct, so the left join is 1-1 — count(*) is
